@@ -1,0 +1,278 @@
+"""Per-page deterministic extraction functions.
+
+Each function reproduces the observable behavior of the cited reference code
+(/root/reference), quirks included. These run inside Arrow-batched pandas
+UDFs on the Spark side and directly in the single-node test oracle — the
+same bytes come out of both by construction.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple, Union
+
+from crawler_spark.core.htmlparse import MiniSoup, parse_html
+from crawler_spark.core.urls import normalize_url
+
+_WS_RE = re.compile(r"\s+")  # Python re: Unicode \s (NBSP, ideographic space, ...)
+
+
+def clean_text(text: str) -> str:
+    """Collapse all Unicode whitespace runs to single spaces and strip.
+
+    Reference crawler/utils.py:39-45. Kept in Python (not Spark
+    ``regexp_replace``) because Java's ``\\s`` is ASCII-only.
+    """
+    return _WS_RE.sub(" ", text).strip()
+
+
+def extract_title(soup: MiniSoup) -> str:
+    """First <title> text, else first <h1>, else "No title found".
+
+    Reference crawler/enhanced_crawler.py:68-75. Note the reference checks
+    truthiness of the raw ``.text`` but returns ``clean_text(...)`` — a
+    whitespace-only title is truthy raw, so it yields "" (not the h1
+    fallback); reproduced exactly.
+    """
+    title_tag = soup.find("title")
+    if title_tag is not None and title_tag.text:
+        return clean_text(title_tag.text)
+    h1_tag = soup.find("h1")
+    if h1_tag is not None and h1_tag.text:
+        return clean_text(h1_tag.text)
+    return "No title found"
+
+
+def extract_links(soup: MiniSoup, base_url: str) -> List[str]:
+    """All <a href> in document order -> normalized, order-preserving dedup.
+
+    Reference crawler/enhanced_crawler.py:77-86.
+    """
+    links: List[str] = []
+    seen = set()
+    for a_tag in soup.find_all("a", href=True):
+        normalized = normalize_url(base_url, a_tag["href"])
+        if normalized and normalized not in seen:
+            seen.add(normalized)
+            links.append(normalized)
+    return links
+
+
+def extract_structured_markdown(soup: MiniSoup) -> str:
+    """Document-order h1/h2/h3/p/ul/ol/li/pre/code -> markdown lines.
+
+    Reference crawler/enhanced_crawler.py:88-107 — quirks reproduced:
+    ``ul``/``ol`` are matched but have no emit branch (they contribute
+    nothing); nested elements emit twice (a ``p`` inside ``li`` appears in
+    the li line and as its own line; ``code`` inside ``pre`` yields two
+    fenced blocks); text is ``get_text(" ", strip=True)`` then
+    ``clean_text``; empties skipped; joined with a blank line.
+    """
+    lines: List[str] = []
+    for tag in soup.find_all(["h1", "h2", "h3", "p", "ul", "ol", "li", "pre", "code"]):
+        name = tag.name.lower()
+        text = clean_text(tag.get_text(" ", strip=True))
+        if not text:
+            continue
+        if name == "h1":
+            lines.append(f"# {text}")
+        elif name == "h2":
+            lines.append(f"## {text}")
+        elif name == "h3":
+            lines.append(f"### {text}")
+        elif name == "p":
+            lines.append(text)
+        elif name == "li":
+            lines.append(f"- {text}")
+        elif name == "pre" or name == "code":
+            lines.append(f"```\n{text}\n```")
+    return "\n\n".join(lines)
+
+
+def extract_page(html: Union[str, bytes, None], url: str) -> Tuple[str, List[str], str]:
+    """One parse, three outputs: (title, links, structured_markdown).
+
+    Mirrors the per-page sequence at reference enhanced_crawler.py:196-199.
+    """
+    soup = parse_html(html)
+    return (
+        extract_title(soup),
+        extract_links(soup, base_url=url),
+        extract_structured_markdown(soup),
+    )
+
+
+def basic_extraction(html: Union[str, bytes, None], title: str, url: str) -> Dict:
+    """Deterministic (no-LLM) structured-content extraction.
+
+    Reference crawler/ai_processor.py:233-278: paragraphs with
+    ``len(p.text.strip()) > 50``, headings h1-h3 (non-empty), list items
+    with ``len > 10``; summary counts; headings[:5] as key_points;
+    paragraphs[:10]; list_items[:20]; relevance_score fixed 0.5.
+    """
+    soup = parse_html(html)
+
+    paragraphs = []
+    for p in soup.find_all("p"):
+        stripped = p.text.strip()
+        if p.text and len(stripped) > 50:
+            paragraphs.append(stripped)
+
+    headings = []
+    for h in soup.find_all(["h1", "h2", "h3"]):
+        stripped = h.text.strip()
+        if h.text and len(stripped) > 0:
+            headings.append(stripped)
+
+    summary = f"Page titled '{title}' with {len(paragraphs)} paragraphs and {len(headings)} headings."
+
+    list_items = []
+    for li in soup.find_all("li"):
+        stripped = li.text.strip()
+        if li.text and len(stripped) > 10:
+            list_items.append(stripped)
+
+    return {
+        "source_url": url,
+        "source_title": title,
+        "summary": summary,
+        "key_points": headings[:5],
+        "relevance_score": 0.5,
+        "paragraphs": paragraphs[:10],
+        "list_items": list_items[:20],
+    }
+
+
+# 26-word stopword set — reference crawler/ai_processor.py:119-124, verbatim
+# as data (it is the observable contract, not code).
+STOPWORDS = frozenset(
+    {
+        "a", "an", "the", "and", "or", "but", "if", "because", "as", "what",
+        "when", "where", "how", "is", "are", "was", "were", "be", "been",
+        "being", "have", "has", "had", "do", "does", "did", "to", "from",
+        "in", "out", "get", "find", "extract", "information", "about",
+    }
+)
+
+
+def derive_keywords(instructions: str) -> List[str]:
+    """Lowercase whitespace split; keep len>3 and not-stopword.
+
+    Reference crawler/ai_processor.py:126-127.
+    """
+    return [w for w in instructions.lower().split() if len(w) > 3 and w not in STOPWORDS]
+
+
+def keyword_relevance(content: str, title: str, instructions: str) -> Tuple[float, str]:
+    """Keyword-count relevance score with banded reasons.
+
+    Reference crawler/ai_processor.py:101-150: substring (not word-boundary)
+    matching against lowercased title/content; score
+    ``(3*title_matches + content_matches) / (4*len(keywords))`` clamped to
+    [0,1]; empty keywords -> (0.5, "No specific keywords found in
+    instructions"); bands >0.7 / >0.4 / else.
+    """
+    content_lower = content.lower()
+    title_lower = title.lower()
+    keywords = derive_keywords(instructions)
+    if not keywords:
+        return (0.5, "No specific keywords found in instructions")
+
+    title_matches = sum(1 for kw in keywords if kw in title_lower)
+    content_matches = sum(1 for kw in keywords if kw in content_lower)
+    score = (title_matches * 3 + content_matches) / (len(keywords) * 4)
+    score = min(max(score, 0.0), 1.0)
+
+    if score > 0.7:
+        reason = "High keyword match in title and content"
+    elif score > 0.4:
+        reason = "Moderate keyword match"
+    else:
+        reason = "Low keyword match"
+    return (score, reason)
+
+
+def relevance(
+    markdown: str, title: str, instructions: Optional[str]
+) -> Tuple[float, str]:
+    """Relevance gate input: 5000-char sample when instructed, else (1.0,
+    "No instructions"). Reference enhanced_crawler.py:201-206."""
+    if not instructions:
+        return (1.0, "No instructions")
+    return keyword_relevance(markdown[:5000], title, instructions)
+
+
+def chunk_content(content: str, chunk_size: int = 1000, overlap: int = 100) -> List[str]:
+    """Overlapping RAG chunker — reference enhanced_crawler.py:410-446.
+
+    Break preference inside [start, start+size): last "\\n\\n", else last
+    ". ", else last " ", else hard cut at end; a found break advances past
+    one char (``break_point += 1``); next window starts at
+    ``break_point - overlap`` — which may go NEGATIVE (the reference then
+    relies on Python's negative-index ``rfind``/slice semantics, typically
+    emitting an empty chunk and recovering); transcribed as-is.
+
+    One deviation: when the next start lands in ``[0, start]`` the reference
+    re-finds the same break forever (provable fixpoint — it never returns on
+    such input). We force a one-char advance there, plus an absolute
+    iteration fuse; tests pin both the literal behavior and the guard.
+    """
+    chunks: List[str] = []
+    start = 0
+    content_length = len(content)
+    fuse = 4 * content_length + 16
+
+    while start < content_length:
+        fuse -= 1
+        end = start + chunk_size
+        if end >= content_length:
+            chunks.append(content[start:])
+            break
+
+        break_point = content.rfind("\n\n", start, end)
+        if break_point == -1:
+            break_point = content.rfind(". ", start, end)
+        if break_point == -1:
+            break_point = content.rfind(" ", start, end)
+        if break_point == -1:
+            break_point = end
+        else:
+            break_point += 1  # include the space/period
+
+        chunks.append(content[start:break_point])
+        next_start = break_point - overlap
+        if (0 <= next_start <= start) or fuse <= 0:
+            # reference fixpoint: same window, same break, forever — force
+            # minimal forward progress (documented deviation; the reference
+            # emits nothing at all here because it never returns)
+            next_start = start + 1
+        start = next_start
+
+    return chunks
+
+
+def chunk_text(text: str, chunk_size: int = 5000) -> List[str]:
+    """Non-overlapping chunker — reference crawler/utils.py:47-87 (defined
+    there but never called; kept as a second strategy flag)."""
+    chunks: List[str] = []
+    start = 0
+    text_length = len(text)
+
+    while start < text_length:
+        end = min(start + chunk_size, text_length)
+        if end < text_length:
+            paragraph_break = text.rfind("\n\n", start, end)
+            if paragraph_break != -1:
+                end = paragraph_break + 2
+            else:
+                sentence_break = text.rfind(". ", start, end)
+                if sentence_break != -1:
+                    end = sentence_break + 2
+                else:
+                    space_break = text.rfind(" ", start, end)
+                    if space_break != -1:
+                        end = space_break + 1
+        chunks.append(text[start:end])
+        start = end
+
+    return chunks
