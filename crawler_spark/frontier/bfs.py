@@ -1,0 +1,383 @@
+"""The distributed BFS URL frontier — the engine's flagship operator.
+
+Re-expresses the reference's synchronous FIFO crawl loop
+(/root/reference/crawler/enhanced_crawler.py:252-304) as a driver-side wave
+loop over DataFrames (SURVEY §3.1): each wave is one Spark job DAG ending in
+an atomic WaveCommit. Visit order is carried in data (the
+``(parent_seq, link_pos)`` order key), never in physical row order, so
+results are byte-identical at any parallelism — the N-vs-4N criterion.
+
+Per wave:
+
+1. politeness rank  — ``row_number() over (partition by host order by
+   parent_seq, link_pos) <= budget(host)``; overflow rows defer to the next
+   wave unchanged (deferred-not-dropped, the reference's rate-limit
+   semantics enhanced_crawler.py:131-153 mapped to token budgets).
+2. global cap       — dense visit seq via scalable range-partitioned
+   row_number (no global sort), cap at ``max_pages`` (reference W2,
+   enhanced_crawler.py:265).
+3. fetch join       — frontier x pages corpus on url (the reference's
+   network fetch becomes a join per input_hint); small waves broadcast the
+   frontier against the corpus scan, big waves sort-merge. Missing URLs
+   become error rows that still count as visited
+   (enhanced_crawler.py:244-250, :269).
+4. extract          — one mapInPandas pass (Arrow-vectorized) producing the
+   page record; the fat html binary never leaves this operator.
+5. expand           — posexplode(links[:20]) -> domain policy filter
+   (enhanced_crawler.py:282-283, quirk preserved) -> robots prefix filter
+   (broadcast join) -> first-enqueuer-wins window dedup -> anti-join seen
+   -> anti-join deferred (a deferred row keeps its earlier order key).
+6. commit           — pages/seen/frontier parquet + manifest rename (the
+   atomic commit point), with per-file lineage counters.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.core.urls import get_domain
+from crawler_spark.frontier.checkpoint import WaveCommit, WaveManifest
+from crawler_spark.frontier.order import assign_seq
+from crawler_spark.operators.extract import (
+    domain_of,
+    extract_pages,
+    robots_allows_udf,
+    url_path_of,
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_seq", T.LongType()),
+        T.StructField("link_pos", T.IntegerType()),
+    ]
+)
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    instructions: Optional[str] = None
+    depth: int = 1
+    follow_external_links: bool = False
+    max_pages: Optional[int] = None
+    host_budget: Dict[str, int] = field(default_factory=dict)  # "*" = default
+    fetch_broadcast_threshold: int = 200_000  # rows; waves below this broadcast
+    max_waves: int = 10_000
+
+    def budget_default(self) -> Optional[int]:
+        return self.host_budget.get("*")
+
+    def has_politeness(self) -> bool:
+        return bool(self.host_budget)
+
+
+@dataclass
+class CrawlResult:
+    run_dir: str
+    waves: int
+    pages_crawled: int
+    commit: WaveCommit
+
+    def pages(self, spark: SparkSession) -> DataFrame:
+        df = self.commit.read_table(spark, "pages")
+        assert df is not None
+        return df
+
+    def seen(self, spark: SparkSession) -> DataFrame:
+        df = self.commit.read_table(spark, "seen")
+        assert df is not None
+        return df
+
+    def metrics(self) -> List[Dict]:
+        return [self.commit.read_manifest(w) for w in self.commit.committed_waves()]
+
+
+def _seed_frontier(
+    spark: SparkSession, seeds: Sequence[str], robots: Optional[DataFrame]
+) -> DataFrame:
+    rows, seen = [], set()
+    for i, u in enumerate(seeds):
+        if u in seen:
+            continue  # duplicate seeds: first order wins (pop-time skip)
+        seen.add(u)
+        rows.append((u, get_domain(u), 0, -1, i))
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    if robots is not None:
+        df = _robots_filter(df, robots)
+    return df
+
+
+def _robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop disallowed URLs before they enter the frontier (J6): broadcast
+    join on host + vectorized prefix match."""
+    r = F.broadcast(robots.select("host", "disallow_prefixes"))
+    joined = frontier.join(r, "host", "left")
+    return (
+        joined.filter(robots_allows_udf(url_path_of(F.col("url")), F.col("disallow_prefixes")))
+        .drop("disallow_prefixes")
+    )
+
+
+def _lineage_of(path: str) -> List[Dict]:
+    """Per-output-file row counts from parquet footers (cheap, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, name))
+            out.append({"file": name, "rows": md.num_rows})
+    return out
+
+
+def crawl(
+    spark: SparkSession,
+    pages_src: DataFrame,
+    seeds: Sequence[str],
+    config: Optional[CrawlConfig] = None,
+    robots: Optional[DataFrame] = None,
+    run_dir: Optional[str] = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Run (or resume) a crawl of ``pages_src`` from ``seeds``.
+
+    ``pages_src`` must have columns (url, warc_ts, html, ...) — the
+    input_hint corpus shape. Returns a CrawlResult handle over the committed
+    run directory.
+    """
+    cfg = config or CrawlConfig()
+    if run_dir is None:
+        run_dir = tempfile.mkdtemp(prefix="crawl_run_")
+    ck = WaveCommit(run_dir)
+
+    start_hosts = sorted({get_domain(u) for u in seeds})
+
+    # --- budget lookup plan (broadcast map; empty -> politeness disabled) ---
+    budget_rows = [(h, b) for h, b in cfg.host_budget.items() if h != "*"]
+    default_budget = cfg.budget_default()
+
+    # --- resume or init -------------------------------------------------------
+    last = ck.last_committed() if resume else None
+    if last is not None:
+        m = ck.read_manifest(last)
+        next_seq = m["counters"]["next_seq"]
+        wave = last + 1
+        frontier = ck.read_table(spark, "frontier", waves=[wave])
+        if frontier is None:
+            frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+    else:
+        next_seq = 0
+        wave = 0
+        frontier = _seed_frontier(spark, seeds, robots)
+
+    pages_cols = [c for c in ("url", "warc_ts", "html") if c in pages_src.columns]
+    corpus = pages_src.select(*pages_cols)
+
+    while wave < cfg.max_waves:
+        if cfg.max_pages is not None and next_seq >= cfg.max_pages:
+            break
+
+        # ---- 1. politeness: per-host budget rank --------------------------
+        if cfg.has_politeness():
+            w_host = Window.partitionBy("host").orderBy("parent_seq", "link_pos")
+            ranked = frontier.withColumn("_hrank", F.row_number().over(w_host))
+            if budget_rows:
+                bmap = F.create_map(
+                    *[x for h, b in budget_rows for x in (F.lit(h), F.lit(b))]
+                )
+                budget_col = F.coalesce(
+                    bmap[F.col("host")],
+                    F.lit(default_budget).cast("int"),
+                    F.lit(2_147_483_647),
+                )
+            else:
+                budget_col = F.coalesce(
+                    F.lit(default_budget).cast("int"), F.lit(2_147_483_647)
+                )
+            ranked = ranked.persist()
+            taken0 = ranked.filter(F.col("_hrank") <= budget_col).drop("_hrank")
+            deferred = ranked.filter(F.col("_hrank") > budget_col).drop("_hrank")
+        else:
+            ranked = None
+            taken0 = frontier
+            deferred = spark.createDataFrame([], FRONTIER_SCHEMA)
+
+        # ---- 2. dense visit seq + global max_pages cap ---------------------
+        with_seq = assign_seq(taken0, ["parent_seq", "link_pos"], offset=next_seq)
+        if cfg.max_pages is not None:
+            taken = with_seq.filter(F.col("seq") < cfg.max_pages)
+            overflow = with_seq.filter(F.col("seq") >= cfg.max_pages).drop("seq")
+            deferred = deferred.unionByName(overflow)
+        else:
+            taken = with_seq
+
+        # ---- 3. fetch join --------------------------------------------------
+        taken = taken.withColumn("wave", F.lit(wave))
+        taken_count = taken.count()
+        if taken_count == 0:
+            _cleanup(ranked, with_seq)
+            break
+
+        if taken_count <= cfg.fetch_broadcast_threshold:
+            # broadcast the wave against the corpus scan: one pass over
+            # pages, no corpus shuffle; misses recovered against the small
+            # found-url set
+            found = corpus.join(F.broadcast(taken), "url", "inner")
+            found = found.persist()
+            missing = taken.join(
+                F.broadcast(found.select("url")), "url", "left_anti"
+            ).withColumn("html", F.lit(None).cast("binary")).withColumn(
+                "warc_ts", F.lit(None).cast("timestamp")
+            )
+            fetched = found.unionByName(missing.select(*found.columns))
+        else:
+            found = None
+            fetched = taken.join(corpus, "url", "left")
+
+        # ---- 4. extract ------------------------------------------------------
+        parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True)
+
+        # ---- 5. commit pages + seen (write truncates lineage per wave) -----
+        pages_path = ck.write_table(parsed, "pages", wave)
+        parsed_c = spark.read.parquet(pages_path)
+
+        seen_wave = parsed_c.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            "seq",
+            "wave",
+            "depth",
+            "host",
+        )
+        seen_path = ck.write_table(seen_wave, "seen", wave)
+
+        if found is not None:
+            found.unpersist()
+
+        # ---- 6. expand -------------------------------------------------------
+        if cfg.depth > 0:
+            parents = parsed_c.filter(
+                (F.col("depth") < cfg.depth)
+                & F.col("error").isNull()
+                & (F.size("links") > 0)
+            ).select(
+                F.col("seq").alias("p_seq"),
+                F.col("host").alias("parent_host"),
+                F.col("depth").alias("p_depth"),
+                F.posexplode("links").alias("link_pos", "url"),
+            )
+            cand = parents.withColumn("host", domain_of(F.col("url")))
+            # P7 domain policy (reference quirk: external never actually
+            # reaches third-party domains — only seed hosts when enabled)
+            policy = F.col("host") == F.col("parent_host")
+            if cfg.follow_external_links:
+                policy = policy | F.col("host").isin(start_hosts)
+            cand = cand.filter(policy)
+            if robots is not None:
+                cand = _robots_filter(cand, robots)
+
+            # first-enqueuer-wins within the wave (J3): deterministic window,
+            # never bare dropDuplicates
+            w_url = Window.partitionBy("url").orderBy("p_seq", "link_pos")
+            cand = (
+                cand.withColumn("_rn", F.row_number().over(w_url))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+
+            # not already seen (J1/J2: exact anti-join is the authority;
+            # Bloom prefilter slots in front of this at 10^10 scale).
+            # waves 0..k inclusive: the current wave's seen parquet is
+            # written but not yet manifest-committed, so list it explicitly
+            seen_all = ck.read_table(spark, "seen", waves=list(range(wave + 1)))
+            if seen_all is not None:
+                cand = cand.join(seen_all.select("url"), "url", "left_anti")
+            # a deferred row keeps its earlier (better) order key
+            cand = cand.join(deferred.select("url"), "url", "left_anti")
+
+            new_rows = cand.select(
+                "url",
+                "host",
+                (F.col("p_depth") + 1).alias("depth"),
+                F.col("p_seq").alias("parent_seq"),
+                "link_pos",
+            )
+            next_frontier = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields]).unionByName(new_rows)
+        else:
+            next_frontier = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])
+
+        frontier_path = ck.write_table(next_frontier, "frontier", wave + 1)
+        # deferred/overflow derive from the cached rank/seq frames; only now
+        # that the frontier parquet is materialized is it safe to unpersist
+        _cleanup(ranked, with_seq)
+
+        # ---- 7. manifest commit (the atomic point) -------------------------
+        next_seq += taken_count
+        frontier_rows = sum(e["rows"] for e in _lineage_of(frontier_path))
+        manifest = WaveManifest(
+            wave=wave,
+            counters={
+                "taken": taken_count,
+                "next_seq": next_seq,
+                "frontier_next": frontier_rows,
+            },
+            lineage={
+                "pages": _lineage_of(pages_path),
+                "seen": _lineage_of(seen_path),
+                "frontier_next": _lineage_of(frontier_path),
+            },
+            tables={
+                "pages": f"pages/wave={wave}",
+                "seen": f"seen/wave={wave}",
+                "frontier": f"frontier/wave={wave + 1}",
+            },
+            config={
+                "instructions": cfg.instructions,
+                "depth": cfg.depth,
+                "follow_external_links": cfg.follow_external_links,
+                "max_pages": cfg.max_pages,
+                "host_budget": cfg.host_budget,
+                "seeds": list(seeds),
+            },
+        )
+        ck.commit(manifest)
+
+        frontier = spark.read.parquet(frontier_path)
+        wave += 1
+        if frontier_rows == 0:
+            break
+
+    return CrawlResult(
+        run_dir=run_dir, waves=wave, pages_crawled=next_seq, commit=ck
+    )
+
+
+def _cleanup(*dfs) -> None:
+    for df in dfs:
+        if df is None:
+            continue
+        cache = getattr(df, "_assign_seq_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        try:
+            if df.is_cached:
+                df.unpersist()
+        except Exception:
+            pass

@@ -1,0 +1,245 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These have no reference analog (the reference dedups only URLs); they are
+the corpus-dedup layer a crawl feeds at 100 TB scale. All hot paths are
+JVM-side built-ins (higher-order array functions, hash expressions) — no
+Python in the per-row path except SimHash, which is a vectorized pandas UDF.
+
+Cross-engine hash primitive: ``cast(conv(substring(md5(x),1,15),16,10) as
+bigint)`` — a 60-bit stable hash computable identically in Spark SQL and
+DuckDB (verified), which makes MinHash signatures oracle-checkable.
+
+Scale notes:
+- exact_dedup: one shuffle on the content hash; first-wins via min(id), not
+  dropDuplicates (deterministic under any parallelism).
+- minhash_lsh: band buckets shuffle on (band_id, band_hash); candidate
+  pairs only materialize within buckets — never a corpus cross join.
+- ngram_jaccard_pairs: exact but quadratic within inverted-index buckets;
+  for verification at small scale or post-LSH re-ranking, not the 100 TB
+  primary path (LSH is).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hash60(col: str) -> str:
+    """SQL fragment: stable 60-bit hash of a string expression."""
+    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+
+
+def content_hash(df: DataFrame, text_col: str = "text", out_col: str = "content_hash") -> DataFrame:
+    return df.withColumn(out_col, F.expr(_hash60(text_col)))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical content.
+
+    Deterministic first-wins (min id), one shuffle on the content hash;
+    map-side partial aggregation comes free from groupBy+min.
+    """
+    hashed = content_hash(df, text_col)
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return (
+        hashed.join(keep, ["content_hash", id_col], "inner")
+        .drop("content_hash")
+    )
+
+
+def tokens_expr(text_col: str) -> str:
+    """Whitespace tokenization, lowercased — shared by shingles/simhash."""
+    return f"split(lower(trim({text_col})), '\\\\s+')"
+
+
+def shingles_expr(text_col: str, k: int = 3) -> str:
+    """Distinct k-gram token shingles as an array<string> SQL expression."""
+    toks = tokens_expr(text_col)
+    return (
+        f"array_distinct(CASE WHEN size({toks}) < {k} "
+        f"THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END)"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash array<bigint>) — min over shingles of seeded hash60.
+
+    Entirely JVM-side: shingling and hashing run as codegen'd higher-order
+    functions; no Python, no shuffle.
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    sig_cols = []
+    for i in range(num_hashes):
+        seeded = _hash60(f"concat(s, ':', {i})")
+        sig_cols.append(
+            F.expr(f"array_min(transform({sh}, s -> {seeded}))").alias(f"mh_{i}")
+        )
+    return df.select(F.col(id_col), *sig_cols).select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    signatures -> split into ``bands`` bands of ``num_hashes/bands`` rows ->
+    bucket-join on (band_id, band signature) -> distinct (a < b) pairs.
+    Shuffles on band buckets only; a hot bucket is bounded by band width.
+    """
+    assert num_hashes % bands == 0
+    rows_per = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> concat_ws(',', slice(minhash, b * {rows_per} + 1, {rows_per})))"
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle
+    (intersection counts), then |A∪B| = |A|+|B|-|A∩B|. Output
+    (id_a, id_b, jaccard).
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("shingle")
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — per-bit aggregation is not expressible as
+# reasonable built-ins)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (md5-based per-token hash,
+    deterministic across runs/processes)."""
+    import hashlib
+
+    import numpy as np
+
+    def one(t: Optional[str]) -> Optional[int]:
+        if t is None:
+            return None
+        toks = t.lower().split()
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+            ).astype(np.int64)
+            acc += bits * 2 - 1
+        bits = (acc > 0).astype(np.uint8)
+        v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return text.map(one)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking on the top ``prefix_bits`` bits bounds the self-join (near-dups
+    almost always share the prefix when max_hamming is small relative to
+    64); exact Hamming check via bit_count(xor).
+    """
+    sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    sh = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(a.simhash ^ b.simhash)"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

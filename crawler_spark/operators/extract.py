@@ -1,0 +1,181 @@
+"""Vectorized page-extraction operators (Arrow pandas UDFs / mapInPandas).
+
+The kernels call the pure functions in ``crawler_spark.core`` — the same
+code the single-node oracle runs — so Spark output is byte-identical to the
+oracle by construction (the input_hint's per-row invariant). No per-row
+Python at the DataFrame API surface; everything crosses the JVM<->Python
+boundary as Arrow batches.
+
+Reference semantics: enhanced_crawler.py:196-239 (per-page pipeline),
+ai_processor.py:101-150 (+:233-278 for basic extraction).
+"""
+
+from __future__ import annotations
+
+from datetime import timezone as _tz
+from typing import Iterator, Optional
+
+import pandas as pd
+
+_UTC = _tz.utc
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.core.page import RELEVANCE_GATE, missing_page_error
+from crawler_spark.core.text import basic_extraction, extract_page, relevance
+from crawler_spark.core.urls import get_domain
+
+# Page-record schema: the reference's conditional dict keys become nullable
+# columns (SURVEY §1.2). `markdown`/`extracted` are null when gated (<0.3),
+# everything but url/error is null on error rows.
+EXTRACTED_TYPE = T.StructType(
+    [
+        T.StructField("source_url", T.StringType()),
+        T.StructField("source_title", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("key_points", T.ArrayType(T.StringType())),
+        T.StructField("relevance_score", T.DoubleType()),
+        T.StructField("paragraphs", T.ArrayType(T.StringType())),
+        T.StructField("list_items", T.ArrayType(T.StringType())),
+    ]
+)
+
+RELEVANCE_TYPE = T.StructType(
+    [
+        T.StructField("score", T.DoubleType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+PAGE_RECORD_FIELDS = [
+    T.StructField("url", T.StringType(), False),
+    T.StructField("title", T.StringType()),
+    T.StructField("markdown", T.StringType()),
+    T.StructField("links", T.ArrayType(T.StringType())),
+    T.StructField("relevance", RELEVANCE_TYPE),
+    T.StructField("extracted", EXTRACTED_TYPE),
+    T.StructField("error", T.StringType()),
+    T.StructField("timestamp", T.StringType()),
+]
+
+_CARRY_COLS = ["seq", "wave", "depth", "parent_seq", "link_pos", "host"]
+
+
+def page_record_schema(carry: bool = True) -> T.StructType:
+    fields = list(PAGE_RECORD_FIELDS)
+    if carry:
+        fields = [
+            T.StructField("seq", T.LongType()),
+            T.StructField("wave", T.IntegerType()),
+            T.StructField("depth", T.IntegerType()),
+            T.StructField("parent_seq", T.LongType()),
+            T.StructField("link_pos", T.IntegerType()),
+            T.StructField("host", T.StringType()),
+        ] + fields
+    return T.StructType(fields)
+
+
+def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFrame:
+    """One Arrow batch of fetched frontier rows -> page-record rows."""
+    n = len(pdf)
+    out = {
+        "title": [None] * n,
+        "markdown": [None] * n,
+        "links": [None] * n,
+        "relevance": [None] * n,
+        "extracted": [None] * n,
+        "error": [None] * n,
+        "timestamp": [None] * n,
+    }
+    htmls = pdf["html"].tolist()
+    urls = pdf["url"].tolist()
+    # deterministic timestamp: the page's warc_ts as Python isoformat — the
+    # substitute for the reference's datetime.now(...).isoformat() at
+    # enhanced_crawler.py:225/:236 (the one wall-clock field we replace)
+    tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * n
+
+    for i in range(n):
+        html = htmls[i]
+        url = urls[i]
+        if html is None:
+            out["error"][i] = missing_page_error(url)
+            continue
+        title, links, markdown = extract_page(html, url)
+        score, reason = relevance(markdown, title, instructions)
+        out["title"][i] = title
+        out["links"][i] = links[:20]  # P8: stored AND used for enqueue
+        out["relevance"][i] = {"score": float(score), "reason": reason}
+        ts = tss[i]
+        if ts is None or pd.isna(ts):
+            out["timestamp"][i] = ""
+        else:
+            dt = ts.to_pydatetime()
+            if dt.tzinfo is None:
+                # Arrow hands pandas UDFs session-local (UTC) naive values
+                dt = dt.replace(tzinfo=_UTC)
+            out["timestamp"][i] = dt.isoformat()
+        if score >= RELEVANCE_GATE:
+            out["markdown"][i] = markdown
+            out["extracted"][i] = basic_extraction(html, title, url)
+
+    res = pd.DataFrame({"url": urls, **out})
+    for c in _CARRY_COLS:
+        if c in pdf.columns:
+            res[c] = pdf[c].values
+    return res
+
+
+def extract_pages(
+    fetched: DataFrame, instructions: Optional[str] = None, carry: bool = True
+) -> DataFrame:
+    """(url, html[, ts_iso, carry-cols]) -> page records via mapInPandas.
+
+    One HTML parse serves title+links+markdown+basic-extraction (the
+    reference parses twice — enhanced_crawler.py:196 and
+    ai_processor.py:247 — we parse once per purpose inside core; outputs
+    are identical). The fat ``html`` binary dies inside this operator:
+    downstream stages never shuffle it.
+    """
+    schema = page_record_schema(carry=carry)
+    names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = _extract_batch(pdf, instructions)
+            yield res[[c for c in names if c in res.columns]]
+
+    return fetched.mapInPandas(run, schema=schema)
+
+
+@F.pandas_udf(T.StringType())
+def domain_of(urls: pd.Series) -> pd.Series:
+    """Vectorized ``urlparse(url).netloc`` (reference utils.py:89-91).
+
+    A pandas UDF rather than ``parse_url(url,'HOST')`` because urllib's
+    netloc keeps port and userinfo while Spark's HOST does not — P6 caveat.
+    """
+    return urls.map(lambda u: get_domain(u) if u is not None else None)
+
+
+@F.pandas_udf(T.BooleanType())
+def robots_allows_udf(paths: pd.Series, prefixes: pd.Series) -> pd.Series:
+    """True when the URL path starts with none of the disallow prefixes.
+
+    Null/empty prefix list = fully allowed (north_rule J6 operator)."""
+    out = []
+    for path, prefix_list in zip(paths.tolist(), prefixes.tolist()):
+        if prefix_list is None or len(prefix_list) == 0:
+            out.append(True)
+        else:
+            p = path if path else "/"
+            out.append(not any(p.startswith(pre) for pre in prefix_list))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def url_path_of(urls: pd.Series) -> pd.Series:
+    """Vectorized ``urlparse(url).path`` (exact urllib semantics)."""
+    from urllib.parse import urlparse
+
+    return urls.map(lambda u: urlparse(u).path if u is not None else None)

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (JVM codegen, zero Python) except the
+rolling-hash fingerprint, which is also expressible with higher-order
+functions. Each has an exact ANSI-SQL oracle (DuckDB) — see
+__spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword lists for the n-gram language heuristic.
+_EN_MARKERS = ["the", "and", "of", "to", "with", "for", "is", "a"]
+_ES_MARKERS = ["de", "la", "en", "con", "para", "una", "el", "las"]
+
+
+def _marker_hits(tokens_col: str, markers: list) -> str:
+    arr = "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+    return (
+        f"size(filter({tokens_col}, t -> array_contains({arr}, t)))"
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: marker-word hit counts + a CJK-codepoint test.
+
+    Not a port of any library — a deterministic n-gram/stopword heuristic
+    (the corpus ``lang`` column stays the ground truth; this operator tags
+    raw text when that column is absent).
+    """
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    en = _marker_hits(toks, _EN_MARKERS)
+    es = _marker_hits(toks, _ES_MARKERS)
+    has_cjk = f"({text_col} rlike '[\\\\u4e00-\\\\u9fff]')"
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN {has_cjk} THEN 'zh' "
+            f"WHEN {es} > {en} THEN 'es' "
+            f"WHEN {en} > 0 THEN 'en' ELSE 'unknown' END"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a composite
+    score in [0,1]. Pure column math; identical formula in the SQL oracle."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    n_chars = f"length({text_col})"
+    n_tokens = f"size({toks})"
+    n_punct = f"(length({text_col}) - length(regexp_replace({text_col}, '[.,;:!?]', '')))"
+    n_stop = _marker_hits(toks, _EN_MARKERS)
+    return (
+        df.withColumn("n_chars", F.expr(n_chars))
+        .withColumn("n_tokens", F.expr(n_tokens))
+        .withColumn("punct_ratio", F.expr(f"round({n_punct} / greatest({n_chars}, 1), 6)"))
+        .withColumn("stopword_ratio", F.expr(f"round({n_stop} / greatest({n_tokens}, 1), 6)"))
+        .withColumn(
+            "mean_token_len",
+            F.expr(
+                f"round(aggregate({toks}, 0, (acc, t) -> acc + length(t)) / greatest({n_tokens}, 1), 6)"
+            ),
+        )
+        .withColumn(
+            "quality",
+            F.expr(
+                "round(least(1.0, n_tokens / 100.0) * 0.5 "
+                "+ least(stopword_ratio * 4.0, 1.0) * 0.3 "
+                "+ (CASE WHEN mean_token_len BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END) * 0.2, 6)"
+            ),
+        )
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate: words are split into
+    ceil(len/4)-char pieces (the classic chars/4 heuristic, computed
+    per-token so it has exact SQL semantics in both engines)."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return (
+        df.withColumn("ws_tokens", F.expr(f"size({toks})"))
+        .withColumn(
+            "bpe_ish_tokens",
+            F.expr(
+                f"aggregate({toks}, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))"
+            ),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", window: int = 64) -> DataFrame:
+    """Document fingerprint: rolling 60-bit hash over fixed character
+    windows, keep the minimum (winnowing-style min-sample). One value per
+    document; identical SQL in DuckDB."""
+    n_win = f"greatest(cast(ceil(length({text_col}) / {window}.0) as int), 1)"
+    pieces = (
+        f"transform(sequence(0, {n_win} - 1), "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i * {window} + 1, {window})), 1, 15), 16, 10) as bigint))"
+    )
+    return df.withColumn("fingerprint", F.expr(f"array_min({pieces})"))

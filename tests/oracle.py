@@ -142,12 +142,16 @@ def wave_crawl(
     pages: List[Dict] = []
     next_seq = 0
 
-    # frontier rows: (parent_seq, link_pos, url, depth)
-    frontier: List[Tuple[int, int, str, int]] = [
-        (-1, i, u, 0)
-        for i, u in enumerate(seeds)
-        if robots_allows(u, robots.get(get_domain(u)))
-    ]
+    # frontier rows: (parent_seq, link_pos, url, depth); duplicate seeds are
+    # deduped first-order-wins (the reference pops the second copy and skips
+    # it at the seen check without consuming budget — same outcome)
+    frontier: List[Tuple[int, int, str, int]] = []
+    _seed_seen = set()
+    for i, u in enumerate(seeds):
+        if u in _seed_seen or not robots_allows(u, robots.get(get_domain(u))):
+            continue
+        _seed_seen.add(u)
+        frontier.append((-1, i, u, 0))
     # first-enqueuer-wins across waves: a deferred row keeps priority
     in_frontier = {u for (_, _, u, _) in frontier}
 

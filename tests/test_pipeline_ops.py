@@ -1,0 +1,193 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — semantics tests on crafted data plus numpy/duckdb
+cross-checks."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+from crawler_spark.operators.text_analysis import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra tail words here"),  # near dup of 0
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "la casa de la playa es una de las mejores en la costa para vacaciones"),
+        (5, "这是一个中文文档 用于测试语言识别"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, spark, docs):
+        out = exact_dedup(docs).orderBy("doc_id").collect()
+        ids = [r["doc_id"] for r in out]
+        assert 0 in ids and 1 not in ids  # dup dropped, first id kept
+        assert {2, 3, 4, 5, 6} <= set(ids)
+
+    def test_matches_duckdb(self, spark, docs):
+        import duckdb
+
+        pdf = docs.toPandas()
+        expected = duckdb.sql(
+            """
+            SELECT min(doc_id) AS doc_id FROM pdf
+            GROUP BY md5(text) ORDER BY doc_id
+            """
+        ).fetchall()
+        got = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+        assert got == [e[0] for e in expected]
+
+
+class TestMinHash:
+    def test_identical_docs_identical_signatures(self, spark, docs):
+        sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(docs).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[3]
+
+    def test_lsh_finds_exact_and_near_dups(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+        assert (0, 1) in pairs  # exact dup always collides
+        # disjoint docs never collide on a full band
+        assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+class TestJaccard:
+    def test_exact_pairs(self, spark, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert d[(0, 1)] == 1.0
+        assert (0, 2) in d and 0.5 <= d[(0, 2)] < 1.0
+        assert (0, 3) not in d
+
+    def test_matches_python(self, spark, docs):
+        def shingles(t, k=3):
+            toks = t.lower().split()
+            if len(toks) < k:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        a, b = shingles("the quick brown fox jumps over the lazy dog and runs far away today"), \
+            shingles("the quick brown fox jumps over the lazy dog and runs far away today extra tail words here")
+        expect = round(len(a & b) / len(a | b), 6)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        assert got[(0, 2)] == expect
+
+
+class TestSimHash:
+    def test_identical_distance_zero(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+        assert pairs[(0, 1)] == 0
+
+    def test_different_docs_not_near(self, spark, docs):
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+        assert (0, 3) not in pairs
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.RandomState(42)
+        data = rng.randn(200, 16).astype(np.float32)
+        rows = [(i, [float(x) for x in data[i]]) for i in range(200)]
+        return data, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_matches_numpy(self, spark, vecs):
+        data, df = vecs
+        q = data[0]
+        sims = data @ q / (np.linalg.norm(data, axis=1) * np.linalg.norm(q))
+        order = np.argsort(-sims)
+        expected = [(int(i), round(float(sims[i]), 6)) for i in order[:5]]
+        got = [(r["vec_id"], r["cosine"]) for r in
+               brute_force_topk(df, [float(x) for x in q], k=5).collect()]
+        for (ei, es), (gi, gs) in zip(expected, got):
+            assert ei == gi
+            assert abs(es - gs) < 1e-4
+
+    def test_lsh_topk_contains_self(self, spark, vecs):
+        data, df = vecs
+        q = data[0]
+        got = lsh_topk(df, [float(x) for x in q], k=5).collect()
+        assert got[0]["vec_id"] == 0  # query vector is its own best match
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
+class TestTextAnalysis:
+    def test_lang_id(self, spark, docs):
+        out = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+        assert out[0] == "en"
+        assert out[4] == "es"
+        assert out[5] == "zh"
+
+    def test_quality_monotone_in_length(self, spark, docs):
+        out = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+        assert out[0] > out[6]
+
+    def test_token_count(self, spark, docs):
+        out = {r["doc_id"]: (r["ws_tokens"], r["bpe_ish_tokens"])
+               for r in token_count(docs).collect()}
+        assert out[0][0] == 14
+        # bpe-ish >= word count (every word yields >= 1 piece)
+        assert out[0][1] >= out[0][0]
+
+    def test_fingerprint_deterministic_and_discriminative(self, spark, docs):
+        out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+        assert out[0] == out[1]
+        assert out[0] != out[3]
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        from crawler_spark.operators.multimodal import (
+            extract_media_features,
+            frame_sample_plan,
+        )
+
+        rows = [
+            (1, "image", b"\x89PNGfakebytes", "image/png", {}),
+            (2, "audio", b"RIFFfakeaudio", "audio/wav", {}),
+            (3, "video", b"\x00\x00ftypfake", "video/mp4", {"duration_ms": "3500"}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, mime string, meta map<string,string>",
+        )
+        feats = {r["media_id"]: r for r in
+                 extract_media_features(media, deterministic_fake=True).collect()}
+        assert feats[1]["width"] is not None and feats[1]["duration_ms"] is None
+        assert feats[2]["duration_ms"] is not None and feats[2]["width"] is None
+        assert len(feats[3]["feature"]) == 8
+        assert feats[1]["n_bytes"] == len(b"\x89PNGfakebytes")
+
+        frames = frame_sample_plan(media, every_ms=1000).collect()
+        assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+            (3, 0), (3, 1000), (3, 2000), (3, 3000)
+        ]
+
+    def test_decode_stub_refuses_without_fake(self):
+        from crawler_spark.operators.multimodal import decode_stub
+
+        with pytest.raises(NotImplementedError):
+            decode_stub(b"bytes", "image")
