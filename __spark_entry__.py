@@ -1,38 +1,697 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship distributed crawl: it derives a pages
+corpus in the driver-specified ``input_hint`` shape from the sf0.001
+``documents`` table (pure Spark column expressions — html assembled with
+``format_string``/``concat``, links via window ``lead``) and crawls it with
+the wave-loop BFS engine (crawler_spark.frontier.bfs).
+
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+plus the training-data pipeline operators (dedup / similarity / text
+analysis).  SQL-expressible ops carry a DuckDB oracle in ``oracle_sql()``
+with identical column names and identical arithmetic (verified: Spark
+``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+``cast(concat('0x', substring(md5(x),1,15)) as bigint)``; both engines use
+character-based ``substring``, true ``/`` division, and half-away-from-zero
+``round``).  HTML extraction / BFS crawl / SimHash are genuinely
+non-SQL-expressible and appear as rows-only entries.
 """
 
 from __future__ import annotations
 
+import math
+import random
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared literals (identical on the Spark and DuckDB sides by construction)
+# ---------------------------------------------------------------------------
+
+_INSTRUCTIONS = "spark partition shuffle quality window merge"
+_EN_MARKERS = ["the", "and", "of", "to", "with", "for", "is", "a"]
+_ES_MARKERS = ["de", "la", "en", "con", "para", "una", "el", "las"]
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # driver compares at sf=0.01
+_EMB_DIM = 64
+_N_PLANES = 8
+_LSH_SEED = 42
+
+
+def _keywords() -> list:
+    from crawler_spark.core.text import derive_keywords
+
+    return derive_keywords(_INSTRUCTIONS)
+
+
+def _planes() -> list:
+    """Same generator as similarity.hyperplane_signature(seed=42)."""
+    rng = random.Random(_LSH_SEED)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(_EMB_DIM)] for _ in range(_N_PLANES)
+    ]
+
+
+def _query_vec(sf_dir: str) -> list:
+    """Embedding of vec_id=0 (float32 exactly widened to double)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    d = {int(i): v for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    return [float(x) for x in d[0]]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# synthetic web corpus (datagen) + crawl result cache for rows-only queries
+# ---------------------------------------------------------------------------
+
+_CORPUS_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+_cache: dict = {}
+
+
+def _corpus_df(spark: SparkSession) -> DataFrame:
+    if "corpus" not in _cache:
+        from crawler_spark.datagen import CorpusSpec, corpus_rows
+
+        rows = corpus_rows(CorpusSpec(n_pages=120, n_hosts=6, seed=42))
+        _cache["corpus"] = spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+            _CORPUS_SCHEMA,
+        ).cache()
+    return _cache["corpus"]
+
+
+def _crawl_result(spark: SparkSession):
+    if "crawl" not in _cache:
+        from crawler_spark.datagen import CorpusSpec, default_robots, default_seeds
+        from crawler_spark.frontier.bfs import ROBOTS_SCHEMA, CrawlConfig, crawl
+
+        spec = CorpusSpec(n_pages=120, n_hosts=6, seed=42)
+        seeds = [s["url"] for s in default_seeds(spec, n_seeds=2)]
+        robots = spark.createDataFrame(
+            [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in default_robots(spec)],
+            ROBOTS_SCHEMA,
+        )
+        cfg = CrawlConfig(depth=3, max_pages=80, host_budget={"*": 8})
+        _cache["crawl"] = crawl(
+            spark, _corpus_df(spark), seeds, cfg, robots=robots,
+            run_dir=tempfile.mkdtemp(prefix="entry_crawl_"),
+        )
+    return _cache["crawl"]
+
+
+def _flat_pages(pages: DataFrame) -> DataFrame:
+    return pages.select(
+        "seq",
+        "url",
+        "depth",
+        "host",
+        "title",
+        "markdown",
+        F.concat_ws("\x1f", "links").alias("links_joined"),
+        F.col("relevance.score").alias("relevance_score"),
+        F.col("relevance.reason").alias("relevance_reason"),
+        "error",
+        "timestamp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship crawl over a corpus derived from sf0.001 documents
+# ---------------------------------------------------------------------------
+
+def corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """documents -> pages corpus in the input_hint shape, all JVM-side.
+
+    Each document becomes one page on host ``{source}.docs.test`` whose html
+    embeds the text and links to the next two documents of the same source
+    (window ``lead``) plus one cross-source link — a deterministic web graph.
+    """
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = (
+        docs.withColumn("next1", F.lead("doc_id", 1).over(w))
+        .withColumn("next2", F.lead("doc_id", 2).over(w))
+        .withColumn("host", F.concat(F.col("source"), F.lit(".docs.test")))
+    )
+    url_of = lambda idc: F.concat(
+        F.lit("https://"), F.col("host"), F.lit("/doc/"), idc.cast("string")
+    )
+    link = lambda idc: F.when(
+        idc.isNotNull(),
+        F.concat(F.lit('<p><a href="/doc/'), idc.cast("string"), F.lit('">next</a></p>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ("),
+        F.col("source"),
+        F.lit(")</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        link(F.col("next1")),
+        link(F.col("next2")),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        url_of(F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive a pages corpus from sf0.001 documents, BFS-crawl it
+    (politeness budget, wave commits), return the flattened page records."""
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    corpus = corpus_from_documents(docs)
+    seed_rows = (
+        docs.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+        .orderBy("source")
+        .limit(3)
+        .collect()
+    )
+    seeds = [
+        f"https://{r['source']}.docs.test/doc/{r['doc_id']}" for r in seed_rows
+    ]
+    cfg = CrawlConfig(
+        instructions=_INSTRUCTIONS, depth=3, max_pages=40, host_budget={"*": 6}
+    )
+    res = crawl(
+        spark, corpus, seeds, cfg, run_dir=tempfile.mkdtemp(prefix="entry_")
+    )
+    return _flat_pages(res.pages(spark))
+
+
+# ---------------------------------------------------------------------------
+# SQL-expression fragments shared by several Spark queries
+# ---------------------------------------------------------------------------
+
+_TOKS = "split(lower(trim(text)), '\\\\s+')"
+_D_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def _spark_shingles(k: int = 3) -> str:
+    from crawler_spark.operators.dedup import shingles_expr
+
+    return shingles_expr("text", k)
+
+
+def _duck_shingles(k: int = 3) -> str:
+    return (
+        f"list_distinct(CASE WHEN len({_D_TOKS}) < {k} "
+        f"THEN [array_to_string({_D_TOKS}, ' ')] "
+        f"ELSE list_transform(range(0, len({_D_TOKS}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({_D_TOKS}, i + 1, i + {k}), ' ')) END)"
+    )
+
+
+def _duck_hash60(col: str) -> str:
+    return f"cast(concat('0x', substring(md5({col}), 1, 15)) as bigint)"
+
+
+def _duck_dot(vec: str, lit: list) -> str:
+    arr = "[" + ", ".join(repr(float(x)) for x in lit) + "]"
+    return (
+        f"list_aggregate(list_transform(range(0, {len(lit)}), "
+        f"i -> cast({vec}[i + 1] as double) * ({arr}::DOUBLE[])[i + 1]), 'sum')"
+    )
+
+
+def _marker_array(markers: list) -> str:
+    return "array(" + ", ".join(f"'{m}'" for m in markers) + ")"
+
+
+def _duck_marker_hits(markers: list) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_D_TOKS}, t -> t in ({inlist})))"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash64,
+    )
+    from crawler_spark.operators.similarity import brute_force_topk, hyperplane_signature
+    from crawler_spark.operators.text_analysis import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- P2/F1: unicode-safe whitespace collapse (ASCII corpus -> JVM regex)
+    def clean_text_collapse(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("cleaned"),
+        )
 
+    # ---- P9/F4: content sampling by codepoint
+    def content_sample(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", F.substring("text", 1, 120).alias("sample")
+        )
+
+    # ---- P8/W4: array truncation (links[:20] analog over tokens)
+    def links_truncate(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice({_TOKS}, 1, 20))").alias("first20"),
+        )
+
+    # ---- J1/J2: URL-seen anti-join semantics (customers with no big order)
+    def anti_join_unseen(spark, sf_dir):
+        c = _t(spark, sf_dir, "customer")
+        o = (
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+        return c.join(o, "c_custkey", "left_anti").select("c_custkey")
+
+    # ---- J3: first-enqueuer-wins window dedup (first event per user)
+    def window_dedup_first_wins(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", F.col("event_id").alias("first_event_id"))
+        )
+
+    # ---- W3/§2.11: per-host politeness budget rank (top-3 events per user)
+    def perhost_budget_rank(spark, sf_dir):
+        e = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("user_id", "event_id", "rk")
+        )
+
+    # ---- W2: budget cap via orderBy().limit() => TakeOrderedAndProject
+    def topk_order_limit(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "documents")
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            .limit(50)
+            .select("doc_id", "n_chars")
+        )
+
+    # ---- A5: per-host counters (hot-host histogram analog)
+    def groupby_host_counts(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+        )
+
+    # ---- F8/§2.8: posexplode indexing (chunk_index analog over tokens)
+    def posexplode_tokens(spark, sf_dir):
+        return (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", F.posexplode(F.expr(_TOKS)).alias("pos", "tok"))
+        )
+
+    # ---- A2/A3: keyword relevance scoring (substring containment, 3x title)
+    def keyword_relevance(spark, sf_dir):
+        kws = _keywords()
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "title", F.substring("text", 1, 60)
+        )
+        tm = sum(
+            F.when(F.col("title").contains(k), 1).otherwise(0) for k in kws
+        )
+        cm = sum(F.when(F.col("text").contains(k), 1).otherwise(0) for k in kws)
+        score = F.least(
+            F.lit(1.0),
+            F.greatest(F.lit(0.0), (3 * tm + cm) / F.lit(4.0 * len(kws))),
+        )
+        return d.select(
+            "doc_id",
+            F.round(score, 6).alias("score"),
+            F.when(score > 0.7, "high")
+            .when(score > 0.4, "medium")
+            .otherwise("low")
+            .alias("band"),
+        )
+
+    # ---- exact dedup: min doc_id per content hash
+    def exact_dedup_docs(spark, sf_dir):
+        return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+    # ---- MinHash signatures (JVM higher-order functions, hash60 primitive)
+    def minhash_signature(spark, sf_dir):
+        sigs = minhash_signatures(
+            _t(spark, sf_dir, "documents"), num_hashes=4, shingle_k=3
+        )
+        return sigs.select(
+            "doc_id",
+            F.expr("concat_ws(',', transform(minhash, v -> cast(v as string)))").alias(
+                "sig"
+            ),
+        )
+
+    # ---- banded MinHash LSH candidate pairs
+    def minhash_lsh(spark, sf_dir):
+        return minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
+        )
+
+    # ---- exact n-gram Jaccard pairs (inverted-index join)
+    def ngram_jaccard(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+        return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.02)
+
+    # ---- brute-force cosine top-k over embeddings
+    def cosine_topk(spark, sf_dir):
+        return brute_force_topk(
+            _t(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=20
+        )
+
+    # ---- random-hyperplane LSH bucket histogram
+    def lsh_bucket_counts(spark, sf_dir):
+        sig = hyperplane_signature(
+            _t(spark, sf_dir, "embeddings"),
+            dim=_EMB_DIM,
+            n_planes=_N_PLANES,
+            seed=_LSH_SEED,
+        )
+        return sig.groupBy("lsh_bucket").agg(F.count("*").alias("n_vecs"))
+
+    # ---- text analysis: language id / quality / tokens / fingerprint
+    def lang_id_docs(spark, sf_dir):
+        return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+    def quality_score_docs(spark, sf_dir):
+        return quality_score(_t(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "n_tokens",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_token_len",
+            "quality",
+        )
+
+    def token_count_docs(spark, sf_dir):
+        return token_count(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "ws_tokens", "bpe_ish_tokens"
+        )
+
+    def fingerprint_docs(spark, sf_dir):
+        return fingerprint(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "fingerprint"
+        )
+
+    # ---- rows-only entries (non-SQL-expressible) ---------------------------
+    def simhash_docs(spark, sf_dir):
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id", simhash64(F.col("text")).alias("simhash")
+        )
+
+    def extract_pages_flagship(spark, sf_dir):
+        from crawler_spark.operators.extract import extract_pages
+
+        return extract_pages(
+            _corpus_df(spark).select("url", "warc_ts", "html"),
+            instructions=_INSTRUCTIONS,
+            carry=False,
+        ).select(
+            "url",
+            "title",
+            "markdown",
+            F.concat_ws("\x1f", "links").alias("links_joined"),
+            F.col("relevance.score").alias("relevance_score"),
+            "error",
+        )
+
+    def crawl_bfs_order(spark, sf_dir):
+        res = _crawl_result(spark)
+        return _flat_pages(res.pages(spark)).select(
+            "seq", "url", "depth", "host", "title", "error"
+        )
+
+    def crawl_seen_set(spark, sf_dir):
+        res = _crawl_result(spark)
+        return res.seen(spark).select("url", "url_hash", "seq", "wave", "depth")
+
+    def rag_chunks(spark, sf_dir):
+        from crawler_spark.sinks.rag import build_rag_documents
+
+        res = _crawl_result(spark)
+        return build_rag_documents(res.pages(spark)).select(
+            "source_url",
+            "chunk_type",
+            "content",
+            "point_index",
+            "chunk_index",
+            "page_seq",
+            "kind_order",
+        )
+
+    return {
+        "clean_text_collapse": clean_text_collapse,
+        "content_sample": content_sample,
+        "links_truncate": links_truncate,
+        "anti_join_unseen": anti_join_unseen,
+        "window_dedup_first_wins": window_dedup_first_wins,
+        "perhost_budget_rank": perhost_budget_rank,
+        "topk_order_limit": topk_order_limit,
+        "groupby_host_counts": groupby_host_counts,
+        "posexplode_tokens": posexplode_tokens,
+        "keyword_relevance": keyword_relevance,
+        "exact_dedup_docs": exact_dedup_docs,
+        "minhash_signature": minhash_signature,
+        "minhash_lsh": minhash_lsh,
+        "ngram_jaccard": ngram_jaccard,
+        "cosine_topk": cosine_topk,
+        "lsh_bucket_counts": lsh_bucket_counts,
+        "lang_id_docs": lang_id_docs,
+        "quality_score_docs": quality_score_docs,
+        "token_count_docs": token_count_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "simhash_docs": simhash_docs,
+        "extract_pages_flagship": extract_pages_flagship,
+        "crawl_bfs_order": crawl_bfs_order,
+        "crawl_seen_set": crawl_seen_set,
+        "rag_chunks": rag_chunks,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    kws = _keywords()
+    sh = _duck_shingles(3)
+
+    def marker_hits(markers):
+        return _duck_marker_hits(markers)
+
+    # minhash: same seeded hash60-over-shingles min as dedup.minhash_signatures
+    def mh_expr(i: int) -> str:
+        seeded = _duck_hash60(f"concat(s, ':', {i})")
+        return f"list_aggregate(list_transform(sh, s -> {seeded}), 'min')"
+
+    mh_cols = ", ".join(mh_expr(i) for i in range(4))
+
+    tm = " + ".join(
+        f"(CASE WHEN contains(substring(text, 1, 60), '{k}') THEN 1 ELSE 0 END)"
+        for k in kws
+    )
+    cm = " + ".join(
+        f"(CASE WHEN contains(text, '{k}') THEN 1 ELSE 0 END)" for k in kws
+    )
+    score = f"least(1.0, greatest(0.0, (3 * ({tm}) + ({cm})) / {4.0 * len(kws)!r}))"
+
+    q = _query_vec(_ORACLE_SF_DIR)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in q))
+    dot_q = _duck_dot("embedding", q)
+    norm_e = (
+        "sqrt(list_aggregate(list_transform(embedding, "
+        "v -> cast(v as double) * cast(v as double)), 'sum'))"
+    )
+
+    planes = _planes()
+    bucket_bits = ", ".join(
+        f"(CASE WHEN {_duck_dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+    n_win = "greatest(cast(ceil(length(text) / 64.0) as int), 1)"
+    fp_pieces = (
+        f"list_transform(range(0, {n_win}), "
+        f"i -> {_duck_hash60('substring(text, i * 64 + 1, 64)')})"
+    )
+
+    en = marker_hits(_EN_MARKERS)
+    es = marker_hits(_ES_MARKERS)
+
+    return {
+        "clean_text_collapse": r"""
+            SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS cleaned
+            FROM documents
+        """,
+        "content_sample": """
+            SELECT doc_id, substring(text, 1, 120) AS sample FROM documents
+        """,
+        "links_truncate": rf"""
+            SELECT doc_id,
+                   array_to_string(list_slice({_D_TOKS}, 1, 20), ' ') AS first20
+            FROM documents
+        """,
+        "anti_join_unseen": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 400000)
+        """,
+        "window_dedup_first_wins": """
+            SELECT user_id, event_id AS first_event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "perhost_budget_rank": """
+            SELECT user_id, event_id, rk FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+              FROM events
+            ) WHERE rk <= 3
+        """,
+        "topk_order_limit": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 50
+        """,
+        "groupby_host_counts": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "posexplode_tokens": rf"""
+            SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len({_D_TOKS})),
+                            i -> {{'pos': i, 'tok': ({_D_TOKS})[i + 1]}})) AS u
+              FROM documents WHERE doc_id < 40
+            )
+        """,
+        "keyword_relevance": f"""
+            SELECT doc_id, round({score}, 6) AS score,
+                   CASE WHEN {score} > 0.7 THEN 'high'
+                        WHEN {score} > 0.4 THEN 'medium'
+                        ELSE 'low' END AS band
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signature": f"""
+            SELECT doc_id, array_to_string([{mh_cols}], ',') AS sig
+            FROM (SELECT doc_id, {sh} AS sh FROM documents)
+        """,
+        "minhash_lsh": f"""
+            WITH sigs AS (
+              SELECT doc_id,
+                     [{", ".join(mh_expr(i) for i in range(8))}] AS minhash
+              FROM (SELECT doc_id, {sh} AS sh FROM documents)
+            ),
+            banded AS (
+              SELECT doc_id, b.band_id,
+                     array_to_string(list_slice(minhash, b.band_id * 2 + 1,
+                                                b.band_id * 2 + 2), ',') AS band_sig
+              FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+             AND l.doc_id < r.doc_id
+        """,
+        "ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 120),
+            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n + sb.n - inter) >= 0.02
+        """,
+        "cosine_topk": f"""
+            SELECT vec_id,
+                   round(({dot_q}) / (({norm_e}) * {qnorm!r}), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 20
+        """,
+        "lsh_bucket_counts": f"""
+            SELECT lsh_bucket, count(*) AS n_vecs FROM (
+              SELECT concat({bucket_bits}) AS lsh_bucket FROM embeddings
+            ) GROUP BY lsh_bucket
+        """,
+        "lang_id_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN {es} > {en} THEN 'es'
+                        WHEN {en} > 0 THEN 'en'
+                        ELSE 'unknown' END AS lang_pred
+            FROM documents
+        """,
+        "quality_score_docs": rf"""
+            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+                   round(least(1.0, n_tokens / 100.0) * 0.5
+                         + least(stopword_ratio * 4.0, 1.0) * 0.3
+                         + (CASE WHEN mean_token_len BETWEEN 3 AND 10
+                                 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+            FROM (
+              SELECT doc_id,
+                     len({_D_TOKS}) AS n_tokens,
+                     round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                           / greatest(length(text), 1), 6) AS punct_ratio,
+                     round({en} / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio,
+                     round(list_aggregate(list_transform({_D_TOKS}, t -> length(t)), 'sum')
+                           / greatest(len({_D_TOKS}), 1), 6) AS mean_token_len
+              FROM documents
+            )
+        """,
+        "token_count_docs": rf"""
+            SELECT doc_id,
+                   len({_D_TOKS}) AS ws_tokens,
+                   cast(list_aggregate(list_transform({_D_TOKS},
+                        t -> cast(ceil(length(t) / 4.0) as int)), 'sum') as int) AS bpe_ish_tokens
+            FROM documents
+        """,
+        "fingerprint_docs": f"""
+            SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
+            FROM documents
+        """,
+    }

@@ -1,0 +1,188 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+Headline set = the engine's flagship paths: the BFS wave crawl
+(pages-crawled/sec), raw extraction throughput (Arrow UDF path), frontier
+dedup throughput (window-dedup + anti-join — the 10^10-frontier hot path),
+and the training-data pipeline operators (exact dedup, MinHash LSH, text
+analysis, cosine top-k).
+
+The synthetic web corpus is generated deterministically (datagen, seed=42)
+and cached under /tmp keyed by size — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(sf: float) -> str:
+    """Deterministic synthetic corpus parquet, cached across runs."""
+    from crawler_spark.datagen import CorpusSpec, write_corpus
+
+    n_pages = max(120, min(int(40_000 * sf), 40_000))
+    n_hosts = max(6, min(int(n_pages / 200), 64))
+    path = f"/tmp/crawler_spark_bench/pages_{n_pages}_{n_hosts}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        write_corpus(tmp, CorpusSpec(n_pages=n_pages, n_hosts=n_hosts, seed=42))
+        os.rename(tmp, path)
+    return path
+
+
+def run(spark, sf_dir: str):
+    from crawler_spark.datagen import CorpusSpec, default_seeds
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+    from crawler_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from crawler_spark.operators.extract import domain_of, extract_pages
+    from crawler_spark.operators.similarity import brute_force_topk
+    from crawler_spark.operators.text_analysis import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    sf = _sf_of(sf_dir)
+    pages_pq = corpus_path(sf)
+    corpus = spark.read.parquet(pages_pq)
+    n_corpus = corpus.count()
+    n_hosts = max(6, min(int(max(120, min(int(40_000 * sf), 40_000)) / 200), 64))
+    spec = CorpusSpec(n_pages=n_corpus, n_hosts=n_hosts, seed=42)
+    seeds = [s["url"] for s in default_seeds(spec, n_seeds=4)]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    times: dict = {}
+    extra: dict = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                times[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # ---- q_crawl: the flagship BFS wave loop ------------------------------
+    import tempfile
+
+    with timed("q_crawl"):
+        res = crawl(
+            spark,
+            corpus,
+            seeds,
+            CrawlConfig(depth=4, max_pages=None, host_budget={"*": 2000}),
+            run_dir=tempfile.mkdtemp(prefix="bench_crawl_"),
+        )
+    extra["pages_crawled"] = res.pages_crawled
+    extra["crawl_pages_per_sec"] = round(res.pages_crawled / times["q_crawl"], 1)
+
+    # ---- q_extract: raw Arrow-UDF extraction over the whole corpus --------
+    with timed("q_extract"):
+        extract_pages(
+            corpus.select("url", "warc_ts", "html"), instructions=None, carry=False
+        ).select(F.count("*").alias("n"), F.sum(F.length("markdown")).alias("b")).collect()
+    extra["extract_pages_per_sec"] = round(n_corpus / times["q_extract"], 1)
+
+    # ---- q_frontier_dedup: window dedup + anti-join (seen-set hot path) ---
+    parsed = (
+        extract_pages(corpus.select("url", "warc_ts", "html"), carry=False)
+        .select("url", F.posexplode("links").alias("link_pos", "cand"))
+        .select(F.col("cand").alias("url"), "link_pos")
+    )
+    from pyspark.sql import Window
+
+    with timed("q_frontier_dedup"):
+        w = Window.partitionBy("url").orderBy("link_pos")
+        cand = (
+            parsed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        n_new = cand.join(corpus.select("url"), "url", "left_anti").count()
+    n_cand = parsed.count()
+    extra["frontier_urls_deduped_per_sec"] = round(n_cand / times["q_frontier_dedup"], 1)
+    extra["frontier_candidates"] = n_cand
+    extra["frontier_unseen"] = n_new
+
+    # ---- pipeline operators over driver testdata --------------------------
+    with timed("q_exact_dedup"):
+        exact_dedup(docs).count()
+
+    with timed("q_minhash_lsh"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+
+    with timed("q_text_analysis"):
+        d = lang_id(docs)
+        d = quality_score(d)
+        d = token_count(d)
+        d = fingerprint(d)
+        d.select(
+            F.count("*"),
+            F.sum("quality"),
+            F.sum("bpe_ish_tokens"),
+            F.min("fingerprint"),
+        ).collect()
+
+    with timed("q_cosine_topk"):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        d0 = {
+            int(i): v
+            for i, v in zip(t["vec_id"].to_pylist()[:1], t["embedding"].to_pylist()[:1])
+        }
+        q = [float(x) for x in next(iter(d0.values()))]
+        brute_force_topk(embs, q, k=50).collect()
+
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "crawl_extract_pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "corpus_pages": n_corpus,
+        **extra,
+    }
+
+
+def main():
+    from crawler_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session()
+    try:
+        out = run(spark, sf_dir)
+    finally:
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawler_spark.core.urls import get_domain
+from crawler_spark.frontier.bloom import (
+    BloomConfig,
+    build_blobs,
+    merge_blobs,
+    split_by_bloom,
+)
 from crawler_spark.frontier.checkpoint import WaveCommit, WaveManifest
 from crawler_spark.frontier.order import assign_seq
 from crawler_spark.operators.extract import (
@@ -80,6 +86,15 @@ class CrawlConfig:
     host_budget: Dict[str, int] = field(default_factory=dict)  # "*" = default
     fetch_broadcast_threshold: int = 200_000  # rows; waves below this broadcast
     max_waves: int = 10_000
+    use_bloom: bool = True  # Bloom prefilter ahead of the exact seen anti-join
+    bloom: BloomConfig = field(default_factory=BloomConfig)
+    # politeness skew: salt factor for the per-host budget rank. 1 = single
+    # window per host (fine when no host dominates); >1 splits each host's
+    # rows across `politeness_salt` buckets, takes an exact local top-budget
+    # per bucket, then re-ranks the <= salt*budget survivors — identical
+    # result, but a hot host's rank no longer serializes on one task. At
+    # cluster scale drive this from the wave host histogram (A5 metrics).
+    politeness_salt: int = 1
 
     def budget_default(self) -> Optional[int]:
         return self.host_budget.get("*")
@@ -182,10 +197,17 @@ def crawl(
         frontier = ck.read_table(spark, "frontier", waves=[wave])
         if frontier is None:
             frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
+        blobs = ck.read_table(spark, "bloom", waves=[last])
+        if blobs is None and cfg.use_bloom:
+            # runs committed before the sidecar existed: rebuild from seen
+            seen_prev = ck.read_table(spark, "seen")
+            if seen_prev is not None:
+                blobs = build_blobs(seen_prev.select("url_hash"), cfg.bloom)
     else:
         next_seq = 0
         wave = 0
         frontier = _seed_frontier(spark, seeds, robots)
+        blobs = None
 
     pages_cols = [c for c in ("url", "warc_ts", "html") if c in pages_src.columns]
     corpus = pages_src.select(*pages_cols)
@@ -196,8 +218,6 @@ def crawl(
 
         # ---- 1. politeness: per-host budget rank --------------------------
         if cfg.has_politeness():
-            w_host = Window.partitionBy("host").orderBy("parent_seq", "link_pos")
-            ranked = frontier.withColumn("_hrank", F.row_number().over(w_host))
             if budget_rows:
                 bmap = F.create_map(
                     *[x for h, b in budget_rows for x in (F.lit(h), F.lit(b))]
@@ -211,11 +231,48 @@ def crawl(
                 budget_col = F.coalesce(
                     F.lit(default_budget).cast("int"), F.lit(2_147_483_647)
                 )
-            ranked = ranked.persist()
-            taken0 = ranked.filter(F.col("_hrank") <= budget_col).drop("_hrank")
-            deferred = ranked.filter(F.col("_hrank") > budget_col).drop("_hrank")
+            fcols = [f.name for f in FRONTIER_SCHEMA.fields]
+            if cfg.politeness_salt > 1:
+                # hot-host skew split (§4.3 #2): exact local top-budget per
+                # (host, salt) bucket, then the true rank over the <=
+                # salt*budget survivors — result identical to the single
+                # window, but no single task sees a hot host's full frontier
+                salt = F.pmod(F.xxhash64("url"), F.lit(cfg.politeness_salt))
+                w_bucket = Window.partitionBy("host", "_salt").orderBy(
+                    "parent_seq", "link_pos"
+                )
+                staged = frontier.withColumn("_salt", salt).withColumn(
+                    "_brank", F.row_number().over(w_bucket)
+                )
+                staged = staged.persist()
+                survivors = staged.filter(F.col("_brank") <= budget_col)
+                w_host = Window.partitionBy("host").orderBy(
+                    "parent_seq", "link_pos"
+                )
+                ranked = survivors.withColumn(
+                    "_hrank", F.row_number().over(w_host)
+                ).persist()
+                taken0 = ranked.filter(F.col("_hrank") <= budget_col).select(*fcols)
+                deferred = (
+                    staged.filter(F.col("_brank") > budget_col)
+                    .select(*fcols)
+                    .unionByName(
+                        ranked.filter(F.col("_hrank") > budget_col).select(*fcols)
+                    )
+                )
+            else:
+                w_host = Window.partitionBy("host").orderBy(
+                    "parent_seq", "link_pos"
+                )
+                staged = None
+                ranked = frontier.withColumn(
+                    "_hrank", F.row_number().over(w_host)
+                ).persist()
+                taken0 = ranked.filter(F.col("_hrank") <= budget_col).drop("_hrank")
+                deferred = ranked.filter(F.col("_hrank") > budget_col).drop("_hrank")
         else:
             ranked = None
+            staged = None
             taken0 = frontier
             deferred = spark.createDataFrame([], FRONTIER_SCHEMA)
 
@@ -232,7 +289,7 @@ def crawl(
         taken = taken.withColumn("wave", F.lit(wave))
         taken_count = taken.count()
         if taken_count == 0:
-            _cleanup(ranked, with_seq)
+            _cleanup(ranked, staged, with_seq)
             break
 
         if taken_count <= cfg.fetch_broadcast_threshold:
@@ -268,6 +325,18 @@ def crawl(
         )
         seen_path = ck.write_table(seen_wave, "seen", wave)
 
+        # Bloom sidecar: fold this wave's hashes into the partitioned blobs
+        # (full snapshot per wave so resume needs only the last commit)
+        if cfg.use_bloom:
+            wave_blobs = build_blobs(
+                spark.read.parquet(seen_path).select("url_hash"), cfg.bloom
+            )
+            merged = wave_blobs if blobs is None else merge_blobs(blobs, wave_blobs)
+            bloom_path = ck.write_table(merged, "bloom", wave)
+            blobs = spark.read.parquet(bloom_path)
+        else:
+            bloom_path = None
+
         if found is not None:
             found.unpersist()
 
@@ -302,13 +371,23 @@ def crawl(
                 .drop("_rn")
             )
 
-            # not already seen (J1/J2: exact anti-join is the authority;
-            # Bloom prefilter slots in front of this at 10^10 scale).
-            # waves 0..k inclusive: the current wave's seen parquet is
-            # written but not yet manifest-committed, so list it explicitly
+            # not already seen (J1/J2): Bloom prefilter first — definite
+            # misses (most links at scale) skip the exact anti-join; Bloom
+            # positives are re-checked by the exact join (the authority), so
+            # false positives never drop URLs. waves 0..k inclusive: the
+            # current wave's seen parquet is written but not yet
+            # manifest-committed, so list it explicitly
             seen_all = ck.read_table(spark, "seen", waves=list(range(wave + 1)))
             if seen_all is not None:
-                cand = cand.join(seen_all.select("url"), "url", "left_anti")
+                if cfg.use_bloom and blobs is not None:
+                    cand = cand.withColumn("url_hash", F.xxhash64("url"))
+                    definite_new, suspect = split_by_bloom(cand, blobs, cfg.bloom)
+                    checked = suspect.join(
+                        seen_all.select("url"), "url", "left_anti"
+                    )
+                    cand = definite_new.unionByName(checked).drop("url_hash")
+                else:
+                    cand = cand.join(seen_all.select("url"), "url", "left_anti")
             # a deferred row keeps its earlier (better) order key
             cand = cand.join(deferred.select("url"), "url", "left_anti")
 
@@ -326,7 +405,7 @@ def crawl(
         frontier_path = ck.write_table(next_frontier, "frontier", wave + 1)
         # deferred/overflow derive from the cached rank/seq frames; only now
         # that the frontier parquet is materialized is it safe to unpersist
-        _cleanup(ranked, with_seq)
+        _cleanup(ranked, staged, with_seq)
 
         # ---- 7. manifest commit (the atomic point) -------------------------
         next_seq += taken_count
@@ -342,11 +421,21 @@ def crawl(
                 "pages": _lineage_of(pages_path),
                 "seen": _lineage_of(seen_path),
                 "frontier_next": _lineage_of(frontier_path),
+                **(
+                    {"bloom": _lineage_of(bloom_path)}
+                    if bloom_path is not None
+                    else {}
+                ),
             },
             tables={
                 "pages": f"pages/wave={wave}",
                 "seen": f"seen/wave={wave}",
                 "frontier": f"frontier/wave={wave + 1}",
+                **(
+                    {"bloom": f"bloom/wave={wave}"}
+                    if bloom_path is not None
+                    else {}
+                ),
             },
             config={
                 "instructions": cfg.instructions,
