@@ -512,12 +512,20 @@ def oracle_sql() -> dict[str, str]:
     def marker_hits(markers):
         return _duck_marker_hits(markers)
 
-    # minhash: same seeded hash60-over-shingles min as dedup.minhash_signatures
-    def mh_expr(i: int) -> str:
-        seeded = _duck_hash60(f"concat(s, ':', {i})")
-        return f"list_aggregate(list_transform(sh, s -> {seeded}), 'min')"
+    # minhash: same one-hash + linear-permutation scheme as
+    # dedup.minhash_signatures (30-bit base hash, (a*h+b) mod P)
+    from crawler_spark.operators.dedup import _MH_M, _MH_P, _mh_params
 
-    mh_cols = ", ".join(mh_expr(i) for i in range(4))
+    hs = f"list_transform(sh, s -> {_duck_hash60('s')} % {_MH_M})"
+
+    def mh_expr(i: int, n: int) -> str:
+        a, b = _mh_params(n)[i]
+        return (
+            f"list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {_MH_P}), "
+            f"'min')"
+        )
+
+    mh_cols = ", ".join(mh_expr(i, 4) for i in range(4))
 
     tm = " + ".join(
         f"(CASE WHEN contains(substring(text, 1, 60), '{k}') THEN 1 ELSE 0 END)"
@@ -612,13 +620,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": f"""
             SELECT doc_id, array_to_string([{mh_cols}], ',') AS sig
-            FROM (SELECT doc_id, {sh} AS sh FROM documents)
+            FROM (SELECT doc_id, {hs} AS hv
+                  FROM (SELECT doc_id, {sh} AS sh FROM documents))
         """,
         "minhash_lsh": f"""
             WITH sigs AS (
               SELECT doc_id,
-                     [{", ".join(mh_expr(i) for i in range(8))}] AS minhash
-              FROM (SELECT doc_id, {sh} AS sh FROM documents)
+                     [{", ".join(mh_expr(i, 8) for i in range(8))}] AS minhash
+              FROM (SELECT doc_id, {hs} AS hv
+                    FROM (SELECT doc_id, {sh} AS sh FROM documents))
             ),
             banded AS (
               SELECT doc_id, b.band_id,

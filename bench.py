@@ -33,18 +33,21 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def corpus_path(sf: float) -> str:
-    """Deterministic synthetic corpus parquet, cached across runs."""
-    from crawler_spark.datagen import CorpusSpec, write_corpus
+def corpus_path(spark, sf: float) -> str:
+    """Deterministic synthetic corpus parquet, cached across runs.
+    Generated distributed (corpus_spark_df) — identical rows to the python
+    generator, produced at executor parallelism."""
+    from crawler_spark.datagen import CorpusSpec, write_corpus_spark
 
     n_pages = max(120, min(int(40_000 * sf), 40_000))
     n_hosts = max(6, min(int(n_pages / 200), 64))
     path = f"/tmp/crawler_spark_bench/pages_{n_pages}_{n_hosts}.parquet"
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        write_corpus(tmp, CorpusSpec(n_pages=n_pages, n_hosts=n_hosts, seed=42))
-        os.rename(tmp, path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        if os.path.exists(path):  # legacy single-file cache
+            os.remove(path)
+        write_corpus_spark(
+            spark, path, CorpusSpec(n_pages=n_pages, n_hosts=n_hosts, seed=42)
+        )
     return path
 
 
@@ -62,12 +65,18 @@ def run(spark, sf_dir: str):
     )
 
     sf = _sf_of(sf_dir)
-    pages_pq = corpus_path(sf)
+    pages_pq = corpus_path(spark, sf)
     corpus = spark.read.parquet(pages_pq)
     n_corpus = corpus.count()
     n_hosts = max(6, min(int(max(120, min(int(40_000 * sf), 40_000)) / 200), 64))
     spec = CorpusSpec(n_pages=n_corpus, n_hosts=n_hosts, seed=42)
-    seeds = [s["url"] for s in default_seeds(spec, n_seeds=4)]
+    # broad seed set: wave batches stay large enough that per-wave fixed
+    # cost doesn't swamp the measurement (mirrors a production recrawl,
+    # which starts from a full seed list, not 4 urls)
+    from crawler_spark.datagen.webgen import _hosts, page_url
+
+    ha = _hosts(spec)
+    seeds = [page_url(ha[i], i) for i in range(0, n_corpus, max(n_corpus // 50, 1))]
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -94,7 +103,12 @@ def run(spark, sf_dir: str):
             spark,
             corpus,
             seeds,
-            CrawlConfig(depth=4, max_pages=None, host_budget={"*": 2000}),
+            CrawlConfig(
+                depth=3,
+                max_pages=None,
+                host_budget={"*": 2000},
+                politeness_salt=4,
+            ),
             run_dir=tempfile.mkdtemp(prefix="bench_crawl_"),
         )
     extra["pages_crawled"] = res.pages_crawled

@@ -71,7 +71,9 @@ def extract_structured_markdown(soup: MiniSoup) -> str:
     lines: List[str] = []
     for tag in soup.find_all(["h1", "h2", "h3", "p", "ul", "ol", "li", "pre", "code"]):
         name = tag.name.lower()
-        text = clean_text(tag.get_text(" ", strip=True))
+        # memoized (sep=" ", strip=True) text: nested tags (li>p, pre>code)
+        # re-read overlapping subtrees
+        text = clean_text(tag.get_text_sep_strip())
         if not text:
             continue
         if name == "h1":
@@ -89,12 +91,18 @@ def extract_structured_markdown(soup: MiniSoup) -> str:
     return "\n\n".join(lines)
 
 
-def extract_page(html: Union[str, bytes, None], url: str) -> Tuple[str, List[str], str]:
+def extract_page(
+    html: Union[str, bytes, None], url: str, soup: Optional[MiniSoup] = None
+) -> Tuple[str, List[str], str]:
     """One parse, three outputs: (title, links, structured_markdown).
 
     Mirrors the per-page sequence at reference enhanced_crawler.py:196-199.
+    Pass ``soup`` to reuse an existing parse (the reference parses each page
+    twice — here and in ai_processor — which costs nothing semantically but
+    doubles the dominant CPU cost of a crawl; output is byte-identical
+    either way since it is the same parser over the same bytes).
     """
-    soup = parse_html(html)
+    soup = soup if soup is not None else parse_html(html)
     return (
         extract_title(soup),
         extract_links(soup, base_url=url),
@@ -102,15 +110,19 @@ def extract_page(html: Union[str, bytes, None], url: str) -> Tuple[str, List[str
     )
 
 
-def basic_extraction(html: Union[str, bytes, None], title: str, url: str) -> Dict:
+def basic_extraction(
+    html: Union[str, bytes, None], title: str, url: str,
+    soup: Optional[MiniSoup] = None,
+) -> Dict:
     """Deterministic (no-LLM) structured-content extraction.
 
     Reference crawler/ai_processor.py:233-278: paragraphs with
     ``len(p.text.strip()) > 50``, headings h1-h3 (non-empty), list items
     with ``len > 10``; summary counts; headings[:5] as key_points;
     paragraphs[:10]; list_items[:20]; relevance_score fixed 0.5.
+    Pass ``soup`` to reuse an existing parse (see extract_page).
     """
-    soup = parse_html(html)
+    soup = soup if soup is not None else parse_html(html)
 
     paragraphs = []
     for p in soup.find_all("p"):

@@ -63,6 +63,10 @@ class CorpusSpec:
     hot_host_share: float = 0.30   # h0 takes ~30% of pages (skew driver)
     missing_link_rate: float = 0.06  # links to URLs with no corpus row
     mean_links: int = 8
+    # fixed fragments per page (None = the default 2-5 random draw). Larger
+    # values emulate realistic Common-Crawl page weights so benchmarks are
+    # parse-bound like production, not scheduler-bound.
+    frag_count: Optional[int] = None
 
 
 def _host_of(page_id: int, spec: CorpusSpec, rng: random.Random) -> int:
@@ -103,18 +107,18 @@ def _hosts(spec: CorpusSpec) -> List[int]:
     return [_host_of(i, spec, rng) for i in range(spec.n_pages)]
 
 
-def corpus_rows(spec: CorpusSpec) -> List[Dict]:
-    """Generate the pages table rows. Returns list of dicts with keys
-    url, warc_ts (datetime UTC), html (bytes), text (str), lang (str)."""
-    hosts = _hosts(spec)
-    urls = [page_url(hosts[i], i) for i in range(spec.n_pages)]
-    by_host: Dict[int, List[int]] = {}
+def _by_host(hosts: List[int]) -> Dict[int, List[int]]:
+    out: Dict[int, List[int]] = {}
     for i, h in enumerate(hosts):
-        by_host.setdefault(h, []).append(i)
+        out.setdefault(h, []).append(i)
+    return out
 
-    rows: List[Dict] = []
-    for i in range(spec.n_pages):
-        h = hosts[i]
+
+def _page_row(i: int, spec: CorpusSpec, hosts: List[int], by_host: Dict[int, List[int]]) -> Dict:
+    """One page's row — a pure function of (i, spec, host assignment), so
+    pages are generatable independently on any executor (corpus_spark_df)."""
+    h = hosts[i]
+    if True:  # body kept at original indentation
         prng = random.Random(spec.seed * 1_000_003 + i)  # per-page stream
         lang = "en"
         if i % 17 == 5:
@@ -142,7 +146,7 @@ def corpus_rows(spec: CorpusSpec) -> List[Dict]:
             parts.append(_ES)
         elif lang == "zh":
             parts.append(_ZH)
-        n_frag = 2 + prng.randrange(4)
+        n_frag = spec.frag_count if spec.frag_count else 2 + prng.randrange(4)
         for _ in range(n_frag):
             parts.append(_fill(_FRAGMENTS[prng.randrange(len(_FRAGMENTS))], prng))
 
@@ -185,16 +189,58 @@ def corpus_rows(spec: CorpusSpec) -> List[Dict]:
         parts.append("</body></html>")
         html = "".join(parts)
         html_bytes = html.encode("utf-8")
-        rows.append(
-            {
-                "url": urls[i],
-                "warc_ts": EPOCH + timedelta(seconds=i),
-                "html": html_bytes,
-                "text": extract_structured_markdown(parse_html(html_bytes)),
-                "lang": lang,
-            }
-        )
-    return rows
+        return {
+            "url": page_url(h, i),
+            "warc_ts": EPOCH + timedelta(seconds=i),
+            "html": html_bytes,
+            "text": extract_structured_markdown(parse_html(html_bytes)),
+            "lang": lang,
+        }
+
+
+def corpus_rows(spec: CorpusSpec) -> List[Dict]:
+    """Generate the pages table rows. Returns list of dicts with keys
+    url, warc_ts (datetime UTC), html (bytes), text (str), lang (str)."""
+    hosts = _hosts(spec)
+    by_host = _by_host(hosts)
+    return [_page_row(i, spec, hosts, by_host) for i in range(spec.n_pages)]
+
+
+def corpus_spark_df(spark, spec: CorpusSpec, parallelism: Optional[int] = None):
+    """Distributed corpus generation: identical rows to ``corpus_rows`` but
+    produced by executors via ``mapInPandas`` over page-id ranges.
+
+    The only sequential state is the host-assignment stream, which is cheap
+    (one rng draw per page) — computed on the driver and broadcast; html
+    generation and the oracle text extraction (the expensive parts) run in
+    parallel. Needed for the 10^5+-page corpora of the scaling benchmarks
+    — single-threaded generation is the same parse cost the crawl pays,
+    paid on one core.
+    """
+    import pandas as pd
+
+    hosts = _hosts(spec)
+    bc = spark.sparkContext.broadcast((hosts, _by_host(hosts)))
+    if parallelism is None:
+        parallelism = spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        h, bh = bc.value
+        for pdf in batches:
+            rows = [_page_row(int(i), spec, h, bh) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], utc=True)
+            yield out[["url", "warc_ts", "html", "text", "lang"]]
+
+    ids = spark.range(0, spec.n_pages, numPartitions=parallelism)
+    return ids.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def write_corpus_spark(spark, path: str, spec: CorpusSpec, parallelism: Optional[int] = None) -> None:
+    """Parallel variant of write_corpus: a parquet directory at ``path``."""
+    corpus_spark_df(spark, spec, parallelism).write.mode("overwrite").parquet(path)
 
 
 def default_seeds(spec: CorpusSpec, n_seeds: int = 2) -> List[Dict]:

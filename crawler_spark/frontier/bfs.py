@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -46,7 +47,6 @@ from crawler_spark.core.urls import get_domain
 from crawler_spark.frontier.bloom import (
     BloomConfig,
     build_blobs,
-    merge_blobs,
     split_by_bloom,
 )
 from crawler_spark.frontier.checkpoint import WaveCommit, WaveManifest
@@ -54,6 +54,7 @@ from crawler_spark.frontier.order import assign_seq
 from crawler_spark.operators.extract import (
     domain_of,
     extract_pages,
+    page_record_schema,
     robots_allows_udf,
     url_path_of,
 )
@@ -88,6 +89,9 @@ class CrawlConfig:
     max_waves: int = 10_000
     use_bloom: bool = True  # Bloom prefilter ahead of the exact seen anti-join
     bloom: BloomConfig = field(default_factory=BloomConfig)
+    # broadcast the seen hash-key set into the expand anti-join while it fits
+    # (8 bytes/url; 2M keys ≈ 16 MB); beyond that it stays a shuffle join
+    seen_broadcast_rows: int = 2_000_000
     # politeness skew: salt factor for the per-host budget rank. 1 = single
     # window per host (fine when no host dominates); >1 splits each host's
     # rows across `politeness_salt` buckets, takes an exact local top-budget
@@ -150,6 +154,31 @@ def _robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     )
 
 
+def _error_pages(missing: DataFrame) -> DataFrame:
+    """Frontier rows with no corpus page -> page-record error rows
+    (reference enhanced_crawler.py:244-250 layering), as pure column
+    expressions in the exact committed page schema — no extraction kernel,
+    no Python."""
+    from crawler_spark.core.page import MISSING_PAGE_MESSAGE
+
+    schema = page_record_schema(carry=True)
+    cols = []
+    for f in schema.fields:
+        if f.name == "error":
+            cols.append(
+                F.format_string(
+                    "Failed to crawl page: Failed to crawl %s: "
+                    + MISSING_PAGE_MESSAGE,
+                    F.col("url"),
+                ).alias("error")
+            )
+        elif f.name in missing.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return missing.select(*cols)
+
+
 def _lineage_of(path: str) -> List[Dict]:
     """Per-output-file row counts from parquet footers (cheap, no Spark job)."""
     import pyarrow.parquet as pq
@@ -197,7 +226,7 @@ def crawl(
         frontier = ck.read_table(spark, "frontier", waves=[wave])
         if frontier is None:
             frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
-        blobs = ck.read_table(spark, "bloom", waves=[last])
+        blobs = ck.read_table(spark, "bloom")  # all committed wave blobs
         if blobs is None and cfg.use_bloom:
             # runs committed before the sidecar existed: rebuild from seen
             seen_prev = ck.read_table(spark, "seen")
@@ -215,6 +244,14 @@ def crawl(
     while wave < cfg.max_waves:
         if cfg.max_pages is not None and next_seq >= cfg.max_pages:
             break
+        phase_sec: Dict[str, float] = {}
+        _t0 = time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = time.perf_counter()
+            phase_sec[name] = round(now - _t0, 3)
+            _t0 = now
 
         # ---- 1. politeness: per-host budget rank --------------------------
         if cfg.has_politeness():
@@ -278,41 +315,43 @@ def crawl(
 
         # ---- 2. dense visit seq + global max_pages cap ---------------------
         with_seq = assign_seq(taken0, ["parent_seq", "link_pos"], offset=next_seq)
+        wave_total = with_seq._assign_seq_total  # free from the offset pass
         if cfg.max_pages is not None:
             taken = with_seq.filter(F.col("seq") < cfg.max_pages)
             overflow = with_seq.filter(F.col("seq") >= cfg.max_pages).drop("seq")
             deferred = deferred.unionByName(overflow)
+            taken_count = max(0, min(wave_total, cfg.max_pages - next_seq))
         else:
             taken = with_seq
+            taken_count = wave_total
 
         # ---- 3. fetch join --------------------------------------------------
         taken = taken.withColumn("wave", F.lit(wave))
-        taken_count = taken.count()
+        _mark("rank_seq")
         if taken_count == 0:
             _cleanup(ranked, staged, with_seq)
             break
 
         if taken_count <= cfg.fetch_broadcast_threshold:
-            # broadcast the wave against the corpus scan: one pass over
-            # pages, no corpus shuffle; misses recovered against the small
-            # found-url set
+            # broadcast the wave against the corpus scan: one streaming pass
+            # over pages (scan -> join -> extract -> parquet, nothing
+            # persisted — the fat html column lives only inside this
+            # pipeline); misses are recovered afterwards against the small
+            # committed url set and appended as error rows (reference
+            # enhanced_crawler.py:244-250), entirely JVM-side
             found = corpus.join(F.broadcast(taken), "url", "inner")
-            found = found.persist()
-            missing = taken.join(
-                F.broadcast(found.select("url")), "url", "left_anti"
-            ).withColumn("html", F.lit(None).cast("binary")).withColumn(
-                "warc_ts", F.lit(None).cast("timestamp")
-            )
-            fetched = found.unionByName(missing.select(*found.columns))
+            parsed = extract_pages(found, instructions=cfg.instructions, carry=True)
+            pages_path = ck.write_table(parsed, "pages", wave)
+            found_urls = spark.read.parquet(pages_path).select("url")
+            missing = taken.join(F.broadcast(found_urls), "url", "left_anti")
+            _error_pages(missing).write.mode("append").parquet(pages_path)
         else:
-            found = None
+            # big wave: shuffle join on url; misses surface as null html and
+            # become error rows inside the extraction kernel
             fetched = taken.join(corpus, "url", "left")
-
-        # ---- 4. extract ------------------------------------------------------
-        parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True)
-
-        # ---- 5. commit pages + seen (write truncates lineage per wave) -----
-        pages_path = ck.write_table(parsed, "pages", wave)
+            parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True)
+            pages_path = ck.write_table(parsed, "pages", wave)
+        _mark("fetch_extract_write")
         parsed_c = spark.read.parquet(pages_path)
 
         seen_wave = parsed_c.select(
@@ -324,35 +363,60 @@ def crawl(
             "host",
         )
         seen_path = ck.write_table(seen_wave, "seen", wave)
+        _mark("seen_write")
 
-        # Bloom sidecar: fold this wave's hashes into the partitioned blobs
-        # (full snapshot per wave so resume needs only the last commit)
+        # Bloom sidecar: incremental — each wave commits only its own blobs;
+        # the probe ORs a bucket's blobs across waves on the fly, so no
+        # merge pass sits on the critical path. (merge_blobs remains
+        # available for periodic compaction when wave count grows large.)
         if cfg.use_bloom:
             wave_blobs = build_blobs(
                 spark.read.parquet(seen_path).select("url_hash"), cfg.bloom
             )
-            merged = wave_blobs if blobs is None else merge_blobs(blobs, wave_blobs)
-            bloom_path = ck.write_table(merged, "bloom", wave)
-            blobs = spark.read.parquet(bloom_path)
+            bloom_path = ck.write_table(wave_blobs, "bloom", wave)
+            blob_paths = [
+                ck.table_wave_dir("bloom", w) for w in range(wave + 1)
+            ]
+            blob_paths = [p for p in blob_paths if os.path.exists(p)]
+            blobs = spark.read.parquet(*blob_paths)
         else:
             bloom_path = None
-
-        if found is not None:
-            found.unpersist()
+        _mark("bloom")
 
         # ---- 6. expand -------------------------------------------------------
         if cfg.depth > 0:
-            parents = parsed_c.filter(
+            base = parsed_c.filter(
                 (F.col("depth") < cfg.depth)
                 & F.col("error").isNull()
                 & (F.size("links") > 0)
-            ).select(
+            )
+            meta_cols = [
                 F.col("seq").alias("p_seq"),
                 F.col("host").alias("parent_host"),
                 F.col("depth").alias("p_depth"),
-                F.posexplode("links").alias("link_pos", "url"),
-            )
-            cand = parents.withColumn("host", domain_of(F.col("url")))
+            ]
+            if "link_hosts" in parsed_c.columns:
+                # hosts were computed at extraction time (where the urls
+                # already sat in Python) — the expand path stays fully
+                # JVM-side even at millions of candidate links
+                cand = base.select(
+                    *meta_cols,
+                    F.posexplode(F.arrays_zip("links", "link_hosts")).alias(
+                        "link_pos", "_lz"
+                    ),
+                ).select(
+                    "p_seq",
+                    "parent_host",
+                    "p_depth",
+                    "link_pos",
+                    F.col("_lz.links").alias("url"),
+                    F.col("_lz.link_hosts").alias("host"),
+                )
+            else:  # pages committed before link_hosts existed
+                cand = base.select(
+                    *meta_cols,
+                    F.posexplode("links").alias("link_pos", "url"),
+                ).withColumn("host", domain_of(F.col("url")))
             # P7 domain policy (reference quirk: external never actually
             # reaches third-party domains — only seed hosts when enabled)
             policy = F.col("host") == F.col("parent_host")
@@ -379,15 +443,23 @@ def crawl(
             # manifest-committed, so list it explicitly
             seen_all = ck.read_table(spark, "seen", waves=list(range(wave + 1)))
             if seen_all is not None:
+                # membership is keyed by xxhash64(url) (the north_rule's
+                # seen-set semantics): an 8-byte key whose set broadcasts at
+                # sizes where the url strings could not. The seen row count
+                # (= next_seq + this wave) is known driver-side, so the
+                # broadcast decision needs no stats estimation.
+                seen_keys = seen_all.select("url_hash")
+                if next_seq + taken_count <= cfg.seen_broadcast_rows:
+                    seen_keys = F.broadcast(seen_keys)
+                cand = cand.withColumn("url_hash", F.xxhash64("url"))
                 if cfg.use_bloom and blobs is not None:
-                    cand = cand.withColumn("url_hash", F.xxhash64("url"))
                     definite_new, suspect = split_by_bloom(cand, blobs, cfg.bloom)
-                    checked = suspect.join(
-                        seen_all.select("url"), "url", "left_anti"
-                    )
+                    checked = suspect.join(seen_keys, "url_hash", "left_anti")
                     cand = definite_new.unionByName(checked).drop("url_hash")
                 else:
-                    cand = cand.join(seen_all.select("url"), "url", "left_anti")
+                    cand = cand.join(seen_keys, "url_hash", "left_anti").drop(
+                        "url_hash"
+                    )
             # a deferred row keeps its earlier (better) order key
             cand = cand.join(deferred.select("url"), "url", "left_anti")
 
@@ -403,6 +475,7 @@ def crawl(
             next_frontier = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])
 
         frontier_path = ck.write_table(next_frontier, "frontier", wave + 1)
+        _mark("expand_write")
         # deferred/overflow derive from the cached rank/seq frames; only now
         # that the frontier parquet is materialized is it safe to unpersist
         _cleanup(ranked, staged, with_seq)
@@ -416,6 +489,7 @@ def crawl(
                 "taken": taken_count,
                 "next_seq": next_seq,
                 "frontier_next": frontier_rows,
+                "phase_sec": phase_sec,
             },
             lineage={
                 "pages": _lineage_of(pages_path),

@@ -47,7 +47,9 @@ def assign_seq(
 
     if not offsets:
         ranked.unpersist()
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        out = df.withColumn(out_col, F.lit(None).cast("long"))
+        out._assign_seq_total = 0  # type: ignore[attr-defined]
+        return out
 
     mapping = F.create_map(
         *[x for pid, off in offsets for x in (F.lit(pid), F.lit(off))]
@@ -58,4 +60,7 @@ def assign_seq(
     )
     # caller should materialize (e.g. commit to parquet) then unpersist
     result._assign_seq_cache = ranked  # type: ignore[attr-defined]
+    # total row count comes free from the offset pass — callers must not
+    # spend another count() job on it
+    result._assign_seq_total = acc - offset  # type: ignore[attr-defined]
     return result

@@ -53,6 +53,10 @@ PAGE_RECORD_FIELDS = [
     T.StructField("title", T.StringType()),
     T.StructField("markdown", T.StringType()),
     T.StructField("links", T.ArrayType(T.StringType())),
+    # link_hosts[i] = urlparse(links[i]).netloc, computed where the urls
+    # already sit in Python — so the wave-expand hot path (millions of
+    # candidate rows) never needs a per-link Python UDF
+    T.StructField("link_hosts", T.ArrayType(T.StringType())),
     T.StructField("relevance", RELEVANCE_TYPE),
     T.StructField("extracted", EXTRACTED_TYPE),
     T.StructField("error", T.StringType()),
@@ -83,6 +87,7 @@ def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFra
         "title": [None] * n,
         "markdown": [None] * n,
         "links": [None] * n,
+        "link_hosts": [None] * n,
         "relevance": [None] * n,
         "extracted": [None] * n,
         "error": [None] * n,
@@ -95,16 +100,24 @@ def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFra
     # enhanced_crawler.py:225/:236 (the one wall-clock field we replace)
     tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * n
 
+    from crawler_spark.core.htmlparse import parse_html
+
     for i in range(n):
         html = htmls[i]
         url = urls[i]
         if html is None:
             out["error"][i] = missing_page_error(url)
             continue
-        title, links, markdown = extract_page(html, url)
+        # one parse feeds title/links/markdown AND basic_extraction — the
+        # reference parses twice (enhanced_crawler.py:196, ai_processor.py:247)
+        # with byte-identical results; parsing is the crawl's dominant CPU
+        # cost, so don't pay it twice
+        soup = parse_html(html)
+        title, links, markdown = extract_page(html, url, soup=soup)
         score, reason = relevance(markdown, title, instructions)
         out["title"][i] = title
         out["links"][i] = links[:20]  # P8: stored AND used for enqueue
+        out["link_hosts"][i] = [get_domain(u) for u in links[:20]]
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):
@@ -117,7 +130,7 @@ def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFra
             out["timestamp"][i] = dt.isoformat()
         if score >= RELEVANCE_GATE:
             out["markdown"][i] = markdown
-            out["extracted"][i] = basic_extraction(html, title, url)
+            out["extracted"][i] = basic_extraction(html, title, url, soup=soup)
 
     res = pd.DataFrame({"url": urls, **out})
     for c in _CARRY_COLS:

@@ -38,6 +38,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # local-mode default: medium corpora (hundreds of MB) must split into
+        # at least ~cores scan tasks, or a scan-partitioned mapInPandas stage
+        # (the extraction hot path) serializes on a handful of tasks. At
+        # cluster scale with TB corpora the default 128m packing is fine —
+        # this is a deliberate small-input knob, not a scale setting.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
