@@ -458,6 +458,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _crawl_result(spark)
         return res.seen(spark).select("url", "url_hash", "seq", "wave", "depth")
 
+    def chunk_documents(spark, sf_dir):
+        # F8: the reference's overlapping RAG chunker (size 1000, overlap
+        # 100, break at \n\n -> '. ' -> ' ') over the documents table
+        from crawler_spark.sinks.rag import chunk_content_udf
+
+        return (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.posexplode(chunk_content_udf(F.col("text"))).alias(
+                    "chunk_index", "chunk"
+                ),
+            )
+        )
+
+    def export_markdown_report(spark, sf_dir):
+        # S4: the reference's export_to_markdown layout, rendered
+        # distributed over the crawl result; one row per page block
+        from crawler_spark.sinks.export import export_markdown_string
+
+        res = _crawl_result(spark)
+        report = export_markdown_string(
+            res.pages(spark), meta={"url": "synthetic", "depth": 3}
+        )
+        blocks = [b for b in report.split("\n---\n") if b.strip()]
+        return spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blocks)], "block_id int, block string"
+        )
+
     def rag_chunks(spark, sf_dir):
         from crawler_spark.sinks.rag import build_rag_documents
 
@@ -498,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
         "rag_chunks": rag_chunks,
+        "chunk_documents": chunk_documents,
+        "export_markdown_report": export_markdown_report,
     }
 
 

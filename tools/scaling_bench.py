@@ -82,6 +82,7 @@ def worker(args) -> None:
         max_pages=None,
         host_budget=budget,
         politeness_salt=args.salt,
+        fetch_broadcast_threshold=args.broadcast_threshold,
     )
     # commit waves to tmpfs: on a real cluster the commit store is a
     # distributed filesystem whose aggregate bandwidth scales with the
@@ -140,6 +141,7 @@ def main() -> None:
                    help="per-host per-wave budget; 0 disables politeness")
     p.add_argument("--salt", type=int, default=8)
     p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--broadcast-threshold", type=int, default=600_000)
     p.add_argument("--worker", action="store_true")
     args = p.parse_args()
     if args.worker:
@@ -162,6 +164,7 @@ def main() -> None:
                 "--hosts", str(args.hosts), "--depth", str(args.depth),
                 "--seed-every", str(args.seed_every), "--frags", str(args.frags),
                 "--budget", str(args.budget), "--salt", str(args.salt),
+                "--broadcast-threshold", str(args.broadcast_threshold),
             ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True,
