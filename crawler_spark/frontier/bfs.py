@@ -92,6 +92,10 @@ class CrawlConfig:
     # broadcast the seen hash-key set into the expand anti-join while it fits
     # (8 bytes/url; 2M keys ≈ 16 MB); beyond that it stays a shuffle join
     seen_broadcast_rows: int = 2_000_000
+    # per-wave top-K host histogram recorded in the manifest (A5): the
+    # hot-host signal that drives politeness_salt choice and skew monitoring.
+    # 0 disables (saves one small job per wave).
+    host_histogram_topk: int = 20
     # politeness skew: salt factor for the per-host budget rank. 1 = single
     # window per host (fine when no host dominates); >1 splits each host's
     # rows across `politeness_salt` buckets, takes an exact local top-budget
@@ -483,6 +487,20 @@ def crawl(
         # ---- 7. manifest commit (the atomic point) -------------------------
         next_seq += taken_count
         frontier_rows = sum(e["rows"] for e in _lineage_of(frontier_path))
+        if cfg.host_histogram_topk > 0:
+            # A5: hot-host histogram from the wave's committed seen rows
+            # (orderBy+limit => TakeOrderedAndProject, no global sort)
+            hist_rows = (
+                spark.read.parquet(seen_path)
+                .groupBy("host")
+                .count()
+                .orderBy(F.col("count").desc(), "host")
+                .limit(cfg.host_histogram_topk)
+                .collect()
+            )
+            host_histogram = {r["host"]: r["count"] for r in hist_rows}
+        else:
+            host_histogram = {}
         manifest = WaveManifest(
             wave=wave,
             counters={
@@ -490,6 +508,7 @@ def crawl(
                 "next_seq": next_seq,
                 "frontier_next": frontier_rows,
                 "phase_sec": phase_sec,
+                "hosts_top": host_histogram,
             },
             lineage={
                 "pages": _lineage_of(pages_path),

@@ -1,0 +1,106 @@
+"""spark-submit entry point for the crawl engine (north_rule execution mode).
+
+On a cluster:
+
+    zip -r engine.zip crawler_spark
+    spark-submit --py-files engine.zip jobs/crawl.py \
+        --corpus s3://bucket/pages/ \
+        --seeds https://example.com/ https://example.org/ \
+        --depth 3 --max-pages 1000000 \
+        --budget '*=200' --budget 'hot.example.com=50' \
+        --robots s3://bucket/robots/ \
+        --run-dir s3://bucket/runs/crawl-001 [--resume]
+
+Locally (this sandbox): ``spark-submit jobs/crawl.py --corpus ... `` or plain
+``python jobs/crawl.py ...`` (builds a local session).
+
+The job is idempotent per run-dir: re-submitting with ``--resume`` continues
+from the last committed wave without re-fetching seen URLs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_budget(items):
+    out = {}
+    for item in items or []:
+        host, _, n = item.partition("=")
+        out[host] = int(n)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Distributed BFS crawl over a pages corpus")
+    p.add_argument("--corpus", required=True, help="parquet/iceberg path of pages(url, warc_ts, html, ...)")
+    p.add_argument("--seeds", nargs="+", required=True)
+    p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--instructions", default=None)
+    p.add_argument("--follow-external-links", action="store_true")
+    p.add_argument("--budget", action="append", default=[],
+                   help="host=N per-wave fetch budget; '*'=default. Repeatable.")
+    p.add_argument("--politeness-salt", type=int, default=1)
+    p.add_argument("--robots", default=None,
+                   help="parquet path of robots(host, disallow_prefixes, crawl_delay)")
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--rag-out", default=None,
+                   help="optional parquet path to materialize rag_documents after the crawl")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+
+    # under spark-submit the session/master comes from the submit command;
+    # standalone python falls back to the local builder
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        try:
+            spark = SparkSession.builder.getOrCreate()
+        except Exception:
+            from crawler_spark.session import build_session
+
+            spark = build_session()
+
+    corpus = spark.read.parquet(args.corpus)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    cfg = CrawlConfig(
+        instructions=args.instructions,
+        depth=args.depth,
+        follow_external_links=args.follow_external_links,
+        max_pages=args.max_pages,
+        host_budget=parse_budget(args.budget),
+        politeness_salt=args.politeness_salt,
+        use_bloom=not args.no_bloom,
+    )
+    res = crawl(
+        spark, corpus, args.seeds, cfg,
+        robots=robots, run_dir=args.run_dir, resume=args.resume,
+    )
+
+    if args.rag_out:
+        from crawler_spark.sinks.rag import build_rag_documents
+
+        build_rag_documents(res.pages(spark)).write.mode("overwrite").parquet(
+            args.rag_out
+        )
+
+    print(json.dumps({
+        "run_dir": res.run_dir,
+        "waves": res.waves,
+        "pages_crawled": res.pages_crawled,
+        "last_manifest": res.metrics()[-1]["counters"] if res.waves else {},
+    }, default=str))
+
+
+if __name__ == "__main__":
+    main()
