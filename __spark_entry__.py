@@ -458,6 +458,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _crawl_result(spark)
         return res.seen(spark).select("url", "url_hash", "seq", "wave", "depth")
 
+    def media_features(spark, sf_dir):
+        # multimodal plumbing: documents' text bytes stand in for opaque
+        # media payloads (deterministic); features via the stubbed decoder
+        from crawler_spark.operators.multimodal import extract_media_features
+
+        media = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        )
+        feats = extract_media_features(media, deterministic_fake=True)
+        return feats.select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            "sha1",
+            "width",
+            "height",
+            "duration_ms",
+            F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
+                "feature_joined"
+            ),
+        )
+
     def chunk_documents(spark, sf_dir):
         # F8: the reference's overlapping RAG chunker (size 1000, overlap
         # 100, break at \n\n -> '. ' -> ' ') over the documents table
@@ -529,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_chunks": rag_chunks,
         "chunk_documents": chunk_documents,
         "export_markdown_report": export_markdown_report,
+        "media_features": media_features,
     }
 
 

@@ -22,14 +22,14 @@ TABLES = [
 
 
 def canon(v):
+    """Type-level canonicalization ONLY — float values are compared exactly
+    (bit-level), because the driver's value-hash will not round for us."""
     if v is None:
         return None
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, bool):
         return v
-    if isinstance(v, float):
-        return round(v, 9)
     if isinstance(v, int):
         return int(v)
     return v
