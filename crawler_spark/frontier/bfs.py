@@ -94,8 +94,9 @@ class CrawlConfig:
     seen_broadcast_rows: int = 2_000_000
     # per-wave top-K host histogram recorded in the manifest (A5): the
     # hot-host signal that drives politeness_salt choice and skew monitoring.
-    # 0 disables (saves one small job per wave).
-    host_histogram_topk: int = 20
+    # 0 (default) disables — it costs one small job per wave, which matters
+    # for micro-crawls; the spark-submit CLI turns it on by default.
+    host_histogram_topk: int = 0
     # politeness skew: salt factor for the per-host budget rank. 1 = single
     # window per host (fine when no host dominates); >1 splits each host's
     # rows across `politeness_salt` buckets, takes an exact local top-budget

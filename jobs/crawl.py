@@ -52,6 +52,8 @@ def main() -> None:
     p.add_argument("--run-dir", required=True)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--host-histogram-topk", type=int, default=20,
+                   help="record top-K per-host counts per wave manifest; 0 disables")
     p.add_argument("--rag-out", default=None,
                    help="optional parquet path to materialize rag_documents after the crawl")
     args = p.parse_args()
@@ -81,6 +83,7 @@ def main() -> None:
         host_budget=parse_budget(args.budget),
         politeness_salt=args.politeness_salt,
         use_bloom=not args.no_bloom,
+        host_histogram_topk=args.host_histogram_topk,
     )
     res = crawl(
         spark, corpus, args.seeds, cfg,

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the plans we designed for scale must not
+silently degrade (broadcast fetch join, TakeOrderedAndProject caps, pruned
+scans, no Python UDF in the expand hot path)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_parquet):
+    return spark.read.parquet(corpus_parquet)
+
+
+def test_fetch_join_broadcasts_small_wave(spark, corpus):
+    wave = spark.createDataFrame([("https://h0.example.test/p0",)], "url string")
+    plan = plan_of(corpus.select("url", "warc_ts", "html").join(F.broadcast(wave), "url", "inner"))
+    assert "BroadcastHashJoin" in plan
+    # column pruning: the scan must not read text/lang for a fetch
+    assert "ReadSchema: struct<url:string,warc_ts:timestamp" in plan
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_budget_cap_is_take_ordered(spark, corpus):
+    capped = corpus.select("url").orderBy("url").limit(10)
+    assert "TakeOrderedAndProject" in plan_of(capped)
+
+
+def test_seen_anti_join_prunes_to_hash_key(spark, tmp_path, corpus):
+    seen_path = str(tmp_path / "seen")
+    corpus.select("url", F.xxhash64("url").alias("url_hash"), F.lit("h").alias("host")).write.parquet(seen_path)
+    seen = spark.read.parquet(seen_path)
+    cand = corpus.select(F.xxhash64("url").alias("url_hash"))
+    plan = plan_of(cand.join(F.broadcast(seen.select("url_hash")), "url_hash", "left_anti"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # only the 8-byte key is read from the seen table, not urls
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("struct<url_hash:bigint>" in l for l in read_schemas)
+
+
+def test_expand_path_has_no_python_eval(spark, corpus):
+    """The wave-expand candidate pipeline (posexplode of links+link_hosts,
+    policy filter, window dedup) must stay JVM-side — no BatchEvalPython /
+    ArrowEvalPython operators."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.extract import extract_pages
+
+    pages = extract_pages(
+        corpus.select("url", "warc_ts", "html").limit(5), carry=False
+    )
+    # materialize a tiny pages table like a committed wave
+    pdf = pages.select("url", "links", "link_hosts")
+    cand = (
+        pdf.select(
+            F.col("url").alias("parent"),
+            F.posexplode(F.arrays_zip("links", "link_hosts")).alias("pos", "lz"),
+        )
+        .select("parent", "pos", F.col("lz.links").alias("url"), F.col("lz.link_hosts").alias("host"))
+        .filter(F.col("host") == "h0.example.test")
+    )
+    w = Window.partitionBy("url").orderBy("pos")
+    deduped = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    plan = plan_of(deduped)
+    # the extraction itself is the (single) python stage; everything after
+    # the pages table must be JVM-only. Exactly one MapInPandas operator
+    # (formatted explain prints each node twice: tree + detail section).
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
