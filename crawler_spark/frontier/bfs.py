@@ -47,6 +47,7 @@ from crawler_spark.core.urls import get_domain
 from crawler_spark.frontier.bloom import (
     BloomConfig,
     build_blobs,
+    merge_blobs,
     split_by_bloom,
 )
 from crawler_spark.frontier.checkpoint import WaveCommit, WaveManifest
@@ -92,6 +93,9 @@ class CrawlConfig:
     # broadcast the seen hash-key set into the expand anti-join while it fits
     # (8 bytes/url; 2M keys ≈ 16 MB); beyond that it stays a shuffle join
     seen_broadcast_rows: int = 2_000_000
+    # OR-merge accumulated Bloom blobs into one snapshot every K waves so a
+    # long crawl's probe cost stays bounded; 0 = never compact
+    bloom_compact_every: int = 8
     # per-wave top-K host histogram recorded in the manifest (A5): the
     # hot-host signal that drives politeness_salt choice and skew monitoring.
     # 0 (default) disables — it costs one small job per wave, which matters
@@ -231,7 +235,23 @@ def crawl(
         frontier = ck.read_table(spark, "frontier", waves=[wave])
         if frontier is None:
             frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
-        blobs = ck.read_table(spark, "bloom")  # all committed wave blobs
+        # contributing bloom waves: recorded at each commit (compaction
+        # collapses the list); fall back to every committed bloom table for
+        # manifests written before the field existed
+        bloom_waves = m["counters"].get(
+            "bloom_waves",
+            [
+                w
+                for w in ck.committed_waves()
+                if "bloom" in ck.read_manifest(w).get("tables", {})
+            ],
+        )
+        blob_paths = [
+            p
+            for p in (ck.table_wave_dir("bloom", w) for w in bloom_waves)
+            if os.path.exists(p)
+        ]
+        blobs = spark.read.parquet(*blob_paths) if blob_paths else None
         if blobs is None and cfg.use_bloom:
             # runs committed before the sidecar existed: rebuild from seen
             seen_prev = ck.read_table(spark, "seen")
@@ -242,6 +262,7 @@ def crawl(
         wave = 0
         frontier = _seed_frontier(spark, seeds, robots)
         blobs = None
+        bloom_waves: List[int] = []
 
     pages_cols = [c for c in ("url", "warc_ts", "html") if c in pages_src.columns]
     corpus = pages_src.select(*pages_cols)
@@ -370,20 +391,32 @@ def crawl(
         seen_path = ck.write_table(seen_wave, "seen", wave)
         _mark("seen_write")
 
-        # Bloom sidecar: incremental — each wave commits only its own blobs;
-        # the probe ORs a bucket's blobs across waves on the fly, so no
-        # merge pass sits on the critical path. (merge_blobs remains
-        # available for periodic compaction when wave count grows large.)
+        # Bloom sidecar: incremental — each wave commits only its own blobs
+        # and the probe ORs a bucket's blobs across waves on the fly, so no
+        # merge sits on the critical path; every ``bloom_compact_every``
+        # waves the accumulated blobs are OR-merged into one snapshot so
+        # probe cost stays bounded on long crawls.
         if cfg.use_bloom:
             wave_blobs = build_blobs(
                 spark.read.parquet(seen_path).select("url_hash"), cfg.bloom
             )
-            bloom_path = ck.write_table(wave_blobs, "bloom", wave)
-            blob_paths = [
-                ck.table_wave_dir("bloom", w) for w in range(wave + 1)
-            ]
-            blob_paths = [p for p in blob_paths if os.path.exists(p)]
-            blobs = spark.read.parquet(*blob_paths)
+            if (
+                cfg.bloom_compact_every > 0
+                and bloom_waves
+                and len(bloom_waves) + 1 >= cfg.bloom_compact_every
+            ):
+                prev = spark.read.parquet(
+                    *[ck.table_wave_dir("bloom", w) for w in bloom_waves]
+                )
+                to_write = merge_blobs(prev, wave_blobs)
+                bloom_waves = []
+            else:
+                to_write = wave_blobs
+            bloom_path = ck.write_table(to_write, "bloom", wave)
+            bloom_waves = bloom_waves + [wave]
+            blobs = spark.read.parquet(
+                *[ck.table_wave_dir("bloom", w) for w in bloom_waves]
+            )
         else:
             bloom_path = None
         _mark("bloom")
@@ -510,6 +543,7 @@ def crawl(
                 "frontier_next": frontier_rows,
                 "phase_sec": phase_sec,
                 "hosts_top": host_histogram,
+                "bloom_waves": bloom_waves,
             },
             lineage={
                 "pages": _lineage_of(pages_path),
