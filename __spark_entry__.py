@@ -54,6 +54,20 @@ def _planes() -> list:
     ]
 
 
+def _lsh_probes() -> list:
+    """Query-bucket + Hamming-1 multiprobe set — same computation as
+    similarity.lsh_topk(seed=42, n_planes=8, multiprobe_hamming=1)."""
+    q = _query_vec(_ORACLE_SF_DIR)
+    qbits = "".join(
+        "1" if sum(a * float(b) for a, b in zip(p, q)) >= 0 else "0"
+        for p in _planes()
+    )
+    probes = {qbits}
+    for i in range(_N_PLANES):
+        probes.add(qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1 :])
+    return sorted(probes)
+
+
 def _query_vec(sf_dir: str) -> list:
     """Embedding of vec_id=0 (float32 exactly widened to double)."""
     import pyarrow.parquet as pq
@@ -402,6 +416,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sig.groupBy("lsh_bucket").agg(F.count("*").alias("n_vecs"))
 
+    # ---- LSH-bucketed approximate top-k (bucket prefilter + exact rerank)
+    def lsh_topk_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import lsh_topk
+
+        return lsh_topk(
+            _t(spark, sf_dir, "embeddings"),
+            _query_vec(sf_dir),
+            k=10,
+            n_planes=_N_PLANES,
+            seed=_LSH_SEED,
+            multiprobe_hamming=1,
+        )
+
     # ---- text analysis: language id / quality / tokens / fingerprint
     def lang_id_docs(spark, sf_dir):
         return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -547,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk": cosine_topk,
         "lsh_bucket_counts": lsh_bucket_counts,
+        "lsh_topk_docs": lsh_topk_docs,
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
@@ -728,6 +756,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lsh_bucket, count(*) AS n_vecs FROM (
               SELECT concat({bucket_bits}) AS lsh_bucket FROM embeddings
             ) GROUP BY lsh_bucket
+        """,
+        "lsh_topk_docs": f"""
+            SELECT vec_id,
+                   round(({dot_q}) / (({norm_e}) * {qnorm!r}), 6) AS cosine
+            FROM (
+              SELECT vec_id, embedding, concat({bucket_bits}) AS lsh_bucket
+              FROM embeddings
+            )
+            WHERE lsh_bucket IN ({", ".join(f"'{p}'" for p in sorted(_lsh_probes()))})
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "lang_id_docs": f"""
             SELECT doc_id,
