@@ -416,6 +416,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sig.groupBy("lsh_bucket").agg(F.count("*").alias("n_vecs"))
 
+    # ---- embedding-cosine near-dup pairs (LSH-blocked self-join)
+    def embedding_near_dups(spark, sf_dir):
+        from crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+        return embedding_near_dup_pairs(
+            _t(spark, sf_dir, "embeddings"),
+            dim=_EMB_DIM,
+            threshold=0.3,
+            n_planes=_N_PLANES,
+            seed=_LSH_SEED,
+        )
+
     # ---- LSH-bucketed approximate top-k (bucket prefilter + exact rerank)
     def lsh_topk_docs(spark, sf_dir):
         from crawler_spark.operators.similarity import lsh_topk
@@ -575,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": cosine_topk,
         "lsh_bucket_counts": lsh_bucket_counts,
         "lsh_topk_docs": lsh_topk_docs,
+        "embedding_near_dups": embedding_near_dups,
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
@@ -756,6 +769,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT lsh_bucket, count(*) AS n_vecs FROM (
               SELECT concat({bucket_bits}) AS lsh_bucket FROM embeddings
             ) GROUP BY lsh_bucket
+        """,
+        "embedding_near_dups": f"""
+            WITH sig AS (
+              SELECT vec_id, embedding, concat({bucket_bits}) AS lsh_bucket
+              FROM embeddings
+            )
+            SELECT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_aggregate(list_transform(range(0, {_EMB_DIM}),
+                             i -> cast(a.embedding[i + 1] as double)
+                                * cast(b.embedding[i + 1] as double)), 'sum')
+                       / (sqrt(list_aggregate(list_transform(a.embedding,
+                             v -> cast(v as double) * cast(v as double)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(b.embedding,
+                             v -> cast(v as double) * cast(v as double)), 'sum'))),
+                       6) AS cosine
+              FROM sig a JOIN sig b
+                ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.3
         """,
         "lsh_topk_docs": f"""
             SELECT vec_id,

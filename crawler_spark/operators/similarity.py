@@ -80,6 +80,45 @@ def hyperplane_signature(
     return df.withColumn(out_col, F.expr("concat(" + ", ".join(bits) + ")"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket blocking
+    bounds the self-join (near-identical vectors share all sign bits with
+    high probability), exact cosine within buckets.
+
+    Output (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    At corpus scale the join shuffles on ``lsh_bucket`` — never a cross
+    join; recall is tunable via n_planes (fewer planes = bigger buckets).
+    """
+    sig = hyperplane_signature(df, dim, n_planes, seed, vec_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    dot = _dot_expr(f"a.{vec_col}", f"b.{vec_col}")
+    na = _norm_expr(f"a.{vec_col}")
+    nb = _norm_expr(f"b.{vec_col}")
+    return (
+        a.join(
+            b,
+            (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query: Sequence[float],
