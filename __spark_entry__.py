@@ -699,7 +699,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_chars DESC, doc_id LIMIT 50
         """,
         "groupby_host_counts": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            -- cast: DuckDB sum(BIGINT) is HUGEINT (int128); Spark's is BIGINT,
+            -- and the driver's value-hash is typed (CORRECTNESS_r01 lesson)
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS total_chars
             FROM documents GROUP BY lang
         """,
         "posexplode_tokens": rf"""

@@ -35,6 +35,47 @@ def canon(v):
     return v
 
 
+# Spark simpleString dtype -> the DuckDB logical type the driver's typed
+# value-hash pairs with it. Anything else (HUGEINT from sum(BIGINT), DECIMAL
+# from round(DECIMAL), INTEGER vs BIGINT width drift) hashes differently on
+# the driver even when Python-side values compare equal — the exact trap that
+# cost groupby_host_counts in round 1 (ADVICE.md).
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}  # width drift hashes fine
+_TYPE_PAIRS = {
+    # round-1 evidence: int-width drift (spark int vs duckdb BIGINT in
+    # token_count_docs) hash-matched on the driver; HUGEINT did not (it
+    # floatifies). So ints accept any <=64-bit int, never HUGEINT/DECIMAL.
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "binary": {"BLOB"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def type_mismatches(sdf_schema, dcols, dtypes):
+    """Pair Spark fields with DuckDB result columns by name; return the
+    pairs whose types the driver's hash would treat as different."""
+    duck = {c: str(t) for c, t in zip(dcols, dtypes)}
+    bad = []
+    for f in sdf_schema.fields:
+        if f.name not in duck:
+            continue
+        want = _TYPE_PAIRS.get(f.dataType.simpleString())
+        if want is None:
+            continue  # arrays/structs: values compare element-wise below
+        if duck[f.name] not in want:
+            bad.append(f"{f.name}: spark {f.dataType.simpleString()} "
+                       f"vs duckdb {duck[f.name]}")
+    return bad
+
+
 def frame_to_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon(r[i]) for i in order) for r in rows]
@@ -86,6 +127,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = rel.types
             drows = rel.fetchall()
         except Exception as ex:
             failures.append((name, f"duckdb error: {ex}"))
@@ -94,7 +136,7 @@ def main():
 
         sc, sr = frame_to_rows(scols, srows)
         dc, dr = frame_to_rows(dcols, drows)
-        status = []
+        status = type_mismatches(sdf.schema, dcols, dtypes)
         if len(sr) != len(dr):
             status.append(f"rowcount {len(sr)} vs {len(dr)}")
         if sc != dc:
