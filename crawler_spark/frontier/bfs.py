@@ -60,6 +60,13 @@ from crawler_spark.operators.extract import (
     url_path_of,
 )
 
+# DEFAULT_PRIORITY mirrors the reference's no-scorer fallback: every link
+# scores a constant 0.5 and the queue degenerates to original order
+# (ai_processor.py:516-521) — so the default engine reproduces reference
+# visit order exactly, while a CrawlConfig.priority_scorer reorders within
+# each host's politeness budget (W3 / north_rule priority queue).
+DEFAULT_PRIORITY = 0.5
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -67,8 +74,15 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType()),
         T.StructField("parent_seq", T.LongType()),
         T.StructField("link_pos", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
     ]
 )
+
+# the frontier's total visit order: best priority first, then BFS enqueue
+# order — constant priority makes this exactly (parent_seq, link_pos).
+# A function because Column construction needs an active SparkContext.
+def order_key():
+    return [F.desc("priority"), F.asc("parent_seq"), F.asc("link_pos")]
 
 ROBOTS_SCHEMA = T.StructType(
     [
@@ -86,6 +100,19 @@ class CrawlConfig:
     follow_external_links: bool = False
     max_pages: Optional[int] = None
     host_budget: Dict[str, int] = field(default_factory=dict)  # "*" = default
+    # W3 priority queue: a pluggable scorer df -> df that sets/overwrites the
+    # ``priority`` double column (higher = crawled earlier within a host's
+    # budget) on candidate frontier rows (url, host, depth, parent_seq,
+    # link_pos, priority). None = the reference's constant-0.5 fallback
+    # (ai_processor.py:516-521), which preserves exact reference BFS order.
+    priority_scorer: Optional[object] = None
+    # robots crawl_delay -> per-wave budget: a wave models this many seconds
+    # of polite fetching, so a host with crawl_delay d sustains at most
+    # max(1, floor(wave_target_sec / d)) fetches per wave (composed with any
+    # explicit budget via min). The reference sleeps between fetches
+    # (enhanced_crawler.py:131-153); in wave dataflow the sleep becomes a
+    # budget. None disables delay translation.
+    wave_target_sec: Optional[float] = 60.0
     fetch_broadcast_threshold: int = 200_000  # rows; waves below this broadcast
     max_waves: int = 10_000
     use_bloom: bool = True  # Bloom prefilter ahead of the exact seen anti-join
@@ -145,7 +172,7 @@ def _seed_frontier(
         if u in seen:
             continue  # duplicate seeds: first order wins (pop-time skip)
         seen.add(u)
-        rows.append((u, get_domain(u), 0, -1, i))
+        rows.append((u, get_domain(u), 0, -1, i, DEFAULT_PRIORITY))
     df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
     if robots is not None:
         df = _robots_filter(df, robots)
@@ -264,8 +291,29 @@ def crawl(
         blobs = None
         bloom_waves: List[int] = []
 
+    if "priority" not in frontier.columns:
+        # frontier parquet committed before the priority column existed
+        frontier = frontier.withColumn(
+            "priority", F.lit(DEFAULT_PRIORITY).cast("double")
+        )
+
     pages_cols = [c for c in ("url", "warc_ts", "html") if c in pages_src.columns]
     corpus = pages_src.select(*pages_cols)
+
+    # robots crawl_delay -> per-host per-wave budget column (broadcast join).
+    # One tiny driver-side probe decides whether any delay exists at all, so
+    # delay-free crawls pay zero extra joins per wave.
+    delays = None
+    if robots is not None and cfg.wave_target_sec is not None:
+        d = robots.filter(F.col("crawl_delay") > 0).select("host", "crawl_delay")
+        if d.limit(1).count() > 0:
+            delays = d.withColumn(
+                "_delay_budget",
+                F.greatest(
+                    F.floor(F.lit(float(cfg.wave_target_sec)) / F.col("crawl_delay")),
+                    F.lit(1),
+                ).cast("int"),
+            ).select("host", "_delay_budget")
 
     while wave < cfg.max_waves:
         if cfg.max_pages is not None and next_seq >= cfg.max_pages:
@@ -280,7 +328,11 @@ def crawl(
             _t0 = now
 
         # ---- 1. politeness: per-host budget rank --------------------------
-        if cfg.has_politeness():
+        # effective budget = min(explicit host budget, robots-delay budget);
+        # rank order is the priority queue key (priority desc, then BFS
+        # enqueue order) — with the default constant priority this is the
+        # exact reference BFS order.
+        if cfg.has_politeness() or delays is not None:
             if budget_rows:
                 bmap = F.create_map(
                     *[x for h, b in budget_rows for x in (F.lit(h), F.lit(b))]
@@ -294,6 +346,13 @@ def crawl(
                 budget_col = F.coalesce(
                     F.lit(default_budget).cast("int"), F.lit(2_147_483_647)
                 )
+            wave_in = frontier
+            if delays is not None:
+                wave_in = wave_in.join(F.broadcast(delays), "host", "left")
+                budget_col = F.least(
+                    budget_col,
+                    F.coalesce(F.col("_delay_budget"), F.lit(2_147_483_647)),
+                )
             fcols = [f.name for f in FRONTIER_SCHEMA.fields]
             if cfg.politeness_salt > 1:
                 # hot-host skew split (§4.3 #2): exact local top-budget per
@@ -301,17 +360,13 @@ def crawl(
                 # salt*budget survivors — result identical to the single
                 # window, but no single task sees a hot host's full frontier
                 salt = F.pmod(F.xxhash64("url"), F.lit(cfg.politeness_salt))
-                w_bucket = Window.partitionBy("host", "_salt").orderBy(
-                    "parent_seq", "link_pos"
-                )
-                staged = frontier.withColumn("_salt", salt).withColumn(
+                w_bucket = Window.partitionBy("host", "_salt").orderBy(*order_key())
+                staged = wave_in.withColumn("_salt", salt).withColumn(
                     "_brank", F.row_number().over(w_bucket)
                 )
                 staged = staged.persist()
                 survivors = staged.filter(F.col("_brank") <= budget_col)
-                w_host = Window.partitionBy("host").orderBy(
-                    "parent_seq", "link_pos"
-                )
+                w_host = Window.partitionBy("host").orderBy(*order_key())
                 ranked = survivors.withColumn(
                     "_hrank", F.row_number().over(w_host)
                 ).persist()
@@ -324,15 +379,13 @@ def crawl(
                     )
                 )
             else:
-                w_host = Window.partitionBy("host").orderBy(
-                    "parent_seq", "link_pos"
-                )
+                w_host = Window.partitionBy("host").orderBy(*order_key())
                 staged = None
-                ranked = frontier.withColumn(
+                ranked = wave_in.withColumn(
                     "_hrank", F.row_number().over(w_host)
                 ).persist()
-                taken0 = ranked.filter(F.col("_hrank") <= budget_col).drop("_hrank")
-                deferred = ranked.filter(F.col("_hrank") > budget_col).drop("_hrank")
+                taken0 = ranked.filter(F.col("_hrank") <= budget_col).select(*fcols)
+                deferred = ranked.filter(F.col("_hrank") > budget_col).select(*fcols)
         else:
             ranked = None
             staged = None
@@ -340,7 +393,7 @@ def crawl(
             deferred = spark.createDataFrame([], FRONTIER_SCHEMA)
 
         # ---- 2. dense visit seq + global max_pages cap ---------------------
-        with_seq = assign_seq(taken0, ["parent_seq", "link_pos"], offset=next_seq)
+        with_seq = assign_seq(taken0, order_key(), offset=next_seq)
         wave_total = with_seq._assign_seq_total  # free from the offset pass
         if cfg.max_pages is not None:
             taken = with_seq.filter(F.col("seq") < cfg.max_pages)
@@ -507,7 +560,30 @@ def crawl(
                 (F.col("p_depth") + 1).alias("depth"),
                 F.col("p_seq").alias("parent_seq"),
                 "link_pos",
+                F.lit(DEFAULT_PRIORITY).cast("double").alias("priority"),
             )
+            if cfg.priority_scorer is not None:
+                # W3 seam: the scorer sees (url, host, depth, parent_seq,
+                # link_pos, priority) and overwrites ``priority`` — a column
+                # expression or a model-backed pandas UDF both fit. Scores
+                # are clamped to [0, 1] like the reference's
+                # (ai_processor.py:509-514 normalization).
+                new_rows = cfg.priority_scorer(new_rows)
+                new_rows = new_rows.select(
+                    *[f.name for f in FRONTIER_SCHEMA.fields]
+                ).withColumn(
+                    "priority",
+                    F.least(
+                        F.lit(1.0),
+                        F.greatest(
+                            F.lit(0.0),
+                            F.coalesce(
+                                F.col("priority").cast("double"),
+                                F.lit(DEFAULT_PRIORITY),
+                            ),
+                        ),
+                    ),
+                )
             next_frontier = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields]).unionByName(new_rows)
         else:
             next_frontier = deferred.select(*[f.name for f in FRONTIER_SCHEMA.fields])

@@ -12,27 +12,34 @@ reproducible AND scalable at 10^10-frontier waves, where a plain
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Sequence, Union
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _as_cols(order_cols: Sequence[Union[str, Column]]) -> List[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
 def assign_seq(
     df: DataFrame,
-    order_cols: Sequence[str],
+    order_cols: Sequence[Union[str, Column]],
     offset: int = 0,
     out_col: str = "seq",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = offset + dense rank of the row under
-    ``order_cols`` (which must be a total order — no ties)."""
+    ``order_cols`` (which must be a total order — no ties). Entries may be
+    column names or Column expressions (e.g. ``F.desc("priority")``) —
+    both ``repartitionByRange`` and the window honor sort direction."""
     if num_partitions is None:
         num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 4)
 
-    ranged = df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+    cols = _as_cols(order_cols)
+    ranged = df.repartitionByRange(num_partitions, *cols)
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_pid").orderBy(*cols)
     # persist: range boundaries come from sampling, and we run two actions
     # (counts, then the output) — both must see the same partitioning
     ranked = ranged.withColumn("_rn", F.row_number().over(w)).persist()

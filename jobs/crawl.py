@@ -49,6 +49,10 @@ def main() -> None:
     p.add_argument("--politeness-salt", type=int, default=1)
     p.add_argument("--robots", default=None,
                    help="parquet path of robots(host, disallow_prefixes, crawl_delay)")
+    p.add_argument("--wave-target-sec", type=float, default=60.0,
+                   help="seconds of polite fetching a wave models: a host with "
+                        "robots crawl_delay=d gets per-wave budget "
+                        "max(1, floor(wave_target_sec/d)); 0 disables")
     p.add_argument("--run-dir", required=True)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no-bloom", action="store_true")
@@ -84,6 +88,7 @@ def main() -> None:
         politeness_salt=args.politeness_salt,
         use_bloom=not args.no_bloom,
         host_histogram_topk=args.host_histogram_topk,
+        wave_target_sec=args.wave_target_sec or None,
     )
     res = crawl(
         spark, corpus, args.seeds, cfg,
