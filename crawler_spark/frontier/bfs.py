@@ -33,7 +33,6 @@ Per wave:
 
 from __future__ import annotations
 
-import os
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -120,6 +119,16 @@ class CrawlConfig:
     # broadcast the seen hash-key set into the expand anti-join while it fits
     # (8 bytes/url; 2M keys ≈ 16 MB); beyond that it stays a shuffle join
     seen_broadcast_rows: int = 2_000_000
+    # seen-membership key. False (default): the exact anti-join is keyed by
+    # xxhash64(url) — an accepted-collision design: at the 10^10-URL design
+    # point the expected number of colliding pairs is n^2/2^65 ≈ 2.7, i.e.
+    # a handful of never-crawled URLs may be wrongly treated as seen over
+    # the whole crawl, in exchange for an 8-byte join key whose set
+    # broadcasts at sizes the url strings never could. True: key the
+    # authority join by the url string itself (collision-free); the Bloom
+    # prefilter still runs on hashes, but the string key set is ~8x heavier,
+    # so broadcasting stops sooner and the anti-join shuffles strings.
+    seen_exact_urls: bool = False
     # OR-merge accumulated Bloom blobs into one snapshot every K waves so a
     # long crawl's probe cost stays bounded; 0 = never compact
     bloom_compact_every: int = 8
@@ -215,16 +224,6 @@ def _error_pages(missing: DataFrame) -> DataFrame:
     return missing.select(*cols)
 
 
-def _lineage_of(path: str) -> List[Dict]:
-    """Per-output-file row counts from parquet footers (cheap, no Spark job)."""
-    import pyarrow.parquet as pq
-
-    out = []
-    for name in sorted(os.listdir(path)):
-        if name.endswith(".parquet"):
-            md = pq.read_metadata(os.path.join(path, name))
-            out.append({"file": name, "rows": md.num_rows})
-    return out
 
 
 def crawl(
@@ -255,6 +254,7 @@ def crawl(
 
     # --- resume or init -------------------------------------------------------
     last = ck.last_committed() if resume else None
+    pending_blobs = None  # rebuilt-at-resume blobs not yet persisted
     if last is not None:
         m = ck.read_manifest(last)
         next_seq = m["counters"]["next_seq"]
@@ -276,14 +276,27 @@ def crawl(
         blob_paths = [
             p
             for p in (ck.table_wave_dir("bloom", w) for w in bloom_waves)
-            if os.path.exists(p)
+            if ck.fs.exists(p)
         ]
         blobs = spark.read.parquet(*blob_paths) if blob_paths else None
-        if blobs is None and cfg.use_bloom:
-            # runs committed before the sidecar existed: rebuild from seen
-            seen_prev = ck.read_table(spark, "seen")
-            if seen_prev is not None:
-                blobs = build_blobs(seen_prev.select("url_hash"), cfg.bloom)
+        if cfg.use_bloom:
+            # coverage check: every committed seen wave must be reflected in
+            # the blob set, else a URL seen in an uncovered wave (e.g. waves
+            # run with use_bloom=False, or a pre-sidecar run) would probe as
+            # definitely-new, bypass the exact anti-join and be re-crawled.
+            # On a gap, rebuild from the full seen table and keep the rebuilt
+            # blobs pending so the next wave commit persists the coverage.
+            seen_waves = {
+                w
+                for w in ck.committed_waves()
+                if "seen" in ck.read_manifest(w).get("tables", {})
+            }
+            if blobs is None or (seen_waves - set(bloom_waves)):
+                seen_prev = ck.read_table(spark, "seen")
+                if seen_prev is not None:
+                    blobs = build_blobs(seen_prev.select("url_hash"), cfg.bloom)
+                    pending_blobs = blobs
+                    bloom_waves = []
     else:
         next_seq = 0
         wave = 0
@@ -453,6 +466,13 @@ def crawl(
             wave_blobs = build_blobs(
                 spark.read.parquet(seen_path).select("url_hash"), cfg.bloom
             )
+            if pending_blobs is not None:
+                # resume-rebuilt coverage (bloom-off waves / pre-sidecar
+                # runs): fold it into this wave's blob write so the rebuild
+                # is persisted once, then forgotten
+                wave_blobs = merge_blobs(pending_blobs, wave_blobs)
+                pending_blobs = None
+                bloom_waves = []
             if (
                 cfg.bloom_compact_every > 0
                 and bloom_waves
@@ -539,16 +559,23 @@ def crawl(
                 # sizes where the url strings could not. The seen row count
                 # (= next_seq + this wave) is known driver-side, so the
                 # broadcast decision needs no stats estimation.
-                seen_keys = seen_all.select("url_hash")
-                if next_seq + taken_count <= cfg.seen_broadcast_rows:
+                # seen_exact_urls keys the authority join by url string
+                # (collision-free) instead of the 8-byte hash — see the
+                # CrawlConfig field for the accepted-collision arithmetic
+                key = "url" if cfg.seen_exact_urls else "url_hash"
+                seen_keys = seen_all.select(key)
+                broadcast_rows = cfg.seen_broadcast_rows // (
+                    8 if cfg.seen_exact_urls else 1
+                )
+                if next_seq + taken_count <= broadcast_rows:
                     seen_keys = F.broadcast(seen_keys)
                 cand = cand.withColumn("url_hash", F.xxhash64("url"))
                 if cfg.use_bloom and blobs is not None:
                     definite_new, suspect = split_by_bloom(cand, blobs, cfg.bloom)
-                    checked = suspect.join(seen_keys, "url_hash", "left_anti")
+                    checked = suspect.join(seen_keys, key, "left_anti")
                     cand = definite_new.unionByName(checked).drop("url_hash")
                 else:
-                    cand = cand.join(seen_keys, "url_hash", "left_anti").drop(
+                    cand = cand.join(seen_keys, key, "left_anti").drop(
                         "url_hash"
                     )
             # a deferred row keeps its earlier (better) order key
@@ -596,7 +623,7 @@ def crawl(
 
         # ---- 7. manifest commit (the atomic point) -------------------------
         next_seq += taken_count
-        frontier_rows = sum(e["rows"] for e in _lineage_of(frontier_path))
+        frontier_rows = sum(e["rows"] for e in ck.lineage_of(spark, frontier_path))
         if cfg.host_histogram_topk > 0:
             # A5: hot-host histogram from the wave's committed seen rows
             # (orderBy+limit => TakeOrderedAndProject, no global sort)
@@ -622,11 +649,11 @@ def crawl(
                 "bloom_waves": bloom_waves,
             },
             lineage={
-                "pages": _lineage_of(pages_path),
-                "seen": _lineage_of(seen_path),
-                "frontier_next": _lineage_of(frontier_path),
+                "pages": ck.lineage_of(spark, pages_path),
+                "seen": ck.lineage_of(spark, seen_path),
+                "frontier_next": ck.lineage_of(spark, frontier_path),
                 **(
-                    {"bloom": _lineage_of(bloom_path)}
+                    {"bloom": ck.lineage_of(spark, bloom_path)}
                     if bloom_path is not None
                     else {}
                 ),

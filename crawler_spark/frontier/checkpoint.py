@@ -12,10 +12,16 @@ the exact commit contract on plain parquet + a manifest protocol:
 - each table writes to ``<run>/<table>/wave=<k>/`` (hive-partition layout,
   Iceberg-compatible: partitioned by wave, bucket-friendly by url_hash),
 - a wave is committed iff ``<run>/manifests/wave-<k>.json`` exists; the
-  manifest is written via temp-file + ``os.replace`` (atomic rename on
-  POSIX) and carries row counts, per-partition lineage, and config echo,
+  manifest is written via temp-file + atomic rename and carries row counts,
+  per-partition lineage, and config echo,
 - resume = max committed wave; uncommitted partial directories from a
   crashed wave are ignored and overwritten.
+
+Storage: all manifest/listing I/O goes through ``crawler_spark.frontier.fs``
+— plain paths use POSIX ``os.replace`` (atomic); URI-scheme run dirs
+(``hdfs://``, ``s3a://``, ``file:/`` ...) use the Hadoop FileSystem API of
+the active SparkSession, matching the spark-submit cluster mode the CLI
+advertises (jobs/crawl.py:12).
 
 Swapping in real Iceberg = replacing ``write_table``/``read_table`` with
 ``df.writeTo(tbl).append()`` / snapshot reads; the engine only touches this
@@ -26,11 +32,13 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier.fs import LocalRunFS, join, run_fs
 
 
 @dataclass
@@ -58,16 +66,17 @@ class WaveManifest:
 class WaveCommit:
     def __init__(self, run_dir: str) -> None:
         self.run_dir = run_dir
-        self.manifest_dir = os.path.join(run_dir, "manifests")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.fs = run_fs(run_dir)
+        self.manifest_dir = join(run_dir, "manifests")
+        self.fs.makedirs(self.manifest_dir)
 
     # -- manifest protocol --------------------------------------------------
     def _manifest_path(self, wave: int) -> str:
-        return os.path.join(self.manifest_dir, f"wave-{wave}.json")
+        return join(self.manifest_dir, f"wave-{wave}.json")
 
     def committed_waves(self) -> List[int]:
         waves = []
-        for name in os.listdir(self.manifest_dir):
+        for name in self.fs.listdir(self.manifest_dir):
             if name.startswith("wave-") and name.endswith(".json"):
                 try:
                     waves.append(int(name[5:-5]))
@@ -80,25 +89,17 @@ class WaveCommit:
         return waves[-1] if waves else None
 
     def read_manifest(self, wave: int) -> Dict:
-        with open(self._manifest_path(wave)) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._manifest_path(wave)))
 
     def commit(self, manifest: WaveManifest) -> None:
         """Atomic: the manifest rename IS the commit point."""
-        fd, tmp = tempfile.mkstemp(dir=self.manifest_dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(manifest.to_json())
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._manifest_path(manifest.wave))
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self.fs.write_text_atomic(
+            self._manifest_path(manifest.wave), manifest.to_json()
+        )
 
     # -- table I/O ------------------------------------------------------------
     def table_wave_dir(self, table: str, wave: int) -> str:
-        return os.path.join(self.run_dir, table, f"wave={wave}")
+        return join(self.run_dir, table, f"wave={wave}")
 
     def write_table(self, df: DataFrame, table: str, wave: int) -> str:
         """Write one wave partition of a table. Overwrite mode: a re-run of
@@ -119,7 +120,38 @@ class WaveCommit:
                 if table in m.get("tables", {}):
                     waves.append(w)
         paths = [self.table_wave_dir(table, w) for w in waves]
-        paths = [p for p in paths if os.path.exists(p)]
+        paths = [p for p in paths if self.fs.exists(p)]
         if not paths:
             return None
         return spark.read.parquet(*paths)
+
+    # -- lineage --------------------------------------------------------------
+    def lineage_of(self, spark: SparkSession, path: str) -> List[Dict]:
+        """Per-output-file row counts for a just-written table directory.
+
+        Local run dirs read parquet footers directly (cheap, no Spark job);
+        remote run dirs derive counts from one small Spark job over the
+        freshly written (page-cache-warm) files, since the driver can't mmap
+        them."""
+        if isinstance(self.fs, LocalRunFS):
+            import pyarrow.parquet as pq
+
+            out = []
+            for name in sorted(os.listdir(path)):
+                if name.endswith(".parquet"):
+                    md = pq.read_metadata(os.path.join(path, name))
+                    out.append({"file": name, "rows": md.num_rows})
+            return out
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .count()
+            .collect()
+        )
+        return sorted(
+            (
+                {"file": r["f"].rstrip("/").rsplit("/", 1)[-1], "rows": r["count"]}
+                for r in rows
+            ),
+            key=lambda e: e["file"],
+        )
