@@ -13,8 +13,15 @@ with identical column names and identical arithmetic (verified: Spark
 ``conv(substring(md5(x),1,15),16,10)`` == DuckDB
 ``cast(concat('0x', substring(md5(x),1,15)) as bigint)``; both engines use
 character-based ``substring``, true ``/`` division, and half-away-from-zero
-``round``).  HTML extraction / BFS crawl / SimHash are genuinely
-non-SQL-expressible and appear as rows-only entries.
+``round``).
+
+The flagship BFS itself is oracle-checked: ``crawl_bfs_order`` /
+``crawl_seen_set`` crawl the pure-SQL ``corpus_from_documents`` graph, and
+the DuckDB oracle replays the wave loop (politeness budget rank,
+deferred-not-dropped, dense seq, max_pages cap, first-enqueuer-wins dedup,
+seen anti-join) as a recursive CTE over list-typed state — the same
+arithmetic the engine runs distributed.  HTML extraction over arbitrary
+corpora and the webgen crawl remain rows-only entries.
 """
 
 from __future__ import annotations
@@ -118,6 +125,136 @@ def _crawl_result(spark: SparkSession):
             run_dir=tempfile.mkdtemp(prefix="entry_crawl_"),
         )
     return _cache["crawl"]
+
+
+# documents-graph crawl: the oracle-checked flagship BFS. budget 1/host and
+# max_pages 23 are chosen so BOTH overflow paths fire at sf0.01: politeness
+# defers every wave, and the cap splits the last wave mid-assignment.
+_DOCS_CRAWL = {"depth": 4, "max_pages": 23, "budget": 1, "n_seeds": 3}
+
+
+def _crawl_docs_result(spark: SparkSession, sf_dir: str):
+    key = ("crawl_docs", sf_dir)
+    if key not in _cache:
+        from crawler_spark.frontier.bfs import CrawlConfig, crawl
+
+        docs = _t(spark, sf_dir, "documents")
+        seed_rows = (
+            docs.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+            .orderBy("source")
+            .limit(_DOCS_CRAWL["n_seeds"])
+            .collect()
+        )
+        seeds = [
+            f"https://{r['source']}.docs.test/doc/{r['doc_id']}" for r in seed_rows
+        ]
+        cfg = CrawlConfig(
+            depth=_DOCS_CRAWL["depth"],
+            max_pages=_DOCS_CRAWL["max_pages"],
+            host_budget={"*": _DOCS_CRAWL["budget"]},
+            use_bloom=False,  # Bloom path exercised by the webgen crawl + pytest
+        )
+        _cache[key] = crawl(
+            spark, corpus_from_documents(docs), seeds, cfg,
+            run_dir=tempfile.mkdtemp(prefix="entry_docs_"),
+        )
+    return _cache[key]
+
+
+def _crawl_oracle_sql(final_select: str) -> str:
+    """DuckDB recursive-CTE replay of the wave-loop BFS over the
+    corpus_from_documents graph (VERDICT round-1 ask #2).
+
+    One state row per wave carries (frontier, seen, next_seq) as list
+    columns; each recursion step applies, in order: per-host politeness rank
+    (budget overflow deferred, not dropped), dense seq assignment in
+    (priority=const, parent_seq, link_pos) order, the max_pages mid-wave
+    split, link expansion via the url->kids map, first-enqueuer-wins dedup,
+    and the seen/deferred anti-joins — the exact arithmetic of
+    crawler_spark.frontier.bfs.crawl (reference enhanced_crawler.py:252-304
+    semantics)."""
+    depth = _DOCS_CRAWL["depth"]
+    maxp = _DOCS_CRAWL["max_pages"]
+    budget = _DOCS_CRAWL["budget"]
+    nseeds = _DOCS_CRAWL["n_seeds"]
+    return f"""
+WITH RECURSIVE
+chain AS (
+  SELECT doc_id, source, lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+  FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+),
+g AS (
+  SELECT 'https://' || source || '.docs.test/doc/' || doc_id AS url,
+         source || '.docs.test' AS host, doc_id, source,
+         CASE WHEN n1 IS NULL THEN CAST([] AS VARCHAR[])
+              WHEN n2 IS NULL THEN ['https://' || source || '.docs.test/doc/' || n1]
+              ELSE ['https://' || source || '.docs.test/doc/' || n1,
+                    'https://' || source || '.docs.test/doc/' || n2] END AS kids
+  FROM chain
+),
+gm AS (SELECT map(list(url ORDER BY url), list(kids ORDER BY url)) AS kids_map FROM g),
+seeds AS (
+  SELECT list({{'parent_seq': CAST(-1 AS BIGINT), 'link_pos': CAST(i AS INT),
+               'url': url, 'host': host, 'depth': CAST(0 AS INT)}} ORDER BY i) AS fr
+  FROM (
+    SELECT row_number() OVER (ORDER BY source) - 1 AS i,
+           'https://' || source || '.docs.test/doc/' || doc_id AS url,
+           source || '.docs.test' AS host
+    FROM (SELECT source, min(doc_id) AS doc_id FROM documents
+          GROUP BY source ORDER BY source LIMIT {nseeds})
+  )
+),
+state AS (
+  SELECT 0 AS wave, fr AS frontier, CAST([] AS VARCHAR[]) AS seen,
+         CAST(0 AS BIGINT) AS next_seq,
+         CAST([] AS STRUCT(seq BIGINT, url VARCHAR, host VARCHAR,
+                           depth INT, wave INT)[]) AS pages
+  FROM seeds
+  UNION ALL
+  SELECT wave + 1,
+         list_concat(deferred, list_filter(kept, c ->
+             NOT list_contains(seen_new, c.url)
+             AND NOT list_contains(list_transform(deferred, d -> d.url), c.url))),
+         seen_new, next_seq + len(taken),
+         list_transform(taken_seq, t -> {{'seq': t.seq, 'url': t.e.url,
+             'host': t.e.host, 'depth': t.e.depth, 'wave': wave}})
+  FROM (
+    SELECT *, list_filter(cands, (c, i) ->
+        list_position(list_transform(cands, x -> x.url), c.url) = i) AS kept
+    FROM (
+      SELECT *,
+        flatten(list_transform(list_filter(taken_seq, t -> t.e.depth < {depth}),
+          t -> list_transform(map_extract(kids_map, t.e.url)[1], (kid, j) ->
+            {{'parent_seq': t.seq, 'link_pos': CAST(j - 1 AS INT), 'url': kid,
+             'host': t.e.host, 'depth': t.e.depth + 1}}))) AS cands
+      FROM (
+        SELECT *,
+          list_transform(taken, (e, i) -> {{'seq': next_seq + i - 1, 'e': e}}) AS taken_seq,
+          list_concat(seen, list_transform(taken, e -> e.url)) AS seen_new,
+          list_concat(pol_deferred, list_slice(taken0, kcap + 1, len(taken0))) AS deferred
+        FROM (
+          SELECT *,
+            greatest(0, least(len(taken0), {maxp} - next_seq)) AS kcap,
+            list_slice(taken0, 1, greatest(0, least(len(taken0), {maxp} - next_seq))) AS taken
+          FROM (
+            SELECT wave, frontier, seen, next_seq, kids_map,
+              list_sort(list_filter(frontier, e ->
+                len(list_filter(frontier, o -> o.host = e.host AND o < e)) < {budget})) AS taken0,
+              list_filter(frontier, e ->
+                len(list_filter(frontier, o -> o.host = e.host AND o < e)) >= {budget}) AS pol_deferred
+            FROM state, gm
+            WHERE len(frontier) > 0 AND next_seq < {maxp}
+          )
+        )
+      )
+    )
+  ) AS step
+),
+all_pages AS (
+  SELECT unnest(pages, recursive := true) FROM state
+)
+{final_select}
+"""
 
 
 def _flat_pages(pages: DataFrame) -> DataFrame:
@@ -487,15 +624,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "error",
         )
 
+    # ---- flagship BFS, oracle-checked: crawl the pure-SQL documents graph;
+    # the DuckDB side replays the wave loop as a recursive CTE
     def crawl_bfs_order(spark, sf_dir):
-        res = _crawl_result(spark)
-        return _flat_pages(res.pages(spark)).select(
+        res = _crawl_docs_result(spark, sf_dir)
+        return res.pages(spark).select(
             "seq", "url", "depth", "host", "title", "error"
         )
 
     def crawl_seen_set(spark, sf_dir):
+        res = _crawl_docs_result(spark, sf_dir)
+        return res.seen(spark).select("url", "seq", "wave", "depth", "host")
+
+    # ---- webgen crawl (robots + bloom + crawl_delay path), rows-only: the
+    # HTML corpus is Python-generated, so no SQL oracle — pytest covers it
+    def crawl_webgen_order(spark, sf_dir):
         res = _crawl_result(spark)
-        return res.seen(spark).select("url", "url_hash", "seq", "wave", "depth")
+        return _flat_pages(res.pages(spark)).select(
+            "seq", "url", "depth", "host", "title", "error"
+        )
 
     def media_features(spark, sf_dir):
         # multimodal plumbing: documents' text bytes stand in for opaque
@@ -596,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages_flagship": extract_pages_flagship,
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
+        "crawl_webgen_order": crawl_webgen_order,
         "rag_chunks": rag_chunks,
         "chunk_documents": chunk_documents,
         "export_markdown_report": export_markdown_report,
@@ -838,4 +986,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
             FROM documents
         """,
+        "crawl_bfs_order": _crawl_oracle_sql(
+            """
+            SELECT ap.seq, ap.url, ap.depth, ap.host,
+                   'Doc ' || g.doc_id || ' (' || g.source || ')' AS title,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM all_pages ap JOIN g ON ap.url = g.url
+            """
+        ),
+        "crawl_seen_set": _crawl_oracle_sql(
+            "SELECT url, seq, wave, depth, host FROM all_pages"
+        ),
     }
