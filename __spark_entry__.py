@@ -372,6 +372,33 @@ def _duck_hash60(col: str) -> str:
     return f"cast(concat('0x', substring(md5({col}), 1, 15)) as bigint)"
 
 
+def _duck_simhash(src: str) -> str:
+    """Per-doc 64-bit SimHash select over subquery ``src`` (doc_id, text) —
+    bit-identical to operators.dedup.simhash64 (verified: md5-per-token
+    first-8-bytes big-endian, majority vote per bit, signed 64-bit pack via
+    two 32-bit halves so no engine touches HUGEINT)."""
+    return f"""
+  SELECT doc_id,
+    cast((hi - (CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END))
+         * 4294967296 + lo AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+      list_aggregate(list_transform(range(0, 32),
+        i -> bl[i + 1] * (cast(1 as bigint) << (31 - i))), 'sum') AS hi,
+      list_aggregate(list_transform(range(0, 32),
+        i -> bl[i + 33] * (cast(1 as bigint) << (31 - i))), 'sum') AS lo
+    FROM (
+      SELECT doc_id,
+        list_transform(range(0, 64), i ->
+          CASE WHEN 2 * len(list_filter(hv, h -> ((h >> (63 - i)) & 1) = 1)) - len(hv) > 0
+               THEN 1 ELSE 0 END) AS bl
+      FROM (SELECT doc_id, list_transform({_D_TOKS}, tk ->
+              cast(concat('0x', substring(md5(tk), 1, 16)) as ubigint)) AS hv
+            FROM {src})
+    )
+  )"""
+
+
 def _duck_dot(vec: str, lit: list) -> str:
     arr = "[" + ", ".join(repr(float(x)) for x in lit) + "]"
     return (
@@ -532,10 +559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
         )
 
-    # ---- exact n-gram Jaccard pairs (inverted-index join)
+    # ---- n-gram Jaccard pairs (inverted-index join, hot-shingle maxDF cap)
     def ngram_jaccard(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
-        return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.02)
+        return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.02, max_df=100)
 
     # ---- brute-force cosine top-k over embeddings
     def cosine_topk(spark, sf_dir):
@@ -602,11 +629,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
-    # ---- rows-only entries (non-SQL-expressible) ---------------------------
+    # ---- SimHash: signature column AND banded near-dup pairs, both oracled
     def simhash_docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents").select(
             "doc_id", simhash64(F.col("text")).alias("simhash")
         )
+
+    def simhash_near_dups(spark, sf_dir):
+        # corpus with planted near-dups (one appended token flips only the
+        # bits whose token-majority was marginal); max_hamming=3 <= bands-1,
+        # so the banded self-join must equal brute force — and the DuckDB
+        # oracle IS brute force over all pairs, proving the recall claim
+        from crawler_spark.operators.dedup import simhash_near_dup_pairs
+
+        d = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        aug = d.unionByName(
+            d.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+        return simhash_near_dup_pairs(aug, max_hamming=3, bands=4)
 
     def extract_pages_flagship(spark, sf_dir):
         from crawler_spark.operators.extract import extract_pages
@@ -740,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": token_count_docs,
         "fingerprint_docs": fingerprint_docs,
         "simhash_docs": simhash_docs,
+        "simhash_near_dups": simhash_near_dups,
         "extract_pages_flagship": extract_pages_flagship,
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
@@ -898,9 +946,15 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 120),
             ex AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
             sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            -- hot-shingle maxDF cap (mirrors ngram_jaccard_pairs max_df=100):
+            -- index drops shingles in >100 docs; sizes stay exact
+            idx AS (
+              SELECT * FROM ex WHERE shingle IN (
+                SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100)
+            ),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-              FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,
@@ -985,6 +1039,32 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": f"""
             SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
             FROM documents
+        """,
+        "simhash_docs": f"""
+            SELECT doc_id, simhash FROM ({_duck_simhash("documents")})
+        """,
+        "simhash_near_dups": f"""
+            -- brute force over ALL pairs: proves the 4-band blocking loses
+            -- nothing at max_hamming 3 (pigeonhole), cross-engine.
+            -- xor/bit_count run on the UBIGINT bit pattern because DuckDB
+            -- widens negative BIGINTs to 128-bit (observed bit_count > 64).
+            WITH aug AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+              FROM documents WHERE doc_id < 200
+            ),
+            sh AS (
+              SELECT doc_id,
+                cast(cast(simhash AS HUGEINT)
+                     + CASE WHEN simhash < 0 THEN 18446744073709551616 ELSE 0 END
+                     AS UBIGINT) AS u
+              FROM ({_duck_simhash("aug")})
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(bit_count(xor(a.u, b.u)) as int) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.u, b.u)) <= 3
         """,
         "crawl_bfs_order": _crawl_oracle_sql(
             """

