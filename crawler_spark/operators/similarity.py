@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 import random
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,14 +80,60 @@ def hyperplane_signature(
     return df.withColumn(out_col, F.expr("concat(" + ", ".join(bits) + ")"))
 
 
+def planes_for_corpus(
+    n_rows: int,
+    target_bucket_rows: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = 28,
+) -> int:
+    """Plane count so the EXPECTED bucket holds ~target_bucket_rows.
+
+    A fixed plane count is the classic LSH scale bug: 8 planes = 256 buckets
+    forever, so within-bucket self-join work grows O((N/256)^2) with corpus
+    size. Scaling planes with log2(N / target) keeps expected bucket size
+    constant, making the join cost O(N * target) — linear in the corpus.
+    max_planes=28 bounds signature length (268M buckets covers 10^11 rows at
+    the default target).
+    """
+    if n_rows <= target_bucket_rows:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def bucket_stats(sig_df: DataFrame, bucket_col: str = "lsh_bucket") -> dict:
+    """Bucket-size guardrail metrics: {n_rows, n_buckets, max_bucket_rows,
+    max_bucket_fraction}. One aggregation job; at production scale run it
+    per batch and alert when max_bucket_fraction stays high after a plane
+    increase — that means a near-identical cluster (pre-dedup it), not an
+    under-planed signature."""
+    row = (
+        sig_df.groupBy(bucket_col)
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket_rows"),
+        )
+        .collect()[0]
+    )
+    n = row["n_rows"] or 0
+    return {
+        "n_rows": n,
+        "n_buckets": row["n_buckets"],
+        "max_bucket_rows": row["max_bucket_rows"],
+        "max_bucket_fraction": (row["max_bucket_rows"] / n) if n else 0.0,
+    }
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: Optional[int] = 8,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket blocking
     bounds the self-join (near-identical vectors share all sign bits with
@@ -96,7 +142,14 @@ def embedding_near_dup_pairs(
     Output (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
     At corpus scale the join shuffles on ``lsh_bucket`` — never a cross
     join; recall is tunable via n_planes (fewer planes = bigger buckets).
+
+    ``n_planes=None`` derives the plane count from the corpus size via
+    ``planes_for_corpus`` (one driver-side count — the row count is needed
+    anyway to size the shuffle), keeping expected bucket size constant as
+    the corpus grows instead of letting within-bucket work go quadratic.
     """
+    if n_planes is None:
+        n_planes = planes_for_corpus(df.count(), target_bucket_rows)
     sig = hyperplane_signature(df, dim, n_planes, seed, vec_col)
     a = sig.alias("a")
     b = sig.alias("b")

@@ -280,3 +280,77 @@ class TestSimHashBanding:
             if d > 0 and ((sh[a] ^ sh[b]) & ((1 << 48) - 1)) == 0
         ]
         # not guaranteed per-seed; assert the stronger equality above instead
+
+
+class TestAnnScale:
+    def test_planes_scale_with_corpus(self):
+        from crawler_spark.operators.similarity import planes_for_corpus
+
+        # expected bucket size stays ~target as N grows 256x
+        p1 = planes_for_corpus(1 << 20, target_bucket_rows=1024)
+        p2 = planes_for_corpus(1 << 28, target_bucket_rows=1024)
+        assert p2 - p1 == 8  # 256x rows -> 8 more planes -> same bucket size
+        assert planes_for_corpus(100) == 4  # floor
+        assert planes_for_corpus(10**12) <= 28  # ceiling
+
+    def test_adaptive_bucket_fraction_bounded(self, spark):
+        # random corpus: adaptive planes keep the hottest bucket a bounded
+        # fraction; with the round-1 fixed 8 planes a 100x corpus would
+        # concentrate ~N/256 rows per bucket regardless of N
+        from crawler_spark.operators.similarity import (
+            bucket_stats,
+            hyperplane_signature,
+            planes_for_corpus,
+        )
+
+        rng = np.random.RandomState(7)
+        n = 4096
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        planes = planes_for_corpus(n, target_bucket_rows=64)  # -> 6 planes
+        sig = hyperplane_signature(df, dim=16, n_planes=planes, seed=42)
+        stats = bucket_stats(sig)
+        assert stats["n_rows"] == n
+        # random gaussian directions: hottest bucket stays within a small
+        # multiple of the expected bucket size
+        assert stats["max_bucket_rows"] <= 6 * (n / (1 << planes))
+
+    def test_skew_guardrail_detects_cluster(self, spark):
+        # 15% near-identical cluster: more planes CANNOT split it (identical
+        # vectors agree on every sign bit) — the guardrail metric must
+        # surface it so the pipeline pre-dedups instead of re-hashing
+        from crawler_spark.operators.similarity import bucket_stats, hyperplane_signature
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(16)
+        rows = [
+            (i, [float(x) for x in base + rng.randn(16) * 1e-4])
+            for i in range(150)
+        ] + [
+            (1000 + i, [float(x) for x in rng.randn(16)]) for i in range(850)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        stats = bucket_stats(hyperplane_signature(df, dim=16, n_planes=10, seed=42))
+        assert stats["max_bucket_fraction"] >= 0.15
+
+    def test_near_dups_adaptive_matches_fixed(self, spark):
+        # n_planes=None derives the same plane count planes_for_corpus gives,
+        # so results are reproducible (and identical to the explicit call)
+        from crawler_spark.operators.similarity import (
+            embedding_near_dup_pairs,
+            planes_for_corpus,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+        rows += [(900 + i, list(rows[i][1])) for i in range(10)]  # exact dups
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        p = planes_for_corpus(310, target_bucket_rows=32)
+        auto = embedding_near_dup_pairs(
+            df, dim=16, threshold=0.99, n_planes=None, target_bucket_rows=32
+        )
+        fixed = embedding_near_dup_pairs(df, dim=16, threshold=0.99, n_planes=p)
+        a = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+        b = {(r["id_a"], r["id_b"]) for r in fixed.collect()}
+        assert a == b
+        assert {(i, 900 + i) for i in range(10)} <= a  # dups always collide
