@@ -692,17 +692,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def media_features(spark, sf_dir):
-        # multimodal plumbing: documents' text bytes stand in for opaque
-        # media payloads (deterministic); features via the stubbed decoder
+        # multimodal: image rows carry REAL PNG bytes (built column-side, so
+        # the oracle knows the exact dims the header parser must recover);
+        # audio/video rows carry the documents' utf8 bytes, whose fake
+        # features derive from md5(payload) — SQL-expressible because the
+        # payload is text. content_md5 is excluded from the projection only
+        # because DuckDB 1.0 md5() cannot hash raw BLOBs; pytest checks it
+        # against hashlib.
         from crawler_spark.operators.multimodal import extract_media_features
 
+        w = (F.col("doc_id") % 64 + 1).cast("int")
+        h = ((F.col("doc_id") * 7) % 64 + 1).cast("int")
+        png = F.unhex(
+            F.concat(
+                F.lit("89504E470D0A1A0A0000000D49484452"),
+                F.lpad(F.hex(w), 8, "0"),
+                F.lpad(F.hex(h), 8, "0"),
+                F.lit("080200000000000000"),
+            )
+        )
+        kind = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
         media = _t(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("media_id"),
-            F.element_at(
-                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.col("doc_id") % 3 + 1).cast("int"),
-            ).alias("kind"),
-            F.encode("text", "UTF-8").alias("payload"),
+            kind.alias("kind"),
+            F.when(kind == "image", png)
+            .otherwise(F.encode("text", "UTF-8"))
+            .alias("payload"),
             F.lit("application/octet-stream").alias("mime"),
             F.create_map().cast("map<string,string>").alias("meta"),
         )
@@ -711,13 +729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id",
             "kind",
             "n_bytes",
-            "sha1",
             "width",
             "height",
             "duration_ms",
-            F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
-                "feature_joined"
-            ),
+            F.concat_ws(
+                ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+            ).alias("feature_joined"),
         )
 
     def chunk_documents(spark, sf_dir):
@@ -1065,6 +1082,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(bit_count(xor(a.u, b.u)) as int) AS hamming
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.u, b.u)) <= 3
+        """,
+        "media_features": """
+            -- mirrors the media_features gate entry: image dims must come
+            -- back from the engine's real PNG header parse; audio/video
+            -- fakes derive from md5 of the utf8 payload. %.6f is tie-free
+            -- here (x/2^k terminates; b/255 can never hit the 5e-7 grid).
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     (['image','audio','video'])[cast(doc_id % 3 AS INT) + 1] AS kind,
+                     cast(doc_id % 64 + 1 AS INT) AS w,
+                     cast((doc_id * 7) % 64 + 1 AS INT) AS h,
+                     md5(text) AS tmd5,
+                     octet_length(encode(text)) AS tbytes
+              FROM documents
+            )
+            SELECT media_id, kind,
+              cast(CASE WHEN kind = 'image' THEN 33 ELSE tbytes END AS INT) AS n_bytes,
+              cast(CASE WHEN kind = 'image' THEN w
+                   WHEN kind = 'video' THEN cast(concat('0x', substring(tmd5, 1, 2)) as int) % 64 + 1
+                   ELSE NULL END AS INT) AS width,
+              cast(CASE WHEN kind = 'image' THEN h
+                   WHEN kind = 'video' THEN cast(concat('0x', substring(tmd5, 3, 2)) as int) % 64 + 1
+                   ELSE NULL END AS INT) AS height,
+              cast(CASE WHEN kind = 'image' THEN NULL
+                   ELSE cast(concat('0x', substring(tmd5, 5, 4)) as int) END AS INT) AS duration_ms,
+              CASE WHEN kind = 'image' THEN
+                concat_ws(',', printf('%.6f', w / 255.0), printf('%.6f', h / 255.0),
+                          printf('%.6f', (w * h) / 65025.0),
+                          '0.000000', '0.000000', '0.000000', '0.000000', '0.000000')
+              ELSE
+                array_to_string(list_transform(range(4, 12), i ->
+                  printf('%.6f', cast(concat('0x', substring(tmd5, i * 2 + 1, 2)) as int) / 255.0)), ',')
+              END AS feature_joined
+            FROM m
         """,
         "crawl_bfs_order": _crawl_oracle_sql(
             """

@@ -354,3 +354,47 @@ class TestAnnScale:
         b = {(r["id_a"], r["id_b"]) for r in fixed.collect()}
         assert a == b
         assert {(i, 900 + i) for i in range(10)} <= a  # dups always collide
+
+
+class TestImageHeaders:
+    def test_png_gif_jpeg_dims(self):
+        import struct
+
+        from crawler_spark.operators.multimodal import parse_image_dims
+
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+        assert parse_image_dims(png) == (640, 480)
+        gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+        assert parse_image_dims(gif) == (320, 200)
+        # JPEG: SOI, APP0 segment, then SOF0 (height before width)
+        jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+                + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", 768, 1024) + b"\x03" + b"\x00" * 4)
+        assert parse_image_dims(jpeg) == (1024, 768)
+        assert parse_image_dims(b"\x89PNGnothdr") is None
+        assert parse_image_dims(b"plain text") is None
+
+    def test_real_dims_flow_through_spark(self, spark):
+        import hashlib
+        import struct
+
+        from crawler_spark.operators.multimodal import extract_media_features
+
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">II", 17, 42) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4)
+        media = spark.createDataFrame(
+            [(1, "image", png, "image/png", {})],
+            "media_id long, kind string, payload binary, mime string, meta map<string,string>",
+        )
+        # no deterministic_fake needed: the parse is real
+        r = extract_media_features(media).collect()[0]
+        assert (r["width"], r["height"]) == (17, 42)
+        assert r["content_md5"] == hashlib.md5(png).hexdigest()
+        assert r["feature"][0] == 17 / 255.0 and r["feature"][2] == (17 * 42) / 65025.0
+
+    def test_audio_refuses_without_fake(self):
+        from crawler_spark.operators.multimodal import decode_payload
+
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"RIFFbytes", "audio")
