@@ -105,6 +105,12 @@ class CrawlConfig:
     # link_pos, priority). None = the reference's constant-0.5 fallback
     # (ai_processor.py:516-521), which preserves exact reference BFS order.
     priority_scorer: Optional[object] = None
+    # LLM-path seam (reference ai_processor.py:152-231): a callable
+    # (text_content, title, url, instructions) -> dict with summary /
+    # key_points / relevance_score / extracted_data, applied to pages that
+    # pass the relevance gate. None = deterministic basic extraction
+    # (byte-identical to the reference's no-API-key fallback).
+    structured_extractor: Optional[object] = None
     # robots crawl_delay -> per-wave budget: a wave models this many seconds
     # of polite fetching, so a host with crawl_delay d sustains at most
     # max(1, floor(wave_target_sec / d)) fetches per wave (composed with any
@@ -432,7 +438,8 @@ def crawl(
             # committed url set and appended as error rows (reference
             # enhanced_crawler.py:244-250), entirely JVM-side
             found = corpus.join(F.broadcast(taken), "url", "inner")
-            parsed = extract_pages(found, instructions=cfg.instructions, carry=True)
+            parsed = extract_pages(found, instructions=cfg.instructions, carry=True,
+                                   structured_extractor=cfg.structured_extractor)
             pages_path = ck.write_table(parsed, "pages", wave)
             found_urls = spark.read.parquet(pages_path).select("url")
             missing = taken.join(F.broadcast(found_urls), "url", "left_anti")
@@ -441,7 +448,8 @@ def crawl(
             # big wave: shuffle join on url; misses surface as null html and
             # become error rows inside the extraction kernel
             fetched = taken.join(corpus, "url", "left")
-            parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True)
+            parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True,
+                                   structured_extractor=cfg.structured_extractor)
             pages_path = ck.write_table(parsed, "pages", wave)
         _mark("fetch_extract_write")
         parsed_c = spark.read.parquet(pages_path)

@@ -28,7 +28,11 @@ from crawler_spark.core.urls import get_domain
 
 # Page-record schema: the reference's conditional dict keys become nullable
 # columns (SURVEY §1.2). `markdown`/`extracted` are null when gated (<0.3),
-# everything but url/error is null on error rows.
+# everything but url/error is null on error rows. `extracted_data` is the
+# LLM-path slot (ai_processor.py:201 prompt contract, object format -> map);
+# the deterministic default extractor leaves it null, exactly like the
+# reference's _basic_extraction result (ai_processor.py:270-278) has no
+# extracted_data key.
 EXTRACTED_TYPE = T.StructType(
     [
         T.StructField("source_url", T.StringType()),
@@ -38,6 +42,7 @@ EXTRACTED_TYPE = T.StructType(
         T.StructField("relevance_score", T.DoubleType()),
         T.StructField("paragraphs", T.ArrayType(T.StringType())),
         T.StructField("list_items", T.ArrayType(T.StringType())),
+        T.StructField("extracted_data", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -80,7 +85,58 @@ def page_record_schema(carry: bool = True) -> T.StructType:
     return T.StructType(fields)
 
 
-def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFrame:
+def _llm_text_content(soup, max_chars: int = 8000) -> str:
+    """The LLM-path page text: ``get_text('\\n', strip=True)`` truncated to
+    8000 chars with a literal ``...`` appended — the P11 truncation quirk
+    (reference ai_processor.py:178-184) reproduced exactly."""
+    text_content = soup.get_text(separator="\n", strip=True)
+    if len(text_content) > max_chars:
+        text_content = text_content[:max_chars] + "..."
+    return text_content
+
+
+def _apply_structured_extractor(
+    extractor, soup, title: str, url: str, instructions: Optional[str]
+) -> dict:
+    """Run a pluggable structured extractor and normalize its result into
+    EXTRACTED_TYPE.
+
+    The extractor sees ``(text_content, title, url, instructions)`` — the
+    same inputs the reference feeds its LLM prompt
+    (ai_processor.py:186-205), with ``instructions or "Extract main
+    content"`` (enhanced_crawler.py:213) — and returns a dict with any of
+    summary / key_points / relevance_score / extracted_data. source_url and
+    source_title are stamped on afterwards (ai_processor.py:227-229);
+    extracted_data values coerce to strings (map<string,string> column).
+    A model-backed extractor plugs in here; the engine never calls one
+    itself (determinism).
+    """
+    result = extractor(
+        _llm_text_content(soup), title, url, instructions or "Extract main content"
+    )
+    result = dict(result or {})
+    ed = result.get("extracted_data")
+    return {
+        "source_url": url,
+        "source_title": title,
+        "summary": result.get("summary"),
+        "key_points": [str(p) for p in result.get("key_points") or []] or None,
+        "relevance_score": (
+            float(result["relevance_score"])
+            if result.get("relevance_score") is not None
+            else None
+        ),
+        "paragraphs": None,
+        "list_items": None,
+        "extracted_data": (
+            {str(k): str(v) for k, v in ed.items()} if ed else None
+        ),
+    }
+
+
+def _extract_batch(
+    pdf: pd.DataFrame, instructions: Optional[str], structured_extractor=None
+) -> pd.DataFrame:
     """One Arrow batch of fetched frontier rows -> page-record rows."""
     n = len(pdf)
     out = {
@@ -130,7 +186,15 @@ def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFra
             out["timestamp"][i] = dt.isoformat()
         if score >= RELEVANCE_GATE:
             out["markdown"][i] = markdown
-            out["extracted"][i] = basic_extraction(html, title, url, soup=soup)
+            if structured_extractor is not None:
+                out["extracted"][i] = _apply_structured_extractor(
+                    structured_extractor, soup, title, url, instructions
+                )
+            else:
+                out["extracted"][i] = {
+                    **basic_extraction(html, title, url, soup=soup),
+                    "extracted_data": None,
+                }
 
     res = pd.DataFrame({"url": urls, **out})
     for c in _CARRY_COLS:
@@ -140,7 +204,10 @@ def _extract_batch(pdf: pd.DataFrame, instructions: Optional[str]) -> pd.DataFra
 
 
 def extract_pages(
-    fetched: DataFrame, instructions: Optional[str] = None, carry: bool = True
+    fetched: DataFrame,
+    instructions: Optional[str] = None,
+    carry: bool = True,
+    structured_extractor=None,
 ) -> DataFrame:
     """(url, html[, ts_iso, carry-cols]) -> page records via mapInPandas.
 
@@ -149,13 +216,17 @@ def extract_pages(
     ai_processor.py:247 — we parse once per purpose inside core; outputs
     are identical). The fat ``html`` binary dies inside this operator:
     downstream stages never shuffle it.
+
+    ``structured_extractor`` is the LLM-path seam (see
+    _apply_structured_extractor); None keeps the deterministic
+    basic-extraction bytes.
     """
     schema = page_record_schema(carry=carry)
     names = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = _extract_batch(pdf, instructions)
+            res = _extract_batch(pdf, instructions, structured_extractor)
             yield res[[c for c in names if c in res.columns]]
 
     return fetched.mapInPandas(run, schema=schema)

@@ -46,9 +46,14 @@ def _render_page(idx: int, page: Dict) -> str:
                 for point in ex["key_points"]:
                     out.append(f"- {point}\n")
                 out.append("\n")
-            # deterministic extractor emits no extracted_data map
-            # (ai_processor.py:270-278); section omitted exactly like the
-            # reference does for missing/empty extracted_data (:474)
+            # LLM-path extracted_data map (enhanced_crawler.py:474-478);
+            # the deterministic extractor leaves it null, so the section is
+            # omitted exactly like the reference omits missing/empty maps
+            if ex.get("extracted_data"):
+                out.append("### Extracted Data\n\n")
+                for key, value in ex["extracted_data"].items():
+                    out.append(f"- **{key}:** {value}\n")
+                out.append("\n")
 
         if page.get("markdown"):
             out.append("### Content\n\n")

@@ -63,3 +63,72 @@ def test_no_html_column_shuffled_downstream(spark, corpus_parquet):
     pages = spark.read.parquet(corpus_parquet)
     parsed = extract_pages(pages.select("url", "html", "warc_ts"), carry=False)
     assert "html" not in parsed.columns
+
+
+def test_structured_extractor_seam(spark):
+    """LLM-path seam: a pluggable extractor fills extracted_data / summary /
+    key_points, gets source_url/source_title stamped on
+    (ai_processor.py:227-229), and sees the [:8000]+'...' truncated
+    text_content (P11 quirk, ai_processor.py:182-184)."""
+    from crawler_spark.operators.extract import extract_pages
+
+    def fake_extractor(text_content, title, url, instructions):
+        # runs in the executor: report observed inputs through the output
+        return {
+            "summary": f"about {title}",
+            "key_points": ["p1", "p2"],
+            "relevance_score": 0.9,
+            "extracted_data": {
+                "price": "42",
+                "color": "red",
+                "text_len": str(len(text_content)),
+                "text_tail": text_content[-3:],
+                "instr": instructions,
+            },
+        }
+
+    big_body = "word " * 3000  # get_text >> 8000 chars -> truncation fires
+    html = f"<html><head><title>T1</title></head><body><p>{big_body}</p></body></html>"
+    df = spark.createDataFrame(
+        [("https://h/x", bytearray(html.encode()))], "url string, html binary"
+    )
+    out = extract_pages(
+        df, instructions=None, carry=False, structured_extractor=fake_extractor
+    ).collect()[0]
+    ex = out["extracted"]
+    assert ex["source_url"] == "https://h/x" and ex["source_title"] == "T1"
+    assert ex["summary"] == "about T1"
+    assert ex["key_points"] == ["p1", "p2"]
+    assert ex["relevance_score"] == 0.9
+    ed = dict(ex["extracted_data"])
+    assert ed["price"] == "42" and ed["color"] == "red"
+    assert ex["paragraphs"] is None and ex["list_items"] is None
+    assert ed["text_len"] == "8003" and ed["text_tail"] == "..."
+    assert ed["instr"] == "Extract main content"  # enhanced_crawler.py:213 default
+
+
+def test_default_extractor_leaves_extracted_data_null(spark, corpus_parquet):
+    from crawler_spark.operators.extract import extract_pages
+
+    df = spark.read.parquet(corpus_parquet).limit(5)
+    for r in extract_pages(df, carry=False).collect():
+        assert r["extracted"]["extracted_data"] is None
+
+
+def test_extracted_data_renders_in_markdown_export(spark):
+    from crawler_spark.operators.extract import extract_pages
+    from crawler_spark.sinks.export import export_markdown_string
+
+    def fake_extractor(text_content, title, url, instructions):
+        return {"summary": "s", "extracted_data": {"k1": "v1", "k2": "v2"}}
+
+    html = "<html><head><title>T</title></head><body><p>hello</p></body></html>"
+    df = spark.createDataFrame(
+        [("https://h/x", bytearray(html.encode()))], "url string, html binary"
+    )
+    pages = extract_pages(
+        df, carry=False, structured_extractor=fake_extractor
+    ).withColumn("seq", F.lit(0))
+    report = export_markdown_string(pages, meta={"url": "t", "depth": 0})
+    # reference layout enhanced_crawler.py:474-478
+    assert "### Extracted Data\n\n- **k1:** v1\n- **k2:** v2\n\n" in report
