@@ -161,6 +161,59 @@ def _crawl_docs_result(spark: SparkSession, sf_dir: str):
     return _cache[key]
 
 
+def _rfind_sql(w: str, needle_sql: str, nlen: int) -> str:
+    """0-based last index of a needle inside a window expression (NULL if
+    absent) — Python ``str.rfind`` via the reverse-search trick."""
+    return (
+        f"CASE WHEN position(reverse({needle_sql}) IN reverse({w})) = 0 THEN NULL "
+        f"ELSE length({w}) - position(reverse({needle_sql}) IN reverse({w})) - {nlen} + 1 END"
+    )
+
+
+def _chunk_oracle_sql() -> str:
+    """Recursive-CTE replay of core.text.chunk_content (reference
+    enhanced_crawler.py:410-446): per doc, each recursion step emits one
+    chunk — window = next 1000 chars, break at last '\\n\\n' -> '. ' -> ' '
+    (found break advances one char), next start rewinds by the 100-char
+    overlap, with the repo's documented forced-progress deviation when the
+    rewind would land in [0, start]."""
+    w = "substring(text, start + 1, 1000)"
+    r = (
+        f"coalesce({_rfind_sql(w, 'chr(10) || chr(10)', 2)}, "
+        f"{_rfind_sql(w, quote('. '), 2)}, {_rfind_sql(w, quote(' '), 1)})"
+    )
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT doc_id, concat_ws(chr(10) || chr(10), text, text, text, text) AS text
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, text, length(text) AS L, 0 AS start, -1 AS idx,
+         CAST(NULL AS VARCHAR) AS chunk
+  FROM src
+  UNION ALL
+  SELECT doc_id, text, L,
+         CASE WHEN e >= L THEN L
+              WHEN bp - 100 >= 0 AND bp - 100 <= start THEN start + 1
+              ELSE bp - 100 END AS start,
+         idx + 1,
+         CASE WHEN e >= L THEN substring(text, start + 1)
+              ELSE substring(text, start + 1, bp - start) END AS chunk
+  FROM (
+    SELECT *, CASE WHEN r IS NULL THEN e ELSE start + r + 1 END AS bp
+    FROM (SELECT doc_id, text, L, start, idx, start + 1000 AS e, {r} AS r
+          FROM ch WHERE start < L)
+  )
+)
+SELECT doc_id, cast(idx AS INT) AS chunk_index, chunk
+FROM ch WHERE chunk IS NOT NULL
+"""
+
+
+def quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _crawl_oracle_sql(final_select: str) -> str:
     """DuckDB recursive-CTE replay of the wave-loop BFS over the
     corpus_from_documents graph (VERDICT round-1 ask #2).
@@ -656,6 +709,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_dup_pairs(aug, max_hamming=3, bands=4)
 
     def extract_pages_flagship(spark, sf_dir):
+        # the input_hint's per-row invariant, driver-checked: the REAL HTML
+        # parse + extraction kernel runs over the documents-derived corpus,
+        # and the oracle recomputes every markdown/title/link byte from the
+        # corpus construction rules. instructions=None -> relevance (1.0,
+        # "No instructions") so no row is gated and all 500 markdowns are
+        # value-compared (keyword gating is oracled by keyword_relevance).
+        from crawler_spark.operators.extract import extract_pages
+
+        corpus = corpus_from_documents(_t(spark, sf_dir, "documents"))
+        return extract_pages(
+            corpus.select("url", "warc_ts", "html"),
+            instructions=None,
+            carry=False,
+        ).select(
+            "url",
+            "title",
+            "markdown",
+            F.concat_ws("\x1f", "links").alias("links_joined"),
+            F.col("relevance.score").alias("relevance_score"),
+            F.col("relevance.reason").alias("relevance_reason"),
+            "error",
+        )
+
+    # the webgen-corpus extraction (arbitrary Python-generated HTML: nesting
+    # quirks, ul/ol no-emit, pre/code fences) stays rows-only; pytest golden
+    # tests cover it byte-for-byte
+    def extract_pages_webgen(spark, sf_dir):
         from crawler_spark.operators.extract import extract_pages
 
         return extract_pages(
@@ -739,16 +819,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def chunk_documents(spark, sf_dir):
         # F8: the reference's overlapping RAG chunker (size 1000, overlap
-        # 100, break at \n\n -> '. ' -> ' ') over the documents table
+        # 100, break at \n\n -> '. ' -> ' ') over 4x-concatenated documents
+        # (sf0.01 docs are <1000 chars — the repeat makes the break search
+        # and the overlap rewind actually fire); oracled via recursive CTE
         from crawler_spark.sinks.rag import chunk_content_udf
 
         return (
             _t(spark, sf_dir, "documents")
             .select(
                 "doc_id",
-                F.posexplode(chunk_content_udf(F.col("text"))).alias(
-                    "chunk_index", "chunk"
-                ),
+                F.posexplode(
+                    chunk_content_udf(
+                        F.concat_ws("\n\n", "text", "text", "text", "text")
+                    )
+                ).alias("chunk_index", "chunk"),
             )
         )
 
@@ -806,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "extract_pages_flagship": extract_pages_flagship,
+        "extract_pages_webgen": extract_pages_webgen,
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
         "crawl_webgen_order": crawl_webgen_order,
@@ -1128,4 +1213,38 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen_set": _crawl_oracle_sql(
             "SELECT url, seq, wave, depth, host FROM all_pages"
         ),
+        "chunk_documents": _chunk_oracle_sql(),
+        "extract_pages_flagship": r"""
+            -- recompute every byte the extraction kernel must produce from
+            -- the corpus_from_documents construction rules: title from the
+            -- <title> template, markdown = '# Doc N' + cleaned text + one
+            -- 'next' line per link (document order), links resolved against
+            -- the same-source lead(1)/lead(2) chain
+            WITH chain AS (
+              SELECT doc_id, source, text,
+                     lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+              FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+            ),
+            g AS (
+              SELECT 'https://' || source || '.docs.test/doc/' || doc_id AS url,
+                     'Doc ' || doc_id || ' (' || source || ')' AS title,
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) AS cleaned,
+                     doc_id,
+                     CASE WHEN n1 IS NULL THEN CAST([] AS VARCHAR[])
+                          WHEN n2 IS NULL THEN ['https://' || source || '.docs.test/doc/' || n1]
+                          ELSE ['https://' || source || '.docs.test/doc/' || n1,
+                                'https://' || source || '.docs.test/doc/' || n2] END AS kids
+              FROM chain
+            )
+            SELECT url, title,
+                   '# Doc ' || doc_id || chr(10) || chr(10) || cleaned
+                     || repeat(chr(10) || chr(10) || 'next', len(kids)) AS markdown,
+                   -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                   -- concat_ws over an empty array is ''
+                   coalesce(array_to_string(kids, chr(31)), '') AS links_joined,
+                   cast(1.0 AS DOUBLE) AS relevance_score,
+                   'No instructions' AS relevance_reason,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM g
+        """,
     }

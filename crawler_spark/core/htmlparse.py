@@ -58,9 +58,13 @@ class Node:
 
 
 class TextNode(Node):
-    """Retained for API compatibility; the flat document list stores text
-    runs as plain ``str`` (one fewer heap object per text node — the kernel
-    runs once per crawled page, so allocation volume is throughput)."""
+    """NOT produced by this parser: the flat document list (and therefore
+    ``children``/``descendants``) stores text runs as plain ``str`` — one
+    fewer heap object per text node, and the kernel runs once per crawled
+    page, so allocation volume is throughput. The class remains only so
+    external code can still name the type; ``isinstance(node, TextNode)``
+    over parse output matches nothing — test text children with
+    ``isinstance(node, str)``."""
 
     __slots__ = ("data",)
 
@@ -88,8 +92,10 @@ class Element(Node):
 
     @property
     def children(self) -> List[Node]:
-        """Direct children (document-order). Derived from the flat list —
-        kept for API compatibility; traversal paths below never use it."""
+        """Direct children (document-order): Element instances and plain
+        ``str`` text runs (never TextNode — see TextNode). Derived from the
+        flat list — kept for API compatibility; traversal paths below never
+        use it."""
         out: List[Node] = []
         i = self._pos + 1
         while i < self._end:
