@@ -20,8 +20,12 @@ The flagship BFS itself is oracle-checked: ``crawl_bfs_order`` /
 the DuckDB oracle replays the wave loop (politeness budget rank,
 deferred-not-dropped, dense seq, max_pages cap, first-enqueuer-wins dedup,
 seen anti-join) as a recursive CTE over list-typed state — the same
-arithmetic the engine runs distributed.  HTML extraction over arbitrary
-corpora and the webgen crawl remain rows-only entries.
+arithmetic the engine runs distributed.  Extraction, chunking, RAG
+assembly and the markdown report are likewise oracle-checked over the
+documents graph (the oracle recomputes every byte from the corpus
+construction rules).  The only rows-only entries left are the *_webgen
+ones — the Python-generated HTML corpus (nesting quirks, robots, bloom,
+error rows) is not SQL-reconstructible; pytest goldens cover those bytes.
 """
 
 from __future__ import annotations
@@ -837,8 +841,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def export_markdown_report(spark, sf_dir):
-        # S4: the reference's export_to_markdown layout, rendered
-        # distributed over the crawl result; one row per page block
+        # S4: the reference's export_to_markdown layout
+        # (enhanced_crawler.py:448-492), rendered distributed over the docs
+        # crawl; one row per '---'-separated block. The oracle rebuilds the
+        # report byte-for-byte on top of the crawl CTE.
+        from crawler_spark.sinks.export import export_markdown_string
+
+        res = _crawl_docs_result(spark, sf_dir)
+        report = export_markdown_string(
+            res.pages(spark), meta={"url": "docs-graph", "depth": 4}
+        )
+        blocks = [b for b in report.split("\n---\n") if b.strip()]
+        return spark.createDataFrame(
+            [(i, b) for i, b in enumerate(blocks)], "block_id int, block string"
+        )
+
+    def export_markdown_webgen(spark, sf_dir):
+        # same sink over the webgen crawl (error rows, gated pages, empty
+        # links) — rows-only, pytest golden-covered
         from crawler_spark.sinks.export import export_markdown_string
 
         res = _crawl_result(spark)
@@ -851,6 +871,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def rag_chunks(spark, sf_dir):
+        # §2.8 over the docs crawl: summary/key_point/content chunks with
+        # the stable (page_seq, kind_order, index) order key — oracled by
+        # recomputing every chunk string from the corpus construction rules
+        # on top of the crawl CTE
+        from crawler_spark.sinks.rag import build_rag_documents
+
+        res = _crawl_docs_result(spark, sf_dir)
+        return build_rag_documents(res.pages(spark)).select(
+            "source_url",
+            "chunk_type",
+            "content",
+            "point_index",
+            "chunk_index",
+            "page_seq",
+            "kind_order",
+        )
+
+    def rag_chunks_webgen(spark, sf_dir):
+        # same sink over the webgen crawl (richer HTML: key_points>1,
+        # multi-chunk contents) — rows-only, pytest-covered
         from crawler_spark.sinks.rag import build_rag_documents
 
         res = _crawl_result(spark)
@@ -895,8 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seen_set": crawl_seen_set,
         "crawl_webgen_order": crawl_webgen_order,
         "rag_chunks": rag_chunks,
+        "rag_chunks_webgen": rag_chunks_webgen,
         "chunk_documents": chunk_documents,
         "export_markdown_report": export_markdown_report,
+        "export_markdown_webgen": export_markdown_webgen,
         "media_features": media_features,
     }
 
@@ -1214,6 +1256,85 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, seq, wave, depth, host FROM all_pages"
         ),
         "chunk_documents": _chunk_oracle_sql(),
+        "rag_chunks": _crawl_oracle_sql(
+            """
+            , pg AS (
+              -- per crawled page: title, basic-extraction counts, markdown
+              -- (single chunk: markdown is always < the 1000-char window),
+              -- all recomputed from the corpus construction rules
+              SELECT ap.seq, ap.url, g.doc_id, g.source,
+                     'Doc ' || g.doc_id || ' (' || g.source || ')' AS title,
+                     d.text,
+                     CASE WHEN length(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) > 50
+                          THEN 1 ELSE 0 END AS n_paras,
+                     '# Doc ' || g.doc_id || chr(10) || chr(10)
+                       || trim(regexp_replace(d.text, '\\s+', ' ', 'g'))
+                       || repeat(chr(10) || chr(10) || 'next', len(g.kids)) AS markdown
+              FROM all_pages ap
+              JOIN g ON ap.url = g.url
+              JOIN documents d ON d.doc_id = g.doc_id
+            )
+            SELECT url AS source_url, 'summary' AS chunk_type,
+                   'Page titled ''' || title || ''' with ' || n_paras
+                     || ' paragraphs and 1 headings.' AS content,
+                   CAST(NULL AS INT) AS point_index, CAST(NULL AS INT) AS chunk_index,
+                   seq AS page_seq, 0 AS kind_order
+            FROM pg
+            UNION ALL
+            SELECT url, 'key_point', 'Doc ' || doc_id,
+                   0, CAST(NULL AS INT), seq, 1
+            FROM pg
+            UNION ALL
+            SELECT url, 'content', markdown,
+                   CAST(NULL AS INT), 0, seq, 2
+            FROM pg
+            """
+        ),
+        "export_markdown_report": _crawl_oracle_sql(
+            """
+            , pg AS (
+              SELECT ap.seq, ap.url, g.doc_id, g.source, g.kids,
+                     'Doc ' || g.doc_id || ' (' || g.source || ')' AS title,
+                     CASE WHEN length(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))) > 50
+                          THEN 1 ELSE 0 END AS n_paras,
+                     '# Doc ' || g.doc_id || chr(10) || chr(10)
+                       || trim(regexp_replace(d.text, '\\s+', ' ', 'g'))
+                       || repeat(chr(10) || chr(10) || 'next', len(g.kids)) AS markdown,
+                     count(*) OVER () AS npages
+              FROM all_pages ap
+              JOIN g ON ap.url = g.url
+              JOIN documents d ON d.doc_id = g.doc_id
+            ),
+            body AS (
+              -- one '---'-separated block per page, exactly the bytes
+              -- sinks/export.py writes (enhanced_crawler.py:458-490 layout)
+              SELECT seq, npages,
+                '## Page ' || (seq + 1) || ': ' || title || chr(10) || chr(10)
+                || '**URL:** ' || url || chr(10) || chr(10)
+                || '### Summary' || chr(10) || chr(10)
+                || 'Page titled ''' || title || ''' with ' || n_paras
+                  || ' paragraphs and 1 headings.' || chr(10) || chr(10)
+                || '### Key Points' || chr(10) || chr(10)
+                || '- Doc ' || doc_id || chr(10) || chr(10)
+                || '### Content' || chr(10) || chr(10)
+                || markdown || chr(10) || chr(10)
+                || '### Links' || chr(10) || chr(10)
+                || coalesce(array_to_string(list_transform(kids,
+                     k -> '- [' || k || '](' || k || ')' || chr(10)), ''), '')
+                || chr(10) AS blk
+              FROM pg
+            )
+            SELECT cast(seq AS INT) AS block_id,
+              CASE WHEN seq = 0 THEN
+                '# Crawler Results: docs-graph' || chr(10) || chr(10)
+                || '- **Instructions:** None' || chr(10)
+                || '- **Depth:** 4' || chr(10)
+                || '- **Pages Crawled:** ' || npages || chr(10)
+                || '- **Timestamp:** ' || chr(10) || chr(10) || blk
+              ELSE chr(10) || blk END AS block
+            FROM body
+            """
+        ),
         "extract_pages_flagship": r"""
             -- recompute every byte the extraction kernel must produce from
             -- the corpus_from_documents construction rules: title from the
