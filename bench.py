@@ -161,6 +161,18 @@ def run(spark, sf_dir: str):
             F.min("fingerprint"),
         ).collect()
 
+    with timed("q_simhash_pairs"):
+        from crawler_spark.operators.dedup import simhash_near_dup_pairs
+
+        simhash_near_dup_pairs(docs, max_hamming=3, bands=4).count()
+
+    with timed("q_ann_near_dups"):
+        from crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+        embedding_near_dup_pairs(
+            embs, dim=64, threshold=0.3, n_planes=None, seed=42
+        ).count()
+
     with timed("q_cosine_topk"):
         import pyarrow.parquet as pq
 

@@ -134,6 +134,32 @@ def _render_block_row(rec: Dict) -> str:
     return block.replace("## Page 1:", "## Page ?:", 1)
 
 
+def render_markdown_report(pages: list, meta: Optional[Dict] = None) -> str:
+    """Driver-side report rendering over already-collected page dicts — the
+    service-surface path (reference api/main.py:104-119 hands the posted
+    page list back to export_to_markdown). Identical bytes to
+    export_markdown_string over the equivalent DataFrame."""
+    meta = meta or {}
+    header = (
+        f"# Crawler Results: {meta.get('url', '')}\n\n"
+        f"- **Instructions:** {meta.get('instructions')}\n"
+        f"- **Depth:** {meta.get('depth')}\n"
+        f"- **Pages Crawled:** {meta.get('pages_crawled', len(pages))}\n"
+        f"- **Timestamp:** {meta.get('timestamp', '')}\n\n"
+    )
+    return header + "".join(_render_page(i, _service_page(p)) for i, p in enumerate(pages))
+
+
+def _service_page(page: Dict) -> Dict:
+    """Posted service dicts use the reference's conditional-key shape
+    ('ai_extracted_content', keys absent instead of null) — adapt to the
+    engine's nullable-column shape _render_page expects."""
+    p = dict(page)
+    if "extracted" not in p:
+        p["extracted"] = p.get("ai_extracted_content")
+    return p
+
+
 def export_to_markdown(pages: DataFrame, filepath: str, meta: Optional[Dict] = None) -> None:
     content = export_markdown_string(pages, meta=meta)
     os.makedirs(os.path.dirname(os.path.abspath(filepath)), exist_ok=True)

@@ -1,0 +1,121 @@
+"""HTTP service surface (jobs/serve.py) — parity with the reference's
+/api/scrape (depth=0 single-page mode and BFS mode) and /api/download
+(json + markdown), reference api/main.py:48-129."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from crawler_spark.core.page import build_page_record
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode(), dict(e.headers)
+
+
+@pytest.fixture(scope="module")
+def server(spark, corpus_parquet):
+    from jobs.serve import serve
+
+    corpus = spark.read.parquet(corpus_parquet)
+    httpd = serve(spark, corpus, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd.server_address[1]
+    httpd.shutdown()
+
+
+def test_scrape_single_page_mode(server, corpus_rows_mem):
+    row = corpus_rows_mem[0]
+    code, body, _ = _post(
+        server, "/api/scrape", {"url": row["url"], "instructions": None, "depth": 0}
+    )
+    assert code == 200
+    out = json.loads(body)
+    assert out["status"] == "success" and len(out["data"]) == 1
+    page = out["data"][0]
+    oracle = build_page_record(
+        row["html"], row["url"], None, timestamp=row["warc_ts"].isoformat()
+    )
+    assert page["url"] == oracle["url"]
+    assert page["title"] == oracle["title"]
+    assert page["markdown"] == oracle["markdown"]
+    assert page["links"] == oracle["links"]
+    assert page["relevance"]["score"] == oracle["relevance"]["score"]
+
+
+def test_scrape_bfs_mode(server, corpus_rows_mem):
+    url = corpus_rows_mem[0]["url"]
+    code, body, _ = _post(
+        server,
+        "/api/scrape",
+        {"url": url, "instructions": None, "depth": 2, "max_pages": 7},
+    )
+    assert code == 200
+    data = json.loads(body)["data"]
+    assert len(data) == 7  # max_pages honored
+    assert data[0]["url"] == url  # visit order starts at the seed
+
+
+def test_scrape_default_instructions_gate(server, corpus_rows_mem):
+    # no instructions key -> reference default "Extract main content"
+    # (api/main.py:56): keywords {main, content} activate the 0.3 gate
+    url = corpus_rows_mem[0]["url"]
+    code, body, _ = _post(server, "/api/scrape", {"url": url, "depth": 0})
+    assert code == 200
+    page = json.loads(body)["data"][0]
+    assert page["relevance"]["reason"] != "No instructions"
+
+
+def test_scrape_requires_url(server):
+    code, body, _ = _post(server, "/api/scrape", {"depth": 0})
+    assert code == 400 and "URL is required" in body
+
+
+def test_download_json_and_markdown(server, corpus_rows_mem):
+    row = corpus_rows_mem[0]
+    _, body, _ = _post(
+        server, "/api/scrape", {"url": row["url"], "instructions": None, "depth": 0}
+    )
+    data = json.loads(body)["data"]
+
+    code, content, headers = _post(
+        server, "/api/download", {"data": data, "format": "json"}
+    )
+    assert code == 200
+    assert json.loads(content) == data
+    assert "crawler_results_" in headers["Content-Disposition"]
+
+    code, content, headers = _post(
+        server,
+        "/api/download",
+        {"data": data, "format": "markdown", "url": row["url"], "depth": 0},
+    )
+    assert code == 200
+    assert content.startswith(f"# Crawler Results: {row['url']}\n\n")
+    assert f"## Page 1: {data[0]['title']}\n\n" in content
+    assert "### Content\n\n" + data[0]["markdown"] in content
+    assert headers["Content-Disposition"].endswith('.markdown"')
+
+    code, content, _ = _post(server, "/api/download", {"data": [], "format": "xml"})
+    assert code == 400 and "Unsupported format" in content
+
+    code, content, _ = _post(server, "/api/download", {"format": "json"})
+    assert code == 400 and "Data is required" in content
+
+
+def test_unknown_route(server):
+    code, _, _ = _post(server, "/api/nope", {})
+    assert code == 404
