@@ -73,3 +73,43 @@ def test_expand_path_has_no_python_eval(spark, corpus):
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_simhash_banded_join_is_hash_join(spark):
+    """4-band simhash blocking must compile to an equi-join on
+    (band_id, band_val) — never a nested-loop/cartesian candidate pass."""
+    from crawler_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(simhash_near_dup_pairs(df, max_hamming=3, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ngram_maxdf_join_is_equi_join_on_shingle(spark):
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"common shared shingle tail{i} words{i} here{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(ngram_jaccard_pairs(df, threshold=0.01, max_df=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dups_shuffles_on_bucket(spark):
+    import numpy as np
+
+    from crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(embedding_near_dup_pairs(df, dim=8, threshold=0.9, n_planes=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
