@@ -137,8 +137,19 @@ def _crawl_result(spark: SparkSession):
 _DOCS_CRAWL = {"depth": 4, "max_pages": 23, "budget": 1, "n_seeds": 3}
 
 
-def _crawl_docs_result(spark: SparkSession, sf_dir: str):
-    key = ("crawl_docs", sf_dir)
+def _doc_priority_scorer(df: DataFrame) -> DataFrame:
+    """Deterministic W3 scorer for the oracle-checked priority crawl:
+    priority = (doc_id % 10) / 10 — mirrored verbatim in the DuckDB
+    oracle's scored_pri expression."""
+    return df.withColumn(
+        "priority",
+        (F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 10)
+        / F.lit(10.0),
+    )
+
+
+def _crawl_docs_result(spark: SparkSession, sf_dir: str, scored: bool = False):
+    key = ("crawl_docs", sf_dir, scored)
     if key not in _cache:
         from crawler_spark.frontier.bfs import CrawlConfig, crawl
 
@@ -157,6 +168,7 @@ def _crawl_docs_result(spark: SparkSession, sf_dir: str):
             max_pages=_DOCS_CRAWL["max_pages"],
             host_budget={"*": _DOCS_CRAWL["budget"]},
             use_bloom=False,  # Bloom path exercised by the webgen crawl + pytest
+            priority_scorer=_doc_priority_scorer if scored else None,
         )
         _cache[key] = crawl(
             spark, corpus_from_documents(docs), seeds, cfg,
@@ -218,22 +230,34 @@ def quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _crawl_oracle_sql(final_select: str) -> str:
+def _crawl_oracle_sql(final_select: str, scored_pri: Optional[str] = None) -> str:
     """DuckDB recursive-CTE replay of the wave-loop BFS over the
     corpus_from_documents graph (VERDICT round-1 ask #2).
 
     One state row per wave carries (frontier, seen, next_seq) as list
     columns; each recursion step applies, in order: per-host politeness rank
     (budget overflow deferred, not dropped), dense seq assignment in
-    (priority=const, parent_seq, link_pos) order, the max_pages mid-wave
+    (priority desc, parent_seq, link_pos) order, the max_pages mid-wave
     split, link expansion via the url->kids map, first-enqueuer-wins dedup,
     and the seen/deferred anti-joins — the exact arithmetic of
     crawler_spark.frontier.bfs.crawl (reference enhanced_crawler.py:252-304
-    semantics)."""
+    semantics).
+
+    Frontier structs lead with ``negpri`` (negated priority) so DuckDB's
+    field-order struct comparison IS the engine's (priority desc,
+    parent_seq, link_pos) total order. ``scored_pri`` is a SQL expression
+    over a kid's ``doc_id`` giving its priority (the W3 priority-scorer
+    mirror); None = the reference's constant-0.5 fallback, under which the
+    order degenerates to exact BFS."""
     depth = _DOCS_CRAWL["depth"]
     maxp = _DOCS_CRAWL["max_pages"]
     budget = _DOCS_CRAWL["budget"]
     nseeds = _DOCS_CRAWL["n_seeds"]
+    pri = scored_pri or "0.5"
+    kid = lambda n: (
+        f"{{'u': 'https://' || source || '.docs.test/doc/' || {n}, "
+        f"'np': -CAST({pri.replace('DOC_ID', n)} AS DOUBLE)}}"
+    )
     return f"""
 WITH RECURSIVE
 chain AS (
@@ -243,15 +267,15 @@ chain AS (
 g AS (
   SELECT 'https://' || source || '.docs.test/doc/' || doc_id AS url,
          source || '.docs.test' AS host, doc_id, source,
-         CASE WHEN n1 IS NULL THEN CAST([] AS VARCHAR[])
-              WHEN n2 IS NULL THEN ['https://' || source || '.docs.test/doc/' || n1]
-              ELSE ['https://' || source || '.docs.test/doc/' || n1,
-                    'https://' || source || '.docs.test/doc/' || n2] END AS kids
+         CASE WHEN n1 IS NULL THEN CAST([] AS STRUCT(u VARCHAR, np DOUBLE)[])
+              WHEN n2 IS NULL THEN [{kid('n1')}]
+              ELSE [{kid('n1')}, {kid('n2')}] END AS kids
   FROM chain
 ),
 gm AS (SELECT map(list(url ORDER BY url), list(kids ORDER BY url)) AS kids_map FROM g),
 seeds AS (
-  SELECT list({{'parent_seq': CAST(-1 AS BIGINT), 'link_pos': CAST(i AS INT),
+  SELECT list({{'negpri': CAST(-0.5 AS DOUBLE),
+               'parent_seq': CAST(-1 AS BIGINT), 'link_pos': CAST(i AS INT),
                'url': url, 'host': host, 'depth': CAST(0 AS INT)}} ORDER BY i) AS fr
   FROM (
     SELECT row_number() OVER (ORDER BY source) - 1 AS i,
@@ -282,7 +306,8 @@ state AS (
       SELECT *,
         flatten(list_transform(list_filter(taken_seq, t -> t.e.depth < {depth}),
           t -> list_transform(map_extract(kids_map, t.e.url)[1], (kid, j) ->
-            {{'parent_seq': t.seq, 'link_pos': CAST(j - 1 AS INT), 'url': kid,
+            {{'negpri': kid.np,
+             'parent_seq': t.seq, 'link_pos': CAST(j - 1 AS INT), 'url': kid.u,
              'host': t.e.host, 'depth': t.e.depth + 1}}))) AS cands
       FROM (
         SELECT *,
@@ -767,6 +792,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = _crawl_docs_result(spark, sf_dir)
         return res.seen(spark).select("url", "seq", "wave", "depth", "host")
 
+    def crawl_priority_order(spark, sf_dir):
+        # W3 / north_rule priority queue, oracle-checked: a deterministic
+        # scorer reorders within each host's politeness budget; the DuckDB
+        # replay carries (priority desc, parent_seq, link_pos) as the
+        # frontier's total order
+        res = _crawl_docs_result(spark, sf_dir, scored=True)
+        return res.pages(spark).select("seq", "url", "depth", "host")
+
     # ---- webgen crawl (robots + bloom + crawl_delay path), rows-only: the
     # HTML corpus is Python-generated, so no SQL oracle — pytest covers it
     def crawl_webgen_order(spark, sf_dir):
@@ -933,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pages_webgen": extract_pages_webgen,
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
+        "crawl_priority_order": crawl_priority_order,
         "crawl_webgen_order": crawl_webgen_order,
         "rag_chunks": rag_chunks,
         "rag_chunks_webgen": rag_chunks_webgen,
@@ -1255,6 +1289,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_seen_set": _crawl_oracle_sql(
             "SELECT url, seq, wave, depth, host FROM all_pages"
         ),
+        "crawl_priority_order": _crawl_oracle_sql(
+            "SELECT seq, url, depth, host FROM all_pages",
+            scored_pri="(DOC_ID % 10) / 10.0",
+        ),
         "chunk_documents": _chunk_oracle_sql(),
         "rag_chunks": _crawl_oracle_sql(
             """
@@ -1320,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
                 || markdown || chr(10) || chr(10)
                 || '### Links' || chr(10) || chr(10)
                 || coalesce(array_to_string(list_transform(kids,
-                     k -> '- [' || k || '](' || k || ')' || chr(10)), ''), '')
+                     k -> '- [' || k.u || '](' || k.u || ')' || chr(10)), ''), '')
                 || chr(10) AS blk
               FROM pg
             )
