@@ -1,0 +1,3 @@
+from crawler_spark.streaming.ingest import host_rate_stream, stream_extract
+
+__all__ = ["stream_extract", "host_rate_stream"]

@@ -1,0 +1,106 @@
+"""Structured-Streaming ingest: continuous page extraction + host-rate
+windows.
+
+The reference has no streaming semantics (SURVEY §2.10) — its crawl loop is
+synchronous batch BFS, and the engine's wave loop maps that to atomic batch
+commits. What a 100 TB training-data pipeline ADDS on top is continuous
+ingestion: new page files land in a directory (a WARC drop, an upstream
+fetcher's output) and must flow through the same extraction kernel without
+re-processing old files. That is exactly Spark's file-source + checkpoint
+contract:
+
+- ``stream_extract``: ``readStream`` over the corpus directory ->
+  ``extract_pages`` (the identical Arrow kernel the batch crawl uses — same
+  bytes out) -> ``writeStream`` parquet append. Exactly-once per input file
+  via the streaming checkpoint; a restart resumes where it left off, the
+  streaming analog of the wave-commit resume contract.
+- ``host_rate_stream``: event-time windowed per-host page counts on
+  ``warc_ts`` with a watermark — the politeness/rate signal as a live
+  aggregation (late pages beyond the watermark are dropped from the
+  window's final state, which is the correct semantics for a rate monitor).
+
+Both run with ``trigger(availableNow=True)`` in tests (drain-and-stop) and
+as continuous triggers in production.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.operators.extract import extract_pages
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    instructions: Optional[str] = None,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuously extract page records from files arriving in
+    ``corpus_dir``. Returns the started StreamingQuery (caller awaits it).
+
+    The extraction plan is the batch plan — ``extract_pages`` is
+    stream-safe (stateless mapInPandas), so Catalyst runs the identical
+    kernel per micro-batch and outputs are byte-identical to batch runs
+    over the same files."""
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(corpus_dir)
+    pages = extract_pages(
+        stream.select("url", "warc_ts", "html"), instructions=instructions, carry=False
+    )
+    writer = (
+        pages.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_rate_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time per-host page counts: the live politeness/rate signal.
+
+    Returns the unstarted aggregated streaming DataFrame — callers attach
+    their sink (memory sink in tests, a metrics table in production).
+    Late pages beyond the watermark no longer update their window."""
+    from crawler_spark.operators.extract import domain_of
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    return (
+        stream.withColumn("host", domain_of(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )

@@ -58,8 +58,16 @@ def main() -> None:
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--host-histogram-topk", type=int, default=20,
                    help="record top-K per-host counts per wave manifest; 0 disables")
+    p.add_argument("--seen-exact-urls", action="store_true",
+                   help="key the seen anti-join by url string (collision-free) "
+                        "instead of xxhash64 (default accepts ~2.7 expected "
+                        "collisions at 10^10 urls for an 8-byte key)")
     p.add_argument("--rag-out", default=None,
                    help="optional parquet path to materialize rag_documents after the crawl")
+    p.add_argument("--export-markdown", default=None,
+                   help="optional path for the S4 markdown report")
+    p.add_argument("--export-json", default=None,
+                   help="optional directory for the JSON export (one object per page)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -89,6 +97,7 @@ def main() -> None:
         use_bloom=not args.no_bloom,
         host_histogram_topk=args.host_histogram_topk,
         wave_target_sec=args.wave_target_sec or None,
+        seen_exact_urls=args.seen_exact_urls,
     )
     res = crawl(
         spark, corpus, args.seeds, cfg,
@@ -101,6 +110,24 @@ def main() -> None:
         build_rag_documents(res.pages(spark)).write.mode("overwrite").parquet(
             args.rag_out
         )
+
+    if args.export_markdown:
+        from crawler_spark.sinks.export import export_to_markdown
+
+        export_to_markdown(
+            res.pages(spark), args.export_markdown,
+            meta={
+                "url": args.seeds[0],
+                "instructions": args.instructions,
+                "depth": args.depth,
+                "pages_crawled": res.pages_crawled,
+            },
+        )
+
+    if args.export_json:
+        from crawler_spark.sinks.export import export_to_json
+
+        export_to_json(res.pages(spark), args.export_json)
 
     print(json.dumps({
         "run_dir": res.run_dir,
