@@ -79,6 +79,54 @@ def _lsh_probes() -> list:
     return sorted(probes)
 
 
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_stride(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(1, n // (4 * _IVF_K))
+
+
+def _ivf_centroid_rows_py(sf_dir: str) -> list:
+    """similarity.ivf_centroids replayed in pure Python over the parquet
+    (oracle construction): hash60-stride sample, k smallest ids."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = [int(i) for i in t["vec_id"].to_pylist()]
+    d = dict(zip(ids, t["embedding"].to_pylist()))
+    stride = _ivf_stride(sf_dir)
+    sel = sorted(
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % stride == 0
+    )[:_IVF_K]
+    return [(i, [float(x) for x in d[i]]) for i in sel]
+
+
+def _ivf_probe_ids(sf_dir: str) -> list:
+    """nprobe nearest centroid ids to the query — same left-to-right double
+    accumulation as similarity.ivf_topk's driver-side probe selection."""
+    q = _query_vec(sf_dir)
+    cents = _ivf_centroid_rows_py(sf_dir)
+
+    def d2(emb):
+        return sum(
+            (float(x) - float(y)) * (float(x) - float(y)) for y, x in zip(emb, q)
+        )
+
+    return sorted(
+        c for _, c in sorted((d2(e), c) for c, e in cents)[:_IVF_NPROBE]
+    )
+
+
 def _query_vec(sf_dir: str) -> list:
     """Embedding of vec_id=0 (float32 exactly widened to double)."""
     import pyarrow.parquet as pq
@@ -687,6 +735,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multiprobe_hamming=1,
         )
 
+    # ---- IVF-Flat: deterministic sample-seeded coarse quantizer; the
+    # assignment is a pure column expression (scan-only, zero shuffle)
+    def ivf_assign_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import ivf_assign, ivf_centroids
+
+        e = _t(spark, sf_dir, "embeddings")
+        rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(e, _IVF_K).collect()
+        ]
+        return ivf_assign(e, rows).select("vec_id", "centroid_id")
+
+    # ---- IVF-Flat approximate top-k (nprobe inverted lists + exact rerank)
+    def ivf_topk_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(
+            _t(spark, sf_dir, "embeddings"),
+            _query_vec(sf_dir),
+            k=10,
+            n_centroids=_IVF_K,
+            nprobe=_IVF_NPROBE,
+        )
+
     # ---- text analysis: language id / quality / tokens / fingerprint
     def lang_id_docs(spark, sf_dir):
         return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -956,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_counts": lsh_bucket_counts,
         "lsh_topk_docs": lsh_topk_docs,
         "embedding_near_dups": embedding_near_dups,
+        "ivf_assign_docs": ivf_assign_docs,
+        "ivf_topk_docs": ivf_topk_docs,
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
@@ -1025,6 +1099,28 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN {_duck_dot('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
         for p in planes
     )
+
+    # IVF: same centroid rule (hash60-stride sample, k smallest ids), same
+    # (squared_l2, centroid_id) argmin ordering as the Spark expression
+    ivf_d2 = (
+        f"list_aggregate(list_transform(range(0, {_EMB_DIM}), "
+        "i -> (cast(e.embedding[i + 1] as double) - cast(c.c_emb[i + 1] as double))"
+        " * (cast(e.embedding[i + 1] as double) - cast(c.c_emb[i + 1] as double))), 'sum')"
+    )
+    ivf_assigned = f"""
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+          WHERE {_duck_hash60("cast(vec_id as varchar)")} % {_ivf_stride(_ORACLE_SF_DIR)} = 0
+          ORDER BY vec_id LIMIT {_IVF_K}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {ivf_d2}, c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        )
+        SELECT vec_id, embedding, centroid_id FROM scored WHERE rn = 1
+    """
 
     n_win = "greatest(cast(ceil(length(text) / 64.0) as int), 1)"
     fp_pieces = (
@@ -1180,6 +1276,16 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             )
             WHERE lsh_bucket IN ({", ".join(f"'{p}'" for p in sorted(_lsh_probes()))})
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "ivf_assign_docs": f"""
+            SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        "ivf_topk_docs": f"""
+            SELECT vec_id,
+                   round(({dot_q}) / (({norm_e}) * {qnorm!r}), 6) AS cosine
+            FROM ({ivf_assigned})
+            WHERE centroid_id IN ({", ".join(str(c) for c in _ivf_probe_ids(_ORACLE_SF_DIR))})
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "lang_id_docs": f"""

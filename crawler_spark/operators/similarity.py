@@ -1,11 +1,21 @@
 """Similarity search over embedding columns (array<float>).
 
 Baseline: brute-force cosine top-k — JVM-side ``zip_with``/``aggregate``
-higher-order functions (codegen'd, no Python). Scale path: LSH-bucketed
-search via random-hyperplane signatures (buckets shrink the candidate set;
-the same brute-force kernel re-ranks within buckets). An IVF variant would
-swap the hash for nearest-centroid assignment; hyperplane LSH avoids a
-training pass and stays deterministic, which tests need.
+higher-order functions (codegen'd, no Python). Two scale paths:
+
+- LSH-bucketed search via random-hyperplane signatures (buckets shrink the
+  candidate set; the same brute-force kernel re-ranks within buckets) —
+  training-free, fixed memory.
+- IVF-Flat (``ivf_centroids`` / ``ivf_assign`` / ``ivf_topk``): a
+  data-derived coarse quantizer. The quantizer is a deterministic
+  hash-sample of the corpus (the cross-engine hash60 primitive — no RNG, no
+  global sort), so both engines of the correctness gate derive the *same*
+  centroids; nearest-centroid assignment is a pure column expression over k
+  literal vectors (scan-only, zero shuffle, codegen'd), the shape that
+  survives 100 TB. Query time probes the ``nprobe`` nearest inverted lists
+  and exact-reranks — at cluster scale the corpus is written partitioned by
+  ``centroid_id`` so the probe is partition pruning, exactly like
+  ``lsh_topk``'s bucket filter.
 """
 
 from __future__ import annotations
@@ -170,6 +180,109 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_stride: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic sample-seeded coarse quantizer for IVF-Flat.
+
+    Classic IVF trains k-means on a sample; for cross-engine determinism
+    the quantizer here *is* the sample: hash-select ~4k candidate rows with
+    the hash60 primitive (``md5`` prefix as bigint — identical arithmetic
+    in Spark and DuckDB, no RNG), then keep the ``k`` smallest ids via
+    ``orderBy+limit`` (TakeOrderedAndProject: per-partition heap + driver
+    merge, no global sort). ``centroid_id`` is the seeding row's id.
+    One scan; rerunning on the same corpus rebuilds the same quantizer.
+    """
+    from crawler_spark.operators.dedup import _hash60
+
+    n = df.count()
+    if sample_stride is None:
+        sample_stride = max(1, n // (4 * k))
+    cand = df.filter(
+        F.expr(f"pmod({_hash60(f'cast({id_col} as string)')}, {sample_stride}) = 0")
+    )
+    return cand.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_emb")
+    )
+
+
+def _sq_l2_expr(vec_col: str, centroid: Sequence[float]) -> str:
+    clit = "array(" + ", ".join(f"{float(x)!r}d" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {clit}, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"0.0d, (acc, v) -> acc + v)"
+    )
+
+
+def nearest_centroid_expr(
+    centroid_rows: Sequence, vec_col: str = "embedding"
+) -> str:
+    """SQL expression assigning a vector to its nearest centroid: an
+    ``array_min`` over ``(squared_l2, centroid_id)`` structs — lexicographic
+    struct ordering gives the argmin with a deterministic id tie-break.
+    Pure codegen'd column expression: assignment costs one scan, no join,
+    no shuffle, at any corpus size. ``centroid_rows`` are (centroid_id,
+    c_emb) rows collected from ``ivf_centroids`` (k rows — driver-small by
+    construction)."""
+    elems = ", ".join(
+        f"named_struct('d', {_sq_l2_expr(vec_col, emb)}, 'c', {int(cid)}L)"
+        for cid, emb in centroid_rows
+    )
+    return f"array_min(array({elems})).c"
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroid_rows: Sequence,
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Add the inverted-list id (nearest centroid) to every row. The index
+    build is this plus a partitioned write on ``out_col``; list sizes are a
+    single aggregation (see ``bucket_stats`` for the skew guardrail)."""
+    return df.withColumn(out_col, F.expr(nearest_centroid_expr(centroid_rows, vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_rows: Optional[Sequence] = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: probe the ``nprobe`` inverted lists whose
+    centroids sit nearest the query, exact cosine rerank inside them.
+    ``centroid_rows`` (from a prior ``ivf_centroids(...).collect()``) skips
+    the quantizer rebuild — production keeps them with the index. The probe
+    filter is a literal IN over ``centroid_id``: partition-prunable when the
+    corpus is written partitioned by its inverted list."""
+    if centroid_rows is None:
+        centroid_rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, n_centroids, vec_col, id_col).collect()
+        ]
+    # nprobe nearest centroids to the query — k doubles in the driver, same
+    # left-to-right accumulation as the executor-side expression
+    def d2(emb):
+        return sum((float(x) - float(y)) * (float(x) - float(y)) for y, x in zip(emb, query))
+
+    probes = sorted(
+        (d2(emb), int(cid)) for cid, emb in centroid_rows
+    )[: max(1, nprobe)]
+    probe_ids = sorted(c for _, c in probes)
+    assigned = ivf_assign(df, centroid_rows, vec_col)
+    lists = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return brute_force_topk(lists, query, k, vec_col, id_col)
 
 
 def lsh_topk(

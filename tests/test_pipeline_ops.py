@@ -133,6 +133,38 @@ class TestSimilarity:
         assert got[0]["vec_id"] == 0  # query vector is its own best match
         assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
 
+    def test_ivf_assign_is_nearest_centroid(self, spark, vecs):
+        from crawler_spark.operators.similarity import ivf_assign, ivf_centroids
+
+        data, df = vecs
+        cents = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, k=4).collect()
+        ]
+        assert len(cents) == 4
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assign(df, cents).select("vec_id", "centroid_id").collect()
+        }
+        assert len(got) == 200  # every vector lands in exactly one list
+        cmat = np.array([e for _, e in cents], dtype=np.float64)
+        cids = np.array([c for c, _ in cents])
+        for i in range(200):
+            d2 = ((data[i].astype(np.float64) - cmat) ** 2).sum(axis=1)
+            assert got[i] == cids[int(np.argmin(d2))]
+
+    def test_ivf_topk_probes_own_list(self, spark, vecs):
+        from crawler_spark.operators.similarity import ivf_topk
+
+        data, df = vecs
+        q = [float(x) for x in data[7]]
+        got = ivf_topk(df, q, k=5, n_centroids=4, nprobe=2).collect()
+        # the query IS corpus vector 7, so its own inverted list is the
+        # nearest one and must be probed: exact self-match survives
+        assert got[0]["vec_id"] == 7
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+        assert len(got) == 5
+
 
 class TestTextAnalysis:
     def test_lang_id(self, spark, docs):
