@@ -161,18 +161,23 @@ def embedding_near_dup_pairs(
     if n_planes is None:
         n_planes = planes_for_corpus(df.count(), target_bucket_rows)
     sig = hyperplane_signature(df, dim, n_planes, seed, vec_col)
+    # norm once per ROW before the self-join, not once per PAIR inside it —
+    # same accumulation order, bit-identical quotient, ~3x less float work
+    # (a bucket of m rows does m norms instead of m^2)
+    sig = sig.withColumn("_norm", F.expr(_norm_expr(vec_col)))
     a = sig.alias("a")
     b = sig.alias("b")
     dot = _dot_expr(f"a.{vec_col}", f"b.{vec_col}")
-    na = _norm_expr(f"a.{vec_col}")
-    nb = _norm_expr(f"b.{vec_col}")
     return (
         a.join(
             b,
             (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cosine", F.round(F.expr(f"({dot}) / (({na}) * ({nb}))"), 6))
+        .withColumn(
+            "cosine",
+            F.round(F.expr(f"({dot})") / (F.col("a._norm") * F.col("b._norm")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
