@@ -255,6 +255,76 @@ def ivf_assign(
     return df.withColumn(out_col, F.expr(nearest_centroid_expr(centroid_rows, vec_col)))
 
 
+def ivf_refine(
+    df: DataFrame,
+    centroid_rows: Sequence,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> list:
+    """Deterministic Lloyd refinement of the IVF quantizer.
+
+    Each iteration reassigns every vector to its nearest centroid (the same
+    zero-shuffle expression as ``ivf_assign``) and replaces each centroid
+    with its list's mean. Float means are famously parallelism-dependent
+    (summation order varies with partitioning); here each component is
+    quantized to fixed-point ``round(v * 2^quant_bits)`` and summed as
+    64-bit integers — an associative, order-free reduction — so the refined
+    quantizer is bit-identical at any partition count (the determinism
+    contract every other operator in this engine keeps). Shuffle shape:
+    posexplode to (centroid, component) keys with map-side partial sums —
+    k*dim rows reach the driver, never the vectors.
+
+    Safe bound: |sum| < 2^63 needs n_rows * 2^quant_bits * max|v| < 2^63,
+    e.g. 10^10 rows at quant_bits=20 allows |v| up to ~8e2 — fine for
+    normalized embeddings.
+
+    Returns refined (centroid_id, components) rows; empty lists keep their
+    previous centroid (classic k-means empty-cluster rule).
+    """
+    scale = float(1 << quant_bits)
+    cur = [(int(c), [float(x) for x in e]) for c, e in centroid_rows]
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(df, cur, vec_col)
+        sums = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform({vec_col}, v -> "
+                        f"cast(round(cast(v as double) * {scale!r}d) as bigint))"
+                    )
+                ).alias("pos", "q"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("q").alias("qsum"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict = {}
+        for r in sums:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = (
+                int(r["qsum"]),
+                int(r["n"]),
+            )
+        nxt = []
+        for cid, emb in cur:
+            comps = by_cid.get(cid)
+            if not comps:
+                nxt.append((cid, emb))  # empty list: keep previous centroid
+                continue
+            nxt.append(
+                (
+                    cid,
+                    [
+                        (comps[i][0] / comps[i][1]) / scale
+                        for i in range(len(emb))
+                    ],
+                )
+            )
+        cur = nxt
+    return cur
+
+
 def ivf_topk(
     df: DataFrame,
     query: Sequence[float],

@@ -1,3 +1,7 @@
-from crawler_spark.streaming.ingest import host_rate_stream, stream_extract
+from crawler_spark.streaming.ingest import (
+    host_rate_stream,
+    stream_extract,
+    stream_seen_dedup,
+)
 
-__all__ = ["stream_extract", "host_rate_stream"]
+__all__ = ["stream_extract", "host_rate_stream", "stream_seen_dedup"]

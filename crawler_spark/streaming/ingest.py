@@ -78,6 +78,70 @@ def stream_extract(
     return writer.start()
 
 
+def stream_seen_dedup(
+    spark: SparkSession,
+    corpus_dir: str,
+    state_hash_buckets: int = 64,
+) -> DataFrame:
+    """Streaming URL-seen dedup: the frontier's J1/J2 anti-join semantics as
+    a *stateful* streaming operator — first arrival of a url passes, every
+    later arrival (any micro-batch, any file drop) is dropped.
+
+    State is keyed by ``(bucket, url_hash)``: the same xxhash64 key the
+    batch frontier uses, pre-bucketed so the state-store shuffle partitions
+    by a uniform 8-byte key rather than raw url strings (hot-host URL skew
+    never concentrates state). Implemented with
+    ``applyInPandasWithState`` — per group the state is one boolean
+    ("emitted already"); unbounded streams would add a TTL via the
+    processing-time timeout the same handle exposes.
+
+    Returns the unstarted deduped stream of (url, url_hash, warc_ts);
+    callers attach their sink. With ``trigger(availableNow=True)`` +
+    checkpoint this is the streaming analog of the wave loop's
+    seen-table contract: exactly-once admission per url across restarts.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    keyed = stream.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        "warc_ts",
+    ).withColumn(
+        "bucket", F.pmod(F.col("url_hash"), F.lit(state_hash_buckets)).cast("int")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("url_hash", T.LongType()),
+            T.StructField("warc_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen_hashes", T.ArrayType(T.LongType()))])
+
+    def dedup_group(key, pdf_iter, state: "GroupState"):
+        import pandas as pd  # noqa: F401 (executor-side)
+
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            # first occurrence within the batch wins (stable arrival order)
+            fresh = pdf[~pdf["url_hash"].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=["url_hash"], keep="first")
+            seen.update(int(h) for h in fresh["url_hash"])
+            if len(fresh):
+                yield fresh[["url", "url_hash", "warc_ts"]]
+        state.update((sorted(seen),))
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        dedup_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def host_rate_stream(
     spark: SparkSession,
     corpus_dir: str,

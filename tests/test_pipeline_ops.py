@@ -430,3 +430,59 @@ class TestImageHeaders:
 
         with pytest.raises(NotImplementedError):
             decode_payload(b"RIFFbytes", "audio")
+
+
+class TestIvfRefine:
+    @pytest.fixture(scope="class")
+    def vecs2(self, spark):
+        rng = np.random.RandomState(9)
+        # two well-separated blobs: refinement must pull centroids toward
+        # the blob means
+        a = rng.randn(60, 8) + 6.0
+        b = rng.randn(60, 8) - 6.0
+        data = np.vstack([a, b]).astype(np.float32)
+        rows = [(i, [float(x) for x in data[i]]) for i in range(120)]
+        return data, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_refine_is_parallelism_invariant(self, spark, vecs2):
+        from crawler_spark.operators.similarity import ivf_centroids, ivf_refine
+
+        data, df = vecs2
+        cents = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, k=2).collect()
+        ]
+        r3 = ivf_refine(df.repartition(3), cents, iters=2)
+        r17 = ivf_refine(df.repartition(17), cents, iters=2)
+        assert r3 == r17  # bit-identical means at any partitioning
+
+    def test_refine_reduces_quantization_error(self, spark, vecs2):
+        from crawler_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            ivf_refine,
+        )
+
+        data, df = vecs2
+        cents = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, k=2).collect()
+        ]
+
+        def sse(centroid_rows):
+            got = {
+                r["vec_id"]: r["centroid_id"]
+                for r in ivf_assign(df, centroid_rows)
+                .select("vec_id", "centroid_id")
+                .collect()
+            }
+            cmap = {c: np.array(e) for c, e in centroid_rows}
+            return sum(
+                float(((data[i].astype(np.float64) - cmap[got[i]]) ** 2).sum())
+                for i in range(len(data))
+            )
+
+        refined = ivf_refine(df, cents, iters=2)
+        assert sse(refined) < sse(cents)

@@ -93,3 +93,46 @@ def test_host_rate_windows(spark, split_corpus, tmp_path):
         .collect()
     }
     assert dict(stream_tot) == batch
+
+
+def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path):
+    """First arrival of a url passes; re-deliveries in LATER micro-batches
+    are dropped by the applyInPandasWithState seen-state (the streaming
+    analog of the frontier's J1/J2 anti-join)."""
+    import os
+
+    from crawler_spark.streaming import stream_seen_dedup
+
+    # a corpus dir where drop 2 re-delivers some of drop 1's urls
+    dup_dir = str(tmp_path / "dup_corpus")
+    os.makedirs(dup_dir)
+    full = split_corpus["df"]
+    first = full.limit(40)
+    first.coalesce(1).write.mode("append").parquet(dup_dir)
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def drain():
+        q = (
+            stream_seen_dedup(spark, dup_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got1 = drain()
+    assert got1.count() == 40
+
+    # drop 2: 20 duplicates of drop 1 + the 20 genuinely new urls
+    dups = full.limit(20)
+    rest = full.subtract(first)
+    dups.unionByName(rest).coalesce(1).write.mode("append").parquet(dup_dir)
+    got2 = drain()
+    assert got2.count() == 60  # 40 + 20 new; 20 re-deliveries dropped
+    assert got2.select("url").distinct().count() == 60
