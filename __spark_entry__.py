@@ -833,6 +833,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "error",
         )
 
+    # the LLM extraction path, driver-checked: a deterministic fake
+    # extractor stands in for the model, and the oracle replays the P11
+    # contract from the corpus construction rules — get_text("\n",
+    # strip=True) content, the [:8000]+"..." truncation, and the
+    # map<string,string> extracted_data slot (reference
+    # ai_processor.py:152-231).
+    def extract_llm_path(spark, sf_dir):
+        from crawler_spark.operators.extract import extract_pages
+
+        def fake_llm(text_content, title, url, instructions):
+            # len/10000.0 is an exact int over an exact power-of-ten double:
+            # correctly-rounded identically in Python and DuckDB, no round()
+            return {
+                "summary": text_content[:100],
+                "relevance_score": len(text_content) / 10000.0,
+                "extracted_data": {
+                    "n_chars": str(len(text_content)),
+                    "page_title": title,
+                },
+            }
+
+        corpus = corpus_from_documents(_t(spark, sf_dir, "documents"))
+        pages = extract_pages(
+            corpus.select("url", "warc_ts", "html"),
+            instructions=None,
+            carry=False,
+            structured_extractor=fake_llm,
+        )
+        return pages.select(
+            "url",
+            F.col("extracted.summary").alias("llm_summary"),
+            F.col("extracted.relevance_score").alias("llm_score"),
+            F.col("extracted.extracted_data")["n_chars"].alias("ed_n_chars"),
+            F.col("extracted.extracted_data")["page_title"].alias("ed_title"),
+        )
+
     # the webgen-corpus extraction (arbitrary Python-generated HTML: nesting
     # quirks, ul/ol no-emit, pre/code fences) stays rows-only; pytest golden
     # tests cover it byte-for-byte
@@ -1037,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "extract_pages_flagship": extract_pages_flagship,
+        "extract_llm_path": extract_llm_path,
         "extract_pages_webgen": extract_pages_webgen,
         "crawl_bfs_order": crawl_bfs_order,
         "crawl_seen_set": crawl_seen_set,
@@ -1511,5 +1548,41 @@ def oracle_sql() -> dict[str, str]:
                    'No instructions' AS relevance_reason,
                    CAST(NULL AS VARCHAR) AS error
             FROM g
+        """,
+        "extract_llm_path": r"""
+            -- P11 replay: the LLM-path text_content is get_text('\n',
+            -- strip=True) over the corpus html — title text, h1 text, the
+            -- raw document text (ends stripped, internals untouched, empty
+            -- dropped), one 'next' per link — truncated [:8000] + '...';
+            -- the fake extractor's outputs are recomputed from it
+            WITH chain AS (
+              SELECT doc_id, source, text,
+                     lead(doc_id, 1) OVER w AS n1, lead(doc_id, 2) OVER w AS n2
+              FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+            ),
+            tcq AS (
+              SELECT 'https://' || source || '.docs.test/doc/' || doc_id AS url,
+                     'Doc ' || doc_id || ' (' || source || ')' AS title,
+                     concat_ws(chr(10),
+                       'Doc ' || doc_id || ' (' || source || ')',
+                       'Doc ' || doc_id,
+                       nullif(trim(text, ' ' || chr(9) || chr(10) || chr(13)
+                                         || chr(12) || chr(11)), ''),
+                       CASE WHEN n1 IS NOT NULL THEN 'next' END,
+                       CASE WHEN n2 IS NOT NULL THEN 'next' END) AS t
+              FROM chain
+            ),
+            trunc AS (
+              SELECT url, title,
+                     CASE WHEN length(t) > 8000
+                          THEN substring(t, 1, 8000) || '...' ELSE t END AS tc
+              FROM tcq
+            )
+            SELECT url,
+                   substring(tc, 1, 100) AS llm_summary,
+                   cast(length(tc) AS DOUBLE) / 10000.0 AS llm_score,
+                   cast(length(tc) AS VARCHAR) AS ed_n_chars,
+                   title AS ed_title
+            FROM trunc
         """,
     }
