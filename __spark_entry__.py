@@ -783,6 +783,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
+    # ---- composed curation pipeline: quality -> language -> exact dedup,
+    # one dataflow (single scan, single shuffle); plus its funnel counters
+    def curate_docs(spark, sf_dir):
+        from crawler_spark.operators.curation import curate
+
+        return curate(
+            _t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "es")
+        ).select("doc_id", "lang_pred", "quality")
+
+    def curation_funnel(spark, sf_dir):
+        from crawler_spark.operators.curation import curation_stats
+
+        return curation_stats(
+            _t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "es")
+        )
+
     # ---- SimHash: signature column AND banded near-dup pairs, both oracled
     def simhash_docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents").select(
@@ -1070,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
         "fingerprint_docs": fingerprint_docs,
+        "curate_docs": curate_docs,
+        "curation_funnel": curation_funnel,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
         "extract_pages_flagship": extract_pages_flagship,
@@ -1167,6 +1185,30 @@ def oracle_sql() -> dict[str, str]:
 
     en = marker_hits(_EN_MARKERS)
     es = marker_hits(_ES_MARKERS)
+
+    # composed curation: the quality + language expressions over one scan
+    # (same arithmetic as the individual quality_score_docs / lang_id_docs
+    # oracles), reused by curate_docs and curation_funnel
+    curation_scored = rf"""
+      SELECT doc_id, text,
+             round(least(1.0, n_tokens / 100.0) * 0.5
+                   + least(stopword_ratio * 4.0, 1.0) * 0.3
+                   + (CASE WHEN mean_token_len BETWEEN 3 AND 10
+                           THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN es_n > en_n THEN 'es'
+                  WHEN en_n > 0 THEN 'en'
+                  ELSE 'unknown' END AS lang_pred
+      FROM (
+        SELECT doc_id, text,
+               len({_D_TOKS}) AS n_tokens,
+               round({en} / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio,
+               round(list_aggregate(list_transform({_D_TOKS}, t -> length(t)), 'sum')
+                     / greatest(len({_D_TOKS}), 1), 6) AS mean_token_len,
+               {en} AS en_n, {es} AS es_n
+        FROM documents
+      )
+    """
 
     return {
         "clean_text_collapse": r"""
@@ -1360,6 +1402,32 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": f"""
             SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
             FROM documents
+        """,
+        "curate_docs": f"""
+            WITH scored AS ({curation_scored}),
+            kept AS (
+              SELECT * FROM scored
+              WHERE quality >= 0.5 AND lang_pred IN ('en', 'es')
+            ),
+            keep_ids AS (
+              SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+            )
+            SELECT k.doc_id, k.lang_pred, k.quality
+            FROM kept k JOIN keep_ids USING (doc_id)
+        """,
+        "curation_funnel": f"""
+            WITH scored AS ({curation_scored})
+            SELECT cast(count(*) AS BIGINT) AS n_input,
+                   cast(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality,
+                   cast(sum(CASE WHEN quality >= 0.5
+                                  AND lang_pred IN ('en', 'es')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+                   (SELECT cast(count(*) AS BIGINT) FROM (
+                      SELECT min(doc_id) FROM scored
+                      WHERE quality >= 0.5 AND lang_pred IN ('en', 'es')
+                      GROUP BY md5(text))) AS n_deduped
+            FROM scored
         """,
         "simhash_docs": f"""
             SELECT doc_id, simhash FROM ({_duck_simhash("documents")})

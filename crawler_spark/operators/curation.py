@@ -1,0 +1,82 @@
+"""Composed training-data curation: quality gate -> language gate -> exact
+dedup, as ONE declarative dataflow.
+
+This is the integration the individual operators exist for: a corpus lands
+(crawled pages or a documents table) and must be filtered to training-ready
+text. Composing the operators as DataFrame transformations — instead of
+materializing between stages — lets Catalyst collapse the quality and
+language expressions into a single projection over one scan; the only
+shuffle in the whole pipeline is the dedup's content-hash aggregation.
+`explain()` shows: Scan -> one WholeStageCodegen (tokens/quality/lang) ->
+Exchange(content_hash) -> the survivor join. That plan shape is what makes
+this run at corpus scale: no intermediate writes, no second scan, no
+Python.
+
+Stage semantics (each reuses the already-oracled operator):
+
+1. quality gate  — ``quality_score`` composite >= min_quality
+2. language gate — ``lang_id`` prediction in ``langs``
+3. exact dedup   — smallest id per identical content survives
+
+``curate`` returns the surviving rows with their quality/language columns
+(provenance for downstream sampling); ``curation_stats`` is the per-stage
+funnel count — one aggregation pass, the monitoring signal a production
+pipeline alerts on.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import exact_dedup
+from crawler_spark.operators.text_analysis import lang_id, quality_score
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: Sequence[str] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality -> language -> exact-dedup survivors, single dataflow.
+
+    Output: (id, lang_pred, quality, text ...) for rows passing all gates,
+    deduped to the smallest id per identical content.
+    """
+    scored = quality_score(docs, text_col)
+    gated = scored.filter(F.col("quality") >= float(min_quality))
+    tagged = lang_id(gated, text_col)
+    kept = tagged.filter(F.col("lang_pred").isin(list(langs)))
+    return exact_dedup(kept, text_col, id_col)
+
+
+def curation_stats(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    langs: Sequence[str] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stage funnel: one row (n_input, n_quality, n_lang, n_deduped).
+
+    The first three counts come from ONE aggregation over the scored scan
+    (conditional sums — no extra scans); the dedup count is the one
+    aggregation the dedup itself needs anyway.
+    """
+    scored = lang_id(quality_score(docs, text_col), text_col)
+    q_ok = F.col("quality") >= float(min_quality)
+    l_ok = q_ok & F.col("lang_pred").isin(list(langs))
+    funnel = scored.agg(
+        F.count("*").alias("n_input"),
+        F.sum(q_ok.cast("long")).alias("n_quality"),
+        F.sum(l_ok.cast("long")).alias("n_lang"),
+    )
+    n_dedup = (
+        curate(docs, min_quality, langs, text_col, id_col)
+        .agg(F.count("*").alias("n_deduped"))
+    )
+    return funnel.crossJoin(n_dedup)

@@ -486,3 +486,38 @@ class TestIvfRefine:
 
         refined = ivf_refine(df, cents, iters=2)
         assert sse(refined) < sse(cents)
+
+
+class TestCuration:
+    def test_funnel_matches_stages(self, spark, docs):
+        from crawler_spark.operators.curation import curate, curation_stats
+
+        row = curation_stats(docs, min_quality=0.0, langs=("en", "es", "zh")).collect()[0]
+        assert row["n_input"] == 7
+        assert row["n_quality"] <= row["n_input"]
+        assert row["n_lang"] <= row["n_quality"]
+        assert row["n_deduped"] <= row["n_lang"]
+        survivors = curate(docs, min_quality=0.0, langs=("en", "es", "zh")).count()
+        assert survivors == row["n_deduped"]
+
+    def test_dedup_runs_after_gates(self, spark, docs):
+        from crawler_spark.operators.curation import curate
+
+        # docs 0 and 1 are identical: only the min id survives curation
+        ids = {r["doc_id"] for r in
+               curate(docs, min_quality=0.0, langs=("en",)).collect()}
+        assert 0 in ids and 1 not in ids
+
+    def test_single_shuffle_plan(self, spark, docs):
+        from crawler_spark.operators.curation import curate
+        from tests.test_plan_shapes import plan_of
+
+        import re
+
+        plan = plan_of(curate(docs, min_quality=0.0, langs=("en",)))
+        # quality + language gates fold into the scan-side projection; the
+        # only exchanges are the dedup's content-hash aggregation + the two
+        # sides of its survivor join — never an extra shuffle per stage
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchanges <= 3
+        assert "BatchEvalPython" not in plan
