@@ -1,0 +1,120 @@
+"""robots.txt parsing: pure-function cases + raw-bodies -> crawl wiring."""
+
+import pytest
+
+from crawler_spark.frontier.robots import parse_robots
+
+
+class TestParseRobots:
+    def test_star_group(self):
+        txt = """
+        User-agent: *
+        Disallow: /private/
+        Disallow: /tmp/
+        Crawl-delay: 2
+        """
+        prefixes, delay = parse_robots(txt)
+        assert prefixes == ["/private/", "/tmp/"]
+        assert delay == 2.0
+
+    def test_other_agent_ignored(self):
+        txt = """
+        User-agent: googlebot
+        Disallow: /only-google/
+
+        User-agent: *
+        Disallow: /all/
+        """
+        prefixes, delay = parse_robots(txt)
+        assert prefixes == ["/all/"]
+        assert delay is None
+
+    def test_shared_group_multiple_agents(self):
+        txt = """
+        User-agent: googlebot
+        User-agent: *
+        Disallow: /shared/
+        """
+        prefixes, _ = parse_robots(txt)
+        assert prefixes == ["/shared/"]
+
+    def test_new_group_resets_agents(self):
+        txt = """
+        User-agent: *
+        Disallow: /a/
+
+        User-agent: googlebot
+        Disallow: /b/
+        """
+        prefixes, _ = parse_robots(txt)
+        assert prefixes == ["/a/"]
+
+    def test_empty_disallow_allows_all(self):
+        prefixes, _ = parse_robots("User-agent: *\nDisallow:")
+        assert prefixes == []
+
+    def test_comments_and_junk(self):
+        txt = "User-agent: * # generic\nDisallow: /x/ # hidden\nNoise line\nSitemap: https://a/b\n"
+        prefixes, _ = parse_robots(txt)
+        assert prefixes == ["/x/"]
+
+    def test_bad_delay_ignored_largest_wins(self):
+        txt = """
+        User-agent: *
+        Crawl-delay: abc
+        Crawl-delay: 1.5
+        Crawl-delay: 3
+        """
+        _, delay = parse_robots(txt)
+        assert delay == 3.0
+
+    def test_none_and_empty(self):
+        assert parse_robots(None) == ([], None)
+        assert parse_robots("") == ([], None)
+
+
+def test_robots_table_feeds_crawl(spark, tmp_path):
+    """Raw bodies -> robots_table -> crawl: disallowed URLs never crawled,
+    byte-identical to handing the prepared table directly."""
+    from crawler_spark.datagen import CorpusSpec, corpus_rows
+    from crawler_spark.frontier.bfs import ROBOTS_SCHEMA, CrawlConfig, crawl
+    from crawler_spark.frontier.robots import robots_table
+
+    rows = corpus_rows(CorpusSpec(n_pages=40, n_hosts=2, seed=11))
+    corpus = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    hosts = sorted({r["url"].split("/")[2] for r in rows})
+    bodies = spark.createDataFrame(
+        [
+            (hosts[0], "User-agent: *\nDisallow: /p1\nCrawl-delay: 0.5\n"),
+            (hosts[1], None),
+        ],
+        "host string, robots_txt string",
+    )
+    parsed = robots_table(bodies)
+    got = {r["host"]: r for r in parsed.collect()}
+    assert got[hosts[0]]["disallow_prefixes"] == ["/p1"]
+    assert got[hosts[0]]["crawl_delay"] == 0.5
+    assert got[hosts[1]]["disallow_prefixes"] == []
+
+    prepared = spark.createDataFrame(
+        [(hosts[0], ["/p1"], 0.5), (hosts[1], [], None)], ROBOTS_SCHEMA
+    )
+    seeds = sorted({r["url"] for r in rows})[:2]
+    cfg = CrawlConfig(depth=3, wave_target_sec=None)
+    res_a = crawl(spark, corpus, seeds, cfg, robots=parsed)
+    res_b = crawl(spark, corpus, seeds, cfg, robots=prepared)
+    urls_a = sorted(r["url"] for r in res_a.seen(spark).collect())
+    urls_b = sorted(r["url"] for r in res_b.seen(spark).collect())
+    assert urls_a == urls_b
+    # prefix semantics: path.startswith('/p1') blocked; '/private/p1',
+    # '/docs/p13' etc. are NOT (the prefix sits mid-path there)
+    from urllib.parse import urlparse
+
+    blocked = [
+        u for u in urls_a
+        if urlparse(u).netloc == hosts[0] and urlparse(u).path.startswith("/p1")
+    ]
+    assert blocked == []
