@@ -689,6 +689,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
         )
 
+    # ---- two-stage near-dup: LSH candidates -> exact Jaccard verify
+    def near_dup_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import near_dup_pairs
+
+        return near_dup_pairs(
+            _t(spark, sf_dir, "documents"),
+            threshold=0.5,
+            num_hashes=8,
+            bands=4,
+            shingle_k=3,
+        )
+
     # ---- n-gram Jaccard pairs (inverted-index join, hot-shingle maxDF cap)
     def ngram_jaccard(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
@@ -1075,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_signature": minhash_signature,
         "minhash_lsh": minhash_lsh,
+        "near_dup_docs": near_dup_docs,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk": cosine_topk,
         "lsh_bucket_counts": lsh_bucket_counts,
@@ -1294,6 +1307,36 @@ def oracle_sql() -> dict[str, str]:
             FROM banded l JOIN banded r
               ON l.band_id = r.band_id AND l.band_sig = r.band_sig
              AND l.doc_id < r.doc_id
+        """,
+        "near_dup_docs": f"""
+            WITH sigs AS (
+              SELECT doc_id,
+                     [{", ".join(mh_expr(i, 8) for i in range(8))}] AS minhash
+              FROM (SELECT doc_id, {hs} AS hv
+                    FROM (SELECT doc_id, {sh} AS sh FROM documents))
+            ),
+            banded AS (
+              SELECT doc_id, b.band_id,
+                     array_to_string(list_slice(minhash, b.band_id * 2 + 1,
+                                                b.band_id * 2 + 2), ',') AS band_sig
+              FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+               AND l.doc_id < r.doc_id
+            ),
+            shg AS (SELECT doc_id, {sh} AS s FROM documents)
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT id_a, id_b,
+                     round(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                           / (len(a.s) + len(b.s)
+                              - len(list_filter(a.s, x -> list_contains(b.s, x)))),
+                           6) AS jaccard
+              FROM cand JOIN shg a ON a.doc_id = id_a
+                        JOIN shg b ON b.doc_id = id_b
+            ) WHERE jaccard >= 0.5
         """,
         "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 120),

@@ -242,6 +242,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Two-stage near-dup detection: MinHash-LSH candidate generation ->
+    exact Jaccard verification — the standard production dedup shape.
+
+    Stage 1 (`minhash_lsh_pairs`) bounds the search to band-bucket
+    collisions: work scales with bucket sizes, never all-pairs. Stage 2
+    verifies ONLY the candidates with exact shingle Jaccard via
+    ``array_intersect`` on the per-doc distinct shingle arrays (JVM
+    built-ins — the arrays join to the candidate pairs; no shingle-level
+    explosion). False positives from stage 1 are filtered exactly; recall
+    is stage 1's banding probability (tunable via num_hashes/bands).
+    Output (id_a, id_b, jaccard >= threshold).
+    """
+    cand = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col), F.expr(shingles_expr(text_col, shingle_k)).alias("_sh")
+    ).localCheckpoint(eager=False)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("_sa") + F.size("_sb") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — per-bit aggregation is not expressible as
 # reasonable built-ins)

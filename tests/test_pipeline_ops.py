@@ -94,6 +94,31 @@ class TestJaccard:
         assert got[(0, 2)] == expect
 
 
+class TestTwoStageNearDup:
+    def test_verify_filters_false_positives(self, spark, docs):
+        from crawler_spark.operators.dedup import near_dup_pairs
+
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in near_dup_pairs(docs, threshold=0.5).collect()}
+        assert got[(0, 1)] == 1.0          # exact dup survives with jaccard 1
+        assert (0, 3) not in got           # disjoint docs never verified in
+        # every verified pair is an LSH candidate (stage 2 only filters)
+        from crawler_spark.operators.dedup import minhash_lsh_pairs
+
+        cand = {(r["id_a"], r["id_b"])
+                for r in minhash_lsh_pairs(docs).collect()}
+        assert set(got) <= cand
+
+    def test_jaccard_matches_exact_op(self, spark, docs):
+        from crawler_spark.operators.dedup import near_dup_pairs, ngram_jaccard_pairs
+
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        for pair, j in {(r["id_a"], r["id_b"]): r["jaccard"]
+                        for r in near_dup_pairs(docs, threshold=0.1).collect()}.items():
+            assert exact[pair] == j
+
+
 class TestSimHash:
     def test_identical_distance_zero(self, spark, docs):
         pairs = {(r["id_a"], r["id_b"]): r["hamming"]
