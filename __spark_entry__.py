@@ -795,6 +795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
+    # ---- feature-hashing vectorizer: model-free text -> embedding column
+    def hashed_vector_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import hashed_vector
+
+        return hashed_vector(_t(spark, sf_dir, "documents"), dim=16).select(
+            "doc_id", "embedding"
+        )
+
     # ---- composed curation pipeline: quality -> language -> exact dedup,
     # one dataflow (single scan, single shuffle); plus its funnel counters
     def curate_docs(spark, sf_dir):
@@ -1099,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
         "fingerprint_docs": fingerprint_docs,
+        "hashed_vector_docs": hashed_vector_docs,
         "curate_docs": curate_docs,
         "curation_funnel": curation_funnel,
         "simhash_docs": simhash_docs,
@@ -1445,6 +1454,30 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": f"""
             SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
             FROM documents
+        """,
+        "hashed_vector_docs": f"""
+            WITH hv AS (
+              SELECT doc_id,
+                     list_transform({_D_TOKS}, tk -> {_duck_hash60('tk')}) AS h
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i -> list_aggregate(
+                       list_transform(h, x ->
+                         CASE WHEN x % 16 = i
+                              THEN (CASE WHEN (x // 16) % 2 = 0
+                                         THEN 1.0 ELSE -1.0 END)
+                              ELSE 0.0 END), 'sum')) AS v
+              FROM hv
+            )
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+                        ELSE v END AS embedding
+            FROM (SELECT doc_id, v,
+                         sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                             'sum')) AS n
+                  FROM raw)
         """,
         "curate_docs": f"""
             WITH scored AS ({curation_scored}),

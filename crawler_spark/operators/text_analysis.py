@@ -101,3 +101,48 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 64) -> Data
         f"i -> cast(conv(substring(md5(substring({text_col}, i * {window} + 1, {window})), 1, 15), 16, 10) as bigint))"
     )
     return df.withColumn("fingerprint", F.expr(f"array_min({pieces})"))
+
+
+def hashed_vector(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing vectorizer: text -> dense ``array<double>`` of
+    signed token-bucket counts (the classic hashing trick), l2-normalized.
+
+    Gives the documents table a model-free ``embedding`` column so every
+    similarity operator (cosine top-k, hyperplane LSH, IVF) runs on raw
+    text corpora without an external encoder. Each token routes to bucket
+    ``hash60(token) % dim`` with sign from the next hash bit; the whole
+    map is JVM higher-order functions over one token array — no shuffle,
+    no Python, deterministic across engines (same md5 arithmetic as every
+    other hash in the engine). Zero vectors (empty text) stay zero rather
+    than dividing by 0.
+    """
+    from crawler_spark.operators.dedup import _hash60, tokens_expr
+
+    toks = tokens_expr(text_col)
+    # hash each token ONCE (bind the hashed array via the lambda-binding
+    # idiom), then bucket-aggregate: md5 cost is O(tokens), not O(dim*tokens)
+    hv = f"transform({toks}, tk -> {_hash60('tk')})"
+    per_bucket = (
+        f"transform(sequence(0, {dim - 1}), i -> aggregate("
+        f"hv, 0.0d, (acc, h) -> acc + (CASE WHEN pmod(h, {dim}) = i "
+        f"THEN (CASE WHEN pmod(h div {dim}, 2) = 0 THEN 1.0d ELSE -1.0d END) "
+        f"ELSE 0.0d END)))"
+    )
+    vec = f"element_at(transform(array({hv}), hv -> {per_bucket}), 1)"
+    norm = "sqrt(aggregate(_hv, 0.0d, (acc, v) -> acc + v * v))"
+    return (
+        df.withColumn("_hv", F.expr(vec))
+        .withColumn("_n", F.expr(norm))
+        .withColumn(
+            out_col,
+            F.expr(
+                "CASE WHEN _n > 0 THEN transform(_hv, v -> v / _n) ELSE _hv END"
+            ),
+        )
+        .drop("_hv", "_n")
+    )

@@ -546,3 +546,31 @@ class TestCuration:
         n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
         assert n_exchanges <= 3
         assert "BatchEvalPython" not in plan
+
+
+class TestHashedVector:
+    def test_feeds_similarity_stack(self, spark, docs):
+        from crawler_spark.operators.similarity import brute_force_topk
+        from crawler_spark.operators.text_analysis import hashed_vector
+
+        vecs = hashed_vector(docs, dim=32).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+        q = [r["embedding"] for r in vecs.filter("vec_id = 0").collect()][0]
+        got = brute_force_topk(vecs, [float(x) for x in q], k=3)
+        rows = got.collect()
+        # docs 0 and 1 are identical text: both at cosine 1.0
+        top2 = {rows[0]["vec_id"], rows[1]["vec_id"]}
+        assert top2 == {0, 1}
+        assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_unit_norm_and_determinism(self, spark, docs):
+        from crawler_spark.operators.text_analysis import hashed_vector
+
+        out = {r["doc_id"]: r["embedding"]
+               for r in hashed_vector(docs, dim=32).collect()}
+        v0 = out[0]
+        assert sum(x * x for x in v0) == pytest.approx(1.0, abs=1e-9)
+        out2 = {r["doc_id"]: r["embedding"]
+                for r in hashed_vector(docs.repartition(5), dim=32).collect()}
+        assert out == out2  # per-row expression: partitioning-invariant
