@@ -186,6 +186,21 @@ def run(spark, sf_dir: str):
         q = [float(x) for x in next(iter(d0.values()))]
         brute_force_topk(embs, q, k=50).collect()
 
+    with timed("q_ivf_topk"):
+        from crawler_spark.operators.similarity import ivf_topk
+
+        ivf_topk(embs, q, k=50, n_centroids=8, nprobe=2).collect()
+
+    with timed("q_near_dup_verify"):
+        from crawler_spark.operators.dedup import near_dup_pairs
+
+        near_dup_pairs(docs, threshold=0.5, num_hashes=8, bands=4).count()
+
+    with timed("q_curate"):
+        from crawler_spark.operators.curation import curate
+
+        curate(docs, min_quality=0.5, langs=("en", "es")).count()
+
     total = round(sum(times.values()), 3)
     return {
         "metric": "crawl_extract_pipeline_suite",
