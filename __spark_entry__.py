@@ -482,6 +482,57 @@ def entry(spark: SparkSession) -> DataFrame:
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
 _D_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
 
+# pseudo-line construction for the line-level filter gates
+# (operators/filters.py): the synthetic documents are single-line word
+# soup, so both engines deterministically re-line them into 3-token lines
+# before the line-level operators run; the "punct" variant appends a
+# terminal '.' to odd lines so the C4 terminal-punctuation signals vary.
+_PLINE_W = 3
+_NWIN = f"cast(ceil(size({_TOKS}) / {_PLINE_W}.0) as int)"
+_PLINES = (
+    f"transform(sequence(1, {_NWIN}), "
+    f"i -> array_join(slice({_TOKS}, (i-1)*{_PLINE_W}+1, {_PLINE_W}), ' '))"
+)
+_PLINES_PUNCT = (
+    f"transform(sequence(1, {_NWIN}), "
+    f"i -> concat(array_join(slice({_TOKS}, (i-1)*{_PLINE_W}+1, {_PLINE_W}), ' '), "
+    "CASE WHEN i % 2 = 1 THEN '.' ELSE '' END))"
+)
+_D_PLINES = (
+    f"list_transform(range(1, cast(ceil(len({_D_TOKS})/{_PLINE_W}.0) as int) + 1), "
+    f"i -> array_to_string(({_D_TOKS})[(i-1)*{_PLINE_W}+1:(i-1)*{_PLINE_W}+{_PLINE_W}], ' '))"
+)
+_D_PLINES_PUNCT = (
+    f"list_transform(range(1, cast(ceil(len({_D_TOKS})/{_PLINE_W}.0) as int) + 1), "
+    f"i -> array_to_string(({_D_TOKS})[(i-1)*{_PLINE_W}+1:(i-1)*{_PLINE_W}+{_PLINE_W}], ' ') || "
+    "CASE WHEN i % 2 = 1 THEN '.' ELSE '' END)"
+)
+
+# deterministic PII augmentation for the pii_redact gate (the word-soup
+# corpus carries no PII of its own); every 5th doc stays clean
+_PII_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 THEN text ELSE concat(text, ' contact user', doc_id, "
+    "'@example.com or 10.0.', doc_id % 256, '.9 call 415-555-', "
+    "lpad(cast(doc_id % 10000 as string), 4, '0')) END"
+)
+_D_PII_TEXT = (
+    "CASE WHEN doc_id % 5 = 0 THEN text ELSE text || ' contact user' || doc_id || "
+    "'@example.com or 10.0.' || (doc_id % 256) || '.9 call 415-555-' || "
+    "lpad(cast(doc_id % 10000 as varchar), 4, '0') END"
+)
+
+# deterministic URL synthesis for the blocklist gate: every 7th doc gets a
+# 'sub.' prefix, so subdomains of blocked hosts exercise the suffix path
+_BL_HOST = (
+    "concat(CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END, "
+    "source, '.docs.example.com')"
+)
+_D_BL_HOST = (
+    "lower(CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END "
+    "|| source || '.docs.example.com')"
+)
+_BL_BLOCKED = ["src2.docs.example.com", "src7.docs.example.com", "example.net"]
+
 
 def _spark_shingles(k: int = 3) -> str:
     from crawler_spark.operators.dedup import shingles_expr
@@ -1081,6 +1132,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kind_order",
         )
 
+    def repetition_docs(spark, sf_dir):
+        # Gopher-style within-document repetition features over pseudo-lined
+        # documents (filters.repetition_features): dup-word fraction, top
+        # 2-/3-gram fraction (sorted-run max, O(L log L)), duplicated-line
+        # row/char fractions — all JVM column math, oracled value-exact
+        from crawler_spark.operators.filters import repetition_features
+
+        d2 = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(f"array_join({_PLINES}, chr(10))").alias("text2")
+        )
+        return repetition_features(d2, text_col="text2").select(
+            "doc_id",
+            "dup_word_frac",
+            "top_2gram_frac",
+            "top_3gram_frac",
+            "dup_line_frac",
+            "dup_line_char_frac",
+        )
+
+    def c4_flags_docs(spark, sf_dir):
+        # C4-style document gates + the line filter, over punct-augmented
+        # pseudo-lines (odd lines end in '.'); booleans cast to int so both
+        # engines hash the same typed values
+        from crawler_spark.operators.filters import c4_line_filter, c4_quality_flags
+
+        d3 = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(f"array_join({_PLINES_PUNCT}, chr(10))").alias("text3")
+        )
+        out = c4_line_filter(
+            c4_quality_flags(d3, text_col="text3"), text_col="text3", min_words=3
+        )
+        return out.select(
+            "doc_id",
+            F.col("wc_ok").cast("int").alias("wc_ok"),
+            F.col("mean_wlen_ok").cast("int").alias("mean_wlen_ok"),
+            F.col("no_bad_substring").cast("int").alias("no_bad_substring"),
+            "terminal_punct_frac",
+            F.col("c4_keep").cast("int").alias("c4_keep"),
+            "filtered_text",
+        )
+
+    def pii_redact_docs(spark, sf_dir):
+        # typed PII redaction (email -> ip -> phone, counts at each stage)
+        # over deterministically PII-augmented text; patterns are
+        # RE2-compatible so DuckDB runs the byte-identical regexes
+        from crawler_spark.operators.filters import pii_redact
+
+        dp = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(_PII_TEXT).alias("ptext")
+        )
+        return pii_redact(dp, text_col="ptext").select(
+            "doc_id", "n_email", "n_ip", "n_phone", "redacted"
+        )
+
+    def blocklist_docs(spark, sf_dir):
+        # domain blocklist with subdomain semantics: suffix-candidate
+        # explode + broadcast hash anti-join (never a LIKE scan); the
+        # oracle states the same predicate as NOT(= OR LIKE '%.host')
+        from crawler_spark.operators.filters import domain_blocklist
+
+        du = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(f"concat('https://', {_BL_HOST}, '/d/', doc_id)").alias("url"),
+        )
+        return domain_blocklist(du, _BL_BLOCKED).select("doc_id", "url")
+
+    def line_dedup_docs(spark, sf_dir):
+        # corpus-wide first-occurrence line dedup (C4 rule over pseudo-
+        # lines): skew-safe groupBy(line).min(id,pos) first-wins, per-doc
+        # reassembly; ~80% of docs lose at least one line at this width
+        from crawler_spark.operators.filters import line_dedup_global
+
+        d2 = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(f"array_join({_PLINES}, chr(10))").alias("text2")
+        )
+        return line_dedup_global(d2, id_col="doc_id", text_col="text2").select(
+            "doc_id", "deduped_text"
+        )
+
     return {
         "clean_text_collapse": clean_text_collapse,
         "content_sample": content_sample,
@@ -1125,6 +1255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_markdown_report": export_markdown_report,
         "export_markdown_webgen": export_markdown_webgen,
         "media_features": media_features,
+        "repetition_docs": repetition_docs,
+        "c4_flags_docs": c4_flags_docs,
+        "pii_redact_docs": pii_redact_docs,
+        "blocklist_docs": blocklist_docs,
+        "line_dedup_docs": line_dedup_docs,
     }
 
 
@@ -1728,5 +1863,115 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(tc) AS VARCHAR) AS ed_n_chars,
                    title AS ed_title
             FROM trunc
+        """,
+        "repetition_docs": f"""
+            -- max n-gram frequency via explode/group/max (the uncorrelated
+            -- dual of the engine's sorted-run aggregate); duplicated-line
+            -- stats via per-line counts (dup groups contribute ALL copies)
+            WITH base AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            pl AS (SELECT doc_id, {_D_PLINES} AS lines FROM documents),
+            lex AS (SELECT doc_id, unnest(lines) AS line FROM pl),
+            lc AS (SELECT doc_id, line, count(*) AS c FROM lex GROUP BY 1, 2),
+            lstat AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+                     sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_chars,
+                     sum(c) AS n_lines,
+                     sum(c * length(line)) AS tot_chars
+              FROM lc GROUP BY 1
+            ),
+            g2x AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+                           i -> toks[i] || ' ' || toks[i+1])) AS g FROM base),
+            g2c AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM
+                      (SELECT doc_id, g, count(*) AS c FROM g2x GROUP BY 1, 2) GROUP BY 1),
+            g3x AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM base),
+            g3c AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n FROM
+                      (SELECT doc_id, g, count(*) AS c FROM g3x GROUP BY 1, 2) GROUP BY 1)
+            SELECT b.doc_id,
+              CASE WHEN len(b.toks) = 0 THEN 0.0
+                   ELSE round(1.0 - len(list_distinct(b.toks)) / len(b.toks), 6) END AS dup_word_frac,
+              round(coalesce(g2c.maxc, 0) / greatest(coalesce(g2c.n, 0), 1), 6) AS top_2gram_frac,
+              round(coalesce(g3c.maxc, 0) / greatest(coalesce(g3c.n, 0), 1), 6) AS top_3gram_frac,
+              round(coalesce(l.dup_n, 0) / greatest(l.n_lines, 1), 6) AS dup_line_frac,
+              round(coalesce(l.dup_chars, 0) / greatest(l.tot_chars, 1), 6) AS dup_line_char_frac
+            FROM base b LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN g2c USING (doc_id) LEFT JOIN g3c USING (doc_id)
+        """,
+        "c4_flags_docs": rf"""
+            WITH pl AS (SELECT doc_id, {_D_PLINES_PUNCT} AS lines FROM documents),
+            t3 AS (SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text3 FROM pl),
+            tok3 AS (
+              SELECT doc_id, text3, lines,
+                     list_filter(string_split_regex(lower(trim(text3)), '\s+'),
+                                 t -> t <> '') AS toks3
+              FROM t3
+            )
+            SELECT doc_id,
+              CASE WHEN len(toks3) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS wc_ok,
+              CASE WHEN (list_aggregate(list_transform(toks3, t -> length(t)), 'sum')
+                         / greatest(len(toks3), 1)) BETWEEN 3 AND 10
+                   THEN 1 ELSE 0 END AS mean_wlen_ok,
+              CASE WHEN NOT (contains(lower(text3), 'lorem ipsum')
+                             OR contains(lower(text3), '{{'))
+                   THEN 1 ELSE 0 END AS no_bad_substring,
+              round(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))
+                    / greatest(len(lines), 1), 6) AS terminal_punct_frac,
+              CASE WHEN len(toks3) BETWEEN 50 AND 100000
+                    AND (list_aggregate(list_transform(toks3, t -> length(t)), 'sum')
+                         / greatest(len(toks3), 1)) BETWEEN 3 AND 10
+                    AND NOT (contains(lower(text3), 'lorem ipsum')
+                             OR contains(lower(text3), '{{'))
+                   THEN 1 ELSE 0 END AS c4_keep,
+              array_to_string(list_filter(lines,
+                l -> len(list_filter(string_split_regex(lower(trim(l)), '\s+'),
+                                     t -> t <> '')) >= 3
+                     AND regexp_matches(trim(l), '[.!?"]$')), chr(10)) AS filtered_text
+            FROM tok3
+        """,
+        "pii_redact_docs": rf"""
+            -- same redaction ORDER as filters.pii_redact: email, then ip,
+            -- then phone, each counted on the text the previous stage left
+            WITH p AS (SELECT doc_id, {_D_PII_TEXT} AS ptext FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+                          regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g') AS t1
+                   FROM p),
+            s2 AS (SELECT doc_id, n_email,
+                          len(regexp_extract_all(t1, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ip,
+                          regexp_replace(t1, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '[IP]', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id, n_email, n_ip,
+                   len(regexp_extract_all(t2, '\+?\d{{1,3}}[- .]\d{{3}}[- .]\d{{4}}')) AS n_phone,
+                   regexp_replace(t2, '\+?\d{{1,3}}[- .]\d{{3}}[- .]\d{{4}}', '[PHONE]', 'g') AS redacted
+            FROM s2
+        """,
+        "blocklist_docs": f"""
+            -- the declarative dual of the suffix-candidate anti-join
+            WITH u AS (
+              SELECT doc_id, {_D_BL_HOST} AS host,
+                     'https://' || {_D_BL_HOST} || '/d/' || doc_id AS url
+              FROM documents
+            )
+            SELECT doc_id, url FROM u
+            WHERE NOT ({" OR ".join(f"(host = '{b}' OR host LIKE '%.{b}')" for b in _BL_BLOCKED)})
+        """,
+        "line_dedup_docs": f"""
+            -- global first-occurrence line dedup: first-wins = smallest
+            -- (doc_id, pos) per distinct line, rebuild in position order
+            WITH base AS (SELECT doc_id, {_D_TOKS} AS toks FROM documents),
+            pos AS (SELECT doc_id, toks,
+                           unnest(range(1, cast(ceil(len(toks)/{_PLINE_W}.0) as int) + 1)) AS pos
+                    FROM base),
+            lines AS (SELECT doc_id, pos,
+                             array_to_string(toks[(pos-1)*{_PLINE_W}+1:(pos-1)*{_PLINE_W}+{_PLINE_W}], ' ') AS line
+                      FROM pos),
+            firsts AS (SELECT doc_id, pos, line,
+                              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                       FROM lines),
+            rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS deduped_text
+                        FROM firsts WHERE rn = 1 GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(r.deduped_text, '') AS deduped_text
+            FROM base b LEFT JOIN rebuilt r USING (doc_id)
         """,
     }

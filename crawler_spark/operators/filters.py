@@ -1,0 +1,320 @@
+"""Webtext quality-filter operators for training-data curation: Gopher-style
+repetition features, C4-style heuristic flags + line filter, PII redaction,
+domain blocklisting, and corpus-wide first-occurrence line dedup.
+
+These are the filters a production pretraining pipeline runs between "crawled
+pages" and "training-ready text" (the reference stops at relevance gating —
+``/root/reference/crawler/ai_processor.py:236-268`` — so everything here is
+scale-layer surface beyond the reference, like `operators/dedup.py`).
+
+Scale notes, per operator:
+
+- ``repetition_features`` / ``c4_quality_flags`` / ``pii_redact`` are pure
+  column expressions (JVM codegen, zero Python, zero shuffle). The n-gram
+  max-frequency is computed by sorting the per-document gram array and
+  taking the longest equal-run with a single ``aggregate`` pass — O(L log L)
+  per document, never the naive O(L²) count-each-gram scan.
+- ``domain_blocklist`` never does a ``LIKE '%suffix'`` scan: each host
+  explodes into its <=`_MAX_HOST_LABELS` dot-suffix candidates and the block
+  decision is a hash anti-join on candidate equality — broadcastable for
+  real-world blocklists (millions of hosts is still MBs), shuffle-joinable
+  beyond that.
+- ``line_dedup_global`` is the C4 corpus-wide "keep the first occurrence of
+  every line" dedup. First-wins is resolved with ``groupBy(line).min(id,pos)``
+  — partial (map-side) aggregation makes a corpus-common line skew-safe,
+  unlike a window over ``partitionBy(line)`` which would funnel the hot line
+  into one task. Reassembly groups by document (the natural key, uniform).
+
+Every operator has an exact DuckDB oracle (see ``__spark_entry__.oracle_sql``)
+except where noted in the gate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import tokens_expr
+
+# Hosts have bounded label depth in practice; cap the suffix-candidate
+# explosion so a hostile 1000-dot host cannot amplify rows.
+_MAX_HOST_LABELS = 10
+
+
+def _nonempty_tokens(text_col: str) -> str:
+    """Whitespace tokens with empties dropped (''.split semantics parity)."""
+    return f"filter({tokens_expr(text_col)}, t -> t <> '')"
+
+
+def _max_run_expr(sorted_arr: str) -> str:
+    """Longest run of equal adjacent elements in a sorted array (= max
+    frequency of any element), one aggregate pass with a struct accumulator."""
+    step_run = "CASE WHEN acc.prev <=> g THEN acc.run + 1 ELSE 1 END"
+    return (
+        f"aggregate(array_sort({sorted_arr}), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+        f"(acc, g) -> named_struct('prev', g, 'run', {step_run}, "
+        f"'best', greatest(acc.best, {step_run})), "
+        "acc -> acc.best)"
+    )
+
+
+def _grams_expr(toks: str, n: int) -> str:
+    """Word n-grams (n>=2) as array<string>, via zip_with over shifted slices."""
+    assert n >= 2
+    sz = f"greatest(size({toks}) - {n - 1}, 0)"
+    out = f"slice({toks}, 1, {sz})"
+    for i in range(1, n):
+        out = f"zip_with({out}, slice({toks}, {i + 1}, {sz}), (a, b) -> concat(a, ' ', b))"
+    return out
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", line_delim: str = "\n"
+) -> DataFrame:
+    """Gopher-style repetition features, all per-document column math:
+
+    - ``dup_word_frac``: 1 - distinct_words/words (0 for empty text)
+    - ``top_2gram_frac`` / ``top_3gram_frac``: occurrence fraction of the
+      most frequent word 2-/3-gram (0 when no grams)
+    - ``dup_line_frac``: fraction of lines that are repeats of an earlier line
+    - ``dup_line_char_frac``: fraction of line characters inside duplicated
+      lines (every copy of a line occurring >1 times counts)
+
+    Repeated-document detection is `dedup.py`'s job; these catch the
+    *within*-document repetition (boilerplate, scraped nav loops, keyword
+    stuffing) that document-level dedup cannot see.
+    """
+    toks = _nonempty_tokens(text_col)
+    lines = f"filter(split({text_col}, '{line_delim}'), l -> l <> '')"
+
+    def frac(num: str, den: str) -> Column:
+        return F.expr(f"round({num} / greatest({den}, 1), 6)")
+
+    g2, g3 = _grams_expr(toks, 2), _grams_expr(toks, 3)
+    # single sorted pass: count duplicated lines and their characters
+    # (all members of an equal-run after the first add length+1 copies)
+    dup_line_stats = (
+        f"aggregate(array_sort({lines}), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'dup_n', 0, 'dup_chars', 0), "
+        "(acc, l) -> named_struct("
+        "'prev', l, "
+        "'run', CASE WHEN acc.prev <=> l THEN acc.run + 1 ELSE 1 END, "
+        "'dup_n', acc.dup_n + CASE WHEN acc.prev <=> l THEN (CASE WHEN acc.run = 1 THEN 2 ELSE 1 END) ELSE 0 END, "
+        "'dup_chars', acc.dup_chars + CASE WHEN acc.prev <=> l THEN (CASE WHEN acc.run = 1 THEN 2 ELSE 1 END) * length(l) ELSE 0 END), "
+        "acc -> named_struct('dup_n', acc.dup_n, 'dup_chars', acc.dup_chars))"
+    )
+    total_line_chars = f"aggregate({lines}, 0, (acc, l) -> acc + length(l))"
+    return (
+        df.withColumn(
+            "dup_word_frac",
+            F.expr(
+                f"CASE WHEN size({toks}) = 0 THEN cast(0.0 as double) "
+                f"ELSE round(1.0 - size(array_distinct({toks})) / size({toks}), 6) END"
+            ),
+        )
+        .withColumn("top_2gram_frac", frac(_max_run_expr(g2), f"size({g2})"))
+        .withColumn("top_3gram_frac", frac(_max_run_expr(g3), f"size({g3})"))
+        .withColumn("_dls", F.expr(dup_line_stats))
+        .withColumn("dup_line_frac", frac("_dls.dup_n", f"size({lines})"))
+        .withColumn("dup_line_char_frac", frac("_dls.dup_chars", total_line_chars))
+        .drop("_dls")
+    )
+
+
+# C4's document-level gates (the line filter below is separate):
+_C4_MIN_WORDS = 50
+_C4_MAX_WORDS = 100_000
+_C4_BAD_SUBSTRINGS = ("lorem ipsum", "{")
+
+
+def c4_quality_flags(
+    df: DataFrame, text_col: str = "text", line_delim: str = "\n"
+) -> DataFrame:
+    """C4-style heuristic flags per document, plus the conjunction ``c4_keep``.
+
+    - ``wc_ok``: word count in [{min},{max}]
+    - ``mean_wlen_ok``: mean word length in [3,10]
+    - ``no_bad_substring``: no 'lorem ipsum' (case-insensitive) and no curly
+      brace (C4 drops pages with ``{{`` — usually leaked code/templates)
+    - ``terminal_punct_frac``: fraction of lines ending in terminal
+      punctuation — the document-level signal for the line filter below
+
+    The composite keeps the flags as columns (a real pipeline samples and
+    audits the rejects; a bare boolean would hide why a page died).
+    """
+    toks = _nonempty_tokens(text_col)
+    lines = f"filter(split({text_col}, '{line_delim}'), l -> l <> '')"
+    wc = f"size({toks})"
+    mean_wlen = f"(aggregate({toks}, 0, (acc, t) -> acc + length(t)) / greatest({wc}, 1))"
+    bad = " OR ".join(
+        f"contains(lower({text_col}), '{s}')" for s in _C4_BAD_SUBSTRINGS
+    )
+    term = f"size(filter({lines}, l -> l rlike '[.!?\"]$'))"
+    return (
+        df.withColumn(
+            "wc_ok",
+            F.expr(f"{wc} BETWEEN {_C4_MIN_WORDS} AND {_C4_MAX_WORDS}"),
+        )
+        .withColumn("mean_wlen_ok", F.expr(f"{mean_wlen} BETWEEN 3 AND 10"))
+        .withColumn("no_bad_substring", F.expr(f"NOT ({bad})"))
+        .withColumn(
+            "terminal_punct_frac",
+            F.expr(f"round({term} / greatest(size({lines}), 1), 6)"),
+        )
+        .withColumn(
+            "c4_keep", F.expr("wc_ok AND mean_wlen_ok AND no_bad_substring")
+        )
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "filtered_text",
+    min_words: int = 5,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """C4's line-level clean: keep only lines with >= ``min_words`` words that
+    end in terminal punctuation; rejoin survivors. Pure per-row expression."""
+    line_toks = "filter(split(lower(trim(l)), '\\\\s+'), t -> t <> '')"
+    keep = f"l -> size({line_toks}) >= {min_words} AND trim(l) rlike '[.!?\"]$'"
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"array_join(filter(split({text_col}, '{line_delim}'), {keep}), '{line_delim}')"
+        ),
+    )
+
+
+# Redaction order matters and is part of the contract: emails first (their
+# local parts can contain digit runs), then IPs, then phone-like runs over
+# the already-redacted text. Counts are measured at the same stage their
+# pattern is applied, so a digit run consumed by [IP] is never double-counted
+# as a phone.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d{1,3}[- .]\d{3}[- .]\d{4}", "[PHONE]"),
+]
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-like numbers to typed tokens,
+    with per-type match counts (``n_email``, ``n_ip``, ``n_phone``).
+
+    Patterns are deliberately RE2-compatible (no backrefs, no lookaround) so
+    the DuckDB oracle runs the byte-identical regex; Java and RE2 agree on
+    every construct used here.
+    """
+    cur = F.col(text_col)
+    out = df
+    for name, pat, token in _PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return out.withColumn(out_col, cur)
+
+
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+
+def host_expr(url_col: str = "url") -> str:
+    """SQL fragment: lowercased host part of a URL (scheme://host/...)."""
+    return f"lower(regexp_extract({url_col}, '{_HOST_RE}', 1))"
+
+
+def host_of(url_col: str = "url") -> Column:
+    return F.expr(host_expr(url_col))
+
+
+def domain_blocklist(
+    df: DataFrame,
+    blocked: DataFrame | Sequence[str],
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked host OR a subdomain of one.
+
+    ``blocked`` is a DataFrame with a ``host`` column (or a Python list).
+    Instead of a ``host LIKE '%.blocked'`` scan (unindexable, O(rows ×
+    blocklist)), each host explodes into its dot-suffix candidates
+    (``a.b.spam.com`` -> [a.b.spam.com, b.spam.com, spam.com, com]) and
+    membership is a plain equality semi-join — hash-joinable, broadcastable,
+    and partition-prunable. Candidates are capped at ``_MAX_HOST_LABELS``
+    labels. ``keep_blocked=True`` inverts the filter (returns the rejects,
+    for audit sampling).
+    """
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame(
+            [(h,) for h in blocked], "host string"
+        )
+    blocked = blocked.select(F.lower("host").alias("_bad_host")).distinct()
+
+    parts = f"slice(split({host_expr(url_col)}, '\\\\.'), 1, {_MAX_HOST_LABELS})"
+    cands = (
+        f"transform(sequence(1, size({parts})), "
+        f"i -> array_join(slice({parts}, i, size({parts}) - i + 1), '.'))"
+    )
+    with_c = df.withColumn("_host_cands", F.expr(cands))
+    exploded = with_c.withColumn("_cand", F.explode("_host_cands"))
+    hits = (
+        exploded.join(
+            F.broadcast(blocked), exploded["_cand"] == blocked["_bad_host"], "inner"
+        )
+        .select(*df.columns)
+        .distinct()
+    )
+    if keep_blocked:
+        return hits
+    return df.join(hits.select(*df.columns), df.columns, "left_anti")
+
+
+def line_dedup_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "deduped_text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Corpus-wide first-occurrence line dedup (the C4 three-sentence rule,
+    generalized to lines): every distinct line survives exactly once, in the
+    document where it first appears (smallest ``(id, pos)``), at its original
+    position; later copies — across documents or within one — are removed.
+
+    First-wins is a ``groupBy(line).min(struct(id, pos))`` — partial
+    aggregation combines hot lines map-side, so a line appearing in half the
+    corpus costs one row per input partition at the shuffle, not a
+    single-task funnel. Reassembly sorts each survivor set by position with
+    ``sort_array`` inside the per-document aggregate (no second window).
+    Documents that lose every line come back with an empty string.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), line_delim)).alias("_pos", "_line"),
+        )
+        .filter(F.col("_line") != "")
+    )
+    firsts = lines.groupBy("_line").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    kept = (
+        lines.join(firsts, "_line")
+        .filter((F.col("_id") == F.col("_first._id")) & (F.col("_pos") == F.col("_first._pos")))
+        .select("_id", "_pos", "_line")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.expr(
+            f"array_join(transform(sort_array(collect_list(struct(_pos, _line))), s -> s._line), '{line_delim}')"
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
