@@ -201,6 +201,38 @@ def run(spark, sf_dir: str):
 
         curate(docs, min_quality=0.5, langs=("en", "es")).count()
 
+    # ---- q_filters: the webtext quality-filter pass (repetition + C4 +
+    # PII redaction fused into one projection over one scan — zero shuffle)
+    with timed("q_filters"):
+        from crawler_spark.operators.filters import (
+            c4_quality_flags,
+            pii_redact,
+            repetition_features,
+        )
+
+        d = repetition_features(docs)
+        d = c4_quality_flags(d)
+        d = pii_redact(d)
+        d.select(
+            F.count("*"),
+            F.sum("dup_word_frac"),
+            F.sum("top_2gram_frac"),
+            F.sum(F.col("c4_keep").cast("long")),
+            F.sum("n_email"),
+            F.sum(F.length("redacted")),
+        ).collect()
+    extra["filter_docs_per_sec"] = round(docs.count() / times["q_filters"], 1)
+
+    # ---- q_line_dedup: corpus-wide first-occurrence line dedup ------------
+    with timed("q_line_dedup"):
+        from crawler_spark.operators.filters import line_dedup_global
+
+        line_dedup_global(
+            docs.withColumn(
+                "text", F.regexp_replace("text", r"((\S+\s+){9}\S+)\s", "$1\n")
+            )
+        ).select(F.sum(F.length("deduped_text"))).collect()
+
     total = round(sum(times.values()), 3)
     return {
         "metric": "crawl_extract_pipeline_suite",
