@@ -533,6 +533,13 @@ _D_BL_HOST = (
 )
 _BL_BLOCKED = ["src2.docs.example.com", "src7.docs.example.com", "example.net"]
 
+# decontamination / token-budget mixing gate parameters: 8-gram overlap
+# (docs average ~54 tokens), odd sources weighted 2x, 10k-token budget
+_DECON_K = 8
+_MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 else 1.0) for i in range(20)}
+_MIX_BUDGET = 10_000
+_MIX_BUCKETS = 64
+
 
 def _spark_shingles(k: int = 3) -> str:
     from crawler_spark.operators.dedup import shingles_expr
@@ -551,6 +558,19 @@ def _duck_shingles(k: int = 3) -> str:
 
 def _duck_hash60(col: str) -> str:
     return f"cast(concat('0x', substring(md5({col}), 1, 15)) as bigint)"
+
+
+def _mix_budget_case() -> str:
+    """Per-source integer token budgets as a CASE expression — computed by
+    the same ``_source_budgets`` the Spark operator uses, so the two
+    engines can never disagree on rounding."""
+    from crawler_spark.operators.sampling import _source_budgets
+
+    budgets = _source_budgets(_MIX_WEIGHTS, _MIX_BUDGET)
+    arms = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    )
+    return f"(CASE source {arms} ELSE 0 END)"
 
 
 def _duck_simhash(src: str) -> str:
@@ -1211,6 +1231,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "deduped_text"
         )
 
+    # ---- benchmark decontamination + token-budget mixing ------------------
+    def contamination_docs(spark, sf_dir):
+        # eval split = every 20th doc (a stand-in benchmark suite); count
+        # each training doc's distinct 8-gram overlaps with the eval set.
+        # Plan: eval shingle hashes broadcast, corpus explode never shuffles
+        from crawler_spark.operators.sampling import contamination
+
+        d = _t(spark, sf_dir, "documents")
+        ev = d.filter(F.col("doc_id") % 20 == 0)
+        tr = d.filter(F.col("doc_id") % 20 != 0)
+        return contamination(tr, ev, shingle_k=_DECON_K).select(
+            "doc_id",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            "contaminated",
+        )
+
+    def sample_budget_docs(spark, sf_dir):
+        # exact token-budget mixing: per-source hash-priority running sum
+        from crawler_spark.operators.sampling import sample_to_token_budget
+
+        d = _t(spark, sf_dir, "documents")
+        return sample_to_token_budget(d, _MIX_WEIGHTS, _MIX_BUDGET).select(
+            "doc_id", "source", "n_tokens"
+        )
+
+    def sample_budget_approx_docs(spark, sf_dir):
+        # scale-path mixing: bucket-histogram cutoffs, no windows
+        from crawler_spark.operators.sampling import (
+            sample_to_token_budget_approx,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        return sample_to_token_budget_approx(
+            d, _MIX_WEIGHTS, _MIX_BUDGET, n_buckets=_MIX_BUCKETS
+        ).select("doc_id", "source", "n_tokens")
+
     return {
         "clean_text_collapse": clean_text_collapse,
         "content_sample": content_sample,
@@ -1260,6 +1316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "blocklist_docs": blocklist_docs,
         "line_dedup_docs": line_dedup_docs,
+        "contamination_docs": contamination_docs,
+        "sample_budget_docs": sample_budget_docs,
+        "sample_budget_approx_docs": sample_budget_approx_docs,
     }
 
 
@@ -1973,5 +2032,64 @@ def oracle_sql() -> dict[str, str]:
                         FROM firsts WHERE rn = 1 GROUP BY doc_id)
             SELECT b.doc_id, coalesce(r.deduped_text, '') AS deduped_text
             FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "contamination_docs": f"""
+            -- benchmark decontamination: distinct 8-gram hash overlap
+            -- between each training doc and the eval split (doc_id % 20 = 0)
+            WITH sh AS (
+              SELECT doc_id, unnest({_duck_shingles(_DECON_K)}) AS s
+              FROM documents
+            ),
+            ev AS (SELECT DISTINCT {_duck_hash60('s')} AS g
+                   FROM sh WHERE doc_id % 20 = 0),
+            tr AS (SELECT doc_id, {_duck_hash60('s')} AS g
+                   FROM sh WHERE doc_id % 20 <> 0),
+            hits AS (SELECT doc_id, count(*) AS n
+                     FROM tr JOIN ev USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(h.n, 0) as bigint) AS n_contaminated,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
+        """,
+        "sample_budget_docs": f"""
+            -- exact token-budget mixing: hash-priority running sum per
+            -- source, keep while the inclusive sum fits the source budget
+            WITH t AS (
+              SELECT doc_id, source, len({_D_TOKS}) AS n_tokens,
+                     {_duck_hash60('cast(doc_id as varchar)')} AS pri
+              FROM documents
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+                     {_mix_budget_case()} AS budget
+              FROM t
+            )
+            SELECT doc_id, source, cast(n_tokens as bigint) AS n_tokens
+            FROM c WHERE cum <= budget
+        """,
+        "sample_budget_approx_docs": f"""
+            -- bucketed mixing: per-source prefix of priority buckets whose
+            -- cumulative token mass fits the budget (same cutoff rule as
+            -- the driver-side loop: monotone running sum, stop on overflow)
+            WITH t AS (
+              SELECT doc_id, source, len({_D_TOKS}) AS n_tokens,
+                     {_duck_hash60('cast(doc_id as varchar)')} % {_MIX_BUCKETS} AS bucket
+              FROM documents
+            ),
+            b AS (SELECT source, bucket, sum(n_tokens) AS bt,
+                         {_mix_budget_case()} AS budget
+                  FROM t GROUP BY source, bucket),
+            cb AS (SELECT source, bucket, budget,
+                          sum(bt) OVER (PARTITION BY source ORDER BY bucket
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM b),
+            cut AS (SELECT source,
+                           coalesce(max(CASE WHEN cum <= budget
+                                        THEN bucket + 1 END), 0) AS cutoff
+                    FROM cb GROUP BY source)
+            SELECT t.doc_id, t.source, cast(t.n_tokens as bigint) AS n_tokens
+            FROM t JOIN cut ON t.source = cut.source AND t.bucket < cut.cutoff
         """,
     }

