@@ -441,9 +441,16 @@ def crawl(
             parsed = extract_pages(found, instructions=cfg.instructions, carry=True,
                                    structured_extractor=cfg.structured_extractor)
             pages_path = ck.write_table(parsed, "pages", wave)
-            found_urls = spark.read.parquet(pages_path).select("url")
-            missing = taken.join(F.broadcast(found_urls), "url", "left_anti")
-            _error_pages(missing).write.mode("append").parquet(pages_path)
+            # miss detection is free: the write's row count (parquet
+            # footers locally, one job remotely) already equals taken_count
+            # when every url resolved — the read-back + anti-join + error
+            # append only runs on actual misses, not once per wave
+            pages_lineage = ck.lineage_of(spark, pages_path)
+            if sum(e["rows"] for e in pages_lineage) < taken_count:
+                found_urls = spark.read.parquet(pages_path).select("url")
+                missing = taken.join(F.broadcast(found_urls), "url", "left_anti")
+                _error_pages(missing).write.mode("append").parquet(pages_path)
+                pages_lineage = ck.lineage_of(spark, pages_path)
         else:
             # big wave: shuffle join on url; misses surface as null html and
             # become error rows inside the extraction kernel
@@ -451,6 +458,7 @@ def crawl(
             parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True,
                                    structured_extractor=cfg.structured_extractor)
             pages_path = ck.write_table(parsed, "pages", wave)
+            pages_lineage = ck.lineage_of(spark, pages_path)
         _mark("fetch_extract_write")
         parsed_c = spark.read.parquet(pages_path)
 
@@ -631,7 +639,8 @@ def crawl(
 
         # ---- 7. manifest commit (the atomic point) -------------------------
         next_seq += taken_count
-        frontier_rows = sum(e["rows"] for e in ck.lineage_of(spark, frontier_path))
+        frontier_lineage = ck.lineage_of(spark, frontier_path)
+        frontier_rows = sum(e["rows"] for e in frontier_lineage)
         if cfg.host_histogram_topk > 0:
             # A5: hot-host histogram from the wave's committed seen rows
             # (orderBy+limit => TakeOrderedAndProject, no global sort)
@@ -657,9 +666,9 @@ def crawl(
                 "bloom_waves": bloom_waves,
             },
             lineage={
-                "pages": ck.lineage_of(spark, pages_path),
+                "pages": pages_lineage,
                 "seen": ck.lineage_of(spark, seen_path),
-                "frontier_next": ck.lineage_of(spark, frontier_path),
+                "frontier_next": frontier_lineage,
                 **(
                     {"bloom": ck.lineage_of(spark, bloom_path)}
                     if bloom_path is not None
