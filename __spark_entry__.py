@@ -1267,6 +1267,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, _MIX_WEIGHTS, _MIX_BUDGET, n_buckets=_MIX_BUCKETS
         ).select("doc_id", "source", "n_tokens")
 
+    # ---- near-dup cluster resolution: pairs -> components -> survivors
+    def near_dup_clusters(spark, sf_dir):
+        from crawler_spark.operators.dedup import cluster_near_dups
+
+        d = _t(spark, sf_dir, "documents")
+        p = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_k=3)
+        return cluster_near_dups(d, p).select("doc_id", "cluster_id")
+
+    def near_dup_survivors(spark, sf_dir):
+        from crawler_spark.operators.dedup import near_dup_dedup
+
+        d = _t(spark, sf_dir, "documents")
+        p = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_k=3)
+        return near_dup_dedup(d, p).select("doc_id", "source", "n_chars")
+
     return {
         "clean_text_collapse": clean_text_collapse,
         "content_sample": content_sample,
@@ -1319,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": contamination_docs,
         "sample_budget_docs": sample_budget_docs,
         "sample_budget_approx_docs": sample_budget_approx_docs,
+        "near_dup_clusters": near_dup_clusters,
+        "near_dup_survivors": near_dup_survivors,
     }
 
 
@@ -1347,6 +1364,44 @@ def oracle_sql() -> dict[str, str]:
         )
 
     mh_cols = ", ".join(mh_expr(i, 4) for i in range(4))
+
+    # shared CTE chain: banded MinHash-LSH candidate pairs over documents
+    # (8 hashes, 4 bands of 2) — used by minhash_lsh and, extended with a
+    # recursive reachability closure, by the cluster entries
+    _lsh_pairs_ctes = f"""sigs AS (
+              SELECT doc_id,
+                     [{", ".join(mh_expr(i, 8) for i in range(8))}] AS minhash
+              FROM (SELECT doc_id, {hs} AS hv
+                    FROM (SELECT doc_id, {sh} AS sh FROM documents))
+            ),
+            banded AS (
+              SELECT doc_id, b.band_id,
+                     array_to_string(list_slice(minhash, b.band_id * 2 + 1,
+                                                b.band_id * 2 + 2), ',') AS band_sig
+              FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+            ),
+            lsh_pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band_id = r.band_id AND l.band_sig = r.band_sig
+               AND l.doc_id < r.doc_id
+            )"""
+
+    # connected components of the pair graph: min reachable id per node
+    # (recursive closure is fine at oracle scale; the engine side uses
+    # log-rounds label propagation instead)
+    _cc_ctes = f"""{_lsh_pairs_ctes},
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+              UNION
+              SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+            ),
+            reach(id, r) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+            ),
+            comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)"""
 
     tm = " + ".join(
         f"(CASE WHEN contains(substring(text, 1, 60), '{k}') THEN 1 ELSE 0 END)"
@@ -1494,22 +1549,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT doc_id, {sh} AS sh FROM documents))
         """,
         "minhash_lsh": f"""
-            WITH sigs AS (
-              SELECT doc_id,
-                     [{", ".join(mh_expr(i, 8) for i in range(8))}] AS minhash
-              FROM (SELECT doc_id, {hs} AS hv
-                    FROM (SELECT doc_id, {sh} AS sh FROM documents))
-            ),
-            banded AS (
-              SELECT doc_id, b.band_id,
-                     array_to_string(list_slice(minhash, b.band_id * 2 + 1,
-                                                b.band_id * 2 + 2), ',') AS band_sig
-              FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_id) b
-            )
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM banded l JOIN banded r
-              ON l.band_id = r.band_id AND l.band_sig = r.band_sig
-             AND l.doc_id < r.doc_id
+            WITH {_lsh_pairs_ctes}
+            SELECT id_a, id_b FROM lsh_pairs
         """,
         "near_dup_docs": f"""
             WITH sigs AS (
@@ -2091,5 +2132,16 @@ def oracle_sql() -> dict[str, str]:
                     FROM cb GROUP BY source)
             SELECT t.doc_id, t.source, cast(t.n_tokens as bigint) AS n_tokens
             FROM t JOIN cut ON t.source = cut.source AND t.bucket < cut.cutoff
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_cc_ctes}
+            SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "near_dup_survivors": f"""
+            WITH RECURSIVE {_cc_ctes}
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            WHERE coalesce(c.comp, d.doc_id) = d.doc_id
         """,
     }

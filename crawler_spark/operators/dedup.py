@@ -391,3 +391,123 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster resolution: pairs -> connected components -> survivors
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph: (id, comp) with
+    ``comp`` = the smallest id in the component.
+
+    Min-label propagation with pointer jumping: each round (1) every node
+    takes the min of its own label and its neighbors' labels, then (2)
+    labels chase their own label's label (path halving). Both steps are
+    shuffle-on-key joins — no driver-side graph, no single reducer — and
+    the combination converges in O(log n) rounds on any component shape
+    (propagation alone needs O(diameter)). One small driver action per
+    round checks convergence; rounds are capped at ``max_iter`` (25 rounds
+    covers components of ~2^25 nodes, far beyond any near-dup cluster).
+
+    Per-round frames are ``localCheckpoint``-ed to cut the growing lineage
+    (an iterative-join plan re-evaluates the whole history otherwise).
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        # (1) min over neighborhood labels
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+        )
+        # (2) pointer jumping: comp <- comp(comp)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("t"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("s.id").alias("id"),
+                F.coalesce(F.col("comp2"), F.col("comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.join(labels.select("id", F.col("comp").alias("old")), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_near_dups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Assign every document its near-dup cluster id (singletons cluster
+    with themselves): ``docs`` + ``cluster_id``.
+
+    The label table only contains nodes that appear in a pair — tiny next
+    to the corpus — so the join back is a broadcast, not a corpus shuffle.
+    """
+    comp = connected_components(pairs, a_col, b_col).select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
+    )
+    return docs.join(F.broadcast(comp), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+
+
+def near_dup_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one document per near-dup cluster (the smallest id — the same
+    deterministic first-wins rule as ``exact_dedup``); schema unchanged."""
+    clustered = cluster_near_dups(docs, pairs, id_col, a_col, b_col)
+    return clustered.filter(F.col("cluster_id") == F.col(id_col)).drop(
+        "cluster_id"
+    )

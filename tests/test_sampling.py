@@ -152,3 +152,45 @@ def test_approx_subset_semantics(spark, mix_docs):
     )
     exact_ids = {r["doc_id"] for r in exact.collect()}
     assert {r["doc_id"] for r in approx.collect()} <= exact_ids
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_shapes(spark):
+    from crawler_spark.operators.dedup import connected_components
+
+    # chain (worst case for plain propagation), pair, and a triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a int, id_b int",
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                  20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty(spark):
+    from crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a int, id_b int")
+    assert connected_components(pairs).count() == 0
+
+
+def test_near_dup_dedup_keeps_min_and_singletons(spark):
+    from crawler_spark.operators.dedup import cluster_near_dups, near_dup_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a int, id_b int")
+    cl = {r["doc_id"]: r["cluster_id"]
+          for r in cluster_near_dups(docs, pairs).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    kept = sorted(r["doc_id"] for r in near_dup_dedup(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+    # docs-side join is a broadcast, never a corpus shuffle
+    plan = (cluster_near_dups(docs, pairs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
