@@ -1282,6 +1282,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = minhash_lsh_pairs(d, num_hashes=8, bands=4, shingle_k=3)
         return near_dup_dedup(d, p).select("doc_id", "source", "n_chars")
 
+    # ---- flagship composition: corpus -> training set, one dataflow
+    def assemble_training_docs(spark, sf_dir):
+        from crawler_spark.operators.curation import assemble_training_set
+
+        d = _t(spark, sf_dir, "documents")
+        ev = d.filter(F.col("doc_id") % 20 == 0)
+        tr = d.filter(F.col("doc_id") % 20 != 0)
+        out = assemble_training_set(
+            tr,
+            ev,
+            _MIX_WEIGHTS,
+            _MIX_BUDGET,
+            min_quality=0.5,
+            langs=("en", "es"),
+            decon_shingle_k=_DECON_K,
+            lsh_num_hashes=8,
+            lsh_bands=4,
+            lsh_shingle_k=3,
+        )
+        return out.select(
+            "doc_id", "source", "lang_pred", "quality", "n_tokens"
+        )
+
     return {
         "clean_text_collapse": clean_text_collapse,
         "content_sample": content_sample,
@@ -1336,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget_approx_docs": sample_budget_approx_docs,
         "near_dup_clusters": near_dup_clusters,
         "near_dup_survivors": near_dup_survivors,
+        "assemble_training_docs": assemble_training_docs,
     }
 
 
@@ -1365,14 +1389,15 @@ def oracle_sql() -> dict[str, str]:
 
     mh_cols = ", ".join(mh_expr(i, 4) for i in range(4))
 
-    # shared CTE chain: banded MinHash-LSH candidate pairs over documents
+    # shared CTE chain: banded MinHash-LSH candidate pairs over ``src``
     # (8 hashes, 4 bands of 2) — used by minhash_lsh and, extended with a
-    # recursive reachability closure, by the cluster entries
-    _lsh_pairs_ctes = f"""sigs AS (
+    # recursive reachability closure, by the cluster/assembly entries
+    def _lsh_pairs_ctes_for(src: str) -> str:
+        return f"""sigs AS (
               SELECT doc_id,
                      [{", ".join(mh_expr(i, 8) for i in range(8))}] AS minhash
               FROM (SELECT doc_id, {hs} AS hv
-                    FROM (SELECT doc_id, {sh} AS sh FROM documents))
+                    FROM (SELECT doc_id, {sh} AS sh FROM {src}))
             ),
             banded AS (
               SELECT doc_id, b.band_id,
@@ -1387,10 +1412,13 @@ def oracle_sql() -> dict[str, str]:
                AND l.doc_id < r.doc_id
             )"""
 
+    _lsh_pairs_ctes = _lsh_pairs_ctes_for("documents")
+
     # connected components of the pair graph: min reachable id per node
     # (recursive closure is fine at oracle scale; the engine side uses
     # log-rounds label propagation instead)
-    _cc_ctes = f"""{_lsh_pairs_ctes},
+    def _cc_ctes_for(src: str) -> str:
+        return f"""{_lsh_pairs_ctes_for(src)},
             edges AS (
               SELECT id_a AS src, id_b AS dst FROM lsh_pairs
               UNION
@@ -1402,6 +1430,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
             ),
             comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)"""
+
+    _cc_ctes = _cc_ctes_for("documents")
 
     tm = " + ".join(
         f"(CASE WHEN contains(substring(text, 1, 60), '{k}') THEN 1 ELSE 0 END)"
@@ -1461,7 +1491,7 @@ def oracle_sql() -> dict[str, str]:
     # (same arithmetic as the individual quality_score_docs / lang_id_docs
     # oracles), reused by curate_docs and curation_funnel
     curation_scored = rf"""
-      SELECT doc_id, text,
+      SELECT doc_id, text, source,
              round(least(1.0, n_tokens / 100.0) * 0.5
                    + least(stopword_ratio * 4.0, 1.0) * 0.3
                    + (CASE WHEN mean_token_len BETWEEN 3 AND 10
@@ -1471,7 +1501,7 @@ def oracle_sql() -> dict[str, str]:
                   WHEN en_n > 0 THEN 'en'
                   ELSE 'unknown' END AS lang_pred
       FROM (
-        SELECT doc_id, text,
+        SELECT doc_id, text, source,
                len({_D_TOKS}) AS n_tokens,
                round({en} / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio,
                round(list_aggregate(list_transform({_D_TOKS}, t -> length(t)), 'sum')
@@ -2143,5 +2173,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
             WHERE coalesce(c.comp, d.doc_id) = d.doc_id
+        """,
+        "assemble_training_docs": f"""
+            -- the full pipeline, stage for stage: curate (quality ->
+            -- language -> exact dedup), decontaminate vs the eval split,
+            -- near-dup components over LSH pairs, token-budget mixing
+            WITH RECURSIVE scored AS ({curation_scored}),
+            kept AS (
+              SELECT * FROM scored
+              WHERE doc_id % 20 <> 0
+                AND quality >= 0.5 AND lang_pred IN ('en', 'es')
+            ),
+            keep_ids AS (
+              SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+            ),
+            curated AS (SELECT k.* FROM kept k JOIN keep_ids USING (doc_id)),
+            evg AS (
+              SELECT DISTINCT {_duck_hash60('s')} AS g
+              FROM (SELECT unnest({_duck_shingles(_DECON_K)}) AS s
+                    FROM documents WHERE doc_id % 20 = 0)
+            ),
+            hitids AS (
+              SELECT DISTINCT t.doc_id
+              FROM (SELECT doc_id, {_duck_hash60('s')} AS g
+                    FROM (SELECT doc_id,
+                                 unnest({_duck_shingles(_DECON_K)}) AS s
+                          FROM curated)) t
+              JOIN evg USING (g)
+            ),
+            clean AS (
+              SELECT * FROM curated
+              WHERE doc_id NOT IN (SELECT doc_id FROM hitids)
+            ),
+            {_cc_ctes_for("clean")},
+            survivors AS (
+              SELECT c.* FROM clean c LEFT JOIN comp ON comp.id = c.doc_id
+              WHERE coalesce(comp.comp, c.doc_id) = c.doc_id
+            ),
+            t2 AS (
+              SELECT doc_id, source, lang_pred, quality,
+                     len({_D_TOKS}) AS n_tokens,
+                     {_duck_hash60('cast(doc_id as varchar)')} AS pri
+              FROM survivors
+            ),
+            c2 AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+                     {_mix_budget_case()} AS budget
+              FROM t2
+            )
+            SELECT doc_id, source, lang_pred, quality,
+                   cast(n_tokens as bigint) AS n_tokens
+            FROM c2 WHERE cum <= budget
         """,
     }

@@ -80,3 +80,65 @@ def curation_stats(
         .agg(F.count("*").alias("n_deduped"))
     )
     return funnel.crossJoin(n_dedup)
+
+
+def assemble_training_set(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    weights: dict,
+    token_budget: int,
+    min_quality: float = 0.5,
+    langs: Sequence[str] = ("en",),
+    decon_shingle_k: int = 13,
+    lsh_num_hashes: int = 16,
+    lsh_bands: int = 4,
+    lsh_shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The full corpus-to-training-set pipeline as one dataflow:
+
+    curate (quality -> language -> exact dedup)
+      -> decontaminate (drop docs overlapping ``eval_docs`` n-grams)
+      -> near-dup dedup (MinHash-LSH pairs -> connected components ->
+         smallest id per cluster survives)
+      -> token-budget mixing (per-source hash-priority sample to
+         weighted shares of ``token_budget``)
+
+    Each stage is the already-oracled operator; composing them
+    declaratively lets Catalyst pipeline the projection stages and keeps
+    the only shuffles the ones each stage inherently needs (content hash,
+    LSH bands, component labels, source windows). Output = surviving rows
+    with ``lang_pred``/``quality``/``n_tokens`` provenance.
+    """
+    from crawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_dedup,
+    )
+    from crawler_spark.operators.sampling import (
+        decontaminate,
+        sample_to_token_budget,
+    )
+
+    curated = curate(docs, min_quality, langs, text_col, id_col)
+    clean = decontaminate(
+        curated, eval_docs, text_col, id_col, shingle_k=decon_shingle_k
+    )
+    pairs = minhash_lsh_pairs(
+        clean,
+        text_col,
+        id_col,
+        num_hashes=lsh_num_hashes,
+        bands=lsh_bands,
+        shingle_k=lsh_shingle_k,
+    )
+    survivors = near_dup_dedup(clean, pairs, id_col)
+    return sample_to_token_budget(
+        survivors,
+        weights,
+        token_budget,
+        source_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+    )

@@ -194,3 +194,35 @@ def test_near_dup_dedup_keeps_min_and_singletons(spark):
     plan = (cluster_near_dups(docs, pairs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_assemble_training_set_end_to_end(spark):
+    """Composition over real testdata: every survivor passed every gate,
+    per-source token budgets hold, result is partitioning-invariant."""
+    from crawler_spark.operators.curation import assemble_training_set
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    tr = d.filter(F.col("doc_id") % 20 != 0)
+    weights = {f"src{i}": 1.0 for i in range(20)}
+    out = assemble_training_set(
+        tr, ev, weights, 2000, min_quality=0.5, langs=("en", "es"),
+        decon_shingle_k=8, lsh_num_hashes=8, lsh_bands=4, lsh_shingle_k=3,
+    ).cache()
+    rows = out.collect()
+    assert rows, "assembly produced an empty training set"
+    assert all(r["quality"] >= 0.5 for r in rows)
+    assert all(r["lang_pred"] in ("en", "es") for r in rows)
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + r["n_tokens"]
+    for s, tok in per.items():
+        assert tok <= 2000 // 20, (s, tok)
+    again = assemble_training_set(
+        tr.repartition(7, "doc_id"), ev, weights, 2000, min_quality=0.5,
+        langs=("en", "es"), decon_shingle_k=8, lsh_num_hashes=8,
+        lsh_bands=4, lsh_shingle_k=3,
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
