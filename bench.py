@@ -233,6 +233,26 @@ def run(spark, sf_dir: str):
             )
         ).select(F.sum(F.length("deduped_text"))).collect()
 
+    # ---- q_assemble: the flagship corpus -> training-set composition ------
+    # (curate -> decontaminate -> near-dup components -> budget mixing)
+    with timed("q_assemble"):
+        from crawler_spark.operators.curation import assemble_training_set
+
+        ev = docs.filter(F.col("doc_id") % 20 == 0)
+        tr = docs.filter(F.col("doc_id") % 20 != 0)
+        weights = {f"src{i}": (2.0 if i % 2 else 1.0) for i in range(20)}
+        n_assembled, n_assembled_tokens = (
+            assemble_training_set(
+                tr, ev, weights, 100_000, min_quality=0.5, langs=("en", "es"),
+                decon_shingle_k=8, lsh_num_hashes=8, lsh_bands=4,
+                lsh_shingle_k=3,
+            )
+            .agg(F.count("*"), F.sum("n_tokens"))
+            .first()
+        )
+    extra["assembled_docs"] = int(n_assembled)
+    extra["assembled_tokens"] = int(n_assembled_tokens or 0)
+
     total = round(sum(times.values()), 3)
     return {
         "metric": "crawl_extract_pipeline_suite",
