@@ -540,6 +540,13 @@ _MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 else 1.0) for i in range(20)}
 _MIX_BUDGET = 10_000
 _MIX_BUCKETS = 64
 
+# duplicate-span detection: 5-gram spans (sf0.01 has ~1.1k corpus-duplicated
+# 5-grams touching ~70 docs — a healthy gate size); source-reputation gate
+# threshold sits mid-range of the synthetic sources' mean quality (0.49-0.60)
+# so the filter visibly discriminates
+_DUPSPAN_N = 5
+_REPUTATION_MIN_Q = 0.54
+
 
 def _spark_shingles(k: int = 3) -> str:
     from crawler_spark.operators.dedup import shingles_expr
@@ -1305,6 +1312,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source", "lang_pred", "quality", "n_tokens"
         )
 
+    # ---- CCNet-style bigram-LM scoring (corpus-trained, fixed-point sums)
+    def lm_score_docs(spark, sf_dir):
+        from crawler_spark.operators.lm import lm_score
+
+        return lm_score(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "n_bigrams", "sum_logp_q", "avg_nll"
+        )
+
+    # ---- Lee-et-al. exact duplicate n-gram spans (gaps-and-islands merge)
+    def dup_span_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import duplicate_ngram_spans
+
+        return duplicate_ngram_spans(
+            _t(spark, sf_dir, "documents"), n=_DUPSPAN_N
+        ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+    # ---- duplicate-span stripping (per-token anti-join + ordered rebuild)
+    def strip_spans_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import strip_duplicate_spans
+
+        return strip_duplicate_spans(
+            _t(spark, sf_dir, "documents"), n=_DUPSPAN_N
+        ).select("doc_id", "kept_text", "n_tokens", "removed_tokens")
+
+    # ---- host/source reputation gate (RefinedWeb-style wholesale drop)
+    def source_reputation_docs(spark, sf_dir):
+        from crawler_spark.operators.curation import source_reputation_filter
+
+        return source_reputation_filter(
+            _t(spark, sf_dir, "documents"),
+            min_mean_quality=_REPUTATION_MIN_Q,
+        ).select("doc_id", "source", "mean_quality", "exact_dup_frac")
+
     return {
         "clean_text_collapse": clean_text_collapse,
         "content_sample": content_sample,
@@ -1360,6 +1400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": near_dup_clusters,
         "near_dup_survivors": near_dup_survivors,
         "assemble_training_docs": assemble_training_docs,
+        "lm_score_docs": lm_score_docs,
+        "dup_span_docs": dup_span_docs,
+        "strip_spans_docs": strip_spans_docs,
+        "source_reputation_docs": source_reputation_docs,
     }
 
 
@@ -2225,5 +2269,115 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, lang_pred, quality,
                    cast(n_tokens as bigint) AS n_tokens
             FROM c2 WHERE cum <= budget
+        """,
+        # corpus-trained bigram LM: add-one smoothing, fixed-point BIGINT
+        # log-prob sums (order-free, exact across engines; lm.py)
+        "lm_score_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            ex AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+                   FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+            v AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(tk) AS t FROM toks)),
+            bg AS (SELECT prev, cur, count(*) AS bg_n FROM ex GROUP BY 1, 2),
+            cx AS (SELECT prev, count(*) AS ctx_n FROM ex GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          cast(round(ln((bg_n + 1) / cast(ctx_n + v as double))
+                               * 1000000) as bigint) AS q
+                   FROM ex JOIN bg USING (prev, cur)
+                           JOIN cx USING (prev) CROSS JOIN v),
+            pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                          cast(sum(q) as bigint) AS sum_logp_q FROM sc GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(sum_logp_q, 0) AS sum_logp_q,
+                   CASE WHEN coalesce(n_bigrams, 0) > 0
+                        THEN round(-sum_logp_q / cast(n_bigrams as double)
+                                   / 1000000, 6) END AS avg_nll
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # Lee-et-al. duplicate n-gram spans: count positions whose n-gram
+        # repeats corpus-wide, merge into islands (t - rank is constant)
+        "dup_span_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            ng AS (SELECT doc_id, cast(i as int) AS pos,
+                          {_duck_hash60(f"array_to_string(list_slice(tk, i + 1, i + {_DUPSPAN_N}), ' ')")} AS g
+                   FROM toks,
+                        unnest(range(0, greatest(len(tk) - {_DUPSPAN_N} + 1, 0))) AS u(i)),
+            hot AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS t
+                    FROM ng JOIN hot USING (g),
+                         unnest(range(0, {_DUPSPAN_N})) AS v(j)),
+            isl AS (SELECT doc_id, t,
+                           t - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY t) AS grp
+                    FROM cov)
+            SELECT doc_id, cast(min(t) as int) AS span_start,
+                   cast(max(t) as int) AS span_end,
+                   cast(max(t) - min(t) + 1 as int) AS span_tokens
+            FROM isl GROUP BY doc_id, grp
+        """,
+        # duplicate-span stripping: anti-join covered token positions,
+        # rebuild in position order (string_agg ORDER BY = Spark's
+        # array_sort(collect_list(struct(pos, tok))))
+        "strip_spans_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            ng AS (SELECT doc_id, cast(i as int) AS pos,
+                          {_duck_hash60(f"array_to_string(list_slice(tk, i + 1, i + {_DUPSPAN_N}), ' ')")} AS g
+                   FROM toks,
+                        unnest(range(0, greatest(len(tk) - {_DUPSPAN_N} + 1, 0))) AS u(i)),
+            hot AS (SELECT g FROM ng GROUP BY g HAVING count(*) >= 2),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS t
+                    FROM ng JOIN hot USING (g),
+                         unnest(range(0, {_DUPSPAN_N})) AS v(j)),
+            tokpos AS (SELECT doc_id, cast(i - 1 as int) AS pos, tk[i] AS tok
+                       FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)),
+            kept AS (SELECT tp.* FROM tokpos tp
+                     LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.pos
+                     WHERE cov.t IS NULL),
+            reb AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS kept_text,
+                           count(*) AS kept_tokens
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, coalesce(reb.kept_text, '') AS kept_text,
+                   cast(len(tk) as int) AS n_tokens,
+                   cast(len(tk) - coalesce(kept_tokens, 0) as int) AS removed_tokens
+            FROM toks t LEFT JOIN reb ON reb.doc_id = t.doc_id
+        """,
+        # source reputation gate: per-source fixed-point mean quality +
+        # exact-dup fraction, survivors joined back (curation.py)
+        "source_reputation_docs": rf"""
+            WITH q AS (
+              SELECT doc_id, source, text,
+                     round(least(1.0, n_tokens / 100.0) * 0.5
+                           + least(stopword_ratio * 4.0, 1.0) * 0.3
+                           + (CASE WHEN mean_token_len BETWEEN 3 AND 10
+                                   THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality
+              FROM (
+                SELECT doc_id, source, text,
+                       len({_D_TOKS}) AS n_tokens,
+                       round({en} / greatest(len({_D_TOKS}), 1), 6) AS stopword_ratio,
+                       round(list_aggregate(list_transform({_D_TOKS}, t -> length(t)), 'sum')
+                             / greatest(len({_D_TOKS}), 1), 6) AS mean_token_len
+                FROM documents
+              )
+            ),
+            per AS (
+              SELECT source, {_duck_hash60('text')} AS ch, count(*) AS k,
+                     sum(cast(round(quality * 1000000) as bigint)) AS qq
+              FROM q GROUP BY 1, 2
+            ),
+            st AS (
+              SELECT source, sum(k) AS n_docs,
+                     round(sum(qq) / cast(sum(k) as double) / 1000000, 6) AS mean_quality,
+                     round(sum(k - 1) / cast(sum(k) as double), 6) AS exact_dup_frac
+              FROM per GROUP BY source
+            ),
+            good AS (
+              SELECT source, mean_quality, exact_dup_frac FROM st
+              WHERE mean_quality >= {_REPUTATION_MIN_Q}
+                AND exact_dup_frac <= 1.0 AND n_docs >= 1
+            )
+            SELECT d.doc_id, d.source, mean_quality, exact_dup_frac
+            FROM documents d JOIN good USING (source)
         """,
     }

@@ -233,6 +233,22 @@ def run(spark, sf_dir: str):
             )
         ).select(F.sum(F.length("deduped_text"))).collect()
 
+    # ---- q_lm_score: corpus-trained bigram LM scoring (CCNet-style) -------
+    with timed("q_lm_score"):
+        from crawler_spark.operators.lm import lm_score
+
+        lm_score(docs).select(
+            F.count("*"), F.sum("sum_logp_q"), F.sum("n_bigrams")
+        ).collect()
+
+    # ---- q_dup_spans: Lee-et-al. duplicate n-gram span strip --------------
+    with timed("q_dup_spans"):
+        from crawler_spark.operators.dedup import strip_duplicate_spans
+
+        strip_duplicate_spans(docs, n=5).select(
+            F.count("*"), F.sum("removed_tokens"), F.sum(F.length("kept_text"))
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

@@ -142,3 +142,73 @@ def assemble_training_set(
         id_col=id_col,
         text_col=text_col,
     )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source reputation aggregates: ``(source, n_docs, n_chars,
+    mean_quality, exact_dup_frac)``.
+
+    RefinedWeb/C4-style pipelines gate at the *host* level before paying
+    per-document costs — a source whose documents are mostly duplicates or
+    mostly low-quality is dropped wholesale. One groupBy(source) shuffle;
+    the quality expression fuses into the scan projection (no extra pass)
+    and the duplicate count rides the same content-hash used by
+    ``exact_dedup``, counted per source with an exact integer.
+
+    Determinism: ``mean_quality`` averages values already rounded to 6
+    decimals by ``quality_score``; the sum is quantized to fixed-point
+    BIGINT before dividing (same trick as lm.py) so partition order can
+    never change the result.
+    """
+    from crawler_spark.operators.dedup import content_hash
+
+    q = quality_score(docs.select(id_col, source_col, text_col), text_col=text_col)
+    h = content_hash(q, text_col=text_col)
+    # per (source, content_hash): k occurrences => k - 1 redundant docs
+    per_hash = h.groupBy(source_col, "content_hash").agg(
+        F.count("*").alias("_k"),
+        F.sum("n_chars").alias("_chars"),
+        F.sum(F.expr("cast(round(quality * 1000000) as bigint)")).alias("_q_q"),
+    )
+    return (
+        per_hash.groupBy(source_col)
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_docs"),
+            F.sum("_chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                "round(sum(_q_q) / cast(sum(_k) as double) / 1000000, 6)"
+            ).alias("mean_quality"),
+            F.expr(
+                "round(sum(_k - 1) / cast(sum(_k) as double), 6)"
+            ).alias("exact_dup_frac"),
+        )
+    )
+
+
+def source_reputation_filter(
+    docs: DataFrame,
+    min_mean_quality: float = 0.0,
+    max_dup_frac: float = 1.0,
+    min_docs: int = 1,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep only documents from sources that pass the reputation gates.
+
+    The stats table is sources-sized (tiny next to the corpus), so the
+    join back is an explicit broadcast — no corpus shuffle. Schema is the
+    input schema plus the source's ``mean_quality`` and ``exact_dup_frac``
+    (provenance for downstream sampling weights).
+    """
+    good = source_stats(docs, source_col, text_col, id_col).filter(
+        (F.col("mean_quality") >= F.lit(min_mean_quality))
+        & (F.col("exact_dup_frac") <= F.lit(max_dup_frac))
+        & (F.col("n_docs") >= F.lit(min_docs))
+    ).select(source_col, "mean_quality", "exact_dup_frac")
+    return docs.join(F.broadcast(good), source_col)

@@ -402,6 +402,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the undirected pair graph: (id, comp) with
     ``comp`` = the smallest id in the component.
@@ -417,7 +418,20 @@ def connected_components(
 
     Per-round frames are ``localCheckpoint``-ed to cut the growing lineage
     (an iterative-join plan re-evaluates the whole history otherwise).
+
+    Adaptive fast path: when the edge list is small (driver-known count
+    ``<= local_threshold``, the same decide-from-a-count pattern as the
+    frontier's broadcast joins), the graph is solved with union-find on
+    the driver instead of the iterative join loop — the candidate-pair
+    graph of a dedup run is orders of magnitude smaller than the corpus,
+    so this is the common case, and it replaces O(log n) join rounds with
+    one collect. Output is bit-identical either way (``comp`` = min id is
+    algorithm-independent); ``local_threshold=0`` forces the distributed
+    loop. 2M edges ≈ tens of MB on the driver — the same budget the
+    broadcast joins already assume.
     """
+    if local_threshold and pairs.count() <= local_threshold:
+        return _connected_components_local(pairs, a_col, b_col)
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -477,6 +491,41 @@ def connected_components(
     return labels
 
 
+def _connected_components_local(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Driver-side union-find for small candidate graphs; same output
+    contract as the distributed loop (every node that appears in a pair,
+    labeled with the smallest id of its component)."""
+    id_type = dict(pairs.dtypes)[a_col]
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.select(a_col, b_col).toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    out = [(x, comp_min[roots[x]]) for x in sorted(parent)]
+    return pairs.sparkSession.createDataFrame(
+        out, f"id {id_type}, comp {id_type}"
+    )
+
+
 def cluster_near_dups(
     docs: DataFrame,
     pairs: DataFrame,
@@ -510,4 +559,127 @@ def near_dup_dedup(
     clustered = cluster_near_dups(docs, pairs, id_col, a_col, b_col)
     return clustered.filter(F.col("cluster_id") == F.col(id_col)).drop(
         "cluster_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better"): find token n-grams that occur more
+# than once anywhere in the corpus, merge overlapping hits into maximal
+# per-document spans, and optionally strip them. The reference repo has no
+# analog; this is the standard substring-level complement to the
+# document-level MinHash/SimHash family above.
+#
+# Scale shape: one shuffle to count n-gram occurrences (map-side combine;
+# the count table is n-gram-vocabulary-sized, not corpus-sized), one
+# equi-join of the exploded corpus against the >= min_count survivors
+# (AQE broadcasts it when small), then per-document windows over only the
+# *duplicated* positions — a tiny fraction of the corpus by construction.
+# Nothing is quadratic: unlike a suffix array we never materialize
+# cross-document pairs, only per-position membership.
+# ---------------------------------------------------------------------------
+
+
+def ngram_pos_expr(text_col: str, n: int) -> str:
+    """Positioned n-gram hashes ``(pos, g)`` as one SQL expression; the
+    token array is bound once (see shingles_expr). Docs with < n tokens
+    yield an empty array — the size guard matters because Spark's
+    ``sequence(0, -1)`` counts down."""
+    toks = tokens_expr(text_col)
+    g = _hash60(f"concat_ws(' ', slice(tk, i + 1, {n}))")
+    return (
+        f"flatten(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) < {n} THEN "
+        f"cast(array() as array<struct<pos:int,g:bigint>>) "
+        f"ELSE transform(sequence(0, size(tk) - {n}), "
+        f"i -> named_struct('pos', cast(i as int), 'g', {g})) END))"
+    )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal per-document token spans covered by n-grams that occur at
+    least ``min_count`` times corpus-wide (multiplicity counts: a doc that
+    repeats itself is a duplicate of itself, matching Lee et al.).
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` with 0-based
+    inclusive token indices. Overlapping/adjacent duplicated n-grams merge
+    into one span via the gaps-and-islands trick (covered position minus
+    its per-doc rank is constant within an island).
+    """
+    from pyspark.sql import Window
+
+    ex = (
+        df.select(F.col(id_col), F.explode(F.expr(ngram_pos_expr(text_col, n))).alias("ng"))
+        .select(id_col, F.col("ng.pos").alias("pos"), F.col("ng.g").alias("g"))
+    )
+    hot = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_count)
+        .select("g")
+    )
+    covered = (
+        ex.join(hot, "g")
+        .select(id_col, F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("t"))
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("t")
+    return (
+        covered.withColumn("_grp", F.col("t") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(
+            F.min("t").cast("int").alias("span_start"),
+            F.max("t").cast("int").alias("span_end"),
+            (F.max("t") - F.min("t") + 1).cast("int").alias("span_tokens"),
+        )
+        .drop("_grp")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every token covered by a corpus-duplicated n-gram and
+    reassemble the remainder with single spaces (whitespace is already
+    collapsed by tokenization upstream of every dedup operator).
+
+    Returns one row per input row: ``(id_col, kept_text, n_tokens,
+    removed_tokens)``. Spans touch a small fraction of the corpus by
+    construction, so the rebuild never explodes the corpus's tokens:
+    spans fold into one array per affected document (a spans-sized
+    groupBy), join back on the id, and the strip itself is a per-row
+    higher-order-function filter — token order is the array order, no
+    re-sort, no second corpus shuffle.
+    """
+    spans = duplicate_ngram_spans(df, n, min_count, text_col, id_col)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.expr(
+            "array_sort(collect_list(named_struct("
+            "'s', span_start, 'e', span_end)))"
+        ).alias("_sp")
+    )
+    toks = tokens_expr(text_col)
+    kept = (
+        f"CASE WHEN _sp IS NULL THEN {toks} ELSE "
+        f"transform(filter(transform({toks}, (t, i) -> named_struct('t', t, 'i', i)), "
+        f"x -> NOT exists(_sp, sp -> x.i >= sp.s AND x.i <= sp.e)), x -> x.t) END"
+    )
+    return (
+        df.join(spans_arr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.expr(f"concat_ws(' ', {kept})").alias("kept_text"),
+            F.expr(f"size({toks})").alias("n_tokens"),
+            F.expr(f"size({toks}) - size({kept})").cast("int").alias("removed_tokens"),
+        )
     )

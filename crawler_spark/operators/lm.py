@@ -1,0 +1,135 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style perplexity
+filter) for training-data pipelines.
+
+CCNet (Wenzek et al. 2020) ranks Common-Crawl documents by the perplexity
+of a language model and keeps the low-perplexity head; the reference repo
+has no LM, so this is a scale-path addition in the spirit of SURVEY §2's
+"text analysis" family. Instead of shipping a pretrained KenLM binary
+(non-deterministic dependency), the operator trains the model *on the
+corpus itself* inside the same dataflow: add-one-smoothed bigram
+probabilities from corpus-wide counts, scored back onto every document.
+Self-perplexity is the standard model-free proxy — boilerplate and
+templated spam score low (predictable), lexically incoherent noise scores
+high — and the whole thing is three hash aggregations plus two key joins,
+no Python, no model artifact.
+
+Determinism contract (the driver value-hash compares against DuckDB):
+each bigram's log-probability is quantized to fixed-point
+``cast(round(ln(p) * 1e6) as bigint)`` and summed as BIGINT, so per-doc
+sums are exact integers independent of partition/summation order (same
+trick as the IVF quantizer, similarity.py). Only the final divide
+produces a double, rounded to 6 decimals from identical integer inputs
+in both engines.
+
+Scale shape (100 TB corpus):
+- one shuffle to count bigram frequencies (map-side partial combine),
+- one shuffle to count context (prev-token) frequencies,
+- two equi-joins of the exploded corpus against those count tables
+  (AQE picks broadcast when the vocabulary is small enough),
+- one groupBy(doc_id) to fold scores back per document.
+The count tables are vocabulary-sized, not corpus-sized — the classic
+n-gram-LM MapReduce shape (Brants et al. 2007, "Large Language Models in
+Machine Translation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import tokens_expr
+
+# fixed-point scale for log-probabilities: 1e-6 resolution, exact BIGINT
+# sums (a doc would need ~2^43 bigrams to overflow the 2^63 sum)
+_Q = 1_000_000
+
+
+def bigrams_expr(text_col: str = "text") -> str:
+    """Ordered bigram structs ``(pos, prev, cur)`` as one SQL expression.
+
+    The token array is bound once via ``transform(array(toks), ...)`` so
+    the regex split runs once per row (see dedup.shingles_expr for the
+    measured O(tokens^2) pitfall this avoids). Docs with < 2 tokens yield
+    an empty array — Spark's ``sequence(1, 0)`` counts *down*, so the
+    size guard is load-bearing, not defensive.
+    """
+    toks = tokens_expr(text_col)
+    return (
+        f"flatten(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) < 2 THEN "
+        f"cast(array() as array<struct<pos:int,prev:string,cur:string>>) "
+        f"ELSE transform(sequence(1, size(tk) - 1), "
+        f"i -> named_struct('pos', cast(i as int), "
+        f"'prev', tk[i-1], 'cur', tk[i])) END))"
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under an add-one-smoothed bigram LM trained on
+    the corpus itself.
+
+    Returns one row per input row with:
+    - ``n_bigrams``  — bigram count (0 for docs with < 2 tokens),
+    - ``sum_logp_q`` — exact BIGINT sum of fixed-point log-probs,
+    - ``avg_nll``    — mean negative log-likelihood per bigram (nats,
+      rounded to 6 decimals; NULL when n_bigrams = 0). Perplexity is
+      ``exp(avg_nll)`` — left to the caller because ``exp`` is the one
+      step that is not bit-reproducible across engines.
+    """
+    ex = (
+        df.select(F.col(id_col), F.explode(F.expr(bigrams_expr(text_col))).alias("bg"))
+        .select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    # vocabulary size over *all* tokens (contexts and finals alike)
+    vocab = (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    bg_counts = ex.groupBy("prev", "cur").agg(F.count("*").alias("bg_n"))
+    ctx_counts = ex.groupBy("prev").agg(F.count("*").alias("ctx_n"))
+    scored = (
+        ex.join(bg_counts, ["prev", "cur"])
+        .join(ctx_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp_q",
+            F.expr(
+                f"cast(round(ln((bg_n + 1) / cast(ctx_n + v as double)) * {_Q}) as bigint)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("logp_q").alias("sum_logp_q"),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+        .withColumn("sum_logp_q", F.coalesce(F.col("sum_logp_q"), F.lit(0)))
+        .withColumn(
+            "avg_nll",
+            F.expr(
+                f"CASE WHEN n_bigrams > 0 THEN "
+                f"round(-sum_logp_q / cast(n_bigrams as double) / {_Q}, 6) END"
+            ),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    max_avg_nll: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style head selection: keep documents whose bigram mean NLL is
+    at or below ``max_avg_nll`` (low NLL = predictable = keep). Docs too
+    short to have bigrams are kept — length gating belongs to the quality
+    filters, not the LM."""
+    return lm_score(df, text_col=text_col, id_col=id_col).filter(
+        (F.col("n_bigrams") == 0) | (F.col("avg_nll") <= F.lit(max_avg_nll))
+    )

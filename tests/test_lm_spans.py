@@ -1,0 +1,189 @@
+"""Corpus-trained bigram LM scoring (`operators/lm.py`), exact duplicate
+n-gram span detection/stripping (`operators/dedup.py`), source-reputation
+gating (`operators/curation.py`), and the connected-components adaptive
+fast path.
+
+LM values are hand-computed from the add-one-smoothing definition; the
+DuckDB value-hash parity for every operator here runs in the driver gate
+(`__spark_entry__`)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import (
+    connected_components,
+    duplicate_ngram_spans,
+    strip_duplicate_spans,
+)
+from crawler_spark.operators.lm import lm_score, perplexity_filter
+
+
+@pytest.fixture(scope="module")
+def lm_docs(spark):
+    rows = [
+        (0, "a b a b"),
+        (1, "a b c"),
+        (2, "z"),          # single token: no bigrams
+        (3, ""),           # split('') -> [''] -> still no bigrams
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def _expected_nll(bigrams, bg_n, ctx_n, v):
+    qs = [
+        round(math.log((bg_n[b] + 1) / (ctx_n[b[0]] + v)) * 1_000_000)
+        for b in bigrams
+    ]
+    return round(-sum(qs) / len(qs) / 1_000_000, 6)
+
+
+def test_lm_score_hand_computed(lm_docs):
+    out = {r["doc_id"]: r for r in lm_score(lm_docs).collect()}
+    # corpus bigrams: doc0 (a,b)(b,a)(a,b), doc1 (a,b)(b,c)
+    # counts: (a,b)=3 (b,a)=1 (b,c)=1; contexts: a=3 b=2
+    # vocab over all tokens: a b c z '' -> 5
+    bg_n = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    ctx_n = {"a": 3, "b": 2}
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_nll"] == _expected_nll(
+        [("a", "b"), ("b", "a"), ("a", "b")], bg_n, ctx_n, 5
+    )
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_nll"] == _expected_nll(
+        [("a", "b"), ("b", "c")], bg_n, ctx_n, 5
+    )
+    # short docs: zero bigrams, NULL score, zero exact sum
+    for d in (2, 3):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["sum_logp_q"] == 0
+        assert out[d]["avg_nll"] is None
+
+
+def test_lm_score_partition_invariant(lm_docs):
+    one = sorted(lm_score(lm_docs).collect())
+    many = sorted(lm_score(lm_docs.repartition(7)).collect())
+    assert one == many
+
+
+def test_perplexity_filter_keeps_predictable_and_short(lm_docs):
+    scores = {r["doc_id"]: r["avg_nll"] for r in lm_score(lm_docs).collect()}
+    cut = scores[0]  # doc0 is the most predictable (repeats the hot bigram)
+    kept = sorted(
+        r["doc_id"] for r in perplexity_filter(lm_docs, cut).collect()
+    )
+    assert 0 in kept
+    assert 2 in kept and 3 in kept  # no-bigram docs always pass the LM gate
+    assert 1 not in kept  # strictly above the cut
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram spans
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "one two three four five"  # 5-gram shared by docs 0 and 1
+    rows = [
+        (0, f"alpha {shared} beta gamma"),
+        (1, f"{shared} delta epsilon zeta eta theta"),
+        (2, "totally different words in this document here now"),
+        # doc 3 repeats a 6-token phrase internally -> self-duplicate,
+        # and the two occurrences' covered positions merge into one span
+        (3, "p q r s t u p q r s t u"),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_duplicate_spans_hand_checked(span_docs):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in duplicate_ngram_spans(span_docs, n=5).collect()
+    }
+    # doc0: tokens 1..5 are the shared 5-gram
+    # doc1: tokens 0..4
+    # doc3: "p q r s t u p q r s t u" — every 5-gram window of the repeated
+    # phrase occurs twice, covering the whole doc as ONE merged span
+    assert spans == {(0, 1, 5): 5, (1, 0, 4): 5, (3, 0, 11): 12}
+
+
+def test_strip_spans_rebuilds_in_order(span_docs):
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(span_docs, n=5).collect()}
+    assert out[0]["kept_text"] == "alpha beta gamma"
+    assert out[0]["removed_tokens"] == 5
+    assert out[1]["kept_text"] == "delta epsilon zeta eta theta"
+    assert out[2]["kept_text"] == "totally different words in this document here now"
+    assert out[2]["removed_tokens"] == 0
+    assert out[3]["kept_text"] == ""  # fully covered
+    assert out[3]["removed_tokens"] == 12
+    assert out[4]["kept_text"] == "tiny"
+
+
+def test_strip_spans_partition_invariant(span_docs):
+    one = sorted(strip_duplicate_spans(span_docs, n=5).collect())
+    many = sorted(
+        strip_duplicate_spans(span_docs.repartition(5), n=5).collect()
+    )
+    assert one == many
+
+
+# ---------------------------------------------------------------------------
+# source reputation
+# ---------------------------------------------------------------------------
+
+
+def test_source_stats_and_filter(spark):
+    from crawler_spark.operators.curation import (
+        source_reputation_filter,
+        source_stats,
+    )
+
+    # srcA: two identical docs (dup_frac 1/2); srcB: unique docs
+    rows = [
+        (0, "the cat and the dog with a hat for the win", "srcA"),
+        (1, "the cat and the dog with a hat for the win", "srcA"),
+        (2, "the quick brown fox jumps over the lazy dog today", "srcB"),
+        (3, "pack my box with five dozen liquor jugs right now", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    st = {r["source"]: r for r in source_stats(docs).collect()}
+    assert st["srcA"]["n_docs"] == 2 and st["srcA"]["exact_dup_frac"] == 0.5
+    assert st["srcB"]["n_docs"] == 2 and st["srcB"]["exact_dup_frac"] == 0.0
+    # mean_quality is the fixed-point mean of the per-doc quality scores
+    from crawler_spark.operators.text_analysis import quality_score
+
+    per_doc = {
+        r["doc_id"]: r["quality"] for r in quality_score(docs).collect()
+    }
+    exp_a = round(
+        (round(per_doc[0] * 1e6) + round(per_doc[1] * 1e6)) / 2 / 1e6, 6
+    )
+    assert st["srcA"]["mean_quality"] == exp_a
+
+    kept = source_reputation_filter(docs, max_dup_frac=0.25)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # stats table is sources-sized: the join back must be a broadcast
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# connected-components adaptive fast path
+# ---------------------------------------------------------------------------
+
+
+def test_cc_fast_path_matches_distributed(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a int, id_b int"
+    )
+    fast = sorted(connected_components(pairs).collect())
+    slow = sorted(connected_components(pairs, local_threshold=0).collect())
+    assert fast == slow
+    assert fast  # non-trivial graph actually produced components
