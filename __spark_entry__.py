@@ -546,6 +546,15 @@ _MIX_BUCKETS = 64
 # so the filter visibly discriminates
 _DUPSPAN_N = 5
 _REPUTATION_MIN_Q = 0.54
+# sessionization gap: 12h groups sf0.01's ~9h-spaced per-user events into
+# ~3.3k multi-event sessions (30min would make every event a singleton)
+_SESSION_GAP_SEC = 43_200
+
+# HLL sketch geometry: single source of truth is operators/sketch.py —
+# the oracle SQL interpolates the same constants so the engines can never
+# disagree on register count or bias correction
+from crawler_spark.operators.sketch import HLL_ALPHA as _HLL_ALPHA  # noqa: E402
+from crawler_spark.operators.sketch import HLL_M as _HLL_M  # noqa: E402
 
 
 def _spark_shingles(k: int = 3) -> str:
@@ -1336,6 +1345,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), n=_DUPSPAN_N
         ).select("doc_id", "kept_text", "n_tokens", "removed_tokens")
 
+    # ---- deterministic HLL sketch: per-source distinct-token estimate
+    def hll_distinct_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.sketch import hll_distinct
+
+        ex = _t(spark, sf_dir, "documents").select(
+            "source", F.explode(F.expr(tokens_expr("text"))).alias("t")
+        )
+        return hll_distinct(ex, ["source"], "t").select(
+            "source", "hll_s", "hll_zero_buckets", "hll_est"
+        )
+
+    # ---- gap sessionization over the events stream (12h gap => real
+    # multi-event sessions on this corpus; 30min would be all singletons)
+    def session_stats_events(spark, sf_dir):
+        from crawler_spark.operators.sessions import session_stats
+
+        return session_stats(
+            _t(spark, sf_dir, "events"), gap_sec=_SESSION_GAP_SEC
+        ).select(
+            "user_id", "session_idx", "n_events",
+            "min_event_id", "max_event_id", "duration_sec",
+        )
+
     # ---- host/source reputation gate (RefinedWeb-style wholesale drop)
     def source_reputation_docs(spark, sf_dir):
         from crawler_spark.operators.curation import source_reputation_filter
@@ -1404,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_docs": dup_span_docs,
         "strip_spans_docs": strip_spans_docs,
         "source_reputation_docs": source_reputation_docs,
+        "hll_distinct_docs": hll_distinct_docs,
+        "session_stats_events": session_stats_events,
     }
 
 
@@ -2316,9 +2351,9 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(t) - min(t) + 1 as int) AS span_tokens
             FROM isl GROUP BY doc_id, grp
         """,
-        # duplicate-span stripping: anti-join covered token positions,
-        # rebuild in position order (string_agg ORDER BY = Spark's
-        # array_sort(collect_list(struct(pos, tok))))
+        # duplicate-span stripping: the oracle rebuilds via anti-join +
+        # ordered string_agg; the Spark side gets the same bytes from a
+        # per-row HOF filter over the spans array (cheaper shape)
         "strip_spans_docs": rf"""
             WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
             ng AS (SELECT doc_id, cast(i as int) AS pos,
@@ -2379,5 +2414,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source, mean_quality, exact_dup_frac
             FROM documents d JOIN good USING (source)
+        """,
+        # deterministic HLL: same md5 hash60, integer rank from bin-string
+        # length, exact scaled indicator sum over BIGINTs (sketch.py)
+        "hll_distinct_docs": rf"""
+            WITH ex AS (SELECT source, unnest({_D_TOKS}) AS t FROM documents),
+            h AS (SELECT source, {_duck_hash60('t')} AS h FROM ex),
+            reg AS (SELECT source, h % {_HLL_M} AS bucket,
+                           CASE WHEN h // {_HLL_M} = 0 THEN 52
+                                ELSE 51 - length(bin(h // {_HLL_M})) + 1 END AS rank
+                    FROM h),
+            regs AS (SELECT source, bucket, max(rank) AS rank
+                     FROM reg GROUP BY 1, 2),
+            pk AS (SELECT source,
+                          cast(sum(cast(pow(2, 53 - rank) as bigint)) as bigint) AS s_used,
+                          count(*) AS used
+                   FROM regs GROUP BY 1),
+            fin AS (SELECT source,
+                           cast(s_used + ({_HLL_M} - used)
+                                * cast(pow(2, 53) as bigint) as bigint) AS hll_s,
+                           cast({_HLL_M} - used as int) AS hll_zero_buckets,
+                           (cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}
+                            * pow(2, 53)
+                            / cast(s_used + ({_HLL_M} - used)
+                                   * cast(pow(2, 53) as bigint) as bigint)) AS raw
+                    FROM pk)
+            SELECT source, hll_s, hll_zero_buckets,
+                   round(CASE WHEN raw <= 2.5 * {_HLL_M} AND hll_zero_buckets > 0
+                              THEN {_HLL_M} * ln({_HLL_M} / cast(hll_zero_buckets as double))
+                              ELSE raw END, 6) AS hll_est
+            FROM fin
+        """,
+        # gap sessionization: lag + running-sum session numbering, floor
+        # epoch seconds on both sides (sessions.py)
+        "session_stats_events": f"""
+            WITH s AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR (epoch_us(ts) // 1000000)
+                               - (epoch_us(lag(ts) OVER w) // 1000000)
+                               > {_SESSION_GAP_SEC}
+                          THEN 1 ELSE 0 END AS session_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+              SELECT *, cast(sum(session_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) as int) AS session_idx
+              FROM s
+            )
+            SELECT user_id, session_idx, cast(count(*) as int) AS n_events,
+                   min(event_id) AS min_event_id,
+                   max(event_id) AS max_event_id,
+                   cast(max(epoch_us(ts) // 1000000)
+                        - min(epoch_us(ts) // 1000000) as bigint) AS duration_sec
+            FROM s2 GROUP BY 1, 2
         """,
     }

@@ -249,6 +249,27 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("removed_tokens"), F.sum(F.length("kept_text"))
         ).collect()
 
+    # ---- q_hll: per-source HLL distinct-token sketch (512 registers) ------
+    with timed("q_hll"):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.sketch import hll_distinct
+
+        ex = docs.select(
+            "source", F.explode(F.expr(tokens_expr("text"))).alias("t")
+        )
+        hll_distinct(ex, ["source"], "t").select(
+            F.count("*"), F.sum("hll_s")
+        ).collect()
+
+    # ---- q_sessions: gap sessionization over the events stream ------------
+    with timed("q_sessions"):
+        from crawler_spark.operators.sessions import session_stats
+
+        events_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        session_stats(events_df, gap_sec=43_200).select(
+            F.count("*"), F.sum("n_events"), F.sum("duration_sec")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

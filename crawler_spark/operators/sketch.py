@@ -1,0 +1,137 @@
+"""Deterministic HyperLogLog cardinality sketch: build / merge / estimate
+as pure Spark column math.
+
+Why a sketch in a crawl/curation engine: at 10^10-URL scale, per-host or
+per-source distinct counts (unique URLs seen, unique tokens, unique
+outlink targets) are monitoring signals you want every wave, but an exact
+``count(distinct ...)`` is a full shuffle of the keys themselves. An HLL
+register table is ~m small ints per group, mergeable across waves with an
+elementwise ``max`` — the same commutative-monoid property the Bloom
+sidecar exploits, applied to cardinality instead of membership.
+
+This implementation (Flajolet et al. 2007 HLL with the standard
+small-range linear-counting correction; no sparse mode) is built to be
+*bit-reproducible across engines*, which stock HLL libraries are not:
+
+- the hash is the engine-wide md5-based ``hash60`` (dedup.py), identical
+  in Spark and DuckDB;
+- a register's rank comes from ``length(bin(rest))`` — integer string
+  length, no float log2 at a rounding boundary;
+- the indicator sum ``sum_j 2^-M_j`` is kept EXACT by scaling to
+  ``S = sum_j 2^(53 - M_j)`` over BIGINTs (M_j <= 53, so each term fits;
+  512 registers * 2^53 < 2^63) — summation order cannot change it;
+- only the final estimate divides doubles (identical integer inputs),
+  rounded to 6 decimals.
+
+Scale shape: one groupBy((key, bucket)) with map-side partial ``max`` —
+the shuffle carries at most ``groups * m`` rows regardless of input size —
+then a groups-sized groupBy(key). Merging two sketch tables is the same
+groupBy-max, so per-wave sketches compose without rescanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import _hash60
+
+# 2^P registers per sketch. P=9 (m=512) keeps the standard error
+# ~1.04/sqrt(m) ≈ 4.6% while a whole register table is ~512 rows/group.
+HLL_P = 9
+HLL_M = 1 << HLL_P
+# hash60 yields 60 bits: P index bits + 51 rank bits; a zero remainder
+# means 51 leading zeros -> rank 52. Scale exponent 53 keeps 2^(53 - M_j)
+# a positive BIGINT for every attainable rank.
+_RANK_MAX = 53
+# alpha_m for m >= 128 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_rank_expr(hash_col: str) -> str:
+    """Rank from a 60-bit hash column. ``shiftright`` keeps the remainder
+    exact — ``h / m`` would round through a double and corrupt hashes
+    above 2^53. (The DuckDB oracle mirrors this with ``h // m``.)"""
+    rest = f"shiftright({hash_col}, {HLL_P})"
+    return (
+        f"CASE WHEN {rest} = 0 THEN {60 - HLL_P + 1} "
+        f"ELSE {60 - HLL_P} - length(bin({rest})) + 1 END"
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list,
+    value_expr: str,
+) -> DataFrame:
+    """Sketch register table ``key_cols + (bucket, rank)`` for the values
+    of ``value_expr`` (a SQL string expression) within each key group.
+
+    One shuffle, map-side combined to <= m rows per group. Registers for
+    empty buckets are implicit (rank 0) — ``hll_estimate`` accounts for
+    them, and implicit-zero tables merge correctly (max with nothing is
+    the other side).
+    """
+    h = _hash60(value_expr)
+    return (
+        df.select(
+            *key_cols,
+            F.expr(f"pmod({h}, {HLL_M})").cast("int").alias("bucket"),
+            F.expr(hll_rank_expr(f"({h})")).cast("int").alias("rank"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, key_cols: list) -> DataFrame:
+    """Merge two register tables (same keys/space): elementwise max.
+    ``merge(build(A), build(B)) == build(A UNION B)`` exactly — the
+    property the per-wave composition relies on; asserted in tests."""
+    return (
+        a.unionByName(b)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, key_cols: list) -> DataFrame:
+    """Cardinality estimate per key from a register table.
+
+    Output: ``key_cols + (hll_s bigint, hll_zero_buckets int, hll_est
+    double)``. ``hll_s`` is the exact scaled indicator sum — the
+    cross-engine anchor the oracle compares bit-for-bit; ``hll_est``
+    applies alpha bias correction and the small-range linear-counting
+    switch, rounded to 6 decimals.
+    """
+    per_key = registers.groupBy(*key_cols).agg(
+        F.sum(F.expr(f"cast(pow(2, {_RANK_MAX} - rank) as bigint)")).alias("_s_used"),
+        F.count("*").cast("int").alias("_used"),
+    )
+    zeros = f"({HLL_M} - _used)"
+    s = f"(_s_used + cast({zeros} as bigint) * cast(pow(2, {_RANK_MAX}) as bigint))"
+    # alpha is cast to double explicitly: both engines otherwise parse the
+    # decimal literal as DECIMAL and run (or overflow) fixed-point math
+    raw = (
+        f"(cast({HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M} "
+        f"* pow(2, {_RANK_MAX}) / {s})"
+    )
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {HLL_M} AND {zeros} > 0 "
+        f"THEN {HLL_M} * ln({HLL_M} / cast({zeros} as double)) "
+        f"ELSE {raw} END"
+    )
+    return per_key.select(
+        *key_cols,
+        F.expr(s).alias("hll_s"),
+        F.expr(zeros).alias("hll_zero_buckets"),
+        F.expr(f"round({est}, 6)").alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_cols: list, value_expr: str
+) -> DataFrame:
+    """Convenience: build + estimate in one call (per-key approximate
+    distinct count of ``value_expr``)."""
+    return hll_estimate(hll_registers(df, key_cols, value_expr), key_cols)

@@ -178,3 +178,50 @@ def test_lsh_bucket_filter_prunes_partitions(spark, tmp_path):
     pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf_lines and "lsh_bucket" in pf_lines[0]
     assert files_scanned(probed) < files_scanned(table)
+
+
+def test_lm_score_stays_jvm_side(spark):
+    """The bigram-LM pipeline is three hash aggregations + two equi-joins —
+    no Python evaluation anywhere, vocab crossJoin is a broadcast."""
+    from crawler_spark.operators.lm import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id int, text string"
+    )
+    plan = plan_of(lm_score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_strip_spans_rebuild_is_hof_not_corpus_explode(spark):
+    """The strip rebuild must join a spans-sized array table back to the
+    corpus and filter per-row — one Generate (the n-gram explode that
+    feeds the count), never a second corpus-wide token posexplode, and no
+    Python eval."""
+    from crawler_spark.operators.dedup import strip_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "a b c d e f g")], "doc_id int, text string"
+    )
+    import re
+
+    plan = plan_of(strip_duplicate_spans(docs, n=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly three Generates: the positioned-n-gram explode on each side
+    # of the hot-count join, and the covered-position sequence explode —
+    # the rebuild itself adds none (the old posexplode+anti-join rebuild
+    # added a fourth, corpus-sized one)
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) <= 3
+
+
+def test_source_reputation_join_back_is_broadcast(spark):
+    from crawler_spark.operators.curation import source_reputation_filter
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat today fine", "s0"),
+         (1, "another document for the other source", "s1")],
+        "doc_id int, text string, source string",
+    )
+    plan = plan_of(source_reputation_filter(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,120 @@
+"""HyperLogLog sketch (`operators/sketch.py`) and gap sessionization
+(`operators/sessions.py`). DuckDB value-hash parity runs in the driver
+gate; these tests cover the algebraic properties the gate cannot see
+(merge-associativity, estimate accuracy bands, plan shape)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sessions import session_stats, sessionize
+from crawler_spark.operators.sketch import (
+    HLL_M,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _vals(spark, lo, hi, key="k"):
+    return spark.range(lo, hi).select(
+        F.lit(key).alias("key"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+@pytest.mark.parametrize("n", [100, 2_000, 20_000])
+def test_hll_estimate_accuracy(spark, n):
+    est = (
+        hll_distinct(_vals(spark, 0, n), ["key"], "v")
+        .collect()[0]["hll_est"]
+    )
+    # standard error ~1.04/sqrt(512) = 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.14, (n, est)
+
+
+def test_hll_merge_equals_build_of_union(spark):
+    a = _vals(spark, 0, 3_000)
+    b = _vals(spark, 2_000, 6_000)  # overlapping ranges
+    merged = hll_merge(
+        hll_registers(a, ["key"], "v"),
+        hll_registers(b, ["key"], "v"),
+        ["key"],
+    )
+    direct = hll_registers(a.unionByName(b), ["key"], "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+    # and therefore identical estimates, not merely close ones
+    assert (
+        hll_estimate(merged, ["key"]).collect()
+        == hll_estimate(direct, ["key"]).collect()
+    )
+
+
+def test_hll_partition_invariant_and_bounded(spark):
+    v = _vals(spark, 0, 5_000)
+    one = hll_registers(v, ["key"], "v")
+    many = hll_registers(v.repartition(13), ["key"], "v")
+    assert sorted(one.collect()) == sorted(many.collect())
+    # the register table is the scale contract: never more than m rows/key
+    assert one.count() <= HLL_M
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    rows = [
+        # user 1: t=0,100 (one session), t=3000 (gap 2900 > 1800 -> new)
+        (10, "2024-01-01 00:00:00", 1),
+        (11, "2024-01-01 00:01:40", 1),
+        (12, "2024-01-01 00:50:00", 1),
+        # user 2: two events at the SAME timestamp — id breaks the tie
+        (21, "2024-01-01 05:00:00", 2),
+        (20, "2024-01-01 05:00:00", 2),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id int, ts_s string, user_id int"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+
+def test_sessionize_hand_checked(tiny_events):
+    out = {
+        r["event_id"]: (r["session_idx"], r["session_start"])
+        for r in sessionize(tiny_events, gap_sec=1800).collect()
+    }
+    assert out[10] == (1, 1)
+    assert out[11] == (1, 0)   # 100 s gap stays in session 1
+    assert out[12] == (2, 1)   # 2900 s gap opens session 2
+    assert out[20] == (1, 1)   # same-ts tie: lower id is the session opener
+    assert out[21] == (1, 0)
+
+
+def test_session_stats_hand_checked(tiny_events):
+    st = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(tiny_events, gap_sec=1800).collect()
+    }
+    assert st[(1, 1)]["n_events"] == 2 and st[(1, 1)]["duration_sec"] == 100
+    assert st[(1, 2)]["n_events"] == 1 and st[(1, 2)]["duration_sec"] == 0
+    assert st[(2, 1)]["n_events"] == 2 and st[(2, 1)]["duration_sec"] == 0
+    assert st[(2, 1)]["min_event_id"] == 20 and st[(2, 1)]["max_event_id"] == 21
+
+
+def test_session_stats_single_shuffle(tiny_events):
+    """groupBy(user, session_idx) must reuse the window's hash(user)
+    partitioning — exactly one Exchange in the whole plan."""
+    plan = (
+        session_stats(tiny_events, gap_sec=1800)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_partition_invariant(spark, tiny_events):
+    one = sorted(sessionize(tiny_events, gap_sec=1800).collect())
+    many = sorted(
+        sessionize(tiny_events.repartition(5), gap_sec=1800).collect()
+    )
+    assert one == many
