@@ -1369,6 +1369,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    # ---- as-of join: latest preceding 'view' for every non-view event
+    def asof_join_events(spark, sf_dir):
+        from crawler_spark.operators.asof import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        return asof_join(
+            ev.filter(F.col("event_type") != "view"),
+            ev.filter(F.col("event_type") == "view").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            value_cols=["event_id", "value"],
+        ).select("event_id", "user_id", "asof_event_id", "asof_value")
+
     # ---- host/source reputation gate (RefinedWeb-style wholesale drop)
     def source_reputation_docs(spark, sf_dir):
         from crawler_spark.operators.curation import source_reputation_filter
@@ -1439,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reputation_docs": source_reputation_docs,
         "hll_distinct_docs": hll_distinct_docs,
         "session_stats_events": session_stats_events,
+        "asof_join_events": asof_join_events,
     }
 
 
@@ -2470,5 +2484,29 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(epoch_us(ts) // 1000000)
                         - min(epoch_us(ts) // 1000000) as bigint) AS duration_sec
             FROM s2 GROUP BY 1, 2
+        """,
+        # as-of join: the same union + running last_value construction as
+        # the engine (asof.py) — NOT DuckDB's native ASOF JOIN, so the
+        # same-timestamp tie rules are pinned identically on both sides
+        "asof_join_events": """
+            WITH l AS (SELECT user_id AS _k, ts AS _ts, event_id AS _tie,
+                              1 AS _side, NULL::BIGINT AS rv_id,
+                              NULL::DOUBLE AS rv_val, event_id
+                       FROM events WHERE event_type <> 'view'),
+            r AS (SELECT user_id AS _k, ts AS _ts, event_id AS _tie,
+                         0 AS _side, event_id AS rv_id, value AS rv_val,
+                         NULL::BIGINT AS event_id
+                  FROM events WHERE event_type = 'view'),
+            u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            m AS (SELECT *,
+                         last_value(rv_id IGNORE NULLS) OVER w AS a_id,
+                         last_value(rv_val IGNORE NULLS) OVER w AS a_val
+                  FROM u
+                  WINDOW w AS (PARTITION BY _k ORDER BY _ts, _side, _tie
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+            SELECT event_id, _k AS user_id,
+                   a_id AS asof_event_id, a_val AS asof_value
+            FROM m WHERE _side = 1
         """,
     }

@@ -270,6 +270,19 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_events"), F.sum("duration_sec")
         ).collect()
 
+    # ---- q_asof: as-of temporal join over the events stream ---------------
+    with timed("q_asof"):
+        from crawler_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        asof_join(
+            ev.filter(F.col("event_type") != "view"),
+            ev.filter(F.col("event_type") == "view").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            value_cols=["event_id", "value"],
+        ).select(F.count("*"), F.sum("asof_value")).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

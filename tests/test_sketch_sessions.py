@@ -118,3 +118,67 @@ def test_sessionize_partition_invariant(spark, tiny_events):
         sessionize(tiny_events.repartition(5), gap_sec=1800).collect()
     )
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_tables(spark):
+    left = spark.createDataFrame(
+        [
+            (100, "2024-01-01 10:00:00", 1),  # after r1, r2 -> r2
+            (101, "2024-01-01 08:00:00", 1),  # exactly at r1 -> r1 (<=)
+            (102, "2024-01-01 07:00:00", 1),  # before everything -> null
+            (103, "2024-01-01 12:00:00", 2),  # other key, no right rows
+        ],
+        "event_id int, ts_s string, user_id int",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 1, 10.0),
+            (2, "2024-01-01 09:00:00", 1, 20.0),
+            (3, "2024-01-01 09:00:00", 1, 30.0),  # same ts as 2: max id wins
+        ],
+        "event_id int, ts_s string, user_id int, value double",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    return left, right
+
+
+def test_asof_join_hand_checked(asof_tables):
+    from crawler_spark.operators.asof import asof_join
+
+    left, right = asof_tables
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(left, right, value_cols=["event_id", "value"]).collect()
+    }
+    assert out[100] == (3, 30.0)      # latest tie (id 3) at 09:00 wins
+    assert out[101] == (1, 10.0)      # equal timestamp matches (<=)
+    assert out[102] == (None, None)   # nothing precedes
+    assert out[103] == (None, None)   # key has no right rows at all
+    # left columns survive untouched
+    cols = asof_join(left, right, value_cols=["value"]).columns
+    assert cols == ["event_id", "user_id", "ts", "asof_value"]
+
+
+def test_asof_join_partition_invariant_and_single_shuffle(asof_tables):
+    from crawler_spark.operators.asof import asof_join
+
+    left, right = asof_tables
+    one = sorted(asof_join(left, right, value_cols=["value"]).collect())
+    many = sorted(
+        asof_join(
+            left.repartition(7), right.repartition(3), value_cols=["value"]
+        ).collect()
+    )
+    assert one == many
+    # union-merge shape: ONE exchange on the key, no join operator at all
+    plan = (
+        asof_join(left, right, value_cols=["value"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
