@@ -168,3 +168,36 @@ def host_rate_stream(
             "n_pages",
         )
     )
+
+
+def host_session_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap sessions per host: Spark's native ``session_window``
+    (dynamic-gap event-time windows) over arriving pages — the streaming
+    twin of ``operators/sessions.sessionize`` (which numbers sessions for
+    bounded tables). A host's session closes when no page arrives for
+    ``gap``; the watermark bounds state and finalizes closed sessions.
+
+    Returns the unstarted aggregated streaming DataFrame: one row per
+    (host, session) with page count and session bounds. Update-mode sinks
+    see sessions grow; append-mode sinks see only finalized ones.
+    """
+    from crawler_spark.operators.extract import domain_of
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    return (
+        stream.withColumn("host", domain_of(F.col("url")))
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_pages",
+        )
+    )

@@ -136,3 +136,36 @@ def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path):
     got2 = drain()
     assert got2.count() == 60  # 40 + 20 new; 20 re-deliveries dropped
     assert got2.select("url").distinct().count() == 60
+
+
+def test_host_session_windows(spark, split_corpus):
+    from crawler_spark.streaming import host_session_stream
+
+    agg = host_session_stream(spark, split_corpus["dir"], gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("host_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sess = spark.sql("SELECT * FROM host_sessions").collect()
+    assert sess, "session windows must materialize"
+    # page totals across sessions == batch per-host counts (no page is
+    # lost or double-counted by the session merge)
+    from collections import defaultdict
+
+    tot = defaultdict(int)
+    for r in sess:
+        tot[r["host"]] += r["n_pages"]
+        assert r["session_end"] > r["session_start"]
+    batch = {
+        r["host"]: r["n"]
+        for r in spark.read.parquet(split_corpus["dir"])
+        .withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert dict(tot) == batch
