@@ -1369,6 +1369,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    # ---- tokenizer-seed vocabulary: global top-k tokens (TakeOrdered)
+    def vocab_topk_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import vocab_topk
+
+        return vocab_topk(_t(spark, sf_dir, "documents"), k=100).select(
+            "token", "freq"
+        )
+
+    # ---- per-doc TF-IDF keywords (fixed-point idf, exact integer ranks)
+    def tfidf_keywords_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import tfidf_keywords
+
+        return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5).select(
+            "doc_id", "token", "tf", "df", "score_q", "rank"
+        )
+
     # ---- as-of join: latest preceding 'view' for every non-view event
     def asof_join_events(spark, sf_dir):
         from crawler_spark.operators.asof import asof_join
@@ -1453,6 +1469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_docs": hll_distinct_docs,
         "session_stats_events": session_stats_events,
         "asof_join_events": asof_join_events,
+        "vocab_topk_docs": vocab_topk_docs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
     }
 
 
@@ -2484,6 +2502,34 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(epoch_us(ts) // 1000000)
                         - min(epoch_us(ts) // 1000000) as bigint) AS duration_sec
             FROM s2 GROUP BY 1, 2
+        """,
+        # tokenizer-seed vocabulary head (freq desc, token tie-break)
+        "vocab_topk_docs": rf"""
+            WITH ex AS (SELECT unnest({_D_TOKS}) AS token FROM documents)
+            SELECT token, count(*) AS freq FROM ex GROUP BY token
+            ORDER BY freq DESC, token LIMIT 100
+        """,
+        # per-doc TF-IDF keywords: fixed-point idf (lm.py contract), exact
+        # integer scores, (score desc, token) rank identical in both engines
+        "tfidf_keywords_docs": rf"""
+            WITH tf AS (SELECT doc_id, token, count(*) AS tf
+                        FROM (SELECT doc_id, unnest({_D_TOKS}) AS token
+                              FROM documents)
+                        GROUP BY 1, 2),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                          tf.tf * cast(round((ln((n.n_docs + 1)
+                               / cast(dfq.df + 1 as double)) + 1)
+                               * 1000000) as bigint) AS score_q
+                   FROM tf JOIN dfq USING (token) CROSS JOIN n),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q DESC, token) AS rank
+                   FROM sc)
+            SELECT doc_id, token, cast(tf as bigint) AS tf,
+                   cast(df as bigint) AS df, score_q,
+                   cast(rank as int) AS rank
+            FROM rk WHERE rank <= 5
         """,
         # as-of join: the same union + running last_value construction as
         # the engine (asof.py) — NOT DuckDB's native ASOF JOIN, so the

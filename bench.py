@@ -270,6 +270,18 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_events"), F.sum("duration_sec")
         ).collect()
 
+    # ---- q_tfidf: per-doc TF-IDF keywords + vocab head ---------------------
+    with timed("q_tfidf"):
+        from crawler_spark.operators.text_analysis import (
+            tfidf_keywords,
+            vocab_topk,
+        )
+
+        vocab_topk(docs, k=1000).select(F.count("*"), F.sum("freq")).collect()
+        tfidf_keywords(docs, k=5).select(
+            F.count("*"), F.sum("score_q")
+        ).collect()
+
     # ---- q_asof: as-of temporal join over the events stream ---------------
     with timed("q_asof"):
         from crawler_spark.operators.asof import asof_join

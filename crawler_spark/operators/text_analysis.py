@@ -146,3 +146,76 @@ def hashed_vector(
         )
         .drop("_hv", "_n")
     )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent tokens with counts,
+    deterministically tie-broken by token.
+
+    This is the seed step of every tokenizer-training pipeline (BPE/WP
+    start from exactly this table). One groupBy(token) with map-side
+    combine; the top-k is ``orderBy().limit()`` so Spark plans
+    TakeOrderedAndProject — per-partition heaps, never a global sort.
+    """
+    from crawler_spark.operators.dedup import tokens_expr
+
+    return (
+        df.select(F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(k)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` keywords per document by smoothed TF-IDF.
+
+    The engine's analog of the reference's keyword derivation
+    (``derive_keywords``, core/text.py) at corpus scale: instead of a
+    fixed stopword list, corpus statistics down-weight ubiquitous tokens.
+    ``idf = ln((N + 1) / (df + 1)) + 1`` is quantized to fixed-point
+    BIGINT (same determinism contract as lm.py), so the per-token score
+    ``tf * idf_q`` is an exact integer and the per-doc ranking — ordered
+    by (score desc, token) — is identical in Spark and DuckDB bit for bit.
+
+    Shapes: the (doc, token) tf table is computed once and reused for the
+    document-frequency aggregation (one extra groupBy over it, not a
+    second corpus explode); the final ranking windows on the doc id.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.dedup import tokens_expr
+
+    n_docs = df.count()  # driver-known, like every broadcast decision
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(tokens_expr(text_col))).alias("token"),
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score_q",
+        F.expr(
+            f"tf * cast(round((ln(({n_docs} + 1) / cast(df + 1 as double)) + 1)"
+            f" * 1000000) as bigint)"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_q").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score_q", "rank")
+    )

@@ -574,3 +574,37 @@ class TestHashedVector:
         out2 = {r["doc_id"]: r["embedding"]
                 for r in hashed_vector(docs.repartition(5), dim=32).collect()}
         assert out == out2  # per-row expression: partitioning-invariant
+
+
+def test_vocab_topk_order_and_plan(spark):
+    from crawler_spark.operators.text_analysis import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b b b a a c"), (1, "a z z z")], "doc_id int, text string"
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    # freq desc, token asc on ties: a=3, b=3, z=3 -> a, b, z
+    assert [(r["token"], r["freq"]) for r in rows] == [
+        ("a", 3), ("b", 3), ("z", 3)
+    ]
+    plan = vocab_topk(docs, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # heaps, never a global sort
+
+
+def test_tfidf_keywords_downweights_ubiquitous_tokens(spark):
+    from crawler_spark.operators.text_analysis import tfidf_keywords
+
+    # 'the' appears in every doc (df=3); 'rare' in one (df=1). Same tf
+    # within doc 0, so idf must decide the ranking.
+    docs = spark.createDataFrame(
+        [(0, "the rare"), (1, "the cat"), (2, "the dog")],
+        "doc_id int, text string",
+    )
+    top = {
+        (r["doc_id"], r["rank"]): r["token"]
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+    assert top[(0, 1)] == "rare" and top[(0, 2)] == "the"
+    one = sorted(tfidf_keywords(docs, k=2).collect())
+    many = sorted(tfidf_keywords(docs.repartition(5), k=2).collect())
+    assert one == many
