@@ -257,8 +257,10 @@ def run(spark, sf_dir: str):
         ex = docs.select(
             "source", F.explode(F.expr(tokens_expr("text"))).alias("t")
         )
+        # NB: sum hll_est, not hll_s — each hll_s is ~2^62 (512 registers
+        # x 2^53 scale) and a cross-source BIGINT sum would overflow ANSI
         hll_distinct(ex, ["source"], "t").select(
-            F.count("*"), F.sum("hll_s")
+            F.count("*"), F.sum("hll_est"), F.sum("hll_zero_buckets")
         ).collect()
 
     # ---- q_sessions: gap sessionization over the events stream ------------
