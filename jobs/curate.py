@@ -8,7 +8,10 @@ On a cluster:
         --output s3://bucket/curated/ \
         --min-quality 0.5 --langs en es \
         [--text-col text --id-col doc_id] \
-        [--partition-by lang_pred]
+        [--partition-by lang_pred] \
+        [--min-source-quality 0.5 --max-source-dup 0.5]  # reputation pre-gate
+        [--strip-dup-spans 8]   # Lee-et-al. duplicate n-gram span strip
+        [--max-nll 4.0]         # CCNet-style corpus-LM perplexity cut
 
 Locally: ``python jobs/curate.py --input ... --output ...``.
 
@@ -38,6 +41,18 @@ def main() -> None:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--partition-by", default=None,
                    help="optional output partition column (e.g. lang_pred)")
+    p.add_argument("--min-source-quality", type=float, default=None,
+                   help="drop whole sources below this mean quality "
+                        "(reputation pre-gate, operators/curation.py)")
+    p.add_argument("--max-source-dup", type=float, default=None,
+                   help="drop whole sources above this exact-dup fraction")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--max-nll", type=float, default=None,
+                   help="CCNet-style cut: drop docs whose corpus-bigram-LM "
+                        "mean NLL exceeds this (operators/lm.py)")
+    p.add_argument("--strip-dup-spans", type=int, default=None, metavar="N",
+                   help="strip tokens covered by corpus-duplicated N-grams "
+                        "before curation (Lee et al.; operators/dedup.py)")
     args = p.parse_args()
 
     from crawler_spark.operators.curation import curate, curation_stats
@@ -45,6 +60,37 @@ def main() -> None:
 
     spark = build_session(app_name="crawler_spark_curate")
     docs = spark.read.parquet(args.input)
+    if args.min_source_quality is not None or args.max_source_dup is not None:
+        from crawler_spark.operators.curation import source_reputation_filter
+
+        docs = source_reputation_filter(
+            docs,
+            min_mean_quality=args.min_source_quality or 0.0,
+            max_dup_frac=(
+                args.max_source_dup if args.max_source_dup is not None else 1.0
+            ),
+            source_col=args.source_col,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).drop("mean_quality", "exact_dup_frac")
+    if args.strip_dup_spans:
+        from crawler_spark.operators.dedup import strip_duplicate_spans
+
+        stripped = strip_duplicate_spans(
+            docs, n=args.strip_dup_spans,
+            text_col=args.text_col, id_col=args.id_col,
+        ).select(args.id_col, "kept_text")
+        docs = (
+            docs.drop(args.text_col)
+            .join(stripped, args.id_col)
+            .withColumnRenamed("kept_text", args.text_col)
+        )
+    if args.max_nll is not None:
+        from crawler_spark.operators.lm import perplexity_filter
+
+        docs = perplexity_filter(
+            docs, args.max_nll, text_col=args.text_col, id_col=args.id_col
+        ).drop("n_bigrams", "sum_logp_q", "avg_nll")
     curated = curate(
         docs,
         min_quality=args.min_quality,
