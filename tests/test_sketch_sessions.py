@@ -182,3 +182,52 @@ def test_asof_join_partition_invariant_and_single_shuffle(asof_tables):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_asof_join_matches_bruteforce_on_random_streams(spark):
+    """Property test: the union-merge as-of join equals the obvious
+    per-row brute force on randomized inputs (hypothesis, derandomized
+    for reproducibility)."""
+    from hypothesis import given, settings, strategies as st
+
+    from crawler_spark.operators.asof import asof_join
+
+    ev = st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user
+            st.integers(0, 50),     # seconds offset
+        ),
+        min_size=0, max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None, derandomize=True)
+    @given(left_raw=ev, right_raw=ev)
+    def check(left_raw, right_raw):
+        mk = lambda raw, base: [
+            (base + i, f"2024-01-01 00:00:{s:02d}", u, float(base + i))
+            for i, (u, s) in enumerate(raw)
+        ]
+        lrows, rrows = mk(left_raw, 100), mk(right_raw, 500)
+        schema = "event_id int, ts_s string, user_id int, value double"
+        to_df = lambda rows: (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        )
+        if not lrows:
+            return
+        out = {
+            r["event_id"]: r["asof_event_id"]
+            for r in asof_join(
+                to_df(lrows), to_df(rrows or [(0, "1970-01-01 00:00:00", -1, 0.0)]),
+                value_cols=["event_id", "value"],
+            ).collect()
+        }
+        for lid, lts, lu, _ in lrows:
+            cands = [
+                (rts, rid) for rid, rts, ru, _ in rrows
+                if ru == lu and rts <= lts
+            ]
+            want = max(cands)[1] if cands else None
+            assert out[lid] == want, (lid, out[lid], want)
+
+    check()
