@@ -430,12 +430,20 @@ def connected_components(
     loop. 2M edges ≈ tens of MB on the driver — the same budget the
     broadcast joins already assume.
     """
-    if local_threshold and pairs.count() <= local_threshold:
-        return _connected_components_local(pairs, a_col, b_col)
-    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    # the pair list is consumed twice whichever branch runs (count +
+    # collect on the fast path; both union directions on the distributed
+    # one) and its upstream (signatures + LSH join) is the expensive part
+    # — persist so it is computed once
+    pairs = pairs.persist()
+    try:
+        if local_threshold and pairs.count() <= local_threshold:
+            return _connected_components_local(pairs, a_col, b_col)
+        edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        edges = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -508,7 +516,12 @@ def _connected_components_local(
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs.select(a_col, b_col).toLocalIterator():
+    # one parallel job: collect(), never toLocalIterator — the iterator
+    # evaluates the pair DAG one partition at a time (sequential mini-jobs
+    # re-running the whole upstream per partition; measured 4x pipeline
+    # slowdown at 8 cores), while the edge list is <= local_threshold rows
+    # by construction and fits the driver comfortably
+    for row in pairs.select(a_col, b_col).collect():
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
