@@ -1369,6 +1369,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    # ---- deterministic train/val/test split (hash intervals, no shuffle)
+    def split_assign_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import split_assign
+
+        return split_assign(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "split"
+        )
+
+    # ---- block sequence packing for pretraining batches
+    def pack_sequences_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import pack_sequences
+
+        return pack_sequences(
+            _t(spark, sf_dir, "documents"), seq_len=512
+        ).select("doc_id", "source", "n_tokens", "bin_id", "bin_pos")
+
     # ---- tokenizer-seed vocabulary: global top-k tokens (TakeOrdered)
     def vocab_topk_docs(spark, sf_dir):
         from crawler_spark.operators.text_analysis import vocab_topk
@@ -1471,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
+        "split_assign_docs": split_assign_docs,
+        "pack_sequences_docs": pack_sequences_docs,
     }
 
 
@@ -2502,6 +2520,40 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(epoch_us(ts) // 1000000)
                         - min(epoch_us(ts) // 1000000) as bigint) AS duration_sec
             FROM s2 GROUP BY 1, 2
+        """,
+        # deterministic split: hash interval membership at 1/10000
+        # resolution (sorted arms: test [0,100), train [100,9900),
+        # validation [9900,10000) for the default weights)
+        "split_assign_docs": rf"""
+            WITH h AS (SELECT doc_id,
+                   {_duck_hash60("concat('split-v1', '|', cast(doc_id as varchar))")}
+                   % 10000 AS r
+                   FROM documents)
+            SELECT doc_id,
+                   CASE WHEN r >= 0 AND r < 100 THEN 'test'
+                        WHEN r >= 100 AND r < 9900 THEN 'train'
+                        ELSE 'validation' END AS split
+            FROM h
+        """,
+        # block sequence packing: same hash-priority order, exclusive
+        # running token sum, floor-division bin, rank within bin
+        "pack_sequences_docs": rf"""
+            WITH t AS (SELECT doc_id, source,
+                              len({_D_TOKS}) AS n_tok,
+                              {_duck_hash60('cast(doc_id as varchar)')} AS pri
+                       FROM documents),
+            c AS (SELECT *,
+                         coalesce(sum(n_tok) OVER (PARTITION BY source
+                             ORDER BY pri, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cum_excl
+                  FROM t),
+            b AS (SELECT *, cast(floor(cum_excl / 512) as int) AS bin FROM c)
+            SELECT doc_id, source, cast(n_tok as bigint) AS n_tokens,
+                   concat(source, '/', cast(bin as varchar)) AS bin_id,
+                   cast(row_number() OVER (PARTITION BY source, bin
+                        ORDER BY pri, doc_id) - 1 as int) AS bin_pos
+            FROM b
         """,
         # tokenizer-seed vocabulary head (freq desc, token tie-break)
         "vocab_topk_docs": rf"""

@@ -254,3 +254,105 @@ def sample_to_token_budget_approx(
         .drop("_bucket")
         .withColumn("n_tokens", F.col(tokens_col).cast("long"))
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: Dict[str, float] = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by id hash.
+
+    Each document lands in the split whose cumulative weight interval
+    contains ``hash60(salt|id) % 10000`` — so membership depends only on
+    the id and the salt, never on row order, partitioning, or the rest of
+    the corpus (adding documents later cannot move existing ones between
+    splits, the property that keeps eval sets stable across corpus
+    versions). Zero shuffle: one hash + one CASE per row.
+
+    ``weights`` defaults to {'train': .98, 'validation': .01, 'test': .01}.
+    Fractions are materialized at 1/10000 resolution (documented contract;
+    mirror in the oracle).
+    """
+    weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    acc, arms, lo = 0.0, [], 0
+    items = sorted(weights.items())
+    for name, frac in items:
+        acc += frac / total
+        hi = round(acc * 10_000)
+        arms.append((name, lo, hi))
+        lo = hi
+    arms[-1] = (arms[-1][0], arms[-1][1], 10_000)  # close rounding gaps
+    h = _hash60(f"concat('{salt}', '|', cast({id_col} as string))")
+    case = " ".join(
+        f"WHEN pmod({h}, 10000) >= {lo} AND pmod({h}, 10000) < {hi} "
+        f"THEN '{name}'"
+        for name, lo, hi in arms
+    )
+    return docs.withColumn(out_col, F.expr(f"CASE {case} END"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Block sequence packing: assign documents to fixed-capacity
+    training sequences (bins of ``seq_len`` tokens) for LLM pretraining
+    batch assembly.
+
+    Documents are ordered deterministically within their source (hash
+    priority, then id — the same rule the token-budget sampler uses) and
+    assigned to bin ``floor(exclusive_running_token_sum / seq_len)``:
+    consecutive blocks of ~seq_len tokens. This is the concat-and-slice
+    packing used by most pretraining pipelines — every bin averages
+    exactly seq_len tokens and the document order inside each bin is
+    pinned; a document whose tokens straddle a block boundary belongs to
+    the bin where it starts, and the writer either truncates its tail or
+    treats seq_len as a soft target with headroom. (Exact first-fit
+    packing needs a sequential per-source scan — the one recurrence that
+    cannot parallelize past a single key — so it is deliberately not what
+    this operator promises.)
+
+    Output: input rows + ``n_tokens``, ``bin_id`` (string
+    ``{source}/{k}``), ``bin_pos`` (0-based position within the bin) —
+    everything a writer needs to materialize packed sequences with
+    deterministic document order.
+
+    Scale shape: one shuffle on ``source_col`` and a running-sum window —
+    identical to the budget sampler. Packing is per-source by design:
+    sources are the parallel unit; a global single-sequence order would
+    serialize the corpus.
+    """
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col,
+            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+        )
+    w = Window.partitionBy(source_col).orderBy("_pri", id_col)
+    docs = (
+        docs.withColumn("_pri", F.expr(_priority_expr(id_col)))
+        .withColumn("_cum_excl", F.coalesce(F.sum(tokens_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    )
+    # deterministic bin index: floor(exclusive-cumsum / seq_len) counts
+    # how many full sequences precede this doc in its source's order
+    docs = docs.withColumn(
+        "_bin", F.expr(f"cast(floor(_cum_excl / {seq_len}) as int)")
+    )
+    w_bin = Window.partitionBy(source_col, "_bin").orderBy("_pri", id_col)
+    return (
+        docs.withColumn("bin_pos", F.row_number().over(w_bin) - F.lit(1))
+        .withColumn(
+            "bin_id",
+            F.expr(f"concat({source_col}, '/', cast(_bin as string))"),
+        )
+        .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+        .drop("_pri", "_cum_excl", "_bin")
+    )

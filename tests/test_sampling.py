@@ -226,3 +226,93 @@ def test_assemble_training_set_end_to_end(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split + sequence packing (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_stable_and_shuffle_free(spark):
+    from crawler_spark.operators.sampling import split_assign
+
+    a = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    b = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    sa = {r["doc_id"]: r["split"] for r in split_assign(a).collect()}
+    sb = {r["doc_id"]: r["split"] for r in split_assign(b).collect()}
+    # growing the corpus never moves an existing document between splits
+    assert all(sb[i] == sa[i] for i in range(200))
+    # a different salt is a different (but stable) assignment
+    sc = {r["doc_id"]: r["split"]
+          for r in split_assign(a, salt="split-v2").collect()}
+    assert sc != sa
+    # zero shuffle: pure projection
+    plan = split_assign(a)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_assign_proportions(spark):
+    from crawler_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(20_000)], "doc_id long")
+    counts = {
+        r["split"]: r["count"]
+        for r in split_assign(docs).groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "validation", "test"}
+    assert abs(counts["train"] / 20_000 - 0.98) < 0.01
+    assert abs(counts["validation"] / 20_000 - 0.01) < 0.005
+    assert abs(counts["test"] / 20_000 - 0.01) < 0.005
+
+
+def test_pack_sequences_block_semantics(spark):
+    from crawler_spark.operators.sampling import pack_sequences
+
+    # one source, known token counts; order is by hash priority then id,
+    # so recover the order from the operator's own output and check the
+    # block arithmetic against it
+    docs = spark.createDataFrame(
+        [(i, "s", "tok " * 10) for i in range(30)],  # 11 tokens each
+        "doc_id int, source string, text string",
+    )
+    out = pack_sequences(docs, seq_len=50).collect()
+    # every doc has 11 tokens ("tok"*10 -> 10 toks + trailing '' collapses
+    # under trim... verify via the operator's own n_tokens)
+    n = out[0]["n_tokens"]
+    assert all(r["n_tokens"] == n for r in out)
+    per_bin = {}
+    for r in out:
+        per_bin.setdefault(r["bin_id"], []).append(r["bin_pos"])
+    # bin k holds docs whose exclusive cumsum block is [50k, 50(k+1)):
+    # with uniform n, ceil/floor arithmetic means every full bin has
+    # ceil(50/n) or floor(50/n)+1 docs — just assert block coverage:
+    # positions within each bin are dense 0..len-1
+    for poss in per_bin.values():
+        assert sorted(poss) == list(range(len(poss)))
+    total = sum(len(v) for v in per_bin.values())
+    assert total == 30
+    # partition invariance
+    one = sorted(pack_sequences(docs, seq_len=50).collect())
+    many = sorted(pack_sequences(docs.repartition(7), seq_len=50).collect())
+    assert one == many
+
+
+def test_pack_sequences_bins_average_seq_len(spark):
+    from crawler_spark.operators.sampling import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(docs, seq_len=512)
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("n_tokens").alias("toks"),
+        F.max(F.expr("cast(split(bin_id, '/')[1] as int)")).alias("k"),
+    )
+    # every non-final bin of a source carries >= seq_len - max_doc_tokens
+    # and the exclusive-cumsum construction caps nothing silently: total
+    # tokens are preserved exactly
+    total_in = docs.select(
+        F.sum(F.expr("size(split(lower(trim(text)), '\\\\s+'))"))
+    ).first()[0]
+    total_out = packed.select(F.sum("n_tokens")).first()[0]
+    assert total_in == total_out
+    assert bins.count() > 0
