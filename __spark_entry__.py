@@ -1369,6 +1369,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    # ---- aggressive URL canonicalization (dedup keys at frontier scale)
+    def canonical_url_docs(spark, sf_dir):
+        from crawler_spark.core.urls import canonical_url_expr
+
+        url = (
+            "concat('HTTPS://Host', cast(doc_id % 7 as string), "
+            "'.EXample.com/Path', cast(doc_id % 3 as string), "
+            "'?utm_source=t&b=', cast(doc_id % 5 as string), '&a=1#sec')"
+        )
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(url).alias("raw_url"),
+            F.expr(canonical_url_expr(f"({url})")).alias("canonical"),
+        )
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -1489,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "canonical_url_docs": canonical_url_docs,
     }
 
 
@@ -2520,6 +2536,61 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(epoch_us(ts) // 1000000)
                         - min(epoch_us(ts) // 1000000) as bigint) AS duration_sec
             FROM s2 GROUP BY 1, 2
+        """,
+        # aggressive URL canonicalization: same string-level rules as
+        # core.urls.canonical_url_expr, DuckDB function names
+        "canonical_url_docs": rf"""
+            WITH raw AS (
+              SELECT doc_id,
+                     concat('HTTPS://Host', cast(doc_id % 7 as varchar),
+                            '.EXample.com/Path', cast(doc_id % 3 as varchar),
+                            '?utm_source=t&b=', cast(doc_id % 5 as varchar),
+                            '&a=1#sec') AS raw_url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id, raw_url,
+                     split_part(raw_url, '#', 1) AS u
+              FROM raw
+            ),
+            comp AS (
+              SELECT doc_id, raw_url,
+                     lower(split_part(u, '://', 1)) AS scheme,
+                     split_part(u, '://', 2) AS rest
+              FROM parts
+            ),
+            comp2 AS (
+              SELECT *,
+                     split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+              FROM comp
+            ),
+            comp3 AS (
+              SELECT *, substring(rest, length(hostport) + 1) AS after
+              FROM comp2
+            ),
+            comp4 AS (
+              SELECT *,
+                     split_part(after, '?', 1) AS path,
+                     CASE WHEN strpos(after, '?') > 0
+                          THEN substring(after, strpos(after, '?') + 1)
+                          ELSE '' END AS q
+              FROM comp3
+            ),
+            comp5 AS (
+              SELECT *,
+                     array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+                            AND NOT list_contains(
+                                ['fbclid', 'gclid', 'msclkid'],
+                                split_part(p, '=', 1)))), '&') AS q2
+              FROM comp4
+            )
+            SELECT doc_id, raw_url,
+                   concat(scheme, '://', lower(hostport), path,
+                          CASE WHEN q2 = '' THEN ''
+                               ELSE concat('?', q2) END) AS canonical
+            FROM comp5
         """,
         # deterministic split: hash interval membership at 1/10000
         # resolution (sorted arms: test [0,100), train [100,9900),

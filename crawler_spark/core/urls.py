@@ -36,3 +36,43 @@ def get_domain(url: str) -> str:
 def is_same_domain(url1: str, url2: str) -> bool:
     """Reference utils.py:93-95."""
     return get_domain(url1) == get_domain(url2)
+
+
+def canonical_url_expr(col: str) -> str:
+    """SQL expression: aggressive URL canonicalization for dedup keys.
+
+    At frontier scale the same page hides behind scheme/host case, tracking
+    parameters, and query-parameter order — canonicalizing before hashing
+    collapses those families into one seen-set entry. Rules (deliberately
+    string-level so the whole thing is one JVM/DuckDB-portable expression,
+    no Python):
+
+    - drop the ``#fragment``;
+    - lowercase the scheme and the host:port;
+    - drop tracking parameters (``utm_*`` prefixes and the click ids
+      ``fbclid``/``gclid``/``msclkid``);
+    - sort the surviving query parameters bytewise (order-insensitive
+      equality) and drop the ``?`` when none survive.
+
+    Input must be an absolute http(s) URL as produced by
+    ``normalize_url`` (the expression assumes one ``://``); path case and
+    ports are preserved — case-sensitive paths are common, so collapsing
+    them would merge distinct pages.
+    """
+    u = f"split_part({col}, '#', 1)"
+    scheme = f"lower(split_part({u}, '://', 1))"
+    rest = f"split_part({u}, '://', 2)"
+    hostport = f"split_part(split_part({rest}, '/', 1), '?', 1)"
+    after = f"substring({rest}, length({hostport}) + 1)"
+    path = f"split_part({after}, '?', 1)"
+    q = f"CASE WHEN instr({after}, '?') > 0 THEN substring({after}, instr({after}, '?') + 1) ELSE '' END"
+    keep = (
+        f"filter(split({q}, '&'), p -> p <> '' "
+        f"AND substring(p, 1, 4) <> 'utm_' "
+        f"AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'msclkid'))"
+    )
+    q2 = f"array_join(array_sort({keep}), '&')"
+    return (
+        f"concat({scheme}, '://', lower({hostport}), {path}, "
+        f"CASE WHEN {q2} = '' THEN '' ELSE concat('?', {q2}) END)"
+    )

@@ -1,0 +1,118 @@
+"""Sitemap ingestion: robots ``Sitemap:`` pointers and sitemap XML bodies
+-> seed URLs for the frontier.
+
+The reference crawler has no sitemap support (its seeds are hand-typed
+URLs); real crawls bootstrap their frontiers from sitemaps, so this is a
+north_rule-spirit source addition alongside robots.txt. Same dataflow
+contract as robots.py: a fetch layer stores raw bodies alongside the
+corpus, this module turns them into engine tables — parsing is a pure
+function per body running in Arrow-batched ``mapInPandas``.
+
+Contract:
+- ``sitemap_lines`` extracts ``Sitemap:`` URLs from a robots.txt body
+  (case-insensitive directive, ignores grouping — the RFC puts Sitemap
+  outside agent groups).
+- ``parse_sitemap`` handles both document kinds, namespace-tolerant:
+  ``<urlset><url><loc>`` entries become ``('url', loc)`` rows and
+  ``<sitemapindex><sitemap><loc>`` entries become ``('sitemap', loc)``
+  rows. Malformed XML yields no rows (a crawl never dies on one bad
+  sitemap).
+- ``sitemap_entries`` maps a bodies table ``(host, body)`` to exploded
+  ``(host, kind, loc)``; ``sitemap_seeds`` filters to ``kind='url'`` —
+  index resolution is the fetch layer's loop (fetch the ``sitemap`` rows,
+  append their bodies, re-run), mirroring how the crawl loop itself
+  iterates waves.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+ENTRY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("loc", T.StringType()),
+    ]
+)
+
+
+def sitemap_lines(robots_text: Optional[str]) -> List[str]:
+    """``Sitemap:`` URLs from a robots.txt body — pure function."""
+    if not robots_text:
+        return []
+    out: List[str] = []
+    for raw in robots_text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, sep, value = line.partition(":")
+        if sep and field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def parse_sitemap(xml_text: Optional[str]) -> List[Tuple[str, str]]:
+    """(kind, loc) entries of one sitemap document — pure function.
+
+    kind is ``'url'`` for urlset entries, ``'sitemap'`` for index
+    entries; anything unparseable yields ``[]``.
+    """
+    if not xml_text:
+        return []
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+    root_kind = _local(root.tag)
+    if root_kind == "urlset":
+        kind, child_tag = "url", "url"
+    elif root_kind == "sitemapindex":
+        kind, child_tag = "sitemap", "sitemap"
+    else:
+        return []
+    out: List[Tuple[str, str]] = []
+    for child in root:
+        if _local(child.tag) != child_tag:
+            continue
+        for loc in child:
+            if _local(loc.tag) == "loc" and loc.text and loc.text.strip():
+                out.append((kind, loc.text.strip()))
+    return out
+
+
+def sitemap_entries(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Exploded ``(host, kind, loc)`` rows from a bodies table."""
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                for kind, loc in parse_sitemap(body):
+                    rows.append((host, kind, loc))
+            yield pd.DataFrame(rows, columns=["host", "kind", "loc"])
+
+    return bodies.select(host_col, body_col).mapInPandas(gen, ENTRY_SCHEMA)
+
+
+def sitemap_seeds(
+    bodies: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Seed URLs (``kind='url'`` entries) ready for ``bfs.crawl``."""
+    from pyspark.sql import functions as F
+
+    return (
+        sitemap_entries(bodies, host_col, body_col)
+        .filter(F.col("kind") == "url")
+        .select(F.col("loc").alias("url"), "host")
+    )

@@ -1,0 +1,129 @@
+"""Sitemap ingestion (`frontier/sitemaps.py`) and aggressive URL
+canonicalization (`core/urls.canonical_url_expr`)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.core.urls import canonical_url_expr
+from crawler_spark.frontier.sitemaps import (
+    parse_sitemap,
+    sitemap_entries,
+    sitemap_lines,
+    sitemap_seeds,
+)
+
+_NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def test_sitemap_lines_from_robots():
+    body = (
+        "User-agent: *\nDisallow: /private\n"
+        "Sitemap: https://h.example/sitemap.xml\n"
+        "sitemap: https://h.example/sitemap2.xml  # comment\n"
+        "Sitemap:\n"  # empty value ignored
+    )
+    assert sitemap_lines(body) == [
+        "https://h.example/sitemap.xml",
+        "https://h.example/sitemap2.xml",
+    ]
+    assert sitemap_lines(None) == []
+
+
+def test_parse_sitemap_urlset_and_index():
+    urlset = (
+        f'<?xml version="1.0"?><urlset {_NS}>'
+        "<url><loc>https://h/a</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc> https://h/b </loc></url>"
+        "<url><priority>0.5</priority></url>"  # no loc: skipped
+        "</urlset>"
+    )
+    assert parse_sitemap(urlset) == [("url", "https://h/a"), ("url", "https://h/b")]
+    index = (
+        f'<sitemapindex {_NS}>'
+        "<sitemap><loc>https://h/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://h/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    assert parse_sitemap(index) == [
+        ("sitemap", "https://h/s1.xml"),
+        ("sitemap", "https://h/s2.xml"),
+    ]
+    assert parse_sitemap("<html>not a sitemap</html>") == []
+    assert parse_sitemap("<<<broken") == []
+    assert parse_sitemap("") == []
+
+
+def test_sitemap_seeds_spark_path(spark):
+    bodies = spark.createDataFrame(
+        [
+            ("h1", f'<urlset {_NS}><url><loc>https://h1/x</loc></url></urlset>'),
+            ("h2", f'<sitemapindex {_NS}><sitemap><loc>https://h2/s.xml</loc></sitemap></sitemapindex>'),
+            ("h3", "garbage"),
+        ],
+        "host string, body string",
+    )
+    ent = {(r["host"], r["kind"], r["loc"]) for r in sitemap_entries(bodies).collect()}
+    assert ent == {("h1", "url", "https://h1/x"), ("h2", "sitemap", "https://h2/s.xml")}
+    seeds = sitemap_seeds(bodies).collect()
+    assert [(r["url"], r["host"]) for r in seeds] == [("https://h1/x", "h1")]
+
+
+def test_sitemap_seeded_crawl_equals_explicit_seeds(spark, corpus_parquet):
+    """Seeds coming out of a sitemap body drive the crawl identically to
+    the same seeds passed by hand."""
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+
+    corpus = spark.read.parquet(corpus_parquet)
+    urls = [r["url"] for r in corpus.select("url").orderBy("url").limit(3).collect()]
+    xml = (
+        f'<urlset {_NS}>'
+        + "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+        + "</urlset>"
+    )
+    bodies = spark.createDataFrame([("h", xml)], "host string, body string")
+    seeds_from_xml = [r["url"] for r in sitemap_seeds(bodies).collect()]
+    assert seeds_from_xml == urls
+
+    import tempfile
+
+    cfg = CrawlConfig(depth=1, max_pages=10)
+    r1 = crawl(spark, corpus, seeds_from_xml, cfg,
+               run_dir=tempfile.mkdtemp(prefix="sm1_"))
+    r2 = crawl(spark, corpus, urls, cfg,
+               run_dir=tempfile.mkdtemp(prefix="sm2_"))
+    p1 = sorted((row["seq"], row["url"]) for row in r1.pages(spark).collect())
+    p2 = sorted((row["seq"], row["url"]) for row in r2.pages(spark).collect())
+    assert p1 == p2 and p1
+
+
+# ---------------------------------------------------------------------------
+# canonical_url_expr
+# ---------------------------------------------------------------------------
+
+
+CASES = [
+    ("HTTPS://ExAmple.COM/Path/One?b=2&utm_source=x&a=1#frag",
+     "https://example.com/Path/One?a=1&b=2"),
+    ("http://h.com/p?gclid=abc", "http://h.com/p"),
+    ("http://h.com/p?z=1&fbclid=q&y=2", "http://h.com/p?y=2&z=1"),
+    ("https://H.com/CaseSensitivePath", "https://h.com/CaseSensitivePath"),
+    ("http://h.com/", "http://h.com/"),
+    ("http://h.com/p?", "http://h.com/p"),
+    ("http://H.com:8080/p?a=1", "http://h.com:8080/p?a=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(F.expr(canonical_url_expr("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    once = df.select(F.expr(canonical_url_expr("url")).alias("c"))
+    twice = once.select(F.expr(canonical_url_expr("c")).alias("c"))
+    assert once.collect() == twice.collect()
