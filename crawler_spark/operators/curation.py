@@ -26,7 +26,7 @@ pipeline alerts on.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,26 +38,31 @@ from crawler_spark.operators.text_analysis import lang_id, quality_score
 def curate(
     docs: DataFrame,
     min_quality: float = 0.5,
-    langs: Sequence[str] = ("en",),
+    langs: Optional[Sequence[str]] = ("en",),
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Quality -> language -> exact-dedup survivors, single dataflow.
 
     Output: (id, lang_pred, quality, text ...) for rows passing all gates,
-    deduped to the smallest id per identical content.
+    deduped to the smallest id per identical content. ``langs=None``
+    disables the language gate (rows keep their ``lang_pred`` tag) — the
+    right setting for corpora whose text never hits the marker-word
+    heuristic (it tags them 'unknown', which is not a reason to drop).
     """
     scored = quality_score(docs, text_col)
     gated = scored.filter(F.col("quality") >= float(min_quality))
     tagged = lang_id(gated, text_col)
-    kept = tagged.filter(F.col("lang_pred").isin(list(langs)))
+    kept = tagged if langs is None else tagged.filter(
+        F.col("lang_pred").isin(list(langs))
+    )
     return exact_dedup(kept, text_col, id_col)
 
 
 def curation_stats(
     docs: DataFrame,
     min_quality: float = 0.5,
-    langs: Sequence[str] = ("en",),
+    langs: Optional[Sequence[str]] = ("en",),
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -69,7 +74,9 @@ def curation_stats(
     """
     scored = lang_id(quality_score(docs, text_col), text_col)
     q_ok = F.col("quality") >= float(min_quality)
-    l_ok = q_ok & F.col("lang_pred").isin(list(langs))
+    l_ok = q_ok if langs is None else (
+        q_ok & F.col("lang_pred").isin(list(langs))
+    )
     funnel = scored.agg(
         F.count("*").alias("n_input"),
         F.sum(q_ok.cast("long")).alias("n_quality"),
@@ -88,7 +95,7 @@ def assemble_training_set(
     weights: dict,
     token_budget: int,
     min_quality: float = 0.5,
-    langs: Sequence[str] = ("en",),
+    langs: Optional[Sequence[str]] = ("en",),
     decon_shingle_k: int = 13,
     lsh_num_hashes: int = 16,
     lsh_bands: int = 4,

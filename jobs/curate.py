@@ -28,7 +28,11 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+# Python UDF workers import the package too: local runs from any cwd need
+# the repo on the workers' PYTHONPATH (clusters ship it via --py-files)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def main() -> None:

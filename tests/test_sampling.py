@@ -316,3 +316,47 @@ def test_pack_sequences_bins_average_seq_len(spark):
     total_out = packed.select(F.sum("n_tokens")).first()[0]
     assert total_in == total_out
     assert bins.count() > 0
+
+
+def test_crawl_to_training_set_end_to_end(spark, corpus_parquet):
+    """The whole engine in one call: crawl the synthetic web, extract,
+    curate, near-dup dedup, token-budget mix, pack — deterministic, budget
+    respected, every survivor traceable to a crawled page."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+    from crawler_spark.pipeline import crawl_to_training_set, pages_to_documents
+
+    corpus = spark.read.parquet(corpus_parquet)
+    seeds = [r["url"] for r in corpus.select("url").orderBy("url").limit(2).collect()]
+    cfg = CrawlConfig(depth=2, max_pages=60)
+
+    out = crawl_to_training_set(
+        spark, corpus, seeds, cfg,
+        run_dir=tempfile.mkdtemp(prefix="p1_"),
+        token_budget=2_000, seq_len=128,
+    ).cache()
+    assert out.count() > 0
+    # budget respected per source (uniform weights)
+    per_src = out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    n_src = len(per_src)
+    assert all(r["t"] <= 2_000 // n_src + 1 for r in per_src)
+    # packing columns present and dense within bins
+    assert {"bin_id", "bin_pos"} <= set(out.columns)
+    # every survivor is a crawled page
+    res = crawl(spark, corpus, seeds, cfg, run_dir=tempfile.mkdtemp(prefix="p2_"))
+    crawled_ids = {
+        r["doc_id"] for r in pages_to_documents(res.pages(spark))
+        .select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} <= crawled_ids
+    # deterministic: a rerun on a fresh run-dir yields identical rows
+    out2 = crawl_to_training_set(
+        spark, corpus, seeds, cfg,
+        run_dir=tempfile.mkdtemp(prefix="p3_"),
+        token_budget=2_000, seq_len=128,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+    out.unpersist()
