@@ -481,6 +481,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _TOKS = "split(lower(trim(text)), '\\\\s+')"
 _D_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+# original-case tokens (same boundaries): used where text is REBUILT from
+# tokens — dup-span stripping keeps the surviving text's case intact
+_D_TOKS_CASED = r"string_split_regex(trim(text), '\s+')"
 
 # pseudo-line construction for the line-level filter gates
 # (operators/filters.py): the synthetic documents are single-line word
@@ -882,12 +885,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "fingerprint"
         )
 
-    # ---- feature-hashing vectorizer: model-free text -> embedding column
+    # ---- feature-hashing vectorizer: model-free text -> embedding column.
+    # Projected as (doc_id, i, v) scalar rows: the driver canonicalizer
+    # sorts result values and cannot hash a raw array<double> column
+    # (the ivf_assign_docs pattern).
     def hashed_vector_docs(spark, sf_dir):
         from crawler_spark.operators.text_analysis import hashed_vector
 
-        return hashed_vector(_t(spark, sf_dir, "documents"), dim=16).select(
-            "doc_id", "embedding"
+        return (
+            hashed_vector(_t(spark, sf_dir, "documents"), dim=16)
+            .select("doc_id", F.posexplode("embedding").alias("i", "v"))
+            .select("doc_id", "i", F.round("v", 6).alias("v"))
         )
 
     # ---- composed curation pipeline: quality -> language -> exact dedup,
@@ -1880,14 +1888,19 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1.0 ELSE -1.0 END)
                               ELSE 0.0 END), 'sum')) AS v
               FROM hv
+            ),
+            emb AS (
+              SELECT doc_id,
+                     CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
+                          ELSE v END AS embedding
+              FROM (SELECT doc_id, v,
+                           sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                               'sum')) AS n
+                    FROM raw)
             )
-            SELECT doc_id,
-                   CASE WHEN n > 0 THEN list_transform(v, x -> x / n)
-                        ELSE v END AS embedding
-            FROM (SELECT doc_id, v,
-                         sqrt(list_aggregate(list_transform(v, x -> x * x),
-                                             'sum')) AS n
-                  FROM raw)
+            SELECT doc_id, cast(i as int) AS i,
+                   round(embedding[i + 1], 6) AS v
+            FROM emb, unnest(range(0, 16)) AS u(i)
         """,
         "curate_docs": f"""
             WITH scored AS ({curation_scored}),
@@ -2421,7 +2434,8 @@ def oracle_sql() -> dict[str, str]:
         # ordered string_agg; the Spark side gets the same bytes from a
         # per-row HOF filter over the spans array (cheaper shape)
         "strip_spans_docs": rf"""
-            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk,
+                                 {_D_TOKS_CASED} AS ck FROM documents),
             ng AS (SELECT doc_id, cast(i as int) AS pos,
                           {_duck_hash60(f"array_to_string(list_slice(tk, i + 1, i + {_DUPSPAN_N}), ' ')")} AS g
                    FROM toks,
@@ -2430,7 +2444,7 @@ def oracle_sql() -> dict[str, str]:
             cov AS (SELECT DISTINCT doc_id, pos + j AS t
                     FROM ng JOIN hot USING (g),
                          unnest(range(0, {_DUPSPAN_N})) AS v(j)),
-            tokpos AS (SELECT doc_id, cast(i - 1 as int) AS pos, tk[i] AS tok
+            tokpos AS (SELECT doc_id, cast(i - 1 as int) AS pos, ck[i] AS tok
                        FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)),
             kept AS (SELECT tp.* FROM tokpos tp
                      LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.t = tp.pos
@@ -2667,15 +2681,20 @@ def oracle_sql() -> dict[str, str]:
                          NULL::BIGINT AS event_id
                   FROM events WHERE event_type = 'view'),
             u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+            -- row-wise backfill: both value columns come from the SAME last
+            -- right row (a whole-row struct, NULL only for left rows) —
+            -- matching the engine's F.last over a struct; per-column
+            -- IGNORE NULLS would diverge when a right row has a NULL value
             m AS (SELECT *,
-                         last_value(rv_id IGNORE NULLS) OVER w AS a_id,
-                         last_value(rv_val IGNORE NULLS) OVER w AS a_val
+                         last_value(CASE WHEN _side = 0
+                                         THEN {'id': rv_id, 'val': rv_val}
+                                    END IGNORE NULLS) OVER w AS a
                   FROM u
                   WINDOW w AS (PARTITION BY _k ORDER BY _ts, _side, _tie
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW))
             SELECT event_id, _k AS user_id,
-                   a_id AS asof_event_id, a_val AS asof_value
+                   a.id AS asof_event_id, a.val AS asof_value
             FROM m WHERE _side = 1
         """,
     }

@@ -26,6 +26,7 @@ Contract:
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from typing import List, Optional, Tuple
 
@@ -58,17 +59,31 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1].lower()
 
 
+# DTD / entity declarations never appear in legitimate sitemaps; refusing
+# them outright blocks entity-expansion (billion-laughs) bombs that expat
+# < 2.4.1 would otherwise inflate inside an executor's mapInPandas batch.
+_XML_DTD_RE = re.compile(r"<!\s*(?:DOCTYPE|ENTITY)", re.IGNORECASE)
+
+# One sitemap file is capped at 50 MB uncompressed by the protocol
+# (sitemaps.org); anything larger is hostile or corrupt — skip it.
+_SITEMAP_MAX_CHARS = 50 * 1024 * 1024
+
+
 def parse_sitemap(xml_text: Optional[str]) -> List[Tuple[str, str]]:
     """(kind, loc) entries of one sitemap document — pure function.
 
     kind is ``'url'`` for urlset entries, ``'sitemap'`` for index
-    entries; anything unparseable yields ``[]``.
+    entries; anything unparseable, oversized, or carrying DTD/entity
+    declarations yields ``[]`` — untrusted web XML must never be able to
+    kill (ParseError) or blow up (entity expansion) a whole batch.
     """
     if not xml_text:
         return []
+    if len(xml_text) > _SITEMAP_MAX_CHARS or _XML_DTD_RE.search(xml_text):
+        return []
     try:
         root = ET.fromstring(xml_text)
-    except ET.ParseError:
+    except Exception:  # noqa: BLE001 — any hostile body is just skipped
         return []
     root_kind = _local(root.tag)
     if root_kind == "urlset":

@@ -73,8 +73,25 @@ def exact_dedup(
 
 
 def tokens_expr(text_col: str) -> str:
-    """Whitespace tokenization, lowercased — shared by shingles/simhash."""
-    return f"split(lower(trim({text_col})), '\\\\s+')"
+    """Whitespace tokenization, lowercased — shared by shingles/simhash.
+
+    Empty tokens are filtered so empty/whitespace-only text yields ``[]``,
+    matching DuckDB's ``string_split_regex`` (Spark's ``split('')`` returns
+    ``['']`` — one empty token — which would diverge from every SQL oracle
+    on a corpus containing empty documents).
+    """
+    return f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t != '')"
+
+
+def tokens_expr_cased(text_col: str) -> str:
+    """Original-case whitespace tokens (same boundaries as ``tokens_expr``).
+
+    Used wherever text is *rebuilt* from tokens (e.g. duplicate-span
+    stripping): detection hashes lowercased n-grams, but the surviving text
+    must keep its original case — token positions align because lowercasing
+    never changes token boundaries.
+    """
+    return f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')"
 
 
 def shingles_expr(text_col: str, k: int = 3) -> str:
@@ -663,8 +680,9 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Remove every token covered by a corpus-duplicated n-gram and
-    reassemble the remainder with single spaces (whitespace is already
-    collapsed by tokenization upstream of every dedup operator).
+    reassemble the remainder with single spaces, preserving the original
+    token case (detection is case-insensitive; whitespace is collapsed by
+    tokenization — the only normalization the rebuild applies).
 
     Returns one row per input row: ``(id_col, kept_text, n_tokens,
     removed_tokens)``. Spans touch a small fraction of the corpus by
@@ -681,7 +699,10 @@ def strip_duplicate_spans(
             "'s', span_start, 'e', span_end)))"
         ).alias("_sp")
     )
-    toks = tokens_expr(text_col)
+    # Detection (duplicate_ngram_spans) hashes lowercased n-grams; the
+    # rebuild keeps the surviving tokens in their ORIGINAL case — positions
+    # align because lowercasing never changes whitespace token boundaries.
+    toks = tokens_expr_cased(text_col)
     kept = (
         f"CASE WHEN _sp IS NULL THEN {toks} ELSE "
         f"transform(filter(transform({toks}, (t, i) -> named_struct('t', t, 'i', i)), "

@@ -44,7 +44,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.dedup import _hash60, shingles_expr
+from crawler_spark.operators.dedup import _hash60, shingles_expr, tokens_expr
 
 
 # --------------------------------------------------------------------------
@@ -174,7 +174,7 @@ def sample_to_token_budget(
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
-            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+            F.expr(f"size({tokens_expr(text_col)})"),
         )
     bmap = F.create_map(
         *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(b))]
@@ -220,7 +220,7 @@ def sample_to_token_budget_approx(
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
-            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+            F.expr(f"size({tokens_expr(text_col)})"),
         )
     docs = docs.filter(F.col(source_col).isin(list(budgets))).withColumn(
         "_bucket", F.pmod(F.expr(_priority_expr(id_col)), F.lit(n_buckets))
@@ -333,7 +333,7 @@ def pack_sequences(
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
-            F.expr(f"size(split(lower(trim({text_col})), '\\\\s+'))"),
+            F.expr(f"size({tokens_expr(text_col)})"),
         )
     w = Window.partitionBy(source_col).orderBy("_pri", id_col)
     docs = (

@@ -49,7 +49,13 @@ def cosine_to_query(
     index order (deterministic, oracle-reproducible)."""
     qlit = "array(" + ", ".join(f"{float(x)!r}d" for x in query) + ")"
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query))
-    expr = f"{_dot_expr(vec_col, qlit)} / ({_norm_expr(vec_col)} * {qnorm!r}d)"
+    # zero-norm rows (e.g. hashed vectors of empty documents) define
+    # cosine 0.0 — never a divide-by-zero under ANSI mode
+    denom = f"({_norm_expr(vec_col)} * {qnorm!r}d)"
+    expr = (
+        f"CASE WHEN {denom} = 0.0d THEN 0.0d "
+        f"ELSE {_dot_expr(vec_col, qlit)} / {denom} END"
+    )
     return df.withColumn(out_col, F.expr(expr))
 
 
@@ -175,8 +181,16 @@ def embedding_near_dup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .withColumn(
+            # zero-norm vectors (empty documents) are cosine 0 to everything
             "cosine",
-            F.round(F.expr(f"({dot})") / (F.col("a._norm") * F.col("b._norm")), 6),
+            F.round(
+                F.when(
+                    F.col("a._norm") * F.col("b._norm") == 0.0, F.lit(0.0)
+                ).otherwise(
+                    F.expr(f"({dot})") / (F.col("a._norm") * F.col("b._norm"))
+                ),
+                6,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select(

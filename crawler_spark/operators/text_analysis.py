@@ -10,6 +10,8 @@ __spark_entry__.oracle_sql.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from crawler_spark.operators.dedup import tokens_expr
 from pyspark.sql import functions as F
 
 # Small deterministic stopword lists for the n-gram language heuristic.
@@ -31,7 +33,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     (the corpus ``lang`` column stays the ground truth; this operator tags
     raw text when that column is absent).
     """
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = tokens_expr(text_col)
     en = _marker_hits(toks, _EN_MARKERS)
     es = _marker_hits(toks, _ES_MARKERS)
     has_cjk = f"({text_col} rlike '[\\\\u4e00-\\\\u9fff]')"
@@ -48,7 +50,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a composite
     score in [0,1]. Pure column math; identical formula in the SQL oracle."""
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = tokens_expr(text_col)
     n_chars = f"length({text_col})"
     n_tokens = f"size({toks})"
     n_punct = f"(length({text_col}) - length(regexp_replace({text_col}, '[.,;:!?]', '')))"
@@ -79,7 +81,7 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate: words are split into
     ceil(len/4)-char pieces (the classic chars/4 heuristic, computed
     per-token so it has exact SQL semantics in both engines)."""
-    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = tokens_expr(text_col)
     return (
         df.withColumn("ws_tokens", F.expr(f"size({toks})"))
         .withColumn(

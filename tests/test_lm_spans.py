@@ -26,7 +26,7 @@ def lm_docs(spark):
         (0, "a b a b"),
         (1, "a b c"),
         (2, "z"),          # single token: no bigrams
-        (3, ""),           # split('') -> [''] -> still no bigrams
+        (3, ""),           # empty text tokenizes to [] -> no bigrams
     ]
     return spark.createDataFrame(rows, "doc_id int, text string").cache()
 
@@ -43,16 +43,18 @@ def test_lm_score_hand_computed(lm_docs):
     out = {r["doc_id"]: r for r in lm_score(lm_docs).collect()}
     # corpus bigrams: doc0 (a,b)(b,a)(a,b), doc1 (a,b)(b,c)
     # counts: (a,b)=3 (b,a)=1 (b,c)=1; contexts: a=3 b=2
-    # vocab over all tokens: a b c z '' -> 5
+    # vocab over all tokens: a b c z -> 4 (empty text contributes no token;
+    # tokens_expr filters the '' Spark's split('') would otherwise emit,
+    # matching DuckDB's string_split_regex semantics)
     bg_n = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
     ctx_n = {"a": 3, "b": 2}
     assert out[0]["n_bigrams"] == 3
     assert out[0]["avg_nll"] == _expected_nll(
-        [("a", "b"), ("b", "a"), ("a", "b")], bg_n, ctx_n, 5
+        [("a", "b"), ("b", "a"), ("a", "b")], bg_n, ctx_n, 4
     )
     assert out[1]["n_bigrams"] == 2
     assert out[1]["avg_nll"] == _expected_nll(
-        [("a", "b"), ("b", "c")], bg_n, ctx_n, 5
+        [("a", "b"), ("b", "c")], bg_n, ctx_n, 4
     )
     # short docs: zero bigrams, NULL score, zero exact sum
     for d in (2, 3):
@@ -120,6 +122,24 @@ def test_strip_spans_rebuilds_in_order(span_docs):
     assert out[3]["kept_text"] == ""  # fully covered
     assert out[3]["removed_tokens"] == 12
     assert out[4]["kept_text"] == "tiny"
+
+
+def test_strip_spans_preserves_case(spark):
+    """The surviving text keeps its original case: detection hashes
+    lowercased n-grams, but the rebuild must not lowercase the corpus
+    (a training-set CLI that silently lowercases destroys information)."""
+    shared = "One Two Three Four Five"
+    rows = [
+        (0, f"Alpha {shared} BETA gamma"),
+        (1, f"{shared.lower()} delta epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, n=5).collect()}
+    # the mixed-case and lower-case occurrences match each other (detection
+    # is case-insensitive) and both get stripped, case intact elsewhere
+    assert out[0]["kept_text"] == "Alpha BETA gamma"
+    assert out[1]["kept_text"] == "delta epsilon zeta eta theta"
+    assert out[0]["removed_tokens"] == 5 and out[1]["removed_tokens"] == 5
 
 
 def test_strip_spans_partition_invariant(span_docs):

@@ -53,6 +53,28 @@ def test_parse_sitemap_urlset_and_index():
     assert parse_sitemap("") == []
 
 
+def test_parse_sitemap_refuses_hostile_xml():
+    """Untrusted web XML must never kill or inflate a mapInPandas batch:
+    DTD/entity declarations (billion-laughs vector) and oversized bodies
+    are refused outright; arbitrary parser explosions are swallowed."""
+    bomb = (
+        '<?xml version="1.0"?><!DOCTYPE lolz ['
+        '<!ENTITY lol "lol"><!ENTITY lol2 "&lol;&lol;&lol;&lol;">'
+        ']><urlset><url><loc>&lol2;</loc></url></urlset>'
+    )
+    assert parse_sitemap(bomb) == []
+    # lowercase / spaced markup declaration variants
+    assert parse_sitemap("<!doctype x><urlset/>") == []
+    assert parse_sitemap("<! ENTITY x 'y'><urlset/>") == []
+    # protocol caps one sitemap at 50 MB — larger bodies are skipped
+    # without being parsed at all
+    big = "<urlset>" + " " * (50 * 1024 * 1024) + "</urlset>"
+    assert parse_sitemap(big) == []
+    # a clean urlset without the namespace still parses (tolerance intact)
+    ok = "<urlset><url><loc>https://h/x</loc></url></urlset>"
+    assert parse_sitemap(ok) == [("url", "https://h/x")]
+
+
 def test_sitemap_seeds_spark_path(spark):
     bodies = spark.createDataFrame(
         [
