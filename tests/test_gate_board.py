@@ -1,0 +1,118 @@
+"""Gate-board invariants (no Spark session needed).
+
+Round 2 regression: ``queries()`` grew to 66 entries but the driver's
+correctness harness records at most 50 per run, so the 16 newest operators
+silently got no driver check at all. These tests pin the cap, the
+never-checked-first ordering, and the rule that rotating an entry off the
+driver board never deletes it from the contract.
+"""
+
+import __spark_entry__ as E
+
+DRIVER_CAP = 50
+
+# operators whose round-2 gate entries sat past the driver's 50-entry cap
+# and therefore never received a CORRECTNESS row — they must lead the board
+NEVER_CHECKED_R2 = [
+    "sample_budget_approx_docs",
+    "near_dup_clusters",
+    "near_dup_survivors",
+    "assemble_training_docs",
+    "lm_score_docs",
+    "dup_span_docs",
+    "strip_spans_docs",
+    "source_reputation_docs",
+    "hll_distinct_docs",
+    "session_stats_events",
+    "asof_join_events",
+    "vocab_topk_docs",
+    "tfidf_keywords_docs",
+    "split_assign_docs",
+    "pack_sequences_docs",
+    "canonical_url_docs",
+]
+
+# one on-board gate per operator family — if a rotation drops a family's
+# last driver-checked entry, this fails before the driver run does
+FAMILY_REPRESENTATIVES = {
+    "frontier/bfs crawl": "crawl_bfs_order",
+    "extract kernel": "extract_pages_flagship",
+    "llm-path extract": "extract_llm_path",
+    "rag assembly": "rag_chunks",
+    "chunker": "chunk_documents",
+    "markdown sink": "export_markdown_report",
+    "relevance": "keyword_relevance",
+    "exact dedup": "exact_dedup_docs",
+    "minhash/lsh": "minhash_lsh",
+    "two-stage near-dup": "near_dup_docs",
+    "ngram jaccard": "ngram_jaccard",
+    "simhash": "simhash_near_dups",
+    "cosine ann": "cosine_topk",
+    "lsh ann": "lsh_topk_docs",
+    "ivf ann": "ivf_topk_docs",
+    "embedding near-dup": "embedding_near_dups",
+    "lang id": "lang_id_docs",
+    "quality": "quality_score_docs",
+    "token count": "token_count_docs",
+    "fingerprint": "fingerprint_docs",
+    "hashed vector": "hashed_vector_docs",
+    "curation": "curate_docs",
+    "multimodal": "media_features",
+    "gopher filters": "repetition_docs",
+    "c4 filters": "c4_flags_docs",
+    "pii": "pii_redact_docs",
+    "blocklist": "blocklist_docs",
+    "line dedup": "line_dedup_docs",
+    "decontamination": "contamination_docs",
+    "budget mixing exact": "sample_budget_docs",
+    "budget mixing approx": "sample_budget_approx_docs",
+    "connected components": "near_dup_clusters",
+    "training-set assembly": "assemble_training_docs",
+    "bigram lm": "lm_score_docs",
+    "dup spans": "dup_span_docs",
+    "span strip": "strip_spans_docs",
+    "source reputation": "source_reputation_docs",
+    "hll sketch": "hll_distinct_docs",
+    "sessionization": "session_stats_events",
+    "as-of join": "asof_join_events",
+    "vocab": "vocab_topk_docs",
+    "tfidf": "tfidf_keywords_docs",
+    "split": "split_assign_docs",
+    "packing": "pack_sequences_docs",
+    "canonical url": "canonical_url_docs",
+}
+
+
+def test_driver_board_fits_cap():
+    assert len(E.queries()) <= DRIVER_CAP
+
+
+def test_never_checked_entries_lead_the_board():
+    head = list(E.queries())[: len(NEVER_CHECKED_R2)]
+    assert head == NEVER_CHECKED_R2
+
+
+def test_boards_partition_the_full_query_set():
+    q, qe = set(E.queries()), set(E.queries_extended())
+    assert not q & qe
+    assert q | qe == set(E._all_queries())
+
+
+def test_every_oracle_has_a_query():
+    assert set(E.oracle_sql()) <= set(E.queries())
+    assert set(E.oracle_sql_extended()) <= set(E.queries_extended())
+
+
+def test_driver_board_is_fully_oracled():
+    """Every driver-checked entry carries a DuckDB value-hash oracle —
+    rows-only twins live on the extended board where the weaker check is
+    pytest's job, not the driver's."""
+    assert set(E.oracle_sql()) == set(E.queries())
+
+
+def test_every_operator_family_on_driver_board():
+    board = set(E.queries())
+    missing = {
+        fam: g for fam, g in FAMILY_REPRESENTATIVES.items() if g not in board
+    }
+    assert not missing, f"families without a driver-checked gate: {missing}"

@@ -89,7 +89,9 @@ def main():
     import __spark_entry__ as E
     from crawler_spark.session import build_session
 
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--extended"]
+    extended = "--extended" in sys.argv[1:]
+    only = set(args)
     spark = build_session(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -97,8 +99,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
-    qs = E.queries()
-    oracles = E.oracle_sql()
+    qs = dict(E.queries())
+    oracles = dict(E.oracle_sql())
+    if extended or (only and not only <= set(qs)):
+        # --extended (or naming a rotated-out entry) adds the board entries
+        # the driver no longer records, so the full contract stays checkable
+        qs.update(E.queries_extended())
+        oracles.update(E.oracle_sql_extended())
     failures = []
 
     t0 = time.time()
