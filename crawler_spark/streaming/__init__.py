@@ -1,5 +1,7 @@
 from crawler_spark.streaming.ingest import (
     host_rate_stream,
+    politeness_sink_stream,
+    stream_host_politeness,
     host_session_stream,
     stream_extract,
     stream_seen_dedup,
@@ -8,6 +10,8 @@ from crawler_spark.streaming.ingest import (
 __all__ = [
     "stream_extract",
     "host_rate_stream",
+    "stream_host_politeness",
+    "politeness_sink_stream",
     "host_session_stream",
     "stream_seen_dedup",
 ]

@@ -81,35 +81,51 @@ def stream_extract(
 def stream_seen_dedup(
     spark: SparkSession,
     corpus_dir: str,
-    state_hash_buckets: int = 64,
+    impl: str = "native",
 ) -> DataFrame:
     """Streaming URL-seen dedup: the frontier's J1/J2 anti-join semantics as
     a *stateful* streaming operator — first arrival of a url passes, every
     later arrival (any micro-batch, any file drop) is dropped.
 
-    State is keyed by ``(bucket, url_hash)``: the same xxhash64 key the
-    batch frontier uses, pre-bucketed so the state-store shuffle partitions
-    by a uniform 8-byte key rather than raw url strings (hot-host URL skew
-    never concentrates state). Implemented with
-    ``applyInPandasWithState`` — per group the state is one boolean
-    ("emitted already"); unbounded streams would add a TTL via the
-    processing-time timeout the same handle exposes.
+    State is keyed by ``url_hash`` itself (the same xxhash64 key the batch
+    frontier uses), so the state store holds exactly ONE row per distinct
+    url and shards it across partitions by key hash — state size and
+    shuffle both scale with distinct urls, never with a fixed bucket
+    count. (An earlier design kept one grow-forever hash array per each of
+    64 buckets: at the 10^10-url design point that is ~156M longs
+    deserialized and re-serialized per bucket per micro-batch — unbounded,
+    quadratic, wrong. Per-key state is how Spark's state store is meant to
+    shard.)
+
+    ``impl``:
+
+    - ``"native"`` (default, the 100 TB path): built-in streaming
+      ``dropDuplicates`` on ``url_hash`` — per-key boolean state lives
+      JVM-side in the state store (HDFS/RocksDB backends), no Python in
+      the loop. Unbounded streams bound state with
+      ``dropDuplicatesWithinWatermark`` once re-delivery has a horizon.
+    - ``"pandas"``: the same semantics as a custom
+      ``applyInPandasWithState`` operator (SURVEY §2.10's stateful-operator
+      seam, the template for stateful logic built-ins can't express). Per
+      key the state is one boolean ("emitted already").
 
     Returns the unstarted deduped stream of (url, url_hash, warc_ts);
     callers attach their sink. With ``trigger(availableNow=True)`` +
     checkpoint this is the streaming analog of the wave loop's
     seen-table contract: exactly-once admission per url across restarts.
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
     keyed = stream.select(
         "url",
         F.xxhash64("url").alias("url_hash"),
         "warc_ts",
-    ).withColumn(
-        "bucket", F.pmod(F.col("url_hash"), F.lit(state_hash_buckets)).cast("int")
     )
+    if impl == "native":
+        return keyed.dropDuplicates(["url_hash"])
+    if impl != "pandas":
+        raise ValueError(f"impl must be 'native' or 'pandas', got {impl!r}")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = T.StructType(
         [
@@ -118,28 +134,211 @@ def stream_seen_dedup(
             T.StructField("warc_ts", T.TimestampType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("seen_hashes", T.ArrayType(T.LongType()))])
+    state_schema = T.StructType([T.StructField("emitted", T.BooleanType())])
 
     def dedup_group(key, pdf_iter, state: "GroupState"):
-        import pandas as pd  # noqa: F401 (executor-side)
-
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            for _ in pdf_iter:  # drain: this url already passed once
+                pass
+            return
+        first = None
         for pdf in pdf_iter:
-            # first occurrence within the batch wins (stable arrival order)
-            fresh = pdf[~pdf["url_hash"].isin(seen)]
-            fresh = fresh.drop_duplicates(subset=["url_hash"], keep="first")
-            seen.update(int(h) for h in fresh["url_hash"])
-            if len(fresh):
-                yield fresh[["url", "url_hash", "warc_ts"]]
-        state.update((sorted(seen),))
+            if first is None and len(pdf):
+                # first occurrence in arrival order wins within the batch
+                first = pdf.iloc[[0]][["url", "url_hash", "warc_ts"]]
+        if first is not None:
+            state.update((True,))
+            yield first
 
-    return keyed.groupBy("bucket").applyInPandasWithState(
+    return keyed.groupBy("url_hash").applyInPandasWithState(
         dedup_group,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_host_politeness(
+    spark: SparkSession,
+    corpus_dir: str,
+    per_host_budget: int = 2,
+    host_budget: Optional[dict] = None,
+    max_deferred: int = 10_000,
+) -> DataFrame:
+    """Stateful per-host politeness admission: each micro-batch admits at
+    most ``budget(host)`` pages per host; overflow is DEFERRED, not dropped
+    (the batch crawl's S3 semantics — enhanced_crawler.py:131-153's
+    backoff-and-retry re-expressed as budgeted admission).
+
+    ``applyInPandasWithState`` keyed by ``host``: per-key state is the
+    host's deferred backlog (FIFO). Each invocation admits from the backlog
+    first, then from new arrivals in order, up to the budget; the remainder
+    goes back to state. Backlog rows surface when the host next receives
+    data or when its processing-time timeout fires (idle hosts drain on a
+    timer, not only on traffic).
+
+    State is bounded by ``max_deferred`` per host: beyond it, rows are
+    emitted immediately with ``status='overflow'`` so a caller can route
+    them to the durable batch frontier instead of streaming state — at
+    100 TB the backlog belongs in the frontier table, and this cap is the
+    backpressure seam that keeps the state store from becoming that table.
+
+    Output schema: (url, url_hash, host, warc_ts, status) with status in
+    {'admitted', 'overflow'}. Deferred rows appear in a LATER trigger with
+    status='admitted'.
+
+    Lifecycle: this is a CONTINUOUS operator — processing-time timeouts
+    keep generating no-data batches to drain backlogs, so even
+    ``trigger(availableNow=True)`` will not self-terminate; callers poll
+    the sink (or ``lastProgress``) and ``stop()`` when drained. For a
+    drain-and-stop batch-style cadence use ``politeness_sink_stream``,
+    whose backlog lives in storage instead of state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from crawler_spark.operators.extract import domain_of
+
+    budgets = dict(host_budget or {})
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    keyed = stream.select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        domain_of(F.col("url")).alias("host"),
+        "warc_ts",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("url_hash", T.LongType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    # backlog kept as parallel arrays (state schemas are flat structs);
+    # timestamps as epoch micros so the tuple round-trips losslessly
+    state_schema = T.StructType(
+        [
+            T.StructField("urls", T.ArrayType(T.StringType())),
+            T.StructField("hashes", T.ArrayType(T.LongType())),
+            T.StructField("ts_us", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def admit_group(key, pdf_iter, state: "GroupState"):
+        import pandas as pd
+
+        host = key[0]
+        budget = int(budgets.get(host, per_host_budget))
+        backlog = (
+            list(zip(*state.get)) if state.exists and state.get[0] else []
+        )  # [(url, hash, ts_us)] FIFO
+        arrivals = []
+        for pdf in pdf_iter:
+            for u, h, ts in zip(pdf["url"], pdf["url_hash"], pdf["warc_ts"]):
+                arrivals.append((u, int(h), int(ts.value // 1_000)))
+        queue = backlog + arrivals  # backlog first: FIFO across triggers
+        admitted, rest = queue[:budget], queue[budget:]
+        kept, overflow = rest[:max_deferred], rest[max_deferred:]
+        if kept:
+            state.update(
+                (
+                    [q[0] for q in kept],
+                    [q[1] for q in kept],
+                    [q[2] for q in kept],
+                )
+            )
+            state.setTimeoutDuration(1_000)  # drain idle hosts next trigger
+        elif state.exists:
+            state.remove()
+        rows = [(u, h, host, ts, "admitted") for u, h, ts in admitted] + [
+            (u, h, host, ts, "overflow") for u, h, ts in overflow
+        ]
+        if rows:
+            out = pd.DataFrame(
+                rows, columns=["url", "url_hash", "host", "warc_ts", "status"]
+            )
+            out["warc_ts"] = pd.to_datetime(out["warc_ts"], unit="us")
+            yield out
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        admit_group,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def politeness_sink_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    out_dir: str,
+    defer_dir: str,
+    checkpoint_dir: str,
+    per_host_budget: int = 2,
+    available_now: bool = True,
+):
+    """Rate-limited sink: per micro-batch, admit at most ``per_host_budget``
+    pages per host into ``out_dir``; the remainder lands in ``defer_dir``
+    (a durable parquet backlog) and is merged ahead of the next batch's
+    arrivals — deferred-not-dropped with the backlog in STORAGE, not in
+    streaming state. This is the 100 TB shape: the backlog is just another
+    table (exactly how the batch crawl carries over-budget frontier rows to
+    the next wave), so it can grow to any size without touching the state
+    store, and a restart resumes from the checkpoint + the backlog on disk.
+
+    The admission rule is the batch politeness arithmetic: rank per host by
+    (deferred-first, warc_ts, url) and keep rank <= budget. Returns the
+    started StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+
+    def admit_batch(batch_df, batch_id):
+        from crawler_spark.operators.extract import domain_of
+
+        s = batch_df.sparkSession
+        new = batch_df.select(
+            "url",
+            F.xxhash64("url").alias("url_hash"),
+            domain_of(F.col("url")).alias("host"),
+            "warc_ts",
+        ).withColumn("_deferred", F.lit(1))
+        try:
+            backlog = s.read.parquet(defer_dir).withColumn(
+                "_deferred", F.lit(0)
+            )
+            queue = backlog.unionByName(new)
+        except Exception:  # no backlog yet
+            queue = new
+        w = Window.partitionBy("host").orderBy("_deferred", "warc_ts", "url")
+        ranked = queue.withColumn("_rk", F.row_number().over(w))
+        admitted = ranked.filter(F.col("_rk") <= per_host_budget).drop(
+            "_rk", "_deferred"
+        )
+        deferred = ranked.filter(F.col("_rk") > per_host_budget).drop(
+            "_rk", "_deferred"
+        )
+        admitted.write.mode("append").parquet(out_dir)
+        # stage the new backlog, then swap: the read above and this write
+        # target the same path, so never overwrite in place mid-plan
+        staged = deferred.cache()
+        staged.count()
+        staged.write.mode("overwrite").parquet(defer_dir)
+        staged.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def host_rate_stream(

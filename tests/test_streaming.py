@@ -95,10 +95,12 @@ def test_host_rate_windows(spark, split_corpus, tmp_path):
     assert dict(stream_tot) == batch
 
 
-def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path):
+@pytest.mark.parametrize("impl", ["native", "pandas"])
+def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path, impl):
     """First arrival of a url passes; re-deliveries in LATER micro-batches
-    are dropped by the applyInPandasWithState seen-state (the streaming
-    analog of the frontier's J1/J2 anti-join)."""
+    are dropped by the per-url_hash seen-state (the streaming analog of
+    the frontier's J1/J2 anti-join) — identical semantics from the
+    built-in dropDuplicates path and the custom stateful operator."""
     import os
 
     from crawler_spark.streaming import stream_seen_dedup
@@ -115,7 +117,7 @@ def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path):
 
     def drain():
         q = (
-            stream_seen_dedup(spark, dup_dir)
+            stream_seen_dedup(spark, dup_dir, impl=impl)
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
@@ -124,18 +126,25 @@ def test_stream_seen_dedup_stateful(spark, split_corpus, tmp_path):
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(out)
+        progress = q.lastProgress
+        return spark.read.parquet(out), progress
 
-    got1 = drain()
+    got1, _ = drain()
     assert got1.count() == 40
 
     # drop 2: 20 duplicates of drop 1 + the 20 genuinely new urls
     dups = full.limit(20)
     rest = full.subtract(first)
     dups.unionByName(rest).coalesce(1).write.mode("append").parquet(dup_dir)
-    got2 = drain()
+    got2, progress = drain()
     assert got2.count() == 60  # 40 + 20 new; 20 re-deliveries dropped
     assert got2.select("url").distinct().count() == 60
+
+    # the scale contract: state rows grow with DISTINCT urls, one row per
+    # key — never a fixed bucket count hoarding grow-forever arrays
+    state_ops = (progress or {}).get("stateOperators") or []
+    if state_ops:
+        assert state_ops[0]["numRowsTotal"] == 60
 
 
 def test_host_session_windows(spark, split_corpus):
@@ -169,3 +178,122 @@ def test_host_session_windows(spark, split_corpus):
         .collect()
     }
     assert dict(tot) == batch
+
+
+def test_stream_host_politeness_deferred_not_dropped(spark, split_corpus, tmp_path):
+    """Budgeted admission per host per trigger: overflow rows are deferred
+    into per-host state and admitted by LATER (timeout-driven) triggers —
+    the batch crawl's deferred-not-dropped S3 semantics; nothing is lost,
+    nothing admitted twice, and no single trigger exceeds the budget."""
+    import os
+    import time
+
+    from crawler_spark.streaming import stream_host_politeness
+
+    pol_dir = str(tmp_path / "pol_corpus")
+    os.makedirs(pol_dir)
+    full = split_corpus["df"]
+    total = full.count()
+    # one drop with everything at once — way over any per-trigger budget
+    full.coalesce(1).write.mode("append").parquet(pol_dir)
+
+    out = str(tmp_path / "pol_out")
+    ckpt = str(tmp_path / "pol_ckpt")
+    budget = 3
+
+    # continuous operator: poll the sink until the backlog drains, then stop
+    q = (
+        stream_host_politeness(spark, pol_dir, per_host_budget=budget)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.time() + 180
+    admitted = 0
+    try:
+        while time.time() < deadline:
+            try:
+                admitted = (
+                    spark.read.parquet(out).filter("status = 'admitted'").count()
+                )
+            except Exception:
+                admitted = 0
+            if admitted >= total:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert admitted == total, f"deferred rows lost: {admitted}/{total}"
+
+    got = spark.read.parquet(out)
+    adm = got.filter("status = 'admitted'")
+    assert adm.select("url").distinct().count() == total  # exactly once
+    assert got.filter("status = 'overflow'").count() == 0  # under max_deferred
+
+    # per-trigger budget: each micro-batch's admissions for one host land in
+    # that task's output file, so (file, host) groups bound trigger batches
+    per_file = (
+        adm.withColumn("_f", F.input_file_name())
+        .groupBy("_f", "host")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] <= budget for r in per_file), per_file
+    # and draining 15 pages/host at 3/trigger takes >= 5 distinct triggers
+    from collections import defaultdict
+
+    files_per_host = defaultdict(set)
+    for r in per_file:
+        files_per_host[r["host"]].add(r["_f"])
+    assert all(len(fs) >= 2 for fs in files_per_host.values())
+
+
+def test_politeness_sink_stream_storage_backlog(spark, split_corpus, tmp_path):
+    """foreachBatch rate-limited sink: per-batch per-host cap holds, the
+    overflow lives in a durable parquet backlog (not state), and repeated
+    drains admit everything exactly once."""
+    import os
+
+    from crawler_spark.streaming import politeness_sink_stream
+
+    src_dir = str(tmp_path / "sink_corpus")
+    os.makedirs(src_dir)
+    full = split_corpus["df"]
+    total = full.count()
+    full.coalesce(1).write.mode("append").parquet(src_dir)
+
+    out = str(tmp_path / "sink_out")
+    defer = str(tmp_path / "sink_defer")
+    ckpt = str(tmp_path / "sink_ckpt")
+    budget = 4
+
+    def drain():
+        q = politeness_sink_stream(
+            spark, src_dir, out, defer, ckpt, per_host_budget=budget
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out)
+        except Exception:
+            return None
+
+    got = drain()
+    n_admitted = got.count()
+    per_host = got.groupBy("host").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= budget for r in per_host)
+    backlog = spark.read.parquet(defer)
+    assert n_admitted + backlog.count() == total  # nothing dropped
+
+    # each later empty drop drains another budget-per-host slice of the
+    # stored backlog until the source is fully admitted, exactly once
+    for _ in range(40):
+        if n_admitted >= total:
+            break
+        full.limit(0).coalesce(1).write.mode("append").parquet(src_dir)
+        got = drain()
+        n_admitted = got.count()
+    assert n_admitted == total
+    assert got.select("url").distinct().count() == total
