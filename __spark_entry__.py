@@ -1408,6 +1408,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), seq_len=512
         ).select("doc_id", "source", "n_tokens", "bin_id", "bin_pos")
 
+    # ---- exact first-fit packing (hard per-bin capacity, applyInPandas
+    # sequential scan per source — the opt-in alternative to block packing)
+    def pack_firstfit_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import pack_sequences_firstfit
+
+        return pack_sequences_firstfit(
+            _t(spark, sf_dir, "documents"), seq_len=512
+        ).select("doc_id", "source", "n_tokens", "bin_id", "bin_pos")
+
     # ---- tokenizer-seed vocabulary: global top-k tokens (TakeOrdered)
     def vocab_topk_docs(spark, sf_dir):
         from crawler_spark.operators.text_analysis import vocab_topk
@@ -1512,6 +1521,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "pack_firstfit_docs": pack_firstfit_docs,
         "canonical_url_docs": canonical_url_docs,
     }
 
@@ -2640,6 +2650,65 @@ def _all_oracle_sql() -> dict[str, str]:
                         ORDER BY pri, doc_id) - 1 as int) AS bin_pos
             FROM b
         """,
+        # exact first-fit packing replay: the same sequential recurrence the
+        # applyInPandas scan runs, as a recursive CTE stepping each source's
+        # (hash-priority, id) order one row per level, carrying the bin-load
+        # and bin-count vectors; `fit` is the FIRST bin with room (1-based
+        # list_filter index, NULL -> open a new bin)
+        "pack_firstfit_docs": rf"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, source, len({_D_TOKS}) AS n_tok,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY {_duck_hash60('cast(doc_id as varchar)')},
+                                  doc_id) AS rn
+              FROM documents
+            ),
+            ff AS (
+              SELECT source, rn, doc_id, n_tok,
+                     0 AS bin, 0 AS bin_pos,
+                     [n_tok] AS loads, [cast(1 as bigint)] AS cnts
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.source, b.rn, b.doc_id, b.n_tok,
+                     CASE WHEN list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1] IS NULL
+                          THEN cast(len(f.loads) as int)
+                          ELSE cast(list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1] - 1 as int)
+                     END AS bin,
+                     CASE WHEN list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1] IS NULL
+                          THEN 0
+                          ELSE cast(f.cnts[list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1]] as int)
+                     END AS bin_pos,
+                     CASE WHEN list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1] IS NULL
+                          THEN list_append(f.loads, b.n_tok)
+                          ELSE list_transform(range(1, len(f.loads) + 1),
+                               i -> CASE WHEN i = list_filter(
+                                        range(1, len(f.loads) + 1),
+                                        j -> f.loads[j] + b.n_tok <= 512)[1]
+                                    THEN f.loads[i] + b.n_tok
+                                    ELSE f.loads[i] END)
+                     END AS loads,
+                     CASE WHEN list_filter(range(1, len(f.loads) + 1),
+                               i -> f.loads[i] + b.n_tok <= 512)[1] IS NULL
+                          THEN list_append(f.cnts, cast(1 as bigint))
+                          ELSE list_transform(range(1, len(f.cnts) + 1),
+                               i -> CASE WHEN i = list_filter(
+                                        range(1, len(f.loads) + 1),
+                                        j -> f.loads[j] + b.n_tok <= 512)[1]
+                                    THEN f.cnts[i] + 1
+                                    ELSE f.cnts[i] END)
+                     END AS cnts
+              FROM ff f JOIN base b ON b.source = f.source AND b.rn = f.rn + 1
+            )
+            SELECT doc_id, source, cast(n_tok as bigint) AS n_tokens,
+                   concat(source, '/', cast(bin as varchar)) AS bin_id,
+                   bin_pos
+            FROM ff
+        """,
         # tokenizer-seed vocabulary head (freq desc, token tie-break)
         "vocab_topk_docs": rf"""
             WITH ex AS (SELECT unnest({_D_TOKS}) AS token FROM documents)
@@ -2732,6 +2801,8 @@ _DRIVER_GATE = [
     "canonical_url_docs",
     # --- red in round 2 (projection fixed this round) ---
     "hashed_vector_docs",
+    # --- new in round 3 ---
+    "pack_firstfit_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",

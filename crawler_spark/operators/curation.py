@@ -92,7 +92,7 @@ def curation_stats(
 def assemble_training_set(
     docs: DataFrame,
     eval_docs: DataFrame,
-    weights: dict,
+    weights: Optional[dict],
     token_budget: int,
     min_quality: float = 0.5,
     langs: Optional[Sequence[str]] = ("en",),

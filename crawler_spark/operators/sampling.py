@@ -151,7 +151,7 @@ def _source_budgets(
 
 def sample_to_token_budget(
     docs: DataFrame,
-    weights: Dict[str, float],
+    weights: Optional[Dict[str, float]],
     token_budget: int,
     source_col: str = "source",
     id_col: str = "doc_id",
@@ -160,6 +160,12 @@ def sample_to_token_budget(
 ) -> DataFrame:
     """Exact mixing: per source, take documents in hash-priority order
     while the running token sum stays within the source's budget share.
+
+    ``weights=None`` means uniform over the sources actually present:
+    every source gets ``token_budget // countDistinct(source)`` tokens —
+    ONE scalar aggregation, never a host list collected to the driver
+    (web corpora have 10^6-10^8 hosts; the explicit-dict path is for
+    caller-supplied small mixtures like {'wiki': 3, 'web': 1}).
 
     Output = surviving ``docs`` rows + ``n_tokens`` (the token count used
     for budgeting). If ``tokens_col`` is absent it is derived as
@@ -170,21 +176,27 @@ def sample_to_token_budget(
     entirely — the sample never exceeds the budget; it undershoots by at
     most one document's tokens per source.
     """
-    budgets = _source_budgets(weights, token_budget)
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
             F.expr(f"size({tokens_expr(text_col)})"),
         )
-    bmap = F.create_map(
-        *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(b))]
-    )
+    if weights is None:
+        n_sources = docs.select(source_col).distinct().count()
+        per = int(token_budget // max(n_sources, 1))
+        budget_col = F.lit(per)
+    else:
+        budgets = _source_budgets(weights, token_budget)
+        bmap = F.create_map(
+            *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(b))]
+        )
+        docs = docs.filter(F.col(source_col).isin(list(budgets)))
+        budget_col = bmap[F.col(source_col)]
     w = Window.partitionBy(source_col).orderBy("_pri", id_col)
     return (
-        docs.filter(F.col(source_col).isin(list(budgets)))
-        .withColumn("_pri", F.expr(_priority_expr(id_col)))
+        docs.withColumn("_pri", F.expr(_priority_expr(id_col)))
         .withColumn("_cum", F.sum(tokens_col).over(w))
-        .filter(F.col("_cum") <= bmap[F.col(source_col)])
+        .filter(F.col("_cum") <= budget_col)
         .drop("_pri", "_cum")
         .withColumn("n_tokens", F.col(tokens_col).cast("long"))
     )
@@ -215,14 +227,25 @@ def sample_to_token_budget_approx(
     Guarantees: never exceeds budget; undershoots by at most one bucket's
     token mass per source (~budget / n_buckets when priorities are
     uniform, which the hash makes them).
+
+    ``weights=None`` = uniform over observed sources (one scalar count,
+    like the exact sampler). Note the histogram itself is driver-collected
+    (#sources x n_buckets rows): with very large host counts, cap the
+    mixture granularity by bucketing hosts into source GROUPS upstream.
     """
-    budgets = _source_budgets(weights, token_budget)
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
             F.expr(f"size({tokens_expr(text_col)})"),
         )
-    docs = docs.filter(F.col(source_col).isin(list(budgets))).withColumn(
+    if weights is None:
+        n_sources = docs.select(source_col).distinct().count()
+        per = int(token_budget // max(n_sources, 1))
+        budgets: Dict[str, int] = {}
+    else:
+        budgets = _source_budgets(weights, token_budget)
+        docs = docs.filter(F.col(source_col).isin(list(budgets)))
+    docs = docs.withColumn(
         "_bucket", F.pmod(F.expr(_priority_expr(id_col)), F.lit(n_buckets))
     )
     hist = (
@@ -235,7 +258,7 @@ def sample_to_token_budget_approx(
         per_source.setdefault(r[source_col], {})[r["_bucket"]] = int(r["_t"])
     cutoffs: Dict[str, int] = {}
     for s, bmap_tokens in per_source.items():
-        budget, cum, cut = budgets[s], 0, 0
+        budget, cum, cut = budgets.get(s, per if weights is None else 0), 0, 0
         for b in sorted(bmap_tokens):
             if cum + bmap_tokens[b] > budget:
                 break
@@ -302,6 +325,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "ws_tokens",
     text_col: str = "text",
+    shards: int = 1,
 ) -> DataFrame:
     """Block sequence packing: assign documents to fixed-capacity
     training sequences (bins of ``seq_len`` tokens) for LLM pretraining
@@ -325,34 +349,140 @@ def pack_sequences(
     everything a writer needs to materialize packed sequences with
     deterministic document order.
 
-    Scale shape: one shuffle on ``source_col`` and a running-sum window —
-    identical to the budget sampler. Packing is per-source by design:
-    sources are the parallel unit; a global single-sequence order would
-    serialize the corpus.
+    Scale shape: one shuffle on the window key and a running-sum window —
+    identical to the budget sampler. The parallel unit is
+    ``(source, shard)``: with ``shards=1`` the window partitions by source
+    alone (the authority ordering), and ``shards=k`` pre-splits every
+    source into ``pmod(hash(id), k)`` deterministic sub-shards so ONE
+    dominant source — the normal case in web corpora — packs across k
+    window tasks instead of funneling through a single reducer. Bins stay
+    dense and deterministic per shard (``bin_id = {{source}}/{{shard}}/{{k}}``);
+    the only cost is up to ``k-1`` underfull trailing bins per source,
+    which is noise when sources hold thousands of sequences.
     """
     if tokens_col not in docs.columns:
         docs = docs.withColumn(
             tokens_col,
             F.expr(f"size({tokens_expr(text_col)})"),
         )
-    w = Window.partitionBy(source_col).orderBy("_pri", id_col)
-    docs = (
-        docs.withColumn("_pri", F.expr(_priority_expr(id_col)))
-        .withColumn("_cum_excl", F.coalesce(F.sum(tokens_col).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    docs = docs.withColumn("_pri", F.expr(_priority_expr(id_col)))
+    if shards > 1:
+        docs = docs.withColumn(
+            "_shard", F.pmod(F.col("_pri"), F.lit(shards)).cast("int")
+        )
+        part_cols = [source_col, "_shard"]
+        bin_tag = (
+            f"concat({source_col}, '/', cast(_shard as string), "
+            "'/', cast(_bin as string))"
+        )
+    else:
+        part_cols = [source_col]
+        bin_tag = f"concat({source_col}, '/', cast(_bin as string))"
+    w = Window.partitionBy(*part_cols).orderBy("_pri", id_col)
+    docs = docs.withColumn(
+        "_cum_excl",
+        F.coalesce(
+            F.sum(tokens_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
     )
     # deterministic bin index: floor(exclusive-cumsum / seq_len) counts
-    # how many full sequences precede this doc in its source's order
+    # how many full sequences precede this doc in its shard's order
     docs = docs.withColumn(
         "_bin", F.expr(f"cast(floor(_cum_excl / {seq_len}) as int)")
     )
-    w_bin = Window.partitionBy(source_col, "_bin").orderBy("_pri", id_col)
+    w_bin = Window.partitionBy(*part_cols, "_bin").orderBy("_pri", id_col)
     return (
         docs.withColumn("bin_pos", F.row_number().over(w_bin) - F.lit(1))
-        .withColumn(
-            "bin_id",
-            F.expr(f"concat({source_col}, '/', cast(_bin as string))"),
-        )
+        .withColumn("bin_id", F.expr(bin_tag))
         .withColumn("n_tokens", F.col(tokens_col).cast("long"))
-        .drop("_pri", "_cum_excl", "_bin")
+        .drop("_pri", "_cum_excl", "_bin", *(["_shard"] if shards > 1 else []))
     )
+
+
+def pack_sequences_firstfit(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+    shards: int = 1,
+) -> DataFrame:
+    """Exact first-fit packing: walk each source's documents in the
+    deterministic (hash-priority, id) order and place every document in the
+    FIRST bin with room for it, opening a new bin when none fits (a
+    document longer than ``seq_len`` gets a bin of its own). No bin ever
+    exceeds ``seq_len`` except those single-oversize-document bins — the
+    hard-capacity guarantee block packing trades away.
+
+    First-fit is a sequential recurrence (bin loads depend on every prior
+    placement), so it cannot be a window function: each ``(source, shard)``
+    group runs the linear scan inside one ``applyInPandas`` task. That makes
+    group size the scale contract — use this for BOUNDED sources (or set
+    ``shards`` so every shard fits a task comfortably) and the block packer
+    for unbounded ones; shards trade packing quality for parallelism the
+    same way they do in ``pack_sequences``.
+
+    Output schema matches ``pack_sequences``: input rows + ``n_tokens``,
+    ``bin_id``, ``bin_pos``.
+    """
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col,
+            F.expr(f"size({tokens_expr(text_col)})"),
+        )
+    docs = docs.withColumn("_pri", F.expr(_priority_expr(id_col)))
+    if shards > 1:
+        docs = docs.withColumn(
+            "_shard", F.pmod(F.col("_pri"), F.lit(shards)).cast("int")
+        )
+    else:
+        docs = docs.withColumn("_shard", F.lit(0))
+
+    out_fields = [f for f in docs.schema.fields if f.name not in ("_pri", "_shard")]
+    from pyspark.sql import types as _T
+
+    out_schema = _T.StructType(
+        out_fields
+        + [
+            _T.StructField("n_tokens", _T.LongType()),
+            _T.StructField("bin_id", _T.StringType()),
+            _T.StructField("bin_pos", _T.IntegerType()),
+        ]
+    )
+    out_cols = [f.name for f in out_fields]
+    tag_shard = shards > 1
+
+    def pack(pdf):
+        import pandas as pd  # executor-side
+
+        pdf = pdf.sort_values(["_pri", id_col], kind="mergesort")
+        source = pdf[source_col].iloc[0] if len(pdf) else ""
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        loads: List[int] = []
+        counts: List[int] = []
+        bin_ids, bin_poss = [], []
+        for tok in pdf[tokens_col]:
+            t = int(tok)
+            placed = next(
+                (i for i, l in enumerate(loads) if l + t <= seq_len), None
+            )
+            if placed is None:
+                loads.append(0)
+                counts.append(0)
+                placed = len(loads) - 1
+            bin_ids.append(placed)
+            bin_poss.append(counts[placed])
+            counts[placed] += 1
+            loads[placed] += t
+        out = pdf[out_cols].copy()
+        out["n_tokens"] = pdf[tokens_col].astype("int64")
+        prefix = f"{source}/{shard}/" if tag_shard else f"{source}/"
+        out["bin_id"] = [prefix + str(b) for b in bin_ids]
+        out["bin_pos"] = pd.array(bin_poss, dtype="int32")
+        return out
+
+    return docs.groupBy(source_col, "_shard").applyInPandas(pack, out_schema)

@@ -58,7 +58,10 @@ def crawl_to_training_set(
     sequence bins (``bin_id``/``bin_pos`` columns).
 
     ``weights`` defaults to uniform over the hosts that actually produced
-    documents (driver-known, host-count-sized). ``eval_docs`` (a
+    documents — computed inside the sampler as a single scalar count, so
+    the default path never collects a host list onto the driver (web-scale
+    corpora have 10^6-10^8 hosts); pass an explicit small mixture dict to
+    weight source groups. ``eval_docs`` (a
     documents-shaped frame) enables benchmark decontamination; omitted,
     nothing is held out. ``langs`` defaults to None (no language gate):
     the marker-word heuristic tags synthetic/markdown-ish text 'unknown',
@@ -72,9 +75,6 @@ def crawl_to_training_set(
 
     res = crawl(spark, corpus, list(seeds), crawl_config, run_dir=run_dir)
     docs = pages_to_documents(res.pages(spark))
-    if weights is None:
-        hosts = [r["source"] for r in docs.select("source").distinct().collect()]
-        weights = {h: 1.0 for h in hosts}
     if eval_docs is None:
         eval_docs = spark.createDataFrame([], "doc_id long, text string")
     out = assemble_training_set(

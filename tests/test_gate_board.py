@@ -79,6 +79,7 @@ FAMILY_REPRESENTATIVES = {
     "tfidf": "tfidf_keywords_docs",
     "split": "split_assign_docs",
     "packing": "pack_sequences_docs",
+    "packing firstfit": "pack_firstfit_docs",
     "canonical url": "canonical_url_docs",
 }
 
