@@ -118,6 +118,38 @@ def make_handler(service: CrawlerService, download_dir: str):
                 return self._download()
             self._json(404, {"detail": "Not Found"})
 
+        def do_GET(self):  # noqa: N802 (stdlib contract)
+            # reference surface: api/main.py:131-136 serves /health and
+            # /api/environment as GET probes
+            if self.path == "/health":
+                return self._json(200, {"status": "ok", "version": "0.1.0"})
+            if self.path == "/api/environment":
+                return self._json(200, self._environment())
+            self._json(404, {"detail": "Not Found"})
+
+        def _environment(self) -> Dict:
+            """Deployment probe (api/main.py:136-153 analog): the engine's
+            equivalents of the reference's has_openai_key / playwright
+            checks are the structured-extractor seam and the Spark runtime."""
+            import os
+            import sys
+
+            try:
+                import pyspark
+
+                spark_version = pyspark.__version__
+            except Exception:  # pragma: no cover
+                spark_version = None
+            return {
+                "has_openai_key": bool(os.getenv("OPENAI_API_KEY")),
+                "spark_version": spark_version,
+                "python_version": sys.version,
+                "paths": {
+                    "download_dir": download_dir,
+                    "run_root": service.run_root,
+                },
+            }
+
         def _scrape(self):
             body = self._body()
             if body is None:

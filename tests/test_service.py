@@ -119,3 +119,36 @@ def test_download_json_and_markdown(server, corpus_rows_mem):
 def test_unknown_route(server):
     code, _, _ = _post(server, "/api/nope", {})
     assert code == 404
+
+
+def _get(port, path):
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_health_endpoint(server):
+    """GET /health mirrors the reference probe (api/main.py:131-133)."""
+    code, content = _get(server, "/health")
+    assert code == 200
+    body = json.loads(content)
+    assert body["status"] == "ok" and "version" in body
+
+
+def test_environment_endpoint(server):
+    """GET /api/environment mirrors the reference's deployment probe
+    (api/main.py:135-153): key presence, runtime versions, paths."""
+    code, content = _get(server, "/api/environment")
+    assert code == 200
+    body = json.loads(content)
+    assert set(body) >= {"has_openai_key", "spark_version",
+                         "python_version", "paths"}
+    assert isinstance(body["has_openai_key"], bool)
+    assert body["spark_version"], "engine runtime must be reported"
+
+
+def test_unknown_get_route(server):
+    code, _ = _get(server, "/api/nope")
+    assert code == 404
