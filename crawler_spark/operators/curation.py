@@ -132,6 +132,15 @@ def assemble_training_set(
     clean = decontaminate(
         curated, eval_docs, text_col, id_col, shingle_k=decon_shingle_k
     )
+    # Materialize the curated/decontaminated frame BEFORE fanning out into
+    # LSH + join-back + sampling. Three consumers would otherwise recompute
+    # the gates, and — measured — Catalyst spends ~25 s of pure DRIVER time
+    # optimizing the minhash expression over the unmaterialized gate plan
+    # (0.2 s over an InMemoryRelation): an Amdahl serial term that capped
+    # the pipeline's N->4N scaling at 0.72. One cheap parallel count turns
+    # every downstream plan into a scan of the cache.
+    clean = clean.persist()
+    clean.count()
     pairs = minhash_lsh_pairs(
         clean,
         text_col,

@@ -34,7 +34,7 @@ Machine Translation").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.dedup import tokens_expr
@@ -68,6 +68,7 @@ def lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bigrams: int = 4_000_000,
 ) -> DataFrame:
     """Score every document under an add-one-smoothed bigram LM trained on
     the corpus itself.
@@ -79,6 +80,16 @@ def lm_score(
       rounded to 6 decimals; NULL when n_bigrams = 0). Perplexity is
       ``exp(avg_nll)`` — left to the caller because ``exp`` is the one
       step that is not bit-reproducible across engines.
+
+    Plan shape: the corpus is exploded into bigrams exactly TWICE — once
+    to build the count table, once to score — and context counts derive
+    from the bigram table itself (``ctx_n(prev) = sum over cur of bg_n``),
+    never from a third corpus pass. The per-bigram log-prob table is
+    vocabulary²-bounded; when its row count (driver-known, the frontier's
+    decide-from-a-count pattern) is at most ``broadcast_bigrams``, the
+    scoring join broadcasts it and the corpus-sized side never shuffles —
+    the difference between one bounded shuffle and shuffling every bigram
+    occurrence in the corpus.
     """
     ex = (
         df.select(F.col(id_col), F.explode(F.expr(bigrams_expr(text_col))).alias("bg"))
@@ -90,10 +101,11 @@ def lm_score(
         .agg(F.countDistinct("t").alias("v"))
     )
     bg_counts = ex.groupBy("prev", "cur").agg(F.count("*").alias("bg_n"))
-    ctx_counts = ex.groupBy("prev").agg(F.count("*").alias("ctx_n"))
-    scored = (
-        ex.join(bg_counts, ["prev", "cur"])
-        .join(ctx_counts, "prev")
+    # ctx_n rides the bigram table (an occurrence with context `prev` IS a
+    # bigram starting with `prev`): a vocabulary-sized window, no corpus pass
+    w_ctx = Window.partitionBy("prev")
+    logp_table = (
+        bg_counts.withColumn("ctx_n", F.sum("bg_n").over(w_ctx))
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "logp_q",
@@ -101,7 +113,12 @@ def lm_score(
                 f"cast(round(ln((bg_n + 1) / cast(ctx_n + v as double)) * {_Q}) as bigint)"
             ),
         )
+        .select("prev", "cur", "logp_q")
+        .persist()
     )
+    if logp_table.count() <= broadcast_bigrams:
+        logp_table = F.broadcast(logp_table)
+    scored = ex.join(logp_table, ["prev", "cur"])
     per_doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.sum("logp_q").alias("sum_logp_q"),

@@ -56,7 +56,10 @@ def main() -> None:
                         "mean NLL exceeds this (operators/lm.py)")
     p.add_argument("--strip-dup-spans", type=int, default=None, metavar="N",
                    help="strip tokens covered by corpus-duplicated N-grams "
-                        "before curation (Lee et al.; operators/dedup.py)")
+                        "before curation (Lee et al.; operators/dedup.py). "
+                        "Surviving text keeps its original case; the one "
+                        "normalization applied is whitespace collapse to "
+                        "single spaces (detection is case-insensitive)")
     args = p.parse_args()
 
     from crawler_spark.operators.curation import curate, curation_stats

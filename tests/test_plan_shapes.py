@@ -181,8 +181,11 @@ def test_lsh_bucket_filter_prunes_partitions(spark, tmp_path):
 
 
 def test_lm_score_stays_jvm_side(spark):
-    """The bigram-LM pipeline is three hash aggregations + two equi-joins —
-    no Python evaluation anywhere, vocab crossJoin is a broadcast."""
+    """The bigram-LM pipeline is hash aggregations + a broadcast scoring
+    join — no Python evaluation anywhere, and when the log-prob table is
+    driver-known small the corpus-sided scoring join must BROADCAST it
+    (the occurrence stream never shuffles; see lm_score's plan-shape
+    docstring)."""
     from crawler_spark.operators.lm import lm_score
 
     docs = spark.createDataFrame(
@@ -190,7 +193,11 @@ def test_lm_score_stays_jvm_side(spark):
     )
     plan = plan_of(lm_score(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan  # scoring join, bigram table side
+    # context counts ride the bigram table (a window over it), never a
+    # third corpus explode: exactly two Generate nodes (count pass + score
+    # pass bigram explodes) plus the vocab explode
+    assert plan.count("Generate explode") <= 3
 
 
 def test_strip_spans_rebuild_is_hof_not_corpus_explode(spark):

@@ -116,8 +116,14 @@ def worker(args) -> None:
     t0 = time.perf_counter()
     # persist, not localCheckpoint: same compute-once effect at the
     # fan-out, without funneling the frame through serialized checkpoint
-    # blocks (a measurable serial cost at small core counts)
+    # blocks (a measurable serial cost at small core counts).
+    # MATERIALIZE before planning downstream: Catalyst takes ~25 s of pure
+    # driver (serial) time to optimize the minhash expression over the
+    # unmaterialized gate plan vs 0.2 s over the in-memory relation — the
+    # dominant Amdahl term behind the round-2 efficiency of 0.72 (the
+    # engine's assemble_training_set applies the same barrier).
     curated = curate(docs, min_quality=0.4, langs=("en",)).persist()
+    curated.count()
     pairs = minhash_lsh_pairs(curated, num_hashes=8, bands=4, shingle_k=3)
     survivors = near_dup_dedup(curated, pairs)
     scored = lm_score(survivors.select("doc_id", "text", "source"))
