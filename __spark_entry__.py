@@ -1392,6 +1392,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(canonical_url_expr(f"({url})")).alias("canonical"),
         )
 
+    # ---- link-graph PageRank (crawl prioritization; operators/graph.py).
+    # Edges are synthesized deterministically from the doc_id space (3
+    # out-links per doc via modular arithmetic) so Spark and the oracle
+    # rank the *same* graph; rank_q is exact fixed-point BIGINT, so the
+    # value-hash compares integer-for-integer across engines.
+    def pagerank_docs(spark, sf_dir):
+        from crawler_spark.operators.graph import pagerank
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return pagerank(edges, iterations=4).select("id", "rank_q")
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -1523,6 +1542,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "pack_firstfit_docs": pack_firstfit_docs,
         "canonical_url_docs": canonical_url_docs,
+        "pagerank_docs": pagerank_docs,
     }
 
 
@@ -2616,6 +2636,51 @@ def _all_oracle_sql() -> dict[str, str]:
                                ELSE concat('?', q2) END) AS canonical
             FROM comp5
         """,
+        # link-graph PageRank: identical synthetic edge construction, then
+        # the exact fixed-point power iteration unrolled 4 times — integer
+        # division (//) and damping (85*s)//100 match Spark's `div`
+        # arithmetic bit-for-bit (operators/graph.py)
+        "pagerank_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e AS (SELECT DISTINCT doc_id AS src,
+                         (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                  FROM documents, (VALUES (1), (2), (3)) t(j)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            ej AS (SELECT e.src, e.dst, deg.out_deg
+                   FROM e JOIN deg USING (src)),
+            r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS rank_q
+                   FROM nodes),
+            s1 AS (SELECT ej.dst AS id, SUM(r0.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r0 ON ej.src = r0.id GROUP BY ej.dst),
+            r1 AS (SELECT nodes.id,
+                          CAST(150000000000
+                               + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s1 ON nodes.id = s1.id),
+            s2 AS (SELECT ej.dst AS id, SUM(r1.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r1 ON ej.src = r1.id GROUP BY ej.dst),
+            r2 AS (SELECT nodes.id,
+                          CAST(150000000000
+                               + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s2 ON nodes.id = s2.id),
+            s3 AS (SELECT ej.dst AS id, SUM(r2.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst),
+            r3 AS (SELECT nodes.id,
+                          CAST(150000000000
+                               + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s3 ON nodes.id = s3.id),
+            s4 AS (SELECT ej.dst AS id, SUM(r3.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r3 ON ej.src = r3.id GROUP BY ej.dst),
+            r4 AS (SELECT nodes.id,
+                          CAST(150000000000
+                               + (85 * COALESCE(s4.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s4 ON nodes.id = s4.id)
+            SELECT id, rank_q FROM r4
+        """,
         # deterministic split: hash interval membership at 1/10000
         # resolution (sorted arms: test [0,100), train [100,9900),
         # validation [9900,10000) for the default weights)
@@ -2803,6 +2868,7 @@ _DRIVER_GATE = [
     "hashed_vector_docs",
     # --- new in round 3 ---
     "pack_firstfit_docs",
+    "pagerank_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
@@ -2815,7 +2881,6 @@ _DRIVER_GATE = [
     "keyword_relevance",
     # --- dedup / similarity / text-analysis / filter / sampling gates ---
     "exact_dedup_docs",
-    "minhash_signature",
     "minhash_lsh",
     "near_dup_docs",
     "ngram_jaccard",
@@ -2863,6 +2928,7 @@ _EXTENDED_GATE = [
     "lsh_bucket_counts",   # lsh_topk_docs exercises the same signature path
     "ivf_assign_docs",     # ivf_topk_docs probes assignment + rerank
     "simhash_docs",        # simhash_near_dups consumes the signatures
+    "minhash_signature",   # minhash_lsh bands + joins the same signatures
     "curation_funnel",     # curate_docs is the composed-pipeline gate
 ]
 

@@ -297,6 +297,25 @@ def run(spark, sf_dir: str):
             value_cols=["event_id", "value"],
         ).select(F.count("*"), F.sum("asof_value")).collect()
 
+    # ---- q_pagerank: link-graph rank over a synthetic 3-out-degree graph --
+    # (frontier prioritization signal; operators/graph.py — 4 fixed-point
+    # power iterations, edge list partitioned once and reused)
+    with timed("q_pagerank"):
+        from crawler_spark.operators.graph import pagerank
+
+        d = docs.select("doc_id")
+        m = d.agg(F.max("doc_id")).first()[0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        pagerank(edges, iterations=4).select(
+            F.count("*"), F.sum("rank_q")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

@@ -693,27 +693,39 @@ def strip_duplicate_spans(
     re-sort, no second corpus shuffle.
     """
     spans = duplicate_ngram_spans(df, n, min_count, text_col, id_col)
+    # removed token counts ride the span table (spans are disjoint and
+    # maximal, so their lengths sum exactly) — recomputing them from the
+    # token arrays would re-split every document's text a second time
     spans_arr = spans.groupBy(id_col).agg(
         F.expr(
             "array_sort(collect_list(named_struct("
             "'s', span_start, 'e', span_end)))"
-        ).alias("_sp")
+        ).alias("_sp"),
+        F.sum("span_tokens").alias("_rm"),
     )
     # Detection (duplicate_ngram_spans) hashes lowercased n-grams; the
     # rebuild keeps the surviving tokens in their ORIGINAL case — positions
     # align because lowercasing never changes whitespace token boundaries.
+    # Unaffected documents (the vast majority: spans touch a small slice of
+    # the corpus) take the cheap branch: one regex collapse, provably equal
+    # to concat_ws(' ', tokens_expr_cased) for every input, instead of a
+    # split + struct-zip + rejoin. CASE branches evaluate lazily in
+    # codegen, so affected-doc work never runs for clean docs.
     toks = tokens_expr_cased(text_col)
     kept = (
-        f"CASE WHEN _sp IS NULL THEN {toks} ELSE "
         f"transform(filter(transform({toks}, (t, i) -> named_struct('t', t, 'i', i)), "
-        f"x -> NOT exists(_sp, sp -> x.i >= sp.s AND x.i <= sp.e)), x -> x.t) END"
+        f"x -> NOT exists(_sp, sp -> x.i >= sp.s AND x.i <= sp.e)), x -> x.t)"
     )
     return (
         df.join(spans_arr, id_col, "left")
         .select(
             F.col(id_col),
-            F.expr(f"concat_ws(' ', {kept})").alias("kept_text"),
+            F.expr(
+                f"CASE WHEN _sp IS NULL "
+                f"THEN regexp_replace(trim({text_col}), '\\\\s+', ' ') "
+                f"ELSE concat_ws(' ', {kept}) END"
+            ).alias("kept_text"),
             F.expr(f"size({toks})").alias("n_tokens"),
-            F.expr(f"size({toks}) - size({kept})").cast("int").alias("removed_tokens"),
+            F.expr("coalesce(_rm, 0)").cast("int").alias("removed_tokens"),
         )
     )

@@ -81,6 +81,7 @@ FAMILY_REPRESENTATIVES = {
     "packing": "pack_sequences_docs",
     "packing firstfit": "pack_firstfit_docs",
     "canonical url": "canonical_url_docs",
+    "link-graph pagerank": "pagerank_docs",
 }
 
 

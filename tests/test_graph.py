@@ -1,0 +1,135 @@
+"""Link-graph PageRank: exact fixed-point replay, partition invariance,
+host-graph construction, and the priority-scorer adapter (W3 seam)."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.graph import (
+    host_link_graph,
+    host_pagerank,
+    pagerank,
+    pagerank_priority_scorer,
+)
+
+Q = 10**12
+
+
+def replay(edges, iters, q=Q, num=85, den=100):
+    """Pure-Python fixed-point replay of the exact integer arithmetic."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = Counter(s for s, _ in edges)
+    base = q * (den - num) // den
+    r = {n: q for n in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += r[s] // deg[s]
+        r = {n: base + num * inc.get(n, 0) // den for n in nodes}
+    return r
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4),
+    (6, 1), (6, 2), (6, 3),  # 6 is dangling-in only via others; 7 below
+    (2, 7),                  # 7 is a dangling node (no out-edges)
+]
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=5).collect()}
+    assert got == replay(EDGES, 5)
+
+
+def test_pagerank_duplicate_edges_counted_once(spark):
+    df = spark.createDataFrame(EDGES + EDGES[:4], "src long, dst long")
+    got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=3).collect()}
+    assert got == replay(EDGES, 3)
+
+
+def test_pagerank_partition_invariance(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = {r["id"]: r["rank_q"]
+         for r in pagerank(df.repartition(1), iterations=4,
+                           num_partitions=3).collect()}
+    b = {r["id"]: r["rank_q"]
+         for r in pagerank(df.repartition(13), iterations=4,
+                           num_partitions=7).collect()}
+    assert a == b == replay(EDGES, 4)
+
+
+def test_pagerank_dangling_node_keeps_base_plus_inflow(spark):
+    # node 7 has no out-edges: its mass leaks (documented variant), but it
+    # still accumulates base + damped inflow from 2 every round
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=2).collect()}
+    exp = replay(EDGES, 2)
+    assert got[7] == exp[7] and got[7] > 0
+
+
+def test_host_link_graph_counts_and_drops_self_loops(spark):
+    rows = [
+        ("a.test", ["b.test", "b.test", "a.test"]),
+        ("a.test", ["c.test"]),
+        ("b.test", ["a.test"]),
+    ]
+    df = spark.createDataFrame(rows, "host string, link_hosts array<string>")
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_link_graph(df).collect()
+    }
+    assert got == {
+        ("a.test", "b.test"): 2,
+        ("a.test", "c.test"): 1,
+        ("b.test", "a.test"): 1,
+    }
+
+
+def test_host_pagerank_end_to_end(spark):
+    rows = [
+        ("hub.test", ["a.test", "b.test"]),
+        ("a.test", ["hub.test"]),
+        ("b.test", ["hub.test"]),
+        ("c.test", ["hub.test"]),
+    ]
+    df = spark.createDataFrame(rows, "host string, link_hosts array<string>")
+    ranks = {r["host"]: r["rank_q"] for r in host_pagerank(df, 4).collect()}
+    # everyone links to the hub: it must outrank every other host
+    assert ranks["hub.test"] == max(ranks.values())
+    assert ranks["hub.test"] > ranks["c.test"]
+
+
+def test_priority_scorer_broadcasts_and_defaults(spark):
+    rows = [
+        ("hub.test", ["a.test"]),
+        ("a.test", ["hub.test"]),
+    ]
+    hr = host_pagerank(
+        spark.createDataFrame(rows, "host string, link_hosts array<string>"), 3
+    )
+    scorer = pagerank_priority_scorer(hr)
+    cand = spark.createDataFrame(
+        [
+            ("u1", "hub.test", 1, 0, 0, 0.5),
+            ("u2", "unknown.test", 1, 0, 1, 0.5),
+        ],
+        "url string, host string, depth int, parent_seq long, "
+        "link_pos int, priority double",
+    )
+    out = scorer(cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["url"]: r["priority"] for r in out.collect()}
+    assert got["u1"] == pytest.approx(1.0)  # max-rank host normalizes to 1
+    assert got["u2"] == 0.5                 # unknown host keeps the default
+    assert set(out.columns) == set(cand.columns)
+
+
+def test_pagerank_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    out = pagerank(df, iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
