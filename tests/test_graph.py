@@ -128,6 +128,59 @@ def test_priority_scorer_broadcasts_and_defaults(spark):
     assert set(out.columns) == set(cand.columns)
 
 
+def test_pagerank_scorer_drives_crawl_end_to_end(
+    spark, corpus_parquet, corpus_spec, tmp_path
+):
+    """Two-phase crawl: a discovery pass builds the host link graph, its
+    PageRank feeds the W3 priority seam, and the ranked re-crawl visits
+    high-authority hosts first within each wave while reaching the exact
+    same URL set (priority reorders, never drops)."""
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+
+    # seed h1 before h0: the corpus's PageRank puts h0 above h1, so the
+    # BFS order (parent_seq asc => h1 first) and the ranked order
+    # (priority desc => h0 first) genuinely disagree
+    seeds = [s["url"] for s in reversed(default_seeds(corpus_spec))]
+    pages = spark.read.parquet(corpus_parquet)
+
+    base = crawl(spark, pages, seeds, config=CrawlConfig(depth=2),
+                 run_dir=str(tmp_path / "base"))
+    hr = host_pagerank(base.pages(spark), iterations=4)
+    rank_by_host = {r["host"]: r["rank_q"] for r in hr.collect()}
+    assert len(set(rank_by_host.values())) > 1  # ranks genuinely differ
+
+    ranked = crawl(
+        spark, pages, seeds,
+        config=CrawlConfig(depth=2,
+                           priority_scorer=pagerank_priority_scorer(hr)),
+        run_dir=str(tmp_path / "ranked"),
+    )
+    base_rows = base.pages(spark).orderBy("seq").collect()
+    ranked_rows = ranked.pages(spark).orderBy("seq").collect()
+
+    # reorders, never drops: same reachable set, different visit order
+    assert {r["url"] for r in base_rows} == {r["url"] for r in ranked_rows}
+    assert [r["url"] for r in base_rows] != [r["url"] for r in ranked_rows]
+
+    # within every wave the visit order follows the priority-queue key,
+    # with priority recomputable from the driver-side rank table
+    mx = max(rank_by_host.values())
+
+    def prio(r):
+        if r["depth"] == 0:  # seeds carry the default
+            return 0.5
+        return min(1.0, max(0.0, rank_by_host.get(r["host"], 0.5 * mx) / mx))
+
+    by_wave = {}
+    for r in ranked_rows:
+        by_wave.setdefault(r["wave"], []).append(r)
+    for grp in by_wave.values():
+        grp.sort(key=lambda r: r["seq"])
+        keys = [(-prio(r), r["parent_seq"], r["link_pos"]) for r in grp]
+        assert keys == sorted(keys)
+
+
 def test_pagerank_plan_is_jvm_only(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     out = pagerank(df, iterations=2)
