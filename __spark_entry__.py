@@ -824,6 +824,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seed=_LSH_SEED,
         )
 
+    # ---- SemDedup: cluster-bounded semantic near-dup removal (Abbas et
+    # al. 2023) — IVF quantizer clusters, within-cluster cosine, drop any
+    # vector dominated by a smaller similar id. keep flag per input row.
+    def semantic_dedup_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import semantic_dedup
+
+        return semantic_dedup(
+            _t(spark, sf_dir, "embeddings"), n_clusters=_IVF_K, threshold=0.3
+        ).select("vec_id", "centroid_id", "keep")
+
     # ---- LSH-bucketed approximate top-k (bucket prefilter + exact rerank)
     def lsh_topk_docs(spark, sf_dir):
         from crawler_spark.operators.similarity import lsh_topk
@@ -1494,6 +1504,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_counts": lsh_bucket_counts,
         "lsh_topk_docs": lsh_topk_docs,
         "embedding_near_dups": embedding_near_dups,
+        "semantic_dedup_docs": semantic_dedup_docs,
         "ivf_assign_docs": ivf_assign_docs,
         "ivf_topk_docs": ivf_topk_docs,
         "lang_id_docs": lang_id_docs,
@@ -1859,6 +1870,27 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign_docs": f"""
             SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        "semantic_dedup_docs": f"""
+            WITH an AS (
+              SELECT vec_id, embedding, centroid_id,
+                     sqrt(list_aggregate(list_transform(embedding,
+                          v -> cast(v as double) * cast(v as double)), 'sum')) AS nrm
+              FROM ({ivf_assigned})
+            ),
+            dominated AS (
+              SELECT DISTINCT b.vec_id
+              FROM an a JOIN an b
+                ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              WHERE round((CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+                           ELSE list_aggregate(list_transform(range(0, {_EMB_DIM}),
+                                  i -> cast(a.embedding[i + 1] as double)
+                                     * cast(b.embedding[i + 1] as double)), 'sum')
+                                / (a.nrm * b.nrm) END), 6) >= 0.3
+            )
+            SELECT an.vec_id, an.centroid_id,
+                   d.vec_id IS NULL AS keep
+            FROM an LEFT JOIN dominated d ON an.vec_id = d.vec_id
         """,
         "ivf_topk_docs": f"""
             SELECT vec_id,
@@ -2869,11 +2901,11 @@ _DRIVER_GATE = [
     # --- new in round 3 ---
     "pack_firstfit_docs",
     "pagerank_docs",
+    "semantic_dedup_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
     "crawl_bfs_order",
-    "crawl_seen_set",
     "crawl_priority_order",
     "rag_chunks",
     "chunk_documents",
@@ -2925,6 +2957,9 @@ _EXTENDED_GATE = [
     "rag_chunks_webgen",
     "export_markdown_webgen",
     # redundant diagnostics of operators whose primary gate stays on board
+    "crawl_seen_set",      # J1/J2 seen-set semantics replayed inside
+                           # crawl_bfs_order's recursive CTE; driver-green
+                           # rounds 1 and 2 — rotated for semantic_dedup_docs
     "lsh_bucket_counts",   # lsh_topk_docs exercises the same signature path
     "ivf_assign_docs",     # ivf_topk_docs probes assignment + rerank
     "simhash_docs",        # simhash_near_dups consumes the signatures

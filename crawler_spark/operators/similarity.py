@@ -405,3 +405,101 @@ def lsh_topk(
 
     bucketed = with_sig.filter(F.col("lsh_bucket").isin(sorted(probes)))
     return brute_force_topk(bucketed, query, k, vec_col, id_col)
+
+
+def clusters_for_corpus(n_rows: int, target_cluster_rows: int = 4096) -> int:
+    """Cluster count that keeps the expected cluster size constant as the
+    corpus grows — the knob that stops ``semantic_dedup``'s within-cluster
+    self-join from going quadratic (same role ``planes_for_corpus`` plays
+    for the LSH blocker). One driver-known count in, an int out."""
+    return max(8, (max(1, n_rows) + target_cluster_rows - 1) // target_cluster_rows)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: Optional[int] = 8,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_rows: Optional[Sequence] = None,
+    refine_iters: int = 0,
+    target_cluster_rows: int = 4096,
+) -> DataFrame:
+    """SemDedup-style semantic near-duplicate removal (Abbas et al. 2023,
+    "SemDedup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then compare vectors only
+    WITHIN their cluster — never across the corpus — and drop every vector
+    that has a same-cluster neighbor with cosine >= ``threshold`` and a
+    smaller id. The reference crawler has no embedding-space dedup at all;
+    this is part of the training-data-pipeline family, beyond-reference.
+
+    Returns the input rows plus ``centroid_id`` and ``keep boolean``
+    (survivor flag) — the funnel shape ``curate``/``curation_funnel`` use,
+    so callers can count what semantic dedup removed per source.
+
+    Determinism contract: the quantizer is the deterministic hash-sampled
+    ``ivf_centroids`` (optionally Lloyd-refined with fixed-point integer
+    means, ``refine_iters``); assignment is the literal-centroid argmin
+    expression with an id tie-break; cosine accumulates in index order and
+    is rounded to 6 decimals before the threshold compare (the same
+    convention as ``embedding_near_dup_pairs``); the drop rule
+    ("a smaller similar id exists") needs no iteration, so the survivor
+    set is bit-identical at any partition count.
+
+    Scale shape for 100 TB: the pair join shuffles on ``centroid_id`` — a
+    bounded equi-join, never all-pairs. ``n_clusters=None`` derives the
+    cluster count from the corpus size (``clusters_for_corpus``) so the
+    expected cluster stays ~``target_cluster_rows`` rows as the corpus
+    grows; ``bucket_stats`` over the assigned frame is the skew guardrail
+    (a text-dup-heavy corpus can still concentrate one cluster, in which
+    case raise ``n_clusters`` or pre-split hot clusters the way the
+    politeness queue salts hot hosts). The assigned+norm frame is
+    checkpointed once so Catalyst evaluates the k-literal argmin expression
+    once, not once per self-join side (the round-2 lesson)."""
+    if n_clusters is None:
+        n_clusters = clusters_for_corpus(df.count(), target_cluster_rows)
+    if centroid_rows is None:
+        centroid_rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, n_clusters, vec_col, id_col).collect()
+        ]
+        if refine_iters > 0:
+            centroid_rows = ivf_refine(
+                df, centroid_rows, iters=refine_iters, vec_col=vec_col
+            )
+    assigned = (
+        ivf_assign(df, centroid_rows, vec_col)
+        .withColumn("_norm", F.expr(_norm_expr(vec_col)))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = _dot_expr(f"a.{vec_col}", f"b.{vec_col}")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.when(
+                    F.col("a._norm") * F.col("b._norm") == 0.0, F.lit(0.0)
+                ).otherwise(
+                    F.expr(f"({dot})") / (F.col("a._norm") * F.col("b._norm"))
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.drop("_norm")
+        .join(dominated, id_col, "left")
+        .withColumn("keep", F.coalesce(~F.col("_dup"), F.lit(True)))
+        .drop("_dup")
+    )

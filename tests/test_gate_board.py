@@ -51,6 +51,7 @@ FAMILY_REPRESENTATIVES = {
     "lsh ann": "lsh_topk_docs",
     "ivf ann": "ivf_topk_docs",
     "embedding near-dup": "embedding_near_dups",
+    "semantic dedup": "semantic_dedup_docs",
     "lang id": "lang_id_docs",
     "quality": "quality_score_docs",
     "token count": "token_count_docs",

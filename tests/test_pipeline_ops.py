@@ -513,6 +513,93 @@ class TestIvfRefine:
         assert sse(refined) < sse(cents)
 
 
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        """Random vectors plus planted near-copies of vec 0 and vec 1."""
+        rng = np.random.RandomState(7)
+        data = rng.randn(150, 16).astype(np.float32)
+        data[148] = data[0] * 1.001  # near-copy, same direction as vec 0
+        data[149] = data[1] * 0.999
+        rows = [(i, [float(x) for x in data[i]]) for i in range(150)]
+        return data, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    @staticmethod
+    def _replay(data, centroid_rows, threshold):
+        """Pure-numpy replay of the cluster-bounded min-id drop rule."""
+        cmap = {c: np.array(e, dtype=np.float64) for c, e in centroid_rows}
+        cids = sorted(cmap)
+
+        def assign(v):
+            v64 = v.astype(np.float64)
+            return min((float(((v64 - cmap[c]) ** 2).sum()), c) for c in cids)[1]
+
+        cluster = {i: assign(data[i]) for i in range(len(data))}
+        norms = np.linalg.norm(data.astype(np.float64), axis=1)
+        keep = set(range(len(data)))
+        for j in range(len(data)):
+            for i in range(j):
+                if cluster[i] != cluster[j]:
+                    continue
+                denom = norms[i] * norms[j]
+                cos = 0.0 if denom == 0 else float(
+                    data[i].astype(np.float64) @ data[j].astype(np.float64)
+                ) / denom
+                if round(cos, 6) >= threshold:
+                    keep.discard(j)
+                    break
+        return keep
+
+    def test_matches_numpy_replay_and_drops_planted_copies(self, spark, planted):
+        from crawler_spark.operators.similarity import (
+            ivf_centroids,
+            semantic_dedup,
+        )
+
+        data, df = planted
+        cents = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, 4).collect()
+        ]
+        out = semantic_dedup(df, threshold=0.9, centroid_rows=cents)
+        got_keep = {r["vec_id"] for r in out.collect() if r["keep"]}
+        assert got_keep == self._replay(data, cents, 0.9)
+        # planted near-copies are dominated by their originals
+        assert 148 not in got_keep and 149 not in got_keep
+        assert 0 in got_keep and 1 in got_keep
+        # keep-flag shape: every input row comes back exactly once
+        assert out.count() == 150
+
+    def test_partition_invariant_and_jvm_only(self, spark, planted):
+        from crawler_spark.operators.similarity import semantic_dedup
+
+        _, df = planted
+        a = {
+            (r["vec_id"], r["keep"], r["centroid_id"])
+            for r in semantic_dedup(df.repartition(1), n_clusters=4,
+                                    threshold=0.9).collect()
+        }
+        b = {
+            (r["vec_id"], r["keep"], r["centroid_id"])
+            for r in semantic_dedup(df.repartition(7), n_clusters=4,
+                                    threshold=0.9).collect()
+        }
+        assert a == b
+        out = semantic_dedup(df, n_clusters=4, threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_clusters_scale_with_corpus(self):
+        from crawler_spark.operators.similarity import clusters_for_corpus
+
+        assert clusters_for_corpus(100) == 8  # floor
+        assert clusters_for_corpus(4096 * 100) == 100
+        # expected cluster size stays bounded as the corpus grows 100x
+        assert clusters_for_corpus(4096 * 10_000) == 10_000
+
+
 class TestCuration:
     def test_funnel_matches_stages(self, spark, docs):
         from crawler_spark.operators.curation import curate, curation_stats
