@@ -1058,17 +1058,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def media_features(spark, sf_dir):
-        # multimodal: image rows carry REAL PNG bytes (built column-side, so
-        # the oracle knows the exact dims the header parser must recover);
-        # audio/video rows carry the documents' utf8 bytes, whose fake
-        # features derive from md5(payload) — SQL-expressible because the
-        # payload is text. content_md5 is excluded from the projection only
-        # because DuckDB 1.0 md5() cannot hash raw BLOBs; pytest checks it
-        # against hashlib.
+        # multimodal: every kind carries REAL container bytes built
+        # column-side, so the oracle knows the exact metadata the header
+        # parsers must recover — image rows real PNG IHDR, audio rows real
+        # RIFF/WAVE fmt+data headers, video rows real MP4 ftyp+moov boxes;
+        # a fourth slice carries utf8 text as an "audio" payload to pin the
+        # deterministic-fake fallback (md5-derived, SQL-expressible because
+        # the payload is text). content_md5 is excluded from the projection
+        # only because DuckDB 1.0 md5() cannot hash raw BLOBs; pytest checks
+        # it against hashlib.
         from crawler_spark.operators.multimodal import extract_media_features
 
-        w = (F.col("doc_id") % 64 + 1).cast("int")
-        h = ((F.col("doc_id") * 7) % 64 + 1).cast("int")
+        d = F.col("doc_id")
+
+        def le32(v):  # little-endian hex8 of a u32 column (RIFF fields)
+            b = F.lpad(F.hex(v.cast("bigint")), 8, "0")
+            return F.concat(
+                F.substring(b, 7, 2), F.substring(b, 5, 2),
+                F.substring(b, 3, 2), F.substring(b, 1, 2),
+            )
+
+        w = (d % 64 + 1).cast("int")
+        h = ((d * 7) % 64 + 1).cast("int")
         png = F.unhex(
             F.concat(
                 F.lit("89504E470D0A1A0A0000000D49484452"),
@@ -1077,14 +1088,56 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("080200000000000000"),
             )
         )
+        # header-only RIFF/WAVE, 8 kHz mono 16-bit (byte rate 16000):
+        # declared data size (doc_id%997+1)*16 -> duration exactly
+        # doc_id%997+1 ms
+        data_size = ((d % 997 + 1) * 16).cast("bigint")
+        wav = F.unhex(
+            F.concat(
+                F.lit("52494646"),                       # "RIFF"
+                le32(data_size + 36),
+                F.lit("57415645"                         # "WAVE"
+                      "666D7420" "10000000"              # "fmt " size 16
+                      "0100" "0100"                      # pcm, 1 channel
+                      "401F0000" "803E0000"              # 8000 Hz, 16000 B/s
+                      "0200" "1000"                      # align 2, 16 bit
+                      "64617461"),                       # "data"
+                le32(data_size),
+            )
+        )
+        # minimal MP4: ftyp + moov[mvhd(ts=1000) + trak[tkhd(w,h)]]
+        vw = (d % 512 + 16).cast("bigint")
+        vh = ((d * 3) % 512 + 16).cast("bigint")
+        vdur = (d % 5000 + 100).cast("bigint")
+        mp4 = F.unhex(
+            F.concat(
+                F.lit("00000010" "66747970" "69736F6D69736F6D"  # ftyp
+                      "000000D8" "6D6F6F76"                      # moov(216)
+                      "0000006C" "6D766864" "00000000"           # mvhd v0
+                      "0000000000000000" "000003E8"),            # ts 1000
+                F.lpad(F.hex(vdur), 8, "0"),
+                F.lit("00" * 80),
+                F.lit("00000064" "7472616B"                      # trak(100)
+                      "0000005C" "746B6864" "00000007"           # tkhd v0
+                      "000000000000000000000001" "00000000"),
+                F.lpad(F.hex(vdur), 8, "0"),
+                F.lit("00" * 52),
+                F.lpad(F.hex(vw), 4, "0"), F.lit("0000"),        # 16.16 fixed
+                F.lpad(F.hex(vh), 4, "0"), F.lit("0000"),
+            )
+        )
+        slot = (d % 4).cast("int")
         kind = F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video"),
+                    F.lit("audio")),
+            slot + 1,
         )
         media = _t(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("media_id"),
+            d.alias("media_id"),
             kind.alias("kind"),
-            F.when(kind == "image", png)
+            F.when(slot == 0, png)
+            .when(slot == 1, wav)
+            .when(slot == 2, mp4)
             .otherwise(F.encode("text", "UTF-8"))
             .alias("payload"),
             F.lit("application/octet-stream").alias("mime"),
@@ -1098,6 +1151,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "width",
             "height",
             "duration_ms",
+            "sample_rate",
+            "channels",
             F.concat_ws(
                 ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
             ).alias("feature_joined"),
@@ -2017,33 +2072,52 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.u, b.u)) <= 3
         """,
         "media_features": """
-            -- mirrors the media_features gate entry: image dims must come
-            -- back from the engine's real PNG header parse; audio/video
-            -- fakes derive from md5 of the utf8 payload. %.6f is tie-free
-            -- here (x/2^k terminates; b/255 can never hit the 5e-7 grid).
+            -- mirrors the media_features gate entry: image/audio/video
+            -- metadata must come back from the engine's REAL header parses
+            -- (PNG IHDR, RIFF/WAVE fmt+data, MP4 mvhd/tkhd); the slot-3
+            -- audio fake derives from md5 of the utf8 payload. %.6f is
+            -- tie-free here (k/255, k/997-derived ms, k/65025 never hit the
+            -- 5e-7 grid; 65025 = 255^2 is odd).
             WITH m AS (
               SELECT doc_id AS media_id,
-                     (['image','audio','video'])[cast(doc_id % 3 AS INT) + 1] AS kind,
-                     cast(doc_id % 64 + 1 AS INT) AS w,
-                     cast((doc_id * 7) % 64 + 1 AS INT) AS h,
+                     cast(doc_id % 4 AS INT) AS slot,
+                     (['image','audio','video','audio'])[cast(doc_id % 4 AS INT) + 1] AS kind,
+                     cast(doc_id % 64 + 1 AS INT) AS iw,
+                     cast((doc_id * 7) % 64 + 1 AS INT) AS ih,
+                     cast(doc_id % 997 + 1 AS INT) AS adur,
+                     cast(doc_id % 512 + 16 AS INT) AS vw,
+                     cast((doc_id * 3) % 512 + 16 AS INT) AS vh,
+                     cast(doc_id % 5000 + 100 AS INT) AS vdur,
                      md5(text) AS tmd5,
                      octet_length(encode(text)) AS tbytes
               FROM documents
             )
             SELECT media_id, kind,
-              cast(CASE WHEN kind = 'image' THEN 33 ELSE tbytes END AS INT) AS n_bytes,
-              cast(CASE WHEN kind = 'image' THEN w
-                   WHEN kind = 'video' THEN cast(concat('0x', substring(tmd5, 1, 2)) as int) % 64 + 1
+              cast(CASE slot WHEN 0 THEN 33 WHEN 1 THEN 44 WHEN 2 THEN 232
+                   ELSE tbytes END AS INT) AS n_bytes,
+              cast(CASE slot WHEN 0 THEN iw WHEN 2 THEN vw
                    ELSE NULL END AS INT) AS width,
-              cast(CASE WHEN kind = 'image' THEN h
-                   WHEN kind = 'video' THEN cast(concat('0x', substring(tmd5, 3, 2)) as int) % 64 + 1
+              cast(CASE slot WHEN 0 THEN ih WHEN 2 THEN vh
                    ELSE NULL END AS INT) AS height,
-              cast(CASE WHEN kind = 'image' THEN NULL
-                   ELSE cast(concat('0x', substring(tmd5, 5, 4)) as int) END AS INT) AS duration_ms,
-              CASE WHEN kind = 'image' THEN
-                concat_ws(',', printf('%.6f', w / 255.0), printf('%.6f', h / 255.0),
-                          printf('%.6f', (w * h) / 65025.0),
+              cast(CASE slot WHEN 1 THEN adur WHEN 2 THEN vdur
+                   WHEN 3 THEN cast(concat('0x', substring(tmd5, 5, 4)) as int)
+                   ELSE NULL END AS INT) AS duration_ms,
+              cast(CASE slot WHEN 1 THEN 8000 ELSE NULL END AS INT) AS sample_rate,
+              cast(CASE slot WHEN 1 THEN 1 ELSE NULL END AS INT) AS channels,
+              CASE slot
+              WHEN 0 THEN
+                concat_ws(',', printf('%.6f', iw / 255.0), printf('%.6f', ih / 255.0),
+                          printf('%.6f', (iw * ih) / 65025.0),
                           '0.000000', '0.000000', '0.000000', '0.000000', '0.000000')
+              WHEN 1 THEN
+                concat_ws(',', printf('%.6f', 1 / 255.0), printf('%.6f', 95 / 255.0),
+                          printf('%.6f', (adur % 65025) / 65025.0),
+                          '0.000000', '0.000000', '0.000000', '0.000000', '0.000000')
+              WHEN 2 THEN
+                concat_ws(',', printf('%.6f', vw / 255.0), printf('%.6f', vh / 255.0),
+                          printf('%.6f', (vw * vh) / 65025.0),
+                          printf('%.6f', (vdur % 65025) / 65025.0),
+                          '0.000000', '0.000000', '0.000000', '0.000000')
               ELSE
                 array_to_string(list_transform(range(4, 12), i ->
                   printf('%.6f', cast(concat('0x', substring(tmd5, i * 2 + 1, 2)) as int) / 255.0)), ',')

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Image dimensions are REAL: PNG/GIF/JPEG headers are parsed in pure stdlib
-(no PIL needed — width/height live in the first bytes of each format).
-Audio/video decode needs codecs this container doesn't have, so those
-features are either an explicit ``NotImplementedError`` or — with
+Container metadata is REAL across all three kinds, parsed in pure stdlib:
+PNG/GIF/JPEG dimensions live in the first bytes of each format; WAV
+(RIFF/WAVE) carries channels/sample-rate/byte-rate in its ``fmt `` chunk
+and duration via the declared ``data`` size; MP4 (ISO-BMFF) carries
+duration in ``moov/mvhd`` and track dimensions in ``moov/trak/tkhd``.
+Actual SAMPLE decode (pixels, PCM, frames) needs codec libraries this
+container doesn't have, so payloads whose container can't be parsed are
+either an explicit ``NotImplementedError`` or — with
 ``deterministic_fake=True`` — stable values derived from the payload's md5
 (so the pipeline shape is exercised end-to-end without pretending to
 decode). The Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas
@@ -41,6 +45,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),      # image/video only
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),  # audio/video only
+        T.StructField("sample_rate", T.IntegerType()),  # audio (real parse) only
+        T.StructField("channels", T.IntegerType()),     # audio (real parse) only
         T.StructField("feature", T.ArrayType(T.DoubleType())),  # 8-dim stub
     ]
 )
@@ -79,15 +85,159 @@ def parse_image_dims(payload: bytes) -> Optional[Tuple[int, int]]:
     return None
 
 
+def parse_wav_meta(payload: bytes) -> Optional[Tuple[int, int, int]]:
+    """(channels, sample_rate, duration_ms) from a RIFF/WAVE header, else None.
+
+    Pure stdlib chunk walk: ``fmt `` carries channels (u16 LE), sample rate
+    and byte rate (u32 LE); the declared ``data`` chunk size over the byte
+    rate gives duration. Like ``parse_image_dims``, this is corpus-triage
+    parsing — the data body need not be present (a header-only or truncated
+    file still reports its declared duration), and a malformed chunk walk
+    returns None rather than raising.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    channels = sample_rate = byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (csize,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            channels, sample_rate, byte_rate = struct.unpack(
+                "<HII", payload[i + 10 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = csize
+            break  # fmt precedes data in well-formed WAV; stop at the body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not channels or not sample_rate or not byte_rate or data_size is None:
+        return None
+    return (channels, sample_rate, data_size * 1000 // byte_rate)
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for ISO-BMFF boxes laid
+    out in buf[start:end]; stops (never raises) on a malformed size."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", buf[i : i + 4])
+        btype = buf[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+            hdr = 16
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(payload: bytes) -> Optional[Tuple[Optional[int], Optional[int], Optional[int]]]:
+    """(width, height, duration_ms) from an MP4/ISO-BMFF ``moov`` box, else
+    None when no usable moov is present.
+
+    mvhd (version 0 or 1) gives timescale+duration -> duration_ms; the
+    first ``trak/tkhd`` with a nonzero width gives the 16.16-fixed track
+    dimensions. Sample tables are never touched — this is container
+    metadata, not a decode.
+    """
+    if len(payload) < 16:
+        return None
+    width = height = duration_ms = None
+    for btype, ps, pe in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ityp, is_, ie in _iter_boxes(payload, ps, pe):
+            if ityp == b"mvhd" and ie - is_ >= 20:
+                ver = payload[is_]
+                if ver == 1 and ie - is_ >= 32:
+                    ts, = struct.unpack(">I", payload[is_ + 20 : is_ + 24])
+                    dur, = struct.unpack(">Q", payload[is_ + 24 : is_ + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[is_ + 12 : is_ + 20])
+                if ts:
+                    duration_ms = int(dur * 1000 // ts)
+            elif ityp == b"trak" and width is None:
+                for ttyp, ts_, te in _iter_boxes(payload, is_, ie):
+                    if ttyp != b"tkhd":
+                        continue
+                    ver = payload[ts_]
+                    off = ts_ + (88 if ver == 1 else 76)
+                    if off + 8 <= te:
+                        w_fx, h_fx = struct.unpack(
+                            ">II", payload[off : off + 8]
+                        )
+                        if w_fx:
+                            width, height = w_fx >> 16, h_fx >> 16
+                    break
+    if width is None and duration_ms is None:
+        return None
+    return (width, height, duration_ms)
+
+
+def make_wav_bytes(
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+    n_samples: int = 0,
+    header_only: bool = False,
+) -> bytes:
+    """Deterministic RIFF/WAVE bytes (silence) for tests and synthetic
+    corpora; ``header_only=True`` declares the data size without emitting
+    the body — the triage-parse contract ``parse_wav_meta`` supports."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    data = b"data" + struct.pack("<I", data_size)
+    if not header_only:
+        data += b"\x00" * data_size
+    return b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + data_size) + b"WAVE" + fmt + data
+
+
+def make_mp4_bytes(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """Deterministic minimal MP4 (ftyp + moov/mvhd + moov/trak/tkhd) whose
+    container metadata round-trips through ``parse_mp4_meta``."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                     # version 0 + flags
+        + struct.pack(">II", 0, 0)              # creation/modification
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + b"\x00" * 80,                         # rate..next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                     # version 0 + enabled flags
+        + struct.pack(">III", 0, 0, 1)          # creation/modification/track
+        + b"\x00" * 4
+        + struct.pack(">I", duration_ms * timescale // 1000)
+        + b"\x00" * 52                          # reserved/layer/volume/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return box(b"ftyp", b"isomisom") + box(b"moov", mvhd + box(b"trak", tkhd))
+
+
 def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False) -> dict:
     """The decode seam.
 
-    Images: dimensions come from the real header parse; an unparseable
-    image either raises (default) or falls back to md5-derived fake dims.
-    Audio/video: no codecs in this container — refuse loudly or fake
-    deterministically (never silently return wrong features). Image
-    features derive from the parsed dims (a real embedding model slots in
-    here); audio/video fake features derive from the payload md5.
+    All three kinds parse REAL container metadata first: image dims from
+    PNG/GIF/JPEG headers, audio channels/rate/duration from RIFF/WAVE,
+    video dims/duration from MP4 moov boxes. A payload whose container
+    can't be parsed (other codecs, corrupt bytes) either raises (default)
+    or — with ``deterministic_fake=True`` — falls back to stable
+    md5-derived values, never silently-wrong features. Features derive
+    from the parsed metadata (a real embedding model slots in here); fake
+    features derive from the payload md5.
     """
     md5d = hashlib.md5(payload).digest()
     out = {
@@ -96,6 +246,8 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False) 
         "width": None,
         "height": None,
         "duration_ms": None,
+        "sample_rate": None,
+        "channels": None,
         "feature": None,
     }
     if kind == "image":
@@ -116,18 +268,45 @@ def decode_payload(payload: bytes, kind: str, deterministic_fake: bool = False) 
             dims[0] / 255.0, dims[1] / 255.0, (dims[0] * dims[1]) / 65025.0,
             0.0, 0.0, 0.0, 0.0, 0.0,
         ]
-    else:
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "audio/video decode requires codec libraries not present in "
-                "this environment; pass deterministic_fake=True for pipeline "
-                "testing"
-            )
-        if kind == "video":
-            out["width"] = md5d[0] % 64 + 1
-            out["height"] = md5d[1] % 64 + 1
-        out["duration_ms"] = int.from_bytes(md5d[2:4], "big")
-        out["feature"] = [b / 255.0 for b in md5d[4:12]]
+        return out
+    if kind == "audio":
+        meta = parse_wav_meta(payload)
+        if meta is not None:
+            ch, sr, dur = meta
+            out["channels"], out["sample_rate"] = int(ch), int(sr)
+            out["duration_ms"] = int(dur)
+            # same odd-denominator rounding-grid trick as the image path
+            out["feature"] = [
+                ch / 255.0, (sr % 255) / 255.0, (dur % 65025) / 65025.0,
+                0.0, 0.0, 0.0, 0.0, 0.0,
+            ]
+            return out
+    elif kind == "video":
+        meta = parse_mp4_meta(payload)
+        if meta is not None:
+            w, h, dur = meta
+            out["width"] = None if w is None else int(w)
+            out["height"] = None if h is None else int(h)
+            out["duration_ms"] = None if dur is None else int(dur)
+            out["feature"] = [
+                (w or 0) / 255.0, (h or 0) / 255.0,
+                ((w or 0) * (h or 0)) / 65025.0,
+                ((dur or 0) % 65025) / 65025.0,
+                0.0, 0.0, 0.0, 0.0,
+            ]
+            return out
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"unparseable {kind} payload (audio expects RIFF/WAVE, video "
+            "expects MP4/ISO-BMFF; sample decode needs codec libraries not "
+            "present in this environment); pass deterministic_fake=True "
+            "for pipeline testing"
+        )
+    if kind == "video":
+        out["width"] = md5d[0] % 64 + 1
+        out["height"] = md5d[1] % 64 + 1
+    out["duration_ms"] = int.from_bytes(md5d[2:4], "big")
+    out["feature"] = [b / 255.0 for b in md5d[4:12]]
     return out
 
 
@@ -161,6 +340,8 @@ def extract_media_features(
                     "width": [f["width"] for f in feats],
                     "height": [f["height"] for f in feats],
                     "duration_ms": [f["duration_ms"] for f in feats],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "channels": [f["channels"] for f in feats],
                     "feature": [f["feature"] for f in feats],
                 }
             )

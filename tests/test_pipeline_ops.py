@@ -457,6 +457,74 @@ class TestImageHeaders:
             decode_payload(b"RIFFbytes", "audio")
 
 
+class TestAudioVideoHeaders:
+    def test_wav_roundtrip_and_header_only(self):
+        from crawler_spark.operators.multimodal import (
+            make_wav_bytes,
+            parse_wav_meta,
+        )
+
+        full = make_wav_bytes(sample_rate=44100, channels=2, bits=16,
+                              n_samples=44100)
+        assert parse_wav_meta(full) == (2, 44100, 1000)
+        # triage contract: declared data size suffices, body absent
+        hdr = make_wav_bytes(sample_rate=8000, channels=1, bits=16,
+                             n_samples=1234, header_only=True)
+        assert len(hdr) == 44
+        assert parse_wav_meta(hdr) == (1, 8000, 154)  # 2468 B / 16000 B/s
+        assert parse_wav_meta(b"RIFFbytes") is None
+        assert parse_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt
+        assert parse_wav_meta(full[:20]) is None  # truncated mid-fmt
+
+    def test_mp4_roundtrip_and_corrupt(self):
+        from crawler_spark.operators.multimodal import (
+            make_mp4_bytes,
+            parse_mp4_meta,
+        )
+
+        m = make_mp4_bytes(640, 480, 3500)
+        assert parse_mp4_meta(m) == (640, 480, 3500)
+        # timescale other than 1000 still lands on exact ms
+        assert parse_mp4_meta(make_mp4_bytes(1920, 1080, 250,
+                                             timescale=90000))[2] == 250
+        assert parse_mp4_meta(b"\x00\x00ftypfake") is None
+        assert parse_mp4_meta(m[:40]) is None  # moov size overruns buffer
+        # box whose declared size is smaller than its header: walk stops
+        assert parse_mp4_meta(b"\x00\x00\x00\x04moov") is None
+
+    def test_real_audio_video_flow_through_spark(self, spark):
+        from crawler_spark.operators.multimodal import (
+            extract_media_features,
+            make_mp4_bytes,
+            make_wav_bytes,
+        )
+
+        rows = [
+            (1, "audio", make_wav_bytes(16000, 1, 16, n_samples=8000), "audio/wav", {}),
+            (2, "video", make_mp4_bytes(320, 240, 2000), "video/mp4", {}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, mime string, meta map<string,string>",
+        )
+        # no deterministic_fake needed: the parses are real
+        feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+        assert (feats[1]["sample_rate"], feats[1]["channels"],
+                feats[1]["duration_ms"]) == (16000, 1, 500)
+        assert feats[1]["width"] is None
+        assert (feats[2]["width"], feats[2]["height"],
+                feats[2]["duration_ms"]) == (320, 240, 2000)
+        assert feats[2]["sample_rate"] is None
+
+    def test_fake_fallback_still_covers_other_codecs(self):
+        from crawler_spark.operators.multimodal import decode_payload
+
+        out = decode_payload(b"OggS not a wav", "audio", deterministic_fake=True)
+        assert out["duration_ms"] is not None and out["sample_rate"] is None
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x1aE\xdf\xa3 webm", "video")
+
+
 class TestIvfRefine:
     @pytest.fixture(scope="class")
     def vecs2(self, spark):
