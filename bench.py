@@ -191,6 +191,16 @@ def run(spark, sf_dir: str):
 
         ivf_topk(embs, q, k=50, n_centroids=8, nprobe=2).collect()
 
+    # ---- q_semantic_dedup: SemDedup cluster-bounded embedding dedup --------
+    # (auto cluster count: expected cluster size stays constant as the
+    # corpus grows — the within-cluster self-join never goes quadratic)
+    with timed("q_semantic_dedup"):
+        from crawler_spark.operators.similarity import semantic_dedup
+
+        semantic_dedup(embs, n_clusters=None, threshold=0.3).filter(
+            "keep"
+        ).count()
+
     with timed("q_near_dup_verify"):
         from crawler_spark.operators.dedup import near_dup_pairs
 
