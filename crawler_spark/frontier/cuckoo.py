@@ -50,6 +50,9 @@ TABLE_SCHEMA = T.StructType(
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("table", T.BinaryType()),     # uint16 slots, row-major
         T.StructField("overflow", T.BinaryType()),  # int64 hashes, exact
+        # entries displaced during merge, packed (fp << 32) | bucket1 —
+        # probed with the same (bucket, fingerprint) semantics as the table
+        T.StructField("overflow_fp", T.BinaryType()),
         T.StructField("n_items", T.LongType()),
     ]
 )
@@ -195,11 +198,74 @@ def build_tables(hashes: DataFrame, cfg: CuckooConfig) -> DataFrame:
                 "shard": [int(pdf["shard"].iloc[0])],
                 "table": [table.tobytes()],
                 "overflow": [over.tobytes()],
+                "overflow_fp": [b""],
                 "n_items": [len(h)],
             }
         )
 
     return sharded.groupBy("shard").applyInPandas(build, schema=TABLE_SCHEMA)
+
+
+def _pack_fp(bkt: int, fp: int) -> int:
+    return (int(fp) << 32) | int(bkt)
+
+
+def merge_tables(a: DataFrame, b: DataFrame, cfg: CuckooConfig) -> DataFrame:
+    """Union two table sets per shard (waves accumulate, like
+    ``bloom.merge_blobs``). Cuckoo tables cannot be OR-merged bit-wise;
+    instead the merged table is REBUILT from both sides' stored entries —
+    possible without the original hashes because partial-key hashing lets
+    a (bucket, fingerprint) pair recover its alternate bucket. Entries are
+    re-inserted in sorted (bucket, fp) order, so the merged bytes are
+    deterministic regardless of which side each entry came from; the
+    shuffle carries fixed-size table blobs, never the per-url hash stream.
+
+    An entry that can no longer be placed after the merge (both of its
+    buckets full) moves to ``overflow_fp`` packed as ``(fp << 32) |
+    bucket1``; probes match it with the same (bucket, fingerprint)
+    semantics as a table slot, so the no-false-negative contract survives
+    (a displaced entry can add false positives, never misses). Size the
+    table so cumulative load stays under ~90% and this path stays empty.
+    Exact overflow hashes and prior overflow_fp entries from both inputs
+    concatenate and dedupe."""
+    both = a.unionByName(b)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        entries = []  # (bucket, fp) pairs from every input table
+        overs, over_fps = [], []
+        n = 0
+        for tb, ob, ofb, ni in zip(
+            pdf["table"], pdf["overflow"], pdf["overflow_fp"], pdf["n_items"]
+        ):
+            t = np.frombuffer(tb, dtype=np.uint16).reshape(
+                cfg.n_buckets, cfg.slots_per_bucket
+            )
+            bidx, sidx = np.nonzero(t)
+            entries.append(np.stack([bidx, t[bidx, sidx].astype(np.int64)], 1))
+            overs.append(np.frombuffer(ob, dtype=np.int64))
+            over_fps.append(np.frombuffer(ofb or b"", dtype=np.int64))
+            n += int(ni)
+        pairs = np.concatenate(entries) if entries else np.zeros((0, 2), np.int64)
+        # sorted order => deterministic table bytes
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        pairs = pairs[order]
+        table = np.zeros((cfg.n_buckets, cfg.slots_per_bucket), dtype=np.uint16)
+        ofp = set(int(v) for arr in over_fps for v in arr)
+        for bkt, fp in pairs:
+            if not _insert_with_kicks(table, int(bkt), int(fp), cfg):
+                ofp.add(_pack_fp(int(bkt), int(fp)))
+        over = np.unique(np.concatenate(overs)) if overs else np.zeros(0, np.int64)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "table": [table.tobytes()],
+                "overflow": [over.tobytes()],
+                "overflow_fp": [np.array(sorted(ofp), dtype=np.int64).tobytes()],
+                "n_items": [n],
+            }
+        )
+
+    return both.groupBy("shard").applyInPandas(merge, schema=TABLE_SCHEMA)
 
 
 def delete_hashes(
@@ -222,12 +288,15 @@ def delete_hashes(
             return pd.DataFrame(
                 {c: pd.Series([], dtype=t)
                  for c, t in (("shard", "int32"), ("table", "object"),
-                              ("overflow", "object"), ("n_items", "int64"))}
+                              ("overflow", "object"), ("overflow_fp", "object"),
+                              ("n_items", "int64"))}
             )
         table = np.frombuffer(tab_pdf["table"].iloc[0], dtype=np.uint16).reshape(
             cfg.n_buckets, cfg.slots_per_bucket
         ).copy()
         over = list(np.frombuffer(tab_pdf["overflow"].iloc[0], dtype=np.int64))
+        ofp = list(np.frombuffer(tab_pdf["overflow_fp"].iloc[0] or b"",
+                                 dtype=np.int64))
         n = int(tab_pdf["n_items"].iloc[0])
         h = np.unique(del_pdf["url_hash"].to_numpy()) if len(del_pdf) else []
         for hv in h:
@@ -245,6 +314,13 @@ def delete_hashes(
             if not removed and int(hv) in over:
                 over.remove(int(hv))
                 removed = True
+            if not removed:
+                for b in (b1, b2):
+                    packed = _pack_fp(b, fp)
+                    if packed in ofp:
+                        ofp.remove(packed)
+                        removed = True
+                        break
             if removed:
                 n -= 1
         return pd.DataFrame(
@@ -252,6 +328,7 @@ def delete_hashes(
                 "shard": [int(tab_pdf["shard"].iloc[0])],
                 "table": [table.tobytes()],
                 "overflow": [np.array(over, dtype=np.int64).tobytes()],
+                "overflow_fp": [np.array(ofp, dtype=np.int64).tobytes()],
                 "n_items": [n],
             }
         )
@@ -284,10 +361,24 @@ def probe_maybe_seen(
             cfg.n_buckets, cfg.slots_per_bucket
         )
         over = np.frombuffer(tab_pdf["overflow"].iloc[0], dtype=np.int64)
+        ofp = np.frombuffer(tab_pdf["overflow_fp"].iloc[0] or b"",
+                            dtype=np.int64)
         h = cand_pdf["url_hash"].to_numpy()
         hit = _lookup(table, h, cfg)
         if len(over):
             hit |= np.isin(h, over)
+        if len(ofp):
+            # merge-displaced entries: match (bucket, fingerprint) exactly
+            # like a table slot would
+            pfp = ((ofp >> np.int64(32)) & np.int64(0xFFFF)).astype(np.uint16)
+            pbkt = (ofp & np.int64(cfg.n_buckets - 1)).astype(np.int64)
+            cfp = _fingerprints(h)
+            cb1 = _bucket1(h, cfg)
+            cb2 = _alt_bucket(cb1, cfp, cfg)
+            m = (cfp[:, None] == pfp[None, :]) & (
+                (cb1[:, None] == pbkt[None, :]) | (cb2[:, None] == pbkt[None, :])
+            )
+            hit |= m.any(axis=1)
         return pd.DataFrame({"url_hash": h[hit]})
 
     return (

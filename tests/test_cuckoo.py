@@ -10,6 +10,7 @@ from crawler_spark.frontier.cuckoo import (
     CuckooConfig,
     build_tables,
     delete_hashes,
+    merge_tables,
     probe_maybe_seen,
     split_by_cuckoo,
 )
@@ -91,6 +92,56 @@ class TestCuckooCore:
         inserted = {r["url_hash"] for r in seen.collect()}
         assert inserted <= maybe  # still zero false negatives
 
+    def test_merge_is_union_and_side_order_invariant(self, spark, hashes):
+        seen, _ = hashes
+        wave_a = seen.filter(F.col("url_hash") % 3 == 0)
+        wave_b = seen.filter(F.col("url_hash") % 3 != 0)
+        ta, tb = build_tables(wave_a, CFG), build_tables(wave_b, CFG)
+        ab = merge_tables(ta, tb, CFG)
+        # union semantics: every item from either wave still probes positive
+        maybe = {r["url_hash"] for r in probe_maybe_seen(seen, ab, CFG).collect()}
+        assert {r["url_hash"] for r in seen.collect()} <= maybe
+        # merged bytes identical regardless of which side is which
+        ba = merge_tables(tb, ta, CFG)
+        key = lambda df: {  # noqa: E731
+            r["shard"]: (bytes(r["table"]), bytes(r["overflow"]),
+                         bytes(r["overflow_fp"]), r["n_items"])
+            for r in df.collect()
+        }
+        assert key(ab) == key(ba)
+
+    def test_merge_overloaded_displaces_to_fp_overflow_without_misses(
+        self, spark, hashes
+    ):
+        seen, _ = hashes
+        tiny = CuckooConfig(n_shards=2, n_buckets=64, slots_per_bucket=4,
+                            max_kicks=20)
+        # two waves each ~full for 2x256 slots; the merge cannot place
+        # everything and must displace entries into overflow_fp. Split on
+        # mod 5 — independent of the mod-2 shard key, so both waves land
+        # in both shards (a parity split would segregate waves by shard
+        # and the merge would never see combined load)
+        wave_a = seen.filter(F.pmod(F.col("url_hash"), F.lit(5)) < 2)
+        wave_b = seen.filter(F.pmod(F.col("url_hash"), F.lit(5)) >= 2)
+        merged = merge_tables(
+            build_tables(wave_a, tiny), build_tables(wave_b, tiny), tiny
+        )
+        fp_lens = [
+            len(np.frombuffer(r["overflow_fp"], dtype=np.int64))
+            for r in merged.collect()
+        ]
+        assert sum(fp_lens) > 0  # displacement actually happened
+        maybe = {r["url_hash"]
+                 for r in probe_maybe_seen(seen, merged, tiny).collect()}
+        assert {r["url_hash"] for r in seen.collect()} <= maybe  # no FN
+        # deletes still work against a merged table set
+        dels = seen.limit(100)
+        after = delete_hashes(merged, dels, tiny)
+        kept = seen.join(dels, "url_hash", "left_anti")
+        maybe2 = {r["url_hash"]
+                  for r in probe_maybe_seen(seen, after, tiny).collect()}
+        assert {r["url_hash"] for r in kept.collect()} <= maybe2
+
     def test_split_contract_matches_bloom_sidecar(self, spark, hashes):
         seen, unseen = hashes
         tables = build_tables(seen, CFG)
@@ -102,3 +153,61 @@ class TestCuckooCore:
         assert new_set | sus_set == cand_set and not (new_set & sus_set)
         seen_set = {r["url_hash"] for r in seen.limit(200).collect()}
         assert not (new_set & seen_set)  # no seen item escapes as new
+
+
+class TestRecrawlLifecycle:
+    def test_delete_aged_then_refetch_end_to_end(
+        self, spark, corpus_parquet, corpus_spec, tmp_path
+    ):
+        """The recrawl flow the cuckoo sidecar exists for: crawl once, build
+        the filter from the committed seen set, delete the aged slice (here:
+        everything fetched in wave 0), verify exactly that slice probes as
+        definitely-new again, then refetch it with a depth-0 crawl and check
+        the refetched pages carry identical extracted content."""
+        from crawler_spark.datagen import default_seeds
+        from crawler_spark.frontier import CrawlConfig, crawl
+
+        pages = spark.read.parquet(corpus_parquet)
+        seeds = [s["url"] for s in default_seeds(corpus_spec)]
+        res = crawl(spark, pages, seeds, config=CrawlConfig(depth=2),
+                    run_dir=str(tmp_path / "first"))
+        crawled = res.pages(spark).select("url", "wave", "title", "markdown")
+        seen = crawled.select(F.xxhash64("url").alias("url_hash"), "wave")
+
+        cfg = CuckooConfig(n_shards=8, n_buckets=1 << 10)
+        tables = build_tables(seen.select("url_hash"), cfg)
+        aged = seen.filter(F.col("wave") == 0).select("url_hash")
+        fresh = seen.filter(F.col("wave") != 0).select("url_hash")
+        after = delete_hashes(tables, aged, cfg)
+
+        new, suspect = split_by_cuckoo(seen.select("url_hash"), after, cfg)
+        new_set = {r["url_hash"] for r in new.collect()}
+        aged_set = {r["url_hash"] for r in aged.collect()}
+        fresh_set = {r["url_hash"] for r in fresh.collect()}
+        # every fresh URL still guarded by the filter; the aged slice (minus
+        # rare fingerprint collisions with a fresh entry) probes new again
+        assert not (new_set & fresh_set)
+        assert len(aged_set - new_set) <= max(1, len(aged_set) // 50)
+
+        # refetch exactly the probe-new slice with a depth-0 crawl
+        refetch_urls = [
+            r["url"]
+            for r in crawled.withColumn("url_hash", F.xxhash64("url"))
+            .join(new.select("url_hash"), "url_hash", "left_semi")
+            .select("url")
+            .collect()
+        ]
+        res2 = crawl(spark, pages, refetch_urls,
+                     config=CrawlConfig(depth=0),
+                     run_dir=str(tmp_path / "refetch"))
+        refetched = {
+            r["url"]: (r["title"], r["markdown"])
+            for r in res2.pages(spark).select("url", "title", "markdown").collect()
+        }
+        original = {
+            r["url"]: (r["title"], r["markdown"])
+            for r in crawled.collect()
+        }
+        assert set(refetched) == set(refetch_urls)
+        for u, tm in refetched.items():
+            assert tm == original[u]  # byte-identical re-extraction
