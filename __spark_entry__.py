@@ -80,6 +80,8 @@ def _lsh_probes() -> list:
 
 
 _IVF_K = 8
+_PQ_M = 4   # product-quantization subspaces (64-dim -> 16-dim subvectors)
+_PQ_K = 16  # codebook entries per subspace
 _IVF_NPROBE = 2
 
 
@@ -88,6 +90,13 @@ def _ivf_stride(sf_dir: str) -> int:
 
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     return max(1, n // (4 * _IVF_K))
+
+
+def _pq_stride(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(1, n // (4 * _PQ_K))
 
 
 def _ivf_centroid_rows_py(sf_dir: str) -> list:
@@ -800,6 +809,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def cosine_topk(spark, sf_dir):
         return brute_force_topk(
             _t(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=20
+        )
+
+    # ---- product quantization: encode (expression argmin per subspace) +
+    # asymmetric-distance top-k (driver-computed LUT, element_at scan) —
+    # the compression half of IVF-PQ. Codebooks derive from the hash60-
+    # sampled quantizer, so DuckDB rebuilds them identically in SQL.
+    def pq_topk_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        embs = _t(spark, sf_dir, "embeddings")
+        books = pq_train(embs, m=_PQ_M, k=_PQ_K)
+        return pq_topk(
+            pq_encode(embs, books), _query_vec(sf_dir), books, k=50
         )
 
     # ---- random-hyperplane LSH bucket histogram
@@ -1562,6 +1588,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_docs": semantic_dedup_docs,
         "ivf_assign_docs": ivf_assign_docs,
         "ivf_topk_docs": ivf_topk_docs,
+        "pq_topk_docs": pq_topk_docs,
         "lang_id_docs": lang_id_docs,
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
@@ -1694,6 +1721,59 @@ def _all_oracle_sql() -> dict[str, str]:
     q = _query_vec(_ORACLE_SF_DIR)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in q))
     dot_q = _duck_dot("embedding", q)
+
+    # product quantization replay: rebuild the hash60-sampled codebooks
+    # (codes dense 0..k-1 in seeding-id order, exactly pq_train), re-derive
+    # each vector's per-subspace argmin code, and compute the ADC distance
+    # as the squared L2 between the query subvector and the CHOSEN codebook
+    # subvector — arithmetically identical to the engine's LUT lookups
+    # (both accumulate per-dimension in index order, then add the m
+    # subspace terms left-to-right before rounding).
+    _pq_dsub = _EMB_DIM // _PQ_M
+    _pq_qarr = "[" + ", ".join(f"{float(x)!r}" for x in q) + "]::DOUBLE[]"
+    pq_cents = f"""
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE {_duck_hash60("cast(vec_id as varchar)")}
+                    % {_pq_stride(_ORACLE_SF_DIR)} = 0
+              ORDER BY vec_id LIMIT {_PQ_K})
+    """
+    pq_ctes = []
+    for j in range(_PQ_M):
+        lo, hi = j * _pq_dsub + 1, (j + 1) * _pq_dsub + 1
+        diff_ec = (
+            "(cast(e.embedding[i] as double) - cast(c.embedding[i] as double))"
+        )
+        diff_qc = f"(({_pq_qarr})[i] - cast(c.embedding[i] as double))"
+        d2j = (
+            f"list_aggregate(list_transform(range({lo}, {hi}), "
+            f"i -> {diff_ec} * {diff_ec}), 'sum')"
+        )
+        dqj = (
+            f"list_aggregate(list_transform(range({lo}, {hi}), "
+            f"i -> {diff_qc} * {diff_qc}), 'sum')"
+        )
+        pq_ctes.append(
+            f"""pq_a{j} AS (
+              SELECT vec_id, d{j} FROM (
+                SELECT e.vec_id, {dqj} AS d{j},
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {d2j}, c.code) AS rn
+                FROM embeddings e CROSS JOIN pq_cents c
+              ) WHERE rn = 1
+            )"""
+        )
+    pq_topk_sql = f"""
+        WITH pq_cents AS ({pq_cents}),
+        {", ".join(pq_ctes)}
+        SELECT vec_id,
+               round(d0 + d1 + d2 + d3, 6) AS adc_d2
+        FROM pq_a0
+        JOIN pq_a1 USING (vec_id)
+        JOIN pq_a2 USING (vec_id)
+        JOIN pq_a3 USING (vec_id)
+        ORDER BY adc_d2, vec_id LIMIT 50
+    """
     norm_e = (
         "sqrt(list_aggregate(list_transform(embedding, "
         "v -> cast(v as double) * cast(v as double)), 'sum'))"
@@ -1954,6 +2034,7 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE centroid_id IN ({", ".join(str(c) for c in _ivf_probe_ids(_ORACLE_SF_DIR))})
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
+        "pq_topk_docs": pq_topk_sql,
         "lang_id_docs": f"""
             SELECT doc_id,
                    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
@@ -2991,10 +3072,10 @@ _DRIVER_GATE = [
     "near_dup_docs",
     "ngram_jaccard",
     "simhash_near_dups",
-    "cosine_topk",
     "lsh_topk_docs",
     "embedding_near_dups",
     "ivf_topk_docs",
+    "pq_topk_docs",
     "lang_id_docs",
     "quality_score_docs",
     "token_count_docs",
@@ -3034,6 +3115,10 @@ _EXTENDED_GATE = [
     "crawl_seen_set",      # J1/J2 seen-set semantics replayed inside
                            # crawl_bfs_order's recursive CTE; driver-green
                            # rounds 1 and 2 — rotated for semantic_dedup_docs
+    "cosine_topk",         # brute-force kernel is the rerank stage inside
+                           # lsh_topk_docs and ivf_topk_docs (both on board);
+                           # driver-green rounds 1 and 2 — rotated for
+                           # pq_topk_docs
     "lsh_bucket_counts",   # lsh_topk_docs exercises the same signature path
     "ivf_assign_docs",     # ivf_topk_docs probes assignment + rerank
     "simhash_docs",        # simhash_near_dups consumes the signatures

@@ -191,6 +191,17 @@ def run(spark, sf_dir: str):
 
         ivf_topk(embs, q, k=50, n_centroids=8, nprobe=2).collect()
 
+    # ---- q_pq_topk: product-quantization ADC scan (train + encode + topk) --
+    with timed("q_pq_topk"):
+        from crawler_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        books = pq_train(embs, m=4, k=16)
+        pq_topk(pq_encode(embs, books), q, books, k=50).collect()
+
     # ---- q_semantic_dedup: SemDedup cluster-bounded embedding dedup --------
     # (auto cluster count: expected cluster size stays constant as the
     # corpus grows — the within-cluster self-join never goes quadratic)

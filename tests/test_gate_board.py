@@ -47,7 +47,10 @@ FAMILY_REPRESENTATIVES = {
     "two-stage near-dup": "near_dup_docs",
     "ngram jaccard": "ngram_jaccard",
     "simhash": "simhash_near_dups",
-    "cosine ann": "cosine_topk",
+    # brute-force cosine's driver evidence is the exact rerank inside the
+    # ivf/lsh gates (cosine_topk itself rotated to extended in round 3)
+    "cosine ann": "ivf_topk_docs",
+    "pq ann": "pq_topk_docs",
     "lsh ann": "lsh_topk_docs",
     "ivf ann": "ivf_topk_docs",
     "embedding near-dup": "embedding_near_dups",

@@ -668,6 +668,120 @@ class TestSemanticDedup:
         assert clusters_for_corpus(4096 * 10_000) == 10_000
 
 
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def vecs_pq(self, spark):
+        rng = np.random.RandomState(13)
+        data = rng.randn(200, 16).astype(np.float32)
+        data[199] = data[0]  # exact duplicate pair for rank sanity
+        rows = [(i, [float(x) for x in data[i]]) for i in range(200)]
+        return data, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    @staticmethod
+    def _np_encode(data, books):
+        d_sub = len(books[0][0][1])
+        codes = np.empty((len(data), len(books)), dtype=np.int64)
+        for j, book in enumerate(books):
+            mat = np.array([e for _, e in sorted(book)], dtype=np.float64)
+            sub = data[:, j * d_sub : (j + 1) * d_sub].astype(np.float64)
+            d2 = ((sub[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return codes
+
+    def test_expression_and_pandas_encoders_match_numpy_replay(
+        self, spark, vecs_pq
+    ):
+        from crawler_spark.operators.similarity import (
+            pq_encode,
+            pq_encode_pandas,
+            pq_train,
+        )
+
+        data, df = vecs_pq
+        books = pq_train(df, m=4, k=8)
+        assert len(books) == 4 and all(len(b) == 8 for b in books)
+        want = self._np_encode(data, books)
+        got_expr = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(df, books).collect()
+        }
+        got_pd = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode_pandas(df, books).collect()
+        }
+        assert got_expr == got_pd
+        for i in range(len(data)):
+            assert got_expr[i] == list(want[i])
+
+    def test_adc_topk_matches_numpy_and_ranks_duplicate_with_query(
+        self, spark, vecs_pq
+    ):
+        from crawler_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        data, df = vecs_pq
+        books = pq_train(df, m=4, k=8)
+        q = [float(x) for x in data[0]]
+        codes = pq_encode(df, books)
+        got = [(r["vec_id"], r["adc_d2"])
+               for r in pq_topk(codes, q, books, k=20).collect()]
+
+        # numpy replay of the ADC scan
+        np_codes = self._np_encode(data, books)
+        d_sub = 4
+        luts = []
+        for j, book in enumerate(books):
+            qs = np.array(q[j * d_sub : (j + 1) * d_sub], dtype=np.float64)
+            mat = np.array([e for _, e in sorted(book)], dtype=np.float64)
+            luts.append(((mat - qs) ** 2).sum(axis=1))
+        dists = np.array(
+            [sum(luts[j][np_codes[i, j]] for j in range(4))
+             for i in range(len(data))]
+        )
+        want = sorted(
+            ((round(float(d), 6), i) for i, d in enumerate(dists))
+        )[:20]
+        assert [(i, d) for d, i in want] == got
+        # vec 199 is byte-identical to the query vector (vec 0): both get
+        # the same codes, hence the same (minimal possible for that code
+        # combination) ADC distance — both must appear in the top-k
+        ids = [i for i, _ in got]
+        assert 0 in ids and 199 in ids
+
+    def test_partition_invariant_and_scan_is_jvm_only(self, spark, vecs_pq):
+        from crawler_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        data, df = vecs_pq
+        books = pq_train(df, m=4, k=8)
+        q = [float(x) for x in data[3]]
+        a = [
+            (r["vec_id"], r["adc_d2"])
+            for r in pq_topk(pq_encode(df.repartition(1), books), q, books,
+                             k=15).collect()
+        ]
+        b = [
+            (r["vec_id"], r["adc_d2"])
+            for r in pq_topk(pq_encode(df.repartition(7), books), q, books,
+                             k=15).collect()
+        ]
+        assert a == b
+        plan = (
+            pq_topk(pq_encode(df, books), q, books, k=15)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
 class TestCuration:
     def test_funnel_matches_stages(self, spark, docs):
         from crawler_spark.operators.curation import curate, curation_stats
