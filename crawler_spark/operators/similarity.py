@@ -650,3 +650,61 @@ def pq_topk(
         .orderBy("adc_d2", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_rows: Optional[Sequence] = None,
+    codebooks: Optional[Sequence[Sequence[tuple]]] = None,
+) -> DataFrame:
+    """IVF-PQ: the composition that serves billion-vector ANN — the IVF
+    coarse quantizer prunes to ``nprobe`` inverted lists (partition
+    pruning when the corpus is written partitioned by ``centroid_id``),
+    and within those lists the scan reads PQ CODES, not vectors
+    (``pq_topk``'s LUT arithmetic — no decompression, ~16-32x less IO).
+    ``rerank > 0`` exact-reranks the top ``rerank`` ADC survivors with
+    full-precision cosine, the standard recall refinement; the result then
+    carries ``cosine`` instead of ``adc_d2``.
+
+    Both trained artifacts (``centroid_rows``, ``codebooks``) are
+    driver-small and deterministic; production keeps them with the index
+    and passes them in, skipping the rebuild scans."""
+    if centroid_rows is None:
+        centroid_rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(df, n_centroids, vec_col, id_col).collect()
+        ]
+    if codebooks is None:
+        codebooks = pq_train(df, m=m, k=pq_k, vec_col=vec_col, id_col=id_col)
+
+    def d2(emb):
+        return sum(
+            (float(x) - float(y)) * (float(x) - float(y))
+            for y, x in zip(emb, query)
+        )
+
+    probes = sorted((d2(emb), int(cid)) for cid, emb in centroid_rows)[
+        : max(1, nprobe)
+    ]
+    probe_ids = sorted(c for _, c in probes)
+    lists = ivf_assign(df, centroid_rows, vec_col).filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    fetch = max(k, rerank)
+    adc = pq_topk(
+        pq_encode(lists, codebooks, vec_col), query, codebooks, k=fetch,
+        id_col=id_col,
+    )
+    if rerank <= 0:
+        return adc.limit(k)
+    survivors = df.join(F.broadcast(adc.select(id_col)), id_col, "left_semi")
+    return brute_force_topk(survivors, query, k, vec_col, id_col)

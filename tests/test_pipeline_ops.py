@@ -781,6 +781,34 @@ class TestProductQuantization:
         assert "EvalPython" not in plan
         assert "TakeOrderedAndProject" in plan
 
+    def test_ivfpq_composition_prunes_then_reranks(self, spark, vecs_pq):
+        from crawler_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_topk,
+        )
+
+        data, df = vecs_pq
+        q = [float(x) for x in data[0]]
+        # rerank path: survivors re-scored with exact cosine — the planted
+        # duplicate (vec 199 == vec 0) must surface with cosine 1.0
+        out = ivfpq_topk(df, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=8,
+                         rerank=30)
+        rows = out.collect()
+        assert {r["vec_id"] for r in rows} >= {0, 199}
+        assert all(abs(r["cosine"] - 1.0) < 1e-9
+                   for r in rows if r["vec_id"] in (0, 199))
+        # with every list probed and a deep rerank, the exact-rerank result
+        # must agree with brute force on the full corpus
+        exact = brute_force_topk(df, q, k=5).collect()
+        deep = ivfpq_topk(df, q, k=5, n_centroids=4, nprobe=4, m=4, pq_k=8,
+                          rerank=200).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in deep] == [
+            (r["vec_id"], r["cosine"]) for r in exact
+        ]
+        # ADC-only path keeps the approximate-distance column
+        adc = ivfpq_topk(df, q, k=5, n_centroids=4, nprobe=2, m=4, pq_k=8)
+        assert "adc_d2" in adc.columns
+
 
 class TestCuration:
     def test_funnel_matches_stages(self, spark, docs):
