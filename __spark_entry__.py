@@ -562,6 +562,14 @@ _REPUTATION_MIN_Q = 0.54
 # ~3.3k multi-event sessions (30min would make every event a singleton)
 _SESSION_GAP_SEC = 43_200
 
+# hashed-feature classifier gates (operators/classify.py): NB trains on
+# lang='en' as the positive class (a real, corpus-derivable label both
+# engines compute identically); DSIR targets the same English slice and
+# keeps the top _DSIR_K most-target-like docs by mean log-ratio
+_NB_BUCKETS = 512
+_DSIR_BUCKETS = 2048
+_DSIR_K = 150
+
 # HLL sketch geometry: single source of truth is operators/sketch.py —
 # the oracle SQL interpolates the same constants so the engines can never
 # disagree on register count or bias correction
@@ -1520,6 +1528,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- exact first-fit packing (hard per-bin capacity, applyInPandas
     # sequential scan per source — the opt-in alternative to block packing)
+    # ---- hashed Naive-Bayes quality classifier: train on lang='en' as
+    # the positive class, score every doc (constant-size model, always a
+    # broadcast join; classify.py)
+    def nb_quality_docs(spark, sf_dir):
+        from crawler_spark.operators.classify import nb_score, nb_train
+
+        docs = _t(spark, sf_dir, "documents")
+        labeled = docs.withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+        model = nb_train(labeled, n_buckets=_NB_BUCKETS)
+        return nb_score(docs, model).select(
+            "doc_id", "n_feats", "sum_llr_q", "nb_margin", "nb_pred"
+        )
+
+    # ---- DSIR importance resampling: hashed-bigram log-likelihood
+    # ratio of the English slice vs the whole corpus, top-k kept
+    def dsir_sample_docs(spark, sf_dir):
+        from crawler_spark.operators.classify import dsir_topk
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        target = _t(spark, sf_dir, "documents").filter(
+            F.col("lang") == "en"
+        ).select("doc_id", "text")
+        return dsir_topk(
+            docs, target, _DSIR_K, n_buckets=_DSIR_BUCKETS
+        ).select("doc_id", "n_feats", "sum_lw_q", "log_w", "avg_lw")
+
     def pack_firstfit_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import pack_sequences_firstfit
 
@@ -1634,6 +1670,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_docs": split_assign_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "pack_firstfit_docs": pack_firstfit_docs,
+        "nb_quality_docs": nb_quality_docs,
+        "dsir_sample_docs": dsir_sample_docs,
         "canonical_url_docs": canonical_url_docs,
         "pagerank_docs": pagerank_docs,
     }
@@ -2601,6 +2639,107 @@ def _all_oracle_sql() -> dict[str, str]:
                    cast(n_tokens as bigint) AS n_tokens
             FROM c2 WHERE cum <= budget
         """,
+        # hashed NB classifier replay: token -> md5-60bit bucket, add-one
+        # smoothed per-bucket log-likelihood ratio over the FULL bucket
+        # range (unseen buckets carry the smoothed ratio), fixed-point
+        # BIGINT per-doc evidence sums (classify.py nb_train/nb_score)
+        "nb_quality_docs": rf"""
+            WITH lab AS (
+              SELECT doc_id,
+                     list_filter({_D_TOKS}, t -> t <> '') AS tk,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents),
+            ex AS (
+              SELECT doc_id, y,
+                     unnest(list_transform(tk,
+                       t -> {_duck_hash60('t')} % {_NB_BUCKETS})) AS bucket
+              FROM lab),
+            cnt AS (SELECT bucket, sum(y) AS pos_n, sum(1 - y) AS neg_n
+                    FROM ex GROUP BY bucket),
+            fullb AS (
+              SELECT g.range AS bucket,
+                     coalesce(pos_n, 0) AS pos_n,
+                     coalesce(neg_n, 0) AS neg_n
+              FROM range({_NB_BUCKETS}) g
+              LEFT JOIN cnt ON cnt.bucket = g.range),
+            tot AS (SELECT sum(pos_n) AS pt, sum(neg_n) AS nt FROM fullb),
+            lr AS (
+              SELECT bucket,
+                     cast(round((ln((pos_n + 1) /
+                                    cast(pt + {_NB_BUCKETS} as double))
+                               - ln((neg_n + 1) /
+                                    cast(nt + {_NB_BUCKETS} as double)))
+                                * 1000000) as bigint) AS llr_q
+              FROM fullb CROSS JOIN tot),
+            pri AS (
+              SELECT cast(round(ln((sum(y) + 1) /
+                                   cast(count(*) - sum(y) + 1 as double))
+                                * 1000000) as bigint) AS prior_q
+              FROM lab),
+            pd AS (
+              SELECT doc_id, count(*) AS n_feats,
+                     cast(sum(llr_q) as bigint) AS sum_llr_q
+              FROM ex JOIN lr USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(n_feats, 0) as bigint) AS n_feats,
+                   cast(coalesce(sum_llr_q, 0) as bigint) AS sum_llr_q,
+                   round((prior_q + coalesce(sum_llr_q, 0))
+                         / cast(1000000 as double), 6) AS nb_margin,
+                   CASE WHEN prior_q + coalesce(sum_llr_q, 0) > 0
+                        THEN 1 ELSE 0 END AS nb_pred
+            FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN pri
+        """,
+        # DSIR replay: hashed-bigram buckets, target-vs-raw smoothed
+        # log-ratio table over the full range, top-k by mean log-ratio
+        # with exact-BIGINT then id tiebreaks (classify.py dsir_topk)
+        "dsir_sample_docs": rf"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter({_D_TOKS}, t -> t <> '') AS tk
+              FROM documents),
+            rawf AS (
+              SELECT doc_id, lang,
+                     {_duck_hash60("tk[i] || ' ' || tk[i + 1]")}
+                       % {_DSIR_BUCKETS} AS bucket
+              FROM toks,
+                   unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+            t_cnt AS (SELECT bucket, count(*) AS t_n FROM rawf
+                      WHERE lang = 'en' GROUP BY bucket),
+            r_cnt AS (SELECT bucket, count(*) AS r_n FROM rawf
+                      GROUP BY bucket),
+            fullb AS (
+              SELECT g.range AS bucket,
+                     coalesce(t_n, 0) AS t_n, coalesce(r_n, 0) AS r_n
+              FROM range({_DSIR_BUCKETS}) g
+              LEFT JOIN t_cnt ON t_cnt.bucket = g.range
+              LEFT JOIN r_cnt ON r_cnt.bucket = g.range),
+            tot AS (SELECT sum(t_n) AS tt, sum(r_n) AS rt FROM fullb),
+            lw AS (
+              SELECT bucket,
+                     cast(round((ln((t_n + 1) /
+                                    cast(tt + {_DSIR_BUCKETS} as double))
+                               - ln((r_n + 1) /
+                                    cast(rt + {_DSIR_BUCKETS} as double)))
+                                * 1000000) as bigint) AS lw_q
+              FROM fullb CROSS JOIN tot),
+            pd AS (
+              SELECT doc_id, count(*) AS n_feats,
+                     cast(sum(lw_q) as bigint) AS sum_lw_q
+              FROM rawf JOIN lw USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   cast(coalesce(n_feats, 0) as bigint) AS n_feats,
+                   cast(coalesce(sum_lw_q, 0) as bigint) AS sum_lw_q,
+                   round(coalesce(sum_lw_q, 0)
+                         / cast(1000000 as double), 6) AS log_w,
+                   CASE WHEN coalesce(n_feats, 0) > 0
+                        THEN round(sum_lw_q / cast(n_feats as double)
+                                   / cast(1000000 as double), 6)
+                        END AS avg_lw
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            ORDER BY avg_lw DESC NULLS LAST,
+                     coalesce(sum_lw_q, 0) DESC, d.doc_id
+            LIMIT {_DSIR_K}
+        """,
         # corpus-trained bigram LM: add-one smoothing, fixed-point BIGINT
         # log-prob sums (order-free, exact across engines; lm.py)
         "lm_score_docs": rf"""
@@ -3057,6 +3196,8 @@ _DRIVER_GATE = [
     "pack_firstfit_docs",
     "pagerank_docs",
     "semantic_dedup_docs",
+    "nb_quality_docs",
+    "dsir_sample_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
@@ -3068,7 +3209,6 @@ _DRIVER_GATE = [
     "keyword_relevance",
     # --- dedup / similarity / text-analysis / filter / sampling gates ---
     "exact_dedup_docs",
-    "minhash_lsh",
     "near_dup_docs",
     "ngram_jaccard",
     "simhash_near_dups",
@@ -3078,7 +3218,6 @@ _DRIVER_GATE = [
     "pq_topk_docs",
     "lang_id_docs",
     "quality_score_docs",
-    "token_count_docs",
     "fingerprint_docs",
     "curate_docs",
     "media_features",
@@ -3124,6 +3263,13 @@ _EXTENDED_GATE = [
     "simhash_docs",        # simhash_near_dups consumes the signatures
     "minhash_signature",   # minhash_lsh bands + joins the same signatures
     "curation_funnel",     # curate_docs is the composed-pipeline gate
+    "minhash_lsh",         # near_dup_docs composes LSH candidates + exact
+                           # Jaccard verify; driver-green rounds 1 and 2 —
+                           # rotated for nb_quality_docs
+    "token_count_docs",    # trivial len(tokens) analog; token semantics
+                           # also pinned by quality/vocab/LM gates;
+                           # driver-green rounds 1 and 2 — rotated for
+                           # dsir_sample_docs
 ]
 
 

@@ -43,7 +43,9 @@ FAMILY_REPRESENTATIVES = {
     "markdown sink": "export_markdown_report",
     "relevance": "keyword_relevance",
     "exact dedup": "exact_dedup_docs",
-    "minhash/lsh": "minhash_lsh",
+    # minhash_lsh rotated to extended in round 3: near_dup_docs composes
+    # the same signature + banded-bucket join before its Jaccard verify
+    "minhash/lsh": "near_dup_docs",
     "two-stage near-dup": "near_dup_docs",
     "ngram jaccard": "ngram_jaccard",
     "simhash": "simhash_near_dups",
@@ -57,8 +59,12 @@ FAMILY_REPRESENTATIVES = {
     "semantic dedup": "semantic_dedup_docs",
     "lang id": "lang_id_docs",
     "quality": "quality_score_docs",
-    "token count": "token_count_docs",
+    # token_count_docs rotated to extended in round 3: quality_score_docs
+    # value-hashes the same n_tokens column per doc
+    "token count": "quality_score_docs",
     "fingerprint": "fingerprint_docs",
+    "nb classifier": "nb_quality_docs",
+    "dsir resampling": "dsir_sample_docs",
     "hashed vector": "hashed_vector_docs",
     "curation": "curate_docs",
     "multimodal": "media_features",
