@@ -262,6 +262,26 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("sum_logp_q"), F.sum("n_bigrams")
         ).collect()
 
+    # ---- q_classify: hashed NB scoring + DSIR resampling (one pass each) --
+    with timed("q_classify"):
+        from crawler_spark.operators.classify import (
+            dsir_topk,
+            nb_score,
+            nb_train,
+        )
+
+        labeled = docs.withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+        model = nb_train(labeled, n_buckets=512)
+        nb_score(docs, model).select(
+            F.count("*"), F.sum("sum_llr_q"), F.sum("nb_pred")
+        ).collect()
+        target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+        dsir_topk(
+            docs.select("doc_id", "text"), target, 500, n_buckets=2048
+        ).select(F.count("*"), F.sum("sum_lw_q")).collect()
+
     # ---- q_dup_spans: Lee-et-al. duplicate n-gram span strip --------------
     with timed("q_dup_spans"):
         from crawler_spark.operators.dedup import strip_duplicate_spans

@@ -12,6 +12,8 @@ On a cluster:
         [--min-source-quality 0.5 --max-source-dup 0.5]  # reputation pre-gate
         [--strip-dup-spans 8]   # Lee-et-al. duplicate n-gram span strip
         [--max-nll 4.0]         # CCNet-style corpus-LM perplexity cut
+        [--nb-seed s3://bucket/seed/ --nb-buckets 4096]  # hashed-NB gate
+        [--dsir-target s3://bucket/wiki/ --dsir-keep 1000000]  # DSIR top-k
 
 Locally: ``python jobs/curate.py --input ... --output ...``.
 
@@ -60,7 +62,22 @@ def main() -> None:
                         "Surviving text keeps its original case; the one "
                         "normalization applied is whitespace collapse to "
                         "single spaces (detection is case-insensitive)")
+    p.add_argument("--nb-seed", default=None, metavar="PATH",
+                   help="parquet of labeled seed docs (text + 0/1 label "
+                        "column): train a hashed NB classifier and keep "
+                        "only docs it scores positive (operators/classify.py)")
+    p.add_argument("--nb-label-col", default="label")
+    p.add_argument("--nb-buckets", type=int, default=4096)
+    p.add_argument("--dsir-target", default=None, metavar="PATH",
+                   help="parquet of target-distribution docs: keep the "
+                        "--dsir-keep most target-like survivors by DSIR "
+                        "importance weight (Xie et al. 2023)")
+    p.add_argument("--dsir-keep", type=int, default=None,
+                   help="top-k kept under --dsir-target (required with it)")
+    p.add_argument("--dsir-buckets", type=int, default=8192)
     args = p.parse_args()
+    if (args.dsir_target is None) != (args.dsir_keep is None):
+        p.error("--dsir-target and --dsir-keep must be given together")
 
     from crawler_spark.operators.curation import curate, curation_stats
     from crawler_spark.session import build_session
@@ -105,6 +122,37 @@ def main() -> None:
         text_col=args.text_col,
         id_col=args.id_col,
     )
+    n_nb = n_dsir = None
+    if args.nb_seed:
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.classify import nb_score, nb_train
+
+        model = nb_train(
+            spark.read.parquet(args.nb_seed),
+            n_buckets=args.nb_buckets,
+            text_col=args.text_col,
+            label_col=args.nb_label_col,
+        )
+        curated = (
+            nb_score(curated, model, text_col=args.text_col,
+                     id_col=args.id_col)
+            .filter(F.col("nb_pred") == 1)
+            .drop("n_feats", "sum_llr_q", "nb_margin", "nb_pred")
+        )
+        n_nb = curated.count()
+    if args.dsir_target:
+        from crawler_spark.operators.classify import dsir_topk
+
+        curated = dsir_topk(
+            curated,
+            spark.read.parquet(args.dsir_target),
+            args.dsir_keep,
+            n_buckets=args.dsir_buckets,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).drop("n_feats", "sum_lw_q", "log_w", "avg_lw")
+        n_dsir = curated.count()
     writer = curated.write.mode("overwrite")
     if args.partition_by:
         writer = writer.partitionBy(args.partition_by)
@@ -117,13 +165,18 @@ def main() -> None:
         text_col=args.text_col,
         id_col=args.id_col,
     ).collect()[0]
-    print(json.dumps({
+    funnel = {
         "n_input": row["n_input"],
         "n_quality": row["n_quality"],
         "n_lang": row["n_lang"],
         "n_deduped": row["n_deduped"],
         "output": args.output,
-    }))
+    }
+    if n_nb is not None:
+        funnel["n_nb_kept"] = n_nb
+    if n_dsir is not None:
+        funnel["n_dsir_kept"] = n_dsir
+    print(json.dumps(funnel))
 
 
 if __name__ == "__main__":

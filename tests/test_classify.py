@@ -214,6 +214,62 @@ def test_dsir_ranks_target_like_docs_first(spark, raw_target):
     assert w[3] == 0
 
 
+def test_curate_cli_nb_gate_and_dsir(spark, tmp_path, monkeypatch):
+    """jobs/curate.py --nb-seed / --dsir-target end-to-end: the NB gate
+    drops the spam docs, DSIR keeps the most target-like survivors."""
+    import sys
+
+    import jobs.curate as jc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the careful fox writes prose about the quiet science", "s1"),
+            (1, "the quick brown fox jumps over the lazy dog again", "s1"),
+            (2, "buy cheap buy cheap click the offer now now now", "s2"),
+            (3, "the spam link spam link spam link spam here", "s2"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    seed = spark.createDataFrame(
+        [
+            ("careful prose about quiet science and writing", 1),
+            ("the fox writes about science", 1),
+            ("buy cheap click offer now", 0),
+            ("spam link spam link here", 0),
+        ],
+        "text string, label int",
+    )
+    target = spark.createDataFrame(
+        [(100, "the careful fox writes about quiet science")],
+        "doc_id int, text string",
+    )
+    inp, seedp = str(tmp_path / "in"), str(tmp_path / "seed")
+    tgtp, outp = str(tmp_path / "tgt"), str(tmp_path / "out")
+    docs.write.parquet(inp)
+    seed.write.parquet(seedp)
+    target.write.parquet(tgtp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--nb-seed", seedp, "--nb-buckets", "64",
+        "--dsir-target", tgtp, "--dsir-keep", "1",
+        "--dsir-buckets", "128",
+    ])
+    jc.main()
+    kept = spark.read.parquet(outp).collect()
+    # NB drops both spam docs; DSIR keeps the single most target-like doc
+    assert [r["doc_id"] for r in kept] == [0]
+
+    # --dsir-target without --dsir-keep is a usage error, not a crash
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp,
+        "--dsir-target", tgtp,
+    ])
+    with pytest.raises(SystemExit):
+        jc.main()
+
+
 def test_dsir_topk_partition_invariant_and_top_n_plan(spark, raw_target):
     raw, target, rdf, tdf = raw_target
     a = [r["doc_id"] for r in dsir_topk(rdf.repartition(5), tdf, 3,
