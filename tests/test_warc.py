@@ -1,0 +1,170 @@
+"""WARC source: roundtrip, indexed range reads, extraction parity.
+
+The ground truth is the datagen corpus itself (``pages.text`` is computed by
+the same extractor the reference pins byte-identically), so these tests close
+the loop: corpus -> WARC bytes -> Spark read -> extract == stored text.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.datagen import CorpusSpec, corpus_rows
+from crawler_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    read_warc_indexed,
+    warc_record_bytes,
+    warc_to_pages,
+    write_warc,
+    write_warc_files,
+)
+
+SPEC = CorpusSpec(n_pages=60, n_hosts=4, seed=7)
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return corpus_rows(SPEC)
+
+
+def _key(rows_or_df):
+    from datetime import timezone
+
+    if hasattr(rows_or_df, "collect"):
+        rows_or_df = [r.asDict() for r in rows_or_df.collect()]
+
+    def _utc_naive(ts):
+        if ts.tzinfo is not None:
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        return ts
+
+    return sorted(
+        (r["url"], _utc_naive(r["warc_ts"]).isoformat(), bytes(r["html"]))
+        for r in rows_or_df
+    )
+
+
+def test_roundtrip_plain_and_gzip(spark, rows, tmp_path):
+    for compress, name in [(False, "a.warc"), (True, "a.warc.gz")]:
+        p = str(tmp_path / name)
+        idx = write_warc(p, rows, compress=compress)
+        assert len(idx) == len(rows)
+        got = read_warc(spark, p, strict=True)
+        assert _key(got) == _key(rows)  # url+ts+byte-identical html
+
+
+def test_multi_file_glob_and_pages_adapter(spark, rows, tmp_path):
+    d = str(tmp_path / "shards")
+    write_warc_files(d, rows, records_per_file=17)
+    assert len(os.listdir(d)) == 4  # 60 rows / 17
+    got = read_warc(spark, d + "/*.warc.gz", strict=True)
+    assert _key(got) == _key(rows)
+    pages = warc_to_pages(got)
+    assert _key(pages) == _key(rows)  # no duplicate fetches -> identity
+
+
+def test_pages_adapter_newest_fetch_wins(spark, rows, tmp_path):
+    # refetch of the first url, 1h later, with different bytes
+    import datetime as dt
+
+    dup = dict(rows[0])
+    dup["warc_ts"] = rows[0]["warc_ts"] + dt.timedelta(hours=1)
+    dup["html"] = b"<html><body><h1>refetched</h1></body></html>"
+    p = str(tmp_path / "b.warc.gz")
+    write_warc(p, rows + [dup], compress=True)
+    pages = warc_to_pages(read_warc(spark, p, strict=True))
+    assert pages.count() == len(rows)
+    kept = pages.filter(F.col("url") == rows[0]["url"]).collect()[0]
+    assert bytes(kept["html"]) == dup["html"]
+
+
+def test_indexed_reads_match_full_scan(spark, rows, tmp_path):
+    d = str(tmp_path / "idx")
+    index = write_warc_files(d, rows, records_per_file=13)
+    idx_df = spark.createDataFrame(
+        [(r["path"], r["offset"], r["length"]) for r in index],
+        "path string, offset bigint, length bigint",
+    )
+    got = read_warc_indexed(spark, idx_df, strict=True)
+    assert _key(got) == _key(rows)
+    # partition invariance: record-granular fan-out reads the same rows
+    wide = read_warc_indexed(spark, idx_df, strict=True, partitions=8)
+    assert _key(wide) == _key(rows)
+
+
+def test_indexed_sparse_slice(spark, rows, tmp_path):
+    """Filtering the INDEX selects which bytes are read at all — the
+    one-host slice of a big archive."""
+    d = str(tmp_path / "slice")
+    index = write_warc_files(d, rows, records_per_file=13)
+    host = rows[0]["url"].split("/")[2]
+    want = [r for r in rows if r["url"].split("/")[2] == host]
+    sub = [r for r in index if r["url"].split("/")[2] == host]
+    idx_df = spark.createDataFrame(
+        [(r["path"], r["offset"], r["length"]) for r in sub],
+        "path string, offset bigint, length bigint",
+    )
+    got = read_warc_indexed(spark, idx_df, strict=True)
+    assert _key(got) == _key(want)
+
+
+def test_extraction_parity_from_warc(spark, rows, tmp_path):
+    """WARC -> extract == the corpus's stored ground-truth text, byte-equal."""
+    from crawler_spark.operators.extract import extract_pages
+
+    p = str(tmp_path / "c.warc.gz")
+    write_warc(p, rows, compress=True)
+    pages = warc_to_pages(read_warc(spark, p, strict=True))
+    ext = extract_pages(pages.select("url", "html"), carry=False)
+    truth = {r["url"]: r["text"] for r in rows}
+    for r in ext.select("url", "markdown").collect():
+        assert r["markdown"] == truth[r["url"]]
+
+
+def test_non_response_records_skipped(rows):
+    rec = warc_record_bytes(
+        rows[0]["url"], rows[0]["warc_ts"], b"GET / HTTP/1.1\r\n\r\n",
+        record_type="request",
+    ) + warc_record_bytes(rows[1]["url"], rows[1]["warc_ts"], rows[1]["html"])
+    got = list(parse_warc_records(rec, strict=True))
+    assert [u for u, _, _ in got] == [rows[1]["url"]]
+
+
+def test_malformed_strict_vs_lenient(rows):
+    good = warc_record_bytes(rows[0]["url"], rows[0]["warc_ts"], rows[0]["html"])
+    bad = good + b"NOT-A-WARC-HEADER\r\n\r\njunk"
+    with pytest.raises(ValueError):
+        list(parse_warc_records(bad, strict=True))
+    got = list(parse_warc_records(bad, strict=False))
+    assert len(got) == 1  # the good record survives, the tail is dropped
+
+
+def test_truncated_gzip_tail_lenient(spark, rows, tmp_path):
+    p = str(tmp_path / "t.warc.gz")
+    write_warc(p, rows[:5], compress=True)
+    data = open(p, "rb").read()
+    open(p, "wb").write(data[: len(data) - 40])  # chop mid-member
+    got = read_warc(spark, p, strict=False)
+    assert got.count() == 4  # last member lost, first four intact
+
+
+def test_writer_bit_deterministic(rows, tmp_path):
+    p1, p2 = str(tmp_path / "d1.warc.gz"), str(tmp_path / "d2.warc.gz")
+    write_warc(p1, rows, compress=True)
+    write_warc(p2, rows, compress=True)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_fractional_warc_date_parses(rows):
+    import datetime as dt
+
+    ts = rows[0]["warc_ts"].replace(microsecond=250000)
+    rec = warc_record_bytes(rows[0]["url"], ts, rows[0]["html"])
+    assert b"WARC-Date: " in rec and b".250000Z" in rec
+    (url, got_ts, html) = next(iter(parse_warc_records(rec, strict=True)))
+    assert got_ts == ts.replace(tzinfo=dt.timezone.utc)
