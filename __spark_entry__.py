@@ -1491,6 +1491,49 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(canonical_url_expr(f"({url})")).alias("canonical"),
         )
 
+    # ---- crawl-trap detection (frontier/traps.py): the URL universe is
+    # synthesized from doc_id arithmetic so both engines flag the *same*
+    # frontier — doc_id%11 mints calendar-template URLs (skeleton
+    # explosion), %7 mints /x/y link cycles of varying length, %5 mints
+    # query-param explosions; everything else is a clean /doc/N URL.
+    def trap_flags_docs(spark, sf_dir):
+        from crawler_spark.frontier.traps import (
+            flag_trap_urls,
+            trap_skeletons,
+            url_skeleton_expr,
+        )
+
+        url = (
+            "CASE WHEN doc_id % 11 = 0 THEN concat('https://', source, "
+            "'.docs.test/cal/2024/', cast(doc_id % 12 + 1 as string), '/', "
+            "cast(doc_id % 28 + 1 as string), '?session=', "
+            "cast(doc_id * 37 % 1000 as string)) "
+            "WHEN doc_id % 7 = 0 THEN concat('https://', source, "
+            "'.docs.test', repeat('/x/y', doc_id % 3 + 2), '/doc/', "
+            "cast(doc_id as string)) "
+            "WHEN doc_id % 5 = 0 THEN concat('https://', source, "
+            "'.docs.test/doc/', cast(doc_id as string), "
+            "'?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10') "
+            "ELSE concat('https://', source, '.docs.test/doc/', "
+            "cast(doc_id as string)) END"
+        )
+        base = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(url).alias("url")
+        )
+        flagged = flag_trap_urls(base, max_depth=8, max_cycle=2, max_params=8)
+        sks = trap_skeletons(base, min_urls=1).select(
+            "skeleton", F.col("n_urls").alias("n_skeleton_urls")
+        )
+        return (
+            flagged.withColumn("skeleton", F.expr(url_skeleton_expr("url")))
+            .join(sks, "skeleton")
+            .select(
+                "doc_id", "url", "path_depth", "max_seg_repeat", "n_params",
+                "trap_depth", "trap_cycle", "trap_params", "skeleton",
+                "n_skeleton_urls",
+            )
+        )
+
     # ---- link-graph PageRank (crawl prioritization; operators/graph.py).
     # Edges are synthesized deterministically from the doc_id space (3
     # out-links per doc via modular arithmetic) so Spark and the oracle
@@ -1673,6 +1716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_docs": nb_quality_docs,
         "dsir_sample_docs": dsir_sample_docs,
         "canonical_url_docs": canonical_url_docs,
+        "trap_flags_docs": trap_flags_docs,
         "pagerank_docs": pagerank_docs,
     }
 
@@ -2962,6 +3006,63 @@ def _all_oracle_sql() -> dict[str, str]:
                                ELSE concat('?', q2) END) AS canonical
             FROM comp5
         """,
+        # crawl-trap detection: same synthetic frontier arithmetic, same
+        # regexp host/path/query split, same HOF cycle counter, same
+        # digit-collapse skeleton (frontier/traps.py); thresholds pinned to
+        # the gate's (max_depth=8, max_cycle=2, max_params=8)
+        "trap_flags_docs": r"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN concat('https://', source,
+                            '.docs.test/cal/2024/',
+                            cast(doc_id % 12 + 1 AS varchar), '/',
+                            cast(doc_id % 28 + 1 AS varchar), '?session=',
+                            cast(doc_id * 37 % 1000 AS varchar))
+                          WHEN doc_id % 7 = 0 THEN concat('https://', source,
+                            '.docs.test',
+                            repeat('/x/y', cast(doc_id % 3 + 2 AS int)),
+                            '/doc/', cast(doc_id AS varchar))
+                          WHEN doc_id % 5 = 0 THEN concat('https://', source,
+                            '.docs.test/doc/', cast(doc_id AS varchar),
+                            '?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9&j=10')
+                          ELSE concat('https://', source, '.docs.test/doc/',
+                            cast(doc_id AS varchar)) END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                       AS host,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+                     regexp_extract(url, '\?([^#]*)', 1) AS q
+              FROM u),
+            s AS (
+              SELECT doc_id, url, q,
+                     list_filter(string_split(path, '/'), seg -> seg <> '')
+                       AS segs,
+                     concat(host, regexp_replace(path, '[0-9]+', 'N', 'g'))
+                       AS skeleton
+              FROM p),
+            f AS (
+              SELECT doc_id, url, skeleton,
+                     cast(len(segs) AS int) AS path_depth,
+                     cast(coalesce(list_max(list_transform(
+                            list_distinct(segs),
+                            d -> len(list_filter(segs, x -> x = d)))), 0)
+                          AS int) AS max_seg_repeat,
+                     cast(CASE WHEN q = '' THEN 0
+                               ELSE len(string_split(q, '&')) END AS int)
+                       AS n_params
+              FROM s)
+            SELECT doc_id, url, path_depth, max_seg_repeat, n_params,
+                   path_depth > 8 AS trap_depth,
+                   max_seg_repeat > 2 AS trap_cycle,
+                   n_params > 8 AS trap_params,
+                   skeleton,
+                   cast(count(*) OVER (PARTITION BY skeleton) AS bigint)
+                     AS n_skeleton_urls
+            FROM f
+        """,
         # link-graph PageRank: identical synthetic edge construction, then
         # the exact fixed-point power iteration unrolled 4 times — integer
         # division (//) and damping (85*s)//100 match Spark's `div`
@@ -3204,7 +3305,7 @@ _DRIVER_GATE = [
     "crawl_bfs_order",
     "crawl_priority_order",
     "rag_chunks",
-    "chunk_documents",
+    "trap_flags_docs",
     "export_markdown_report",
     "keyword_relevance",
     # --- dedup / similarity / text-analysis / filter / sampling gates ---
@@ -3266,6 +3367,10 @@ _EXTENDED_GATE = [
     "minhash_lsh",         # near_dup_docs composes LSH candidates + exact
                            # Jaccard verify; driver-green rounds 1 and 2 —
                            # rotated for nb_quality_docs
+    "chunk_documents",     # F8 chunker probed directly; rag_chunks (on
+                           # board) replays the same chunker inside the RAG
+                           # assembly CTE; driver-green rounds 1 and 2 —
+                           # rotated for trap_flags_docs
     "token_count_docs",    # trivial len(tokens) analog; token semantics
                            # also pinned by quality/vocab/LM gates;
                            # driver-green rounds 1 and 2 — rotated for

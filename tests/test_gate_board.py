@@ -39,7 +39,10 @@ FAMILY_REPRESENTATIVES = {
     "extract kernel": "extract_pages_flagship",
     "llm-path extract": "extract_llm_path",
     "rag assembly": "rag_chunks",
-    "chunker": "chunk_documents",
+    # chunk_documents rotated to extended in round 3: rag_chunks replays
+    # the identical chunker recursion inside its RAG-assembly CTE
+    "chunker": "rag_chunks",
+    "crawl traps": "trap_flags_docs",
     "markdown sink": "export_markdown_report",
     "relevance": "keyword_relevance",
     "exact dedup": "exact_dedup_docs",
