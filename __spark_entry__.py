@@ -1534,6 +1534,52 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # ---- recrawl scheduling (frontier/recrawl.py): fetch history is
+    # synthesized from doc_id arithmetic — %3=0 docs change every fetch,
+    # %3=1 once, %3=2 never; fetch cadence varies per doc via %5 — so both
+    # engines estimate change rates for the *same* lineage. Rates are
+    # reported per-day (per-second rates would vanish at 6 decimals).
+    def recrawl_schedule_docs(spark, sf_dir):
+        from crawler_spark.frontier.recrawl import recrawl_schedule
+
+        hist = (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat('https://', source, '.docs.test/doc/', "
+                    "cast(doc_id as string))"
+                ).alias("url"),
+                F.expr("explode(sequence(0, 3))").alias("i"),
+            )
+            .select(
+                "url",
+                F.expr(
+                    "timestampadd(SECOND, i * 3600 * (doc_id % 5 + 1), "
+                    "timestamp '2025-01-01 00:00:00')"
+                ).alias("warc_ts"),
+                F.expr(
+                    "CASE WHEN doc_id % 3 = 0 THEN cast(i as string) "
+                    "WHEN doc_id % 3 = 1 THEN cast(i div 2 as string) "
+                    "ELSE '0' END"
+                ).alias("content_hash"),
+            )
+        )
+        sched = recrawl_schedule(
+            hist, min_interval_sec=3600, max_interval_sec=2592000,
+            target_changes=0.5,
+        )
+        return sched.select(
+            "url", "n_fetches", "n_changes", "span_sec",
+            F.expr("round(coalesce(change_rate, -1d) * 86400, 6)").alias(
+                "rate_per_day"
+            ),
+            "interval_sec",
+            F.expr("cast(unix_timestamp(next_fetch_ts) as bigint)").alias(
+                "next_fetch_epoch"
+            ),
+        )
+
     # ---- link-graph PageRank (crawl prioritization; operators/graph.py).
     # Edges are synthesized deterministically from the doc_id space (3
     # out-links per doc via modular arithmetic) so Spark and the oracle
@@ -1717,6 +1763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample_docs": dsir_sample_docs,
         "canonical_url_docs": canonical_url_docs,
         "trap_flags_docs": trap_flags_docs,
+        "recrawl_schedule_docs": recrawl_schedule_docs,
         "pagerank_docs": pagerank_docs,
     }
 
@@ -3006,6 +3053,63 @@ def _all_oracle_sql() -> dict[str, str]:
                                ELSE concat('?', q2) END) AS canonical
             FROM comp5
         """,
+        # recrawl scheduling: same synthetic fetch lineage, same lag-window
+        # change marking, same Cho/Garcia-Molina estimator arithmetic with
+        # the identical double-rounding (10 dp rate, 6 dp per-day report)
+        # on both sides (frontier/recrawl.py)
+        "recrawl_schedule_docs": """
+            WITH h AS (
+              SELECT concat('https://', source, '.docs.test/doc/',
+                            cast(doc_id AS varchar)) AS url,
+                     TIMESTAMPTZ '2025-01-01 00:00:00+00'
+                       + to_seconds(i * 3600 * (doc_id % 5 + 1)) AS warc_ts,
+                     CASE WHEN doc_id % 3 = 0 THEN cast(i AS varchar)
+                          WHEN doc_id % 3 = 1 THEN cast(i // 2 AS varchar)
+                          ELSE '0' END AS content_hash
+              FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+            m AS (
+              SELECT url, warc_ts, content_hash,
+                     CASE WHEN lag(content_hash) OVER w IS NULL THEN 0
+                          WHEN lag(content_hash) OVER w <> content_hash
+                          THEN 1 ELSE 0 END AS changed
+              FROM h
+              WINDOW w AS (PARTITION BY url ORDER BY warc_ts, content_hash)),
+            a AS (
+              SELECT url, cast(count(*) AS bigint) AS n_fetches,
+                     cast(sum(changed) AS bigint) AS n_changes,
+                     cast(max(epoch_us(warc_ts) // 1000000)
+                          - min(epoch_us(warc_ts) // 1000000) AS bigint)
+                       AS span_sec,
+                     max(warc_ts) AS last_ts
+              FROM m GROUP BY 1),
+            r AS (
+              SELECT *,
+                     CASE WHEN n_fetches < 2 OR span_sec <= 0 THEN NULL
+                          ELSE round(
+                            -ln((cast(n_fetches - 1 - n_changes AS double)
+                                 + 0.5)
+                                / (cast(n_fetches - 1 AS double) + 0.5))
+                            / (cast(span_sec AS double)
+                               / cast(n_fetches - 1 AS double)), 10) END
+                       AS change_rate
+              FROM a),
+            s AS (
+              SELECT *,
+                     CASE WHEN change_rate IS NULL OR change_rate <= 0
+                          THEN cast(2592000 AS bigint)
+                          ELSE cast(least(greatest(round(0.5 / change_rate),
+                                                   cast(3600 AS double)),
+                                          cast(2592000 AS double))
+                                    AS bigint) END AS interval_sec
+              FROM r)
+            SELECT url, n_fetches, n_changes, span_sec,
+                   round(coalesce(change_rate, -1) * 86400, 6)
+                     AS rate_per_day,
+                   interval_sec,
+                   cast(epoch_us(last_ts + to_seconds(interval_sec))
+                        // 1000000 AS bigint) AS next_fetch_epoch
+            FROM s
+        """,
         # crawl-trap detection: same synthetic frontier arithmetic, same
         # regexp host/path/query split, same HOF cycle counter, same
         # digit-collapse skeleton (frontier/traps.py); thresholds pinned to
@@ -3311,7 +3415,7 @@ _DRIVER_GATE = [
     # --- dedup / similarity / text-analysis / filter / sampling gates ---
     "exact_dedup_docs",
     "near_dup_docs",
-    "ngram_jaccard",
+    "recrawl_schedule_docs",
     "simhash_near_dups",
     "lsh_topk_docs",
     "embedding_near_dups",
@@ -3367,6 +3471,11 @@ _EXTENDED_GATE = [
     "minhash_lsh",         # near_dup_docs composes LSH candidates + exact
                            # Jaccard verify; driver-green rounds 1 and 2 —
                            # rotated for nb_quality_docs
+    "ngram_jaccard",       # capped-Jaccard kernel value-hashed inside
+                           # near_dup_docs' exact-verify stage (on board);
+                           # the max_df hot-shingle cap is pytest-pinned;
+                           # driver-green rounds 1 and 2 — rotated for
+                           # recrawl_schedule_docs
     "chunk_documents",     # F8 chunker probed directly; rag_chunks (on
                            # board) replays the same chunker inside the RAG
                            # assembly CTE; driver-green rounds 1 and 2 —

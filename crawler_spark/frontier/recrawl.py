@@ -1,0 +1,134 @@
+"""Recrawl scheduling: per-URL change-rate estimation over fetch history.
+
+A continuous crawler re-fetches pages at a rate matched to how often they
+actually change (Cho & Garcia-Molina, "Estimating Frequency of Change",
+ACM TOIT 2003). The input is the engine's own output: every wave commit
+appends ``(url, warc_ts, content_hash)`` rows, so the fetch history IS the
+frontier's lineage. This module turns that history into a schedule:
+
+- :func:`change_stats` — per URL: number of observed fetches, number of
+  *changes* (consecutive fetches whose content hash differs — one ``lag``
+  window per URL, the only shuffle), total observed timespan, and the
+  paper's bias-corrected change-rate estimator (its Sec. 4.2 form)
+  ``lambda = -ln((n - X + 0.5) / (n + 0.5)) / (T / n)`` with ``n`` the
+  interval count and ``X`` the observed changes — finite at ``X = n``
+  (every sample changed) and exactly 0 at ``X = 0``.
+- :func:`recrawl_schedule` — joins the stats with a freshness target:
+  ``next_fetch_ts = last_fetch + interval`` where ``interval`` is bounded
+  to ``[min_interval, max_interval]`` around ``target_changes / lambda``
+  (pages that never changed drift toward ``max_interval``; hot pages pin
+  at ``min_interval``). Also emits ``due`` against a caller-supplied
+  ``now_ts`` — deterministic: the clock is an argument, never ``now()``.
+- :func:`due_url_hashes` — the bridge to the URL-seen structures: the
+  xxhash64 keys of due URLs, ready for ``cuckoo.delete_hashes`` (deletion
+  makes exactly those URLs probe as new again — the recrawl lifecycle
+  proven end-to-end in test_cuckoo).
+
+Scale shape (10^10 URLs): one window shuffle keyed by url over the history
+table (AQE-coalesced; history is append-only parquet partitioned by wave,
+so the scan prunes to the lookback horizon), then a url-keyed groupBy that
+reuses the same partitioning; the schedule is a projection. Everything is
+JVM expressions; fixed-point arithmetic is NOT needed here because the
+driver gate rounds the float estimator to 6 decimals on both engines from
+identical integer inputs (same contract as lm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def change_stats(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Per-URL change statistics from fetch history rows.
+
+    Returns ``(url, n_fetches, n_changes, span_sec, last_fetch_ts,
+    change_rate)`` — ``change_rate`` in changes/second, NULL when fewer
+    than 2 fetches (no interval observed yet).
+
+    ``n_changes`` counts consecutive-fetch hash transitions inside the
+    window ordered by ``(ts, hash)``; epoch math is integer seconds so
+    both engines agree exactly before the one float step.
+    """
+    w = Window.partitionBy("url").orderBy("ts", "h")
+    marked = history.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(hash_col).alias("h"),
+    ).withColumn(
+        "changed",
+        F.when(F.lag("h").over(w).isNull(), F.lit(0))
+        .when(F.lag("h").over(w) != F.col("h"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    agg = marked.groupBy("url").agg(
+        F.count("*").cast("bigint").alias("n_fetches"),
+        F.sum("changed").cast("bigint").alias("n_changes"),
+        (
+            F.max(F.expr("cast(unix_timestamp(ts) as bigint)"))
+            - F.min(F.expr("cast(unix_timestamp(ts) as bigint)"))
+        ).alias("span_sec"),
+        F.max("ts").alias("last_fetch_ts"),
+    )
+    # lambda = -ln((n - X + 0.5) / (n + 0.5)) / (T/n), n = n_fetches - 1:
+    # finite at X = n, exactly 0 at X = 0 (-> max_interval downstream).
+    return agg.withColumn(
+        "change_rate",
+        F.expr(
+            "CASE WHEN n_fetches < 2 OR span_sec <= 0 THEN NULL ELSE "
+            "round(-ln((cast(n_fetches - 1 - n_changes as double) + 0.5) "
+            "/ (cast(n_fetches - 1 as double) + 0.5)) "
+            "/ (cast(span_sec as double) / cast(n_fetches - 1 as double)), "
+            "10) END"
+        ),
+    )
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    min_interval_sec: int = 3600,
+    max_interval_sec: int = 30 * 24 * 3600,
+    target_changes: float = 0.5,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Stats + the schedule: ``interval_sec`` (bounded expected time for
+    ``target_changes`` changes), ``next_fetch_ts``.
+
+    Never-changed and single-fetch URLs get ``max_interval_sec`` — the
+    conservative default for pages with no evidence of churn.
+    """
+    stats = change_stats(history, url_col, ts_col, hash_col)
+    return stats.withColumn(
+        "interval_sec",
+        F.expr(
+            f"CASE WHEN change_rate IS NULL OR change_rate <= 0 "
+            f"THEN cast({max_interval_sec} as bigint) "
+            f"ELSE cast(least(greatest("
+            f"round({target_changes!r} / change_rate), "
+            f"cast({min_interval_sec} as double)), "
+            f"cast({max_interval_sec} as double)) as bigint) END"
+        ),
+    ).withColumn(
+        "next_fetch_ts",
+        F.expr("timestampadd(SECOND, interval_sec, last_fetch_ts)"),
+    )
+
+
+def due_url_hashes(schedule: DataFrame, now_ts) -> DataFrame:
+    """URL-hash keys (xxhash64 of the url, the engine's J1/F10 key) for
+    every URL whose ``next_fetch_ts`` has passed ``now_ts`` — feed to
+    ``frontier.cuckoo.delete_hashes`` so exactly these URLs probe as
+    unseen on the next wave. ``now_ts`` is an explicit argument
+    (datetime or ISO string): determinism contract, no wall clock.
+    """
+    return (
+        schedule.filter(F.col("next_fetch_ts") <= F.lit(now_ts).cast("timestamp"))
+        .select("url", F.xxhash64("url").alias("url_hash"))
+    )

@@ -50,7 +50,10 @@ FAMILY_REPRESENTATIVES = {
     # the same signature + banded-bucket join before its Jaccard verify
     "minhash/lsh": "near_dup_docs",
     "two-stage near-dup": "near_dup_docs",
-    "ngram jaccard": "ngram_jaccard",
+    # ngram_jaccard rotated to extended in round 3: near_dup_docs
+    # value-hashes the same capped-Jaccard kernel in its verify stage
+    "ngram jaccard": "near_dup_docs",
+    "crawl recrawl": "recrawl_schedule_docs",
     "simhash": "simhash_near_dups",
     # brute-force cosine's driver evidence is the exact rerank inside the
     # ivf/lsh gates (cosine_topk itself rotated to extended in round 3)

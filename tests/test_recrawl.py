@@ -1,0 +1,131 @@
+"""Recrawl scheduling: change-rate estimation, schedule bounds, cuckoo bridge."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier.recrawl import (
+    change_stats,
+    due_url_hashes,
+    recrawl_schedule,
+)
+
+T0 = datetime(2025, 6, 1, tzinfo=timezone.utc)
+
+
+def _history():
+    """Four URLs with distinct churn profiles, fetched every 6h for 5 waves."""
+    rows = []
+    for i in range(5):
+        ts = T0 + timedelta(hours=6 * i)
+        rows.append(("https://hot.test/a", ts, "h%d" % i))        # changes every time
+        rows.append(("https://warm.test/b", ts, "w%d" % (i // 2)))  # 2 changes
+        rows.append(("https://cold.test/c", ts, "c0"))            # never changes
+    rows.append(("https://new.test/d", T0, "n0"))                 # single fetch
+    return rows
+
+
+@pytest.fixture(scope="module")
+def hist_df(spark):
+    return spark.createDataFrame(
+        _history(), "url string, warc_ts timestamp, content_hash string"
+    )
+
+
+def _rate(n_intervals: int, n_changes: int, span_sec: int) -> float:
+    return round(
+        -math.log((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+        / (span_sec / n_intervals),
+        10,
+    )
+
+
+def test_change_stats_exact(spark, hist_df):
+    got = {r["url"]: r.asDict() for r in change_stats(hist_df).collect()}
+    span = 4 * 6 * 3600
+    hot = got["https://hot.test/a"]
+    assert (hot["n_fetches"], hot["n_changes"], hot["span_sec"]) == (5, 4, span)
+    assert hot["change_rate"] == _rate(4, 4, span)
+    warm = got["https://warm.test/b"]
+    assert warm["n_changes"] == 2
+    assert warm["change_rate"] == _rate(4, 2, span)
+    cold = got["https://cold.test/c"]
+    assert cold["n_changes"] == 0 and cold["change_rate"] == 0.0
+    new = got["https://new.test/d"]
+    assert new["n_fetches"] == 1 and new["change_rate"] is None
+    assert hot["change_rate"] > warm["change_rate"] > cold["change_rate"]
+
+
+def test_schedule_bounds_and_ordering(spark, hist_df):
+    sched = {
+        r["url"]: r.asDict()
+        for r in recrawl_schedule(
+            hist_df, min_interval_sec=3600, max_interval_sec=86400 * 30,
+            target_changes=0.5,
+        ).collect()
+    }
+    # never-changed and single-fetch URLs sit at the max interval
+    assert sched["https://cold.test/c"]["interval_sec"] == 86400 * 30
+    assert sched["https://new.test/d"]["interval_sec"] == 86400 * 30
+    # hot page re-fetches sooner than warm
+    assert (
+        sched["https://hot.test/a"]["interval_sec"]
+        < sched["https://warm.test/b"]["interval_sec"]
+    )
+    assert sched["https://hot.test/a"]["interval_sec"] >= 3600
+    for r in sched.values():
+        want = r["last_fetch_ts"] + timedelta(seconds=r["interval_sec"])
+        assert r["next_fetch_ts"] == want
+
+
+def test_min_interval_clamp(spark):
+    """A page changing every second pins at min_interval, not below."""
+    rows = [
+        ("u", T0 + timedelta(seconds=i), "h%d" % i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, content_hash string")
+    r = recrawl_schedule(df, min_interval_sec=3600).collect()[0]
+    assert r["interval_sec"] == 3600
+
+
+def test_due_urls_and_cuckoo_lifecycle(spark, hist_df):
+    """due URLs delete from the cuckoo sidecar and probe as new again."""
+    from crawler_spark.frontier.cuckoo import (
+        CuckooConfig,
+        build_tables,
+        delete_hashes,
+        split_by_cuckoo,
+    )
+
+    sched = recrawl_schedule(hist_df, min_interval_sec=3600)
+    # pick a clock where only the hot page is due
+    hot_next = {
+        r["url"]: r["next_fetch_ts"] for r in sched.collect()
+    }["https://hot.test/a"]
+    due = due_url_hashes(sched, hot_next)
+    assert [r["url"] for r in due.collect()] == ["https://hot.test/a"]
+
+    urls = hist_df.select("url").distinct()
+    hashes = urls.select(F.xxhash64("url").alias("url_hash"))
+    cfg = CuckooConfig(n_buckets=64, n_shards=2)
+    tables = build_tables(hashes, cfg)
+    pruned = delete_hashes(tables, due.select("url_hash"), cfg)
+    new, suspect = split_by_cuckoo(hashes, pruned, cfg)
+    assert [r["url_hash"] for r in new.collect()] == [
+        r["url_hash"] for r in due.collect()
+    ]
+    assert suspect.count() == 3
+
+
+def test_partition_invariance_and_plan(spark, hist_df):
+    a = sorted(map(tuple, change_stats(hist_df).collect()))
+    b = sorted(map(tuple, change_stats(hist_df.repartition(7)).collect()))
+    assert a == b
+    plan = (
+        recrawl_schedule(hist_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
