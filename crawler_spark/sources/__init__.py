@@ -3,6 +3,8 @@
 from crawler_spark.sources.warc import (
     read_warc,
     read_warc_indexed,
+    stream_warc,
+    warc_to_pages,
     write_warc,
     write_warc_files,
 )
@@ -10,6 +12,8 @@ from crawler_spark.sources.warc import (
 __all__ = [
     "read_warc",
     "read_warc_indexed",
+    "stream_warc",
+    "warc_to_pages",
     "write_warc",
     "write_warc_files",
 ]

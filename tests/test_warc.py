@@ -160,6 +160,63 @@ def test_writer_bit_deterministic(rows, tmp_path):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_stream_warc_incremental_and_batch_equal(spark, rows, tmp_path):
+    """Shards arriving between micro-batches are each ingested exactly once,
+    and the streamed rows equal the batch reader's."""
+    from crawler_spark.sources.warc import stream_warc, write_warc
+
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(str(d / "s0.warc.gz"), rows[:25])
+
+    def drain():
+        q = (
+            stream_warc(spark, str(d))
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = spark.read.parquet(str(tmp_path / "out"))
+    assert got1.count() == 25
+    write_warc(str(d / "s1.warc.gz"), rows[25:])
+    drain()
+    got2 = spark.read.parquet(str(tmp_path / "out"))
+    assert got2.count() == len(rows)  # s0 not re-ingested, s1 appended
+    assert _key(got2.select("url", "warc_ts", "html")) == _key(rows)
+
+
+def test_ingest_warc_cli(spark, rows, tmp_path, monkeypatch):
+    """jobs/ingest_warc.py end-to-end: shards -> pages parquet -> extract."""
+    import sys
+
+    import jobs.ingest_warc as jiw
+    from crawler_spark.sources.warc import write_warc_files
+
+    d = str(tmp_path / "shards")
+    write_warc_files(d, rows, records_per_file=25)
+    pages_p, ext_p = str(tmp_path / "pages"), str(tmp_path / "ext")
+    monkeypatch.setattr(sys, "argv", [
+        "ingest_warc.py", "--input", d + "/*.warc.gz",
+        "--output", pages_p, "--extract", ext_p, "--strict",
+        "--drop-traps", "--trap-min-urls", "1000",
+    ])
+    jiw.main()
+    pages = spark.read.parquet(pages_p)
+    assert _key(pages) == _key(rows)
+    ext = spark.read.parquet(ext_p)
+    truth = {r["url"]: r["text"] for r in rows}
+    assert all(
+        r["markdown"] == truth[r["url"]]
+        for r in ext.select("url", "markdown").collect()
+    )
+
+
 def test_fractional_warc_date_parses(rows):
     import datetime as dt
 
