@@ -15,6 +15,7 @@ from crawler_spark.core.text import (
     chunk_text,
     clean_text,
     extract_links,
+    extract_links_with_text,
     extract_page,
     extract_structured_markdown,
     extract_title,
@@ -29,6 +30,7 @@ __all__ = [
     "clean_text",
     "extract_title",
     "extract_links",
+    "extract_links_with_text",
     "extract_structured_markdown",
     "extract_page",
     "basic_extraction",

@@ -58,6 +58,25 @@ def extract_links(soup: MiniSoup, base_url: str) -> List[str]:
     return links
 
 
+def extract_links_with_text(soup: MiniSoup, base_url: str) -> List[tuple]:
+    """All ``<a href>`` in document order -> ``(normalized_url, anchor_text)``.
+
+    Same traversal and normalization as :func:`extract_links` (reference
+    crawler/enhanced_crawler.py:77-86) but keeps EVERY occurrence — no
+    first-wins dedup — and pairs each link with its anchor text
+    (``get_text(" ", strip=True)`` over the <a> subtree, then
+    :func:`clean_text`). Multiplicity is an aggregation concern: inbound
+    anchor-text statistics need the raw (src, dst, anchor) stream, not the
+    per-page deduped link list the crawl frontier uses.
+    """
+    pairs: List[tuple] = []
+    for a_tag in soup.find_all("a", href=True):
+        normalized = normalize_url(base_url, a_tag["href"])
+        if normalized:
+            pairs.append((normalized, clean_text(a_tag.get_text(" ", strip=True))))
+    return pairs
+
+
 def extract_structured_markdown(soup: MiniSoup) -> str:
     """Document-order h1/h2/h3/p/ul/ol/li/pre/code -> markdown lines.
 

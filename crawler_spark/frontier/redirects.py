@@ -1,0 +1,122 @@
+"""Redirect-chain resolution by pointer doubling.
+
+A 10^10-URL frontier accumulates redirect edges (301/302/canonical) whose
+chains must be collapsed to terminal URLs before dedup — otherwise the
+seen-set stores every alias and the crawl re-fetches the same terminal
+page through each of them. The reference follows redirects implicitly
+inside its single HTTP client (aiohttp default); at cluster scale the
+mapping is a *table* and resolution is a graph problem.
+
+Shape that survives 100 TB: pointer doubling (path halving), the same
+O(log chain-length) trick the connected-components operator uses — each
+round composes the mapping with itself (``f <- f(f(u))``), so a chain of
+length L collapses in ceil(log2 L) self-joins instead of L sequential
+ones. Every round is a hash equi-join on the current target; no driver
+state, no per-row Python, lineage cut per round with ``localCheckpoint``.
+
+Contract: chains of length <= ``max_hops`` resolve to their terminal with
+the exact hop count; longer chains and cycles (including self-redirects)
+come back ``resolved = false`` with NULL final/hops — deferred to the
+caller's policy, never silently followed forever.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    url_col: str = "url",
+    redirect_col: str = "redirect_to",
+    max_hops: int = 32,
+) -> DataFrame:
+    """``(url, redirect_to nullable)`` -> ``(url, final_url, hops, resolved)``.
+
+    ``redirect_to IS NULL`` marks a terminal URL. A redirect target that
+    never appears in ``url_col`` (dangling) is terminal by definition.
+    Deterministic at any parallelism: the mapping is a function (one row
+    per url; duplicate url rows must be deduped upstream), so composition
+    has a single fixed point.
+    """
+    e = edges.select(
+        F.col(url_col).alias("url"), F.col(redirect_col).alias("redirect_to")
+    )
+    # urls that redirect somewhere — membership decides "is my target terminal"
+    sources = e.filter(F.col("redirect_to").isNotNull()).select(
+        F.col("url").alias("_src")
+    )
+
+    m = (
+        e.join(sources, e["redirect_to"] == sources["_src"], "left")
+        .select(
+            "url",
+            F.coalesce("redirect_to", "url").alias("cur"),
+            F.when(F.col("redirect_to").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("hops"),
+            (F.col("redirect_to").isNull() | F.col("_src").isNull()).alias("done"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("url").alias("_u"),
+            F.col("cur").alias("_v"),
+            F.col("hops").alias("_h"),
+            F.col("done").alias("_d"),
+        )
+        m = (
+            m.join(nxt, (~F.col("done")) & (m["cur"] == nxt["_u"]), "left")
+            .select(
+                "url",
+                F.when(F.col("done"), F.col("cur")).otherwise(F.col("_v")).alias("cur"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.col("_h"))
+                .alias("hops"),
+                F.when(F.col("done"), F.lit(True)).otherwise(F.col("_d")).alias("done"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    resolved = F.col("done") & (F.col("hops") <= max_hops)
+    return m.select(
+        "url",
+        F.when(resolved, F.col("cur")).alias("final_url"),
+        F.when(resolved, F.col("hops")).alias("hops"),
+        resolved.alias("resolved"),
+    )
+
+
+def rewrite_to_terminal(
+    frontier: DataFrame,
+    resolved: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Replace frontier URLs by their resolved terminals before dedup.
+
+    Unresolved (cycle / over-cap) URLs pass through unchanged — the
+    seen-set then naturally caps how often a trap chain is retried. Join
+    is on the frontier's key; the resolved table is the redirect-edge
+    table's size, not the frontier's, so Spark's size estimate (or an
+    explicit broadcast by the caller) keeps the frontier side shuffle-free
+    when the mapping is small.
+    """
+    r = resolved.select(
+        F.col("url").alias("_ru"), "final_url", F.col("resolved").alias("_ok")
+    )
+    return (
+        frontier.join(r, frontier[url_col] == r["_ru"], "left")
+        .withColumn(
+            url_col,
+            F.when(F.col("_ok") & F.col("final_url").isNotNull(), F.col("final_url"))
+            .otherwise(F.col(url_col)),
+        )
+        .drop("_ru", "final_url", "_ok")
+    )
