@@ -1599,6 +1599,91 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=4).select("id", "rank_q")
 
+    # ---- inbound anchor-text aggregation (operators/anchors.py). The
+    # gate builds an anchor-rich html corpus from documents by expression
+    # (same-source lead(1)/lead(2) links plus a hot per-source hub link
+    # with parity-varied anchor text), parses it with the REAL html parser
+    # (extract_anchors' mapInPandas kernel), and aggregates; the oracle
+    # re-derives the (src, dst, anchor) stream from the construction rules
+    # and replays the aggregation — so parser + normalization + the whole
+    # two-stage aggregate are value-hashed end to end.
+    def anchor_stats_docs(spark, sf_dir):
+        from crawler_spark.operators.anchors import (
+            anchor_text_stats,
+            extract_anchors,
+        )
+
+        docs = _t(spark, sf_dir, "documents")
+        w = Window.partitionBy("source").orderBy("doc_id")
+        d = (
+            docs.select("doc_id", "source")
+            .withColumn("n1", F.lead("doc_id", 1).over(w))
+            .withColumn("n2", F.lead("doc_id", 2).over(w))
+            .withColumn("hub", F.min("doc_id").over(Window.partitionBy("source")))
+        )
+        link = lambda idc, anchor: F.when(
+            idc.isNotNull(),
+            F.concat(
+                F.lit('<p><a href="/doc/'),
+                idc.cast("string"),
+                F.lit('">'),
+                anchor,
+                F.lit("</a></p>"),
+            ),
+        ).otherwise(F.lit(""))
+        hub_anchor = F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("source"), F.lit(" home"))
+        ).otherwise(F.lit("home"))
+        html = F.concat(
+            F.lit("<html><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>"),
+            link(F.col("n1"), F.concat(F.lit("doc "), F.col("n1").cast("string"))),
+            link(F.col("n2"), F.concat(F.lit("more "), F.col("source"))),
+            link(F.col("hub"), hub_anchor),
+            F.lit("</body></html>"),
+        )
+        pages = d.select(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".docs.test/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return anchor_text_stats(extract_anchors(pages)).select(
+            "dst_url",
+            "n_anchors",
+            "n_unique_anchors",
+            "top_anchor",
+            "top_anchor_count",
+            "anchor_sample",
+            "n_src_urls",
+        )
+
+    # ---- redirect-chain resolution (frontier/redirects.py): pointer
+    # doubling over a deterministic doc_id%8 edge rule — terminals (m=0),
+    # 1..5-hop chains (m=1..5, so m=5 exceeds max_hops=4 and must come
+    # back unresolved), a self-loop (m=6), and a chain into the self-loop
+    # (m=7). The oracle is a recursive-CTE walk with the same hop cap.
+    def redirect_resolve_docs(spark, sf_dir):
+        from crawler_spark.frontier.redirects import resolve_redirects
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        u = lambda idc: F.concat(
+            F.lit("https://docs.test/doc/"), idc.cast("string")
+        )
+        m = F.col("doc_id") % 8
+        edges = d.select(
+            u(F.col("doc_id")).alias("url"),
+            F.when(m == 0, F.lit(None).cast("string"))
+            .when(m == 6, u(F.col("doc_id")))
+            .otherwise(u(F.col("doc_id") - 1))
+            .alias("redirect_to"),
+        )
+        return resolve_redirects(edges, max_hops=4)
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -1765,6 +1850,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
         "pagerank_docs": pagerank_docs,
+        "anchor_stats_docs": anchor_stats_docs,
+        "redirect_resolve_docs": redirect_resolve_docs,
     }
 
 
@@ -3212,6 +3299,100 @@ def _all_oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN s4 ON nodes.id = s4.id)
             SELECT id, rank_q FROM r4
         """,
+        # inbound anchor-text stats: re-derive the (src, dst, anchor)
+        # stream from the gate's construction rules (lead(1)/lead(2)
+        # same-source links + per-source hub link with parity-varied
+        # anchor), then replay the two-stage aggregation. Sums cast to
+        # BIGINT (DuckDB sum() is HUGEINT); string_agg ORDER BY rn skips
+        # NULLs exactly like Spark's collect_list(when(...)).
+        "anchor_stats_docs": """
+            WITH chain AS (
+              SELECT doc_id, source,
+                     lead(doc_id, 1) OVER w AS n1,
+                     lead(doc_id, 2) OVER w AS n2,
+                     min(doc_id) OVER (PARTITION BY source) AS hub
+              FROM documents WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+            ),
+            pairs AS (
+              SELECT 'https://' || source || '.docs.test/doc/' || doc_id AS src,
+                     'https://' || source || '.docs.test/doc/' || n1 AS dst,
+                     'doc ' || n1 AS anchor
+              FROM chain WHERE n1 IS NOT NULL
+              UNION ALL
+              SELECT 'https://' || source || '.docs.test/doc/' || doc_id,
+                     'https://' || source || '.docs.test/doc/' || n2,
+                     'more ' || source
+              FROM chain WHERE n2 IS NOT NULL
+              UNION ALL
+              SELECT 'https://' || source || '.docs.test/doc/' || doc_id,
+                     'https://' || source || '.docs.test/doc/' || hub,
+                     CASE WHEN doc_id % 2 = 0 THEN source || ' home'
+                          ELSE 'home' END
+              FROM chain
+            ),
+            per_pair AS (
+              SELECT dst, anchor, count(*) AS cnt FROM pairs GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT dst, anchor, cnt,
+                     row_number() OVER (
+                       PARTITION BY dst ORDER BY cnt DESC, anchor ASC
+                     ) AS rn
+              FROM per_pair
+            ),
+            stats AS (
+              SELECT dst AS dst_url,
+                     CAST(sum(cnt) AS BIGINT) AS n_anchors,
+                     count(*) AS n_unique_anchors,
+                     max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+                     max(CASE WHEN rn = 1 THEN cnt END) AS top_anchor_count,
+                     string_agg(CASE WHEN rn <= 3 THEN anchor END,
+                                chr(31) ORDER BY rn) AS anchor_sample
+              FROM ranked GROUP BY dst
+            ),
+            srcs AS (
+              SELECT dst AS dst_url, count(DISTINCT src) AS n_src_urls
+              FROM pairs GROUP BY dst
+            )
+            SELECT s.dst_url, s.n_anchors, s.n_unique_anchors, s.top_anchor,
+                   s.top_anchor_count, s.anchor_sample, r.n_src_urls
+            FROM stats s JOIN srcs r USING (dst_url)
+        """,
+        # redirect resolution: recursive-CTE walk with the same hop cap
+        # (4); terminal = target with no outgoing redirect (dangling
+        # targets included); chains longer than the cap and cycles never
+        # produce a finals row, hence resolved = false with NULL final/hops
+        "redirect_resolve_docs": """
+            WITH RECURSIVE e AS (
+              SELECT 'https://docs.test/doc/' || doc_id AS url,
+                     CASE WHEN doc_id % 8 = 0 THEN NULL
+                          WHEN doc_id % 8 = 6
+                            THEN 'https://docs.test/doc/' || doc_id
+                          ELSE 'https://docs.test/doc/' || (doc_id - 1)
+                     END AS redirect_to
+              FROM documents
+            ),
+            walk AS (
+              SELECT url AS start, redirect_to AS cur, 1 AS hops
+              FROM e WHERE redirect_to IS NOT NULL
+              UNION ALL
+              SELECT w.start, e2.redirect_to, w.hops + 1
+              FROM walk w JOIN e e2 ON e2.url = w.cur
+              WHERE e2.redirect_to IS NOT NULL AND w.hops < 4
+            ),
+            finals AS (
+              SELECT w.start, w.cur AS final_url, w.hops
+              FROM walk w LEFT JOIN e t ON t.url = w.cur
+              WHERE t.url IS NULL OR t.redirect_to IS NULL
+            )
+            SELECT e.url,
+                   CASE WHEN e.redirect_to IS NULL THEN e.url
+                        ELSE f.final_url END AS final_url,
+                   CAST(CASE WHEN e.redirect_to IS NULL THEN 0
+                             ELSE f.hops END AS INT) AS hops,
+                   (e.redirect_to IS NULL OR f.start IS NOT NULL) AS resolved
+            FROM e LEFT JOIN finals f ON f.start = e.url
+        """,
         # deterministic split: hash interval membership at 1/10000
         # resolution (sorted arms: test [0,100), train [100,9900),
         # validation [9900,10000) for the default weights)
@@ -3403,6 +3584,8 @@ _DRIVER_GATE = [
     "semantic_dedup_docs",
     "nb_quality_docs",
     "dsir_sample_docs",
+    "anchor_stats_docs",
+    "redirect_resolve_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
@@ -3411,9 +3594,7 @@ _DRIVER_GATE = [
     "rag_chunks",
     "trap_flags_docs",
     "export_markdown_report",
-    "keyword_relevance",
     # --- dedup / similarity / text-analysis / filter / sampling gates ---
-    "exact_dedup_docs",
     "near_dup_docs",
     "recrawl_schedule_docs",
     "simhash_near_dups",
@@ -3484,6 +3665,15 @@ _EXTENDED_GATE = [
                            # also pinned by quality/vocab/LM gates;
                            # driver-green rounds 1 and 2 — rotated for
                            # dsir_sample_docs
+    "keyword_relevance",   # A2/A3 relevance is value-hashed inside
+                           # extract_pages_flagship and extract_llm_path
+                           # (relevance_score/reason columns, on board);
+                           # driver-green rounds 1 and 2 — rotated for
+                           # anchor_stats_docs
+    "exact_dedup_docs",    # exact dedup is replayed stage-for-stage inside
+                           # assemble_training_docs and curate_docs (both
+                           # on board); driver-green rounds 1 and 2 —
+                           # rotated for redirect_resolve_docs
 ]
 
 

@@ -44,8 +44,14 @@ FAMILY_REPRESENTATIVES = {
     "chunker": "rag_chunks",
     "crawl traps": "trap_flags_docs",
     "markdown sink": "export_markdown_report",
-    "relevance": "keyword_relevance",
-    "exact dedup": "exact_dedup_docs",
+    # keyword_relevance rotated to extended in round 3: the flagship
+    # extract gates value-hash the same relevance_score/reason columns
+    "relevance": "extract_pages_flagship",
+    # exact_dedup_docs rotated to extended in round 3: assemble_training_docs
+    # replays the same min-id-per-content-hash stage inside its pipeline CTE
+    "exact dedup": "assemble_training_docs",
+    "anchor text": "anchor_stats_docs",
+    "redirect resolution": "redirect_resolve_docs",
     # minhash_lsh rotated to extended in round 3: near_dup_docs composes
     # the same signature + banded-bucket join before its Jaccard verify
     "minhash/lsh": "near_dup_docs",
