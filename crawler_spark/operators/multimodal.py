@@ -351,6 +351,97 @@ def extract_media_features(
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb_width", T.IntegerType()),
+        T.StructField("thumb_height", T.IntegerType()),
+        T.StructField("thumb_payload", T.BinaryType()),
+        T.StructField("thumb_is_fake", T.BooleanType()),
+    ]
+)
+
+
+def thumbnail_dims(w: int, h: int, max_dim: int) -> Tuple[int, int]:
+    """Fit (w, h) inside a max_dim square, aspect preserved, never upscaled.
+
+    Pure integer arithmetic (``(side * max_dim) // longest``, floored,
+    min 1) so every engine and every worker computes identical targets —
+    no float scale factor to round differently.
+    """
+    longest = max(w, h)
+    if longest <= max_dim:
+        return (w, h)
+    return (max(1, (w * max_dim) // longest), max(1, (h * max_dim) // longest))
+
+
+def resize_images(
+    media: DataFrame,
+    max_dim: int = 256,
+    deterministic_fake: bool = False,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image thumbnail pass: real geometry, stubbed pixel resample.
+
+    The Spark plumbing is the real 100 TB shape — Arrow-batched
+    ``mapInPandas`` over the binary column, fat payload dies inside the
+    kernel, small typed rows come back. Per image: source dims from the
+    REAL PNG/GIF/JPEG header parse; target dims from :func:`thumbnail_dims`
+    (exact integer letterbox fit). The pixel resample itself needs codec
+    libraries absent from this environment, so ``thumb_payload`` is a
+    deterministic md5-derived placeholder (16 bytes keyed on payload +
+    target dims) flagged ``thumb_is_fake = true`` — a real decoder slots
+    into ``_fake_thumb`` and flips the flag. Unparseable headers raise
+    (default) or take the md5 fake-dims path, same contract as
+    :func:`decode_payload`.
+    """
+
+    def _fake_thumb(payload: bytes, tw: int, th: int) -> bytes:
+        return hashlib.md5(
+            payload + b"|thumb|" + struct.pack(">II", tw, th)
+        ).digest()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, tws, ths, pays = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dims = parse_image_dims(payload)
+                if dims is None:
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "unparseable image payload (not PNG/GIF/JPEG); "
+                            "pass deterministic_fake=True for pipeline testing"
+                        )
+                    d = hashlib.md5(payload).digest()
+                    dims = (d[0] % 64 + 1, d[1] % 64 + 1)
+                w, h = int(dims[0]), int(dims[1])
+                tw, th = thumbnail_dims(w, h, max_dim)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                tws.append(tw)
+                ths.append(th)
+                pays.append(_fake_thumb(payload, tw, th))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "thumb_width": tws,
+                    "thumb_height": ths,
+                    "thumb_payload": pays,
+                    "thumb_is_fake": [True] * len(ids),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms) —
     the explode/posexplode side of frame extraction, computable without

@@ -249,6 +249,55 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_stub(b"bytes", "image")
 
+    def test_thumbnail_dims_exact(self):
+        from crawler_spark.operators.multimodal import thumbnail_dims
+
+        assert thumbnail_dims(100, 50, 256) == (100, 50)   # never upscale
+        assert thumbnail_dims(640, 480, 256) == (256, 192)
+        assert thumbnail_dims(480, 640, 256) == (192, 256)
+        assert thumbnail_dims(1000, 1, 256) == (256, 1)    # floor, min 1
+        assert thumbnail_dims(1, 1000, 10) == (1, 10)
+        assert thumbnail_dims(257, 255, 256) == (256, 254)  # floor division
+
+    def test_resize_images_plumbing(self, spark):
+        import hashlib
+        import struct as _s
+
+        from crawler_spark.operators.multimodal import resize_images
+
+        png = (
+            b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+            + _s.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+        )
+        rows = [(1, png), (2, b"not-an-image")]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {
+            r["media_id"]: r
+            for r in resize_images(
+                media, max_dim=256, deterministic_fake=True
+            ).collect()
+        }
+        r1 = got[1]
+        assert (r1["width"], r1["height"]) == (640, 480)        # real header
+        assert (r1["thumb_width"], r1["thumb_height"]) == (256, 192)
+        assert r1["thumb_is_fake"] is True                       # honest flag
+        assert bytes(r1["thumb_payload"]) == hashlib.md5(
+            png + b"|thumb|" + _s.pack(">II", 256, 192)
+        ).digest()
+        d = hashlib.md5(b"not-an-image").digest()
+        assert (got[2]["width"], got[2]["height"]) == (
+            d[0] % 64 + 1, d[1] % 64 + 1
+        )
+
+    def test_resize_refuses_unparseable_without_fake(self, spark):
+        from crawler_spark.operators.multimodal import resize_images
+
+        media = spark.createDataFrame(
+            [(1, b"junk")], "media_id long, payload binary"
+        )
+        with pytest.raises(Exception):  # NotImplementedError crosses py4j
+            resize_images(media, deterministic_fake=False).collect()
+
 
 class TestNgramJaccardMaxDF:
     @pytest.fixture(scope="class")
