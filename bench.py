@@ -413,6 +413,31 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("rank_q")
         ).collect()
 
+    # ---- q_anchor_stats: parse -> inbound anchor-text aggregation ---------
+    # (one html parse per page, then the pure-JVM two-stage aggregate)
+    with timed("q_anchor_stats"):
+        from crawler_spark.operators.anchors import anchor_text_stats, extract_anchors
+
+        anchor_text_stats(extract_anchors(corpus)).select(
+            F.count("*"), F.sum("n_anchors"), F.sum("n_src_urls")
+        ).collect()
+
+    # ---- q_redirects: pointer-doubling chain resolution over the corpus ---
+    # (synthetic %8 edge rule: terminals, 1-5 hop chains, cycles)
+    with timed("q_redirects"):
+        from crawler_spark.frontier.redirects import resolve_redirects
+
+        red_edges = corpus.select(
+            "url",
+            F.when(F.xxhash64("url") % 8 == 0, F.lit(None).cast("string"))
+            .when(F.xxhash64("url") % 8 == 6, F.col("url"))
+            .otherwise(F.concat(F.lit("r:"), F.sha1(F.encode("url", "UTF-8"))))
+            .alias("redirect_to"),
+        )
+        resolve_redirects(red_edges, max_hops=8).select(
+            F.count("*"), F.sum(F.col("resolved").cast("long")), F.sum("hops")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):
