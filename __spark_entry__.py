@@ -1684,6 +1684,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resolve_redirects(edges, max_hops=4)
 
+    # ---- mirror-host detection (frontier/mirrors.py): hosts h0..h4 are
+    # planted full mirrors (content key = doc_id // 10), h5 a partial
+    # mirror (half shared), h6..h9 unique — the pair join runs through the
+    # real inverted-index + max_df-capped operator; the oracle replays the
+    # set arithmetic in SQL. jaccard rounded to 6dp for the value hash
+    # (threshold applied on the unrounded value in both engines).
+    def mirror_pairs_docs(spark, sf_dir):
+        from crawler_spark.frontier.mirrors import mirror_pairs
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        q = F.floor(F.col("doc_id") / 10)
+        r = F.col("doc_id") % 10
+        prof = d.select(
+            F.concat(F.lit("h"), r.cast("string")).alias("host"),
+            F.when(r < 5, q)
+            .when((r == 5) & (q < 25), q)
+            .otherwise(F.lit(100000) + F.col("doc_id"))
+            .cast("long")
+            .alias("content_key"),
+        ).distinct()
+        return mirror_pairs(prof, min_jaccard=0.3, max_df=100).select(
+            "host_a",
+            "host_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -1852,6 +1881,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": pagerank_docs,
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
+        "mirror_pairs_docs": mirror_pairs_docs,
     }
 
 
@@ -3393,6 +3423,37 @@ def _all_oracle_sql() -> dict[str, str]:
                    (e.redirect_to IS NULL OR f.start IS NOT NULL) AS resolved
             FROM e LEFT JOIN finals f ON f.start = e.url
         """,
+        # mirror-host detection: set arithmetic over the same planted
+        # profile construction (h0..h4 full mirrors, h5 half-shared,
+        # h6..h9 unique); threshold on the unrounded ratio, 6dp round for
+        # the value hash; counts cast to BIGINT
+        "mirror_pairs_docs": """
+            WITH prof AS (
+              SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+                     CASE WHEN doc_id % 10 < 5 THEN doc_id // 10
+                          WHEN doc_id % 10 = 5 AND doc_id // 10 < 25
+                            THEN doc_id // 10
+                          ELSE 100000 + doc_id END AS content_key
+              FROM documents
+            ),
+            sizes AS (SELECT host, count(*) AS n FROM prof GROUP BY host),
+            shr AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS shared
+              FROM prof a JOIN prof b
+                ON a.content_key = b.content_key AND a.host < b.host
+              GROUP BY 1, 2
+            )
+            SELECT s.host_a, s.host_b,
+                   CAST(s.shared AS BIGINT) AS shared,
+                   CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b,
+                   round(s.shared / (sa.n + sb.n - s.shared), 6) AS jaccard
+            FROM shr s
+            JOIN sizes sa ON sa.host = s.host_a
+            JOIN sizes sb ON sb.host = s.host_b
+            WHERE s.shared / (sa.n + sb.n - s.shared) >= 0.3
+        """,
         # deterministic split: hash interval membership at 1/10000
         # resolution (sorted arms: test [0,100), train [100,9900),
         # validation [9900,10000) for the default weights)
@@ -3586,6 +3647,7 @@ _DRIVER_GATE = [
     "dsir_sample_docs",
     "anchor_stats_docs",
     "redirect_resolve_docs",
+    "mirror_pairs_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
@@ -3603,7 +3665,6 @@ _DRIVER_GATE = [
     "ivf_topk_docs",
     "pq_topk_docs",
     "lang_id_docs",
-    "quality_score_docs",
     "fingerprint_docs",
     "curate_docs",
     "media_features",
@@ -3674,6 +3735,11 @@ _EXTENDED_GATE = [
                            # assemble_training_docs and curate_docs (both
                            # on board); driver-green rounds 1 and 2 —
                            # rotated for redirect_resolve_docs
+    "quality_score_docs",  # quality formula value-hashed inside
+                           # source_reputation_docs and thresholded inside
+                           # curate_docs (both on board); n_tokens pinned
+                           # by pack_sequences_docs; driver-green rounds 1
+                           # and 2 — rotated for mirror_pairs_docs
 ]
 
 

@@ -438,6 +438,23 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum(F.col("resolved").cast("long")), F.sum("hops")
         ).collect()
 
+    # ---- q_mirrors: mirror-host detection over the corpus -----------------
+    # (inverted-index pair join on content key, max_df-capped, + CC groups)
+    with timed("q_mirrors"):
+        from crawler_spark.frontier.mirrors import (
+            host_profiles,
+            mirror_groups,
+            mirror_pairs,
+        )
+
+        prof = host_profiles(
+            corpus.withColumn("host", F.expr("parse_url(url, 'HOST')"))
+        )
+        mp = mirror_pairs(prof, min_jaccard=0.5, max_df=64)
+        mirror_groups(mp).select(
+            F.count("*"), F.countDistinct("canonical_host")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

@@ -52,6 +52,7 @@ FAMILY_REPRESENTATIVES = {
     "exact dedup": "assemble_training_docs",
     "anchor text": "anchor_stats_docs",
     "redirect resolution": "redirect_resolve_docs",
+    "mirror hosts": "mirror_pairs_docs",
     # minhash_lsh rotated to extended in round 3: near_dup_docs composes
     # the same signature + banded-bucket join before its Jaccard verify
     "minhash/lsh": "near_dup_docs",
@@ -70,10 +71,13 @@ FAMILY_REPRESENTATIVES = {
     "embedding near-dup": "embedding_near_dups",
     "semantic dedup": "semantic_dedup_docs",
     "lang id": "lang_id_docs",
-    "quality": "quality_score_docs",
-    # token_count_docs rotated to extended in round 3: quality_score_docs
+    # quality_score_docs rotated to extended in round 3: the quality
+    # formula is value-hashed inside source_reputation_docs and gates
+    # curate_docs survivorship
+    "quality": "source_reputation_docs",
+    # token_count_docs rotated to extended in round 3: pack_sequences_docs
     # value-hashes the same n_tokens column per doc
-    "token count": "quality_score_docs",
+    "token count": "pack_sequences_docs",
     "fingerprint": "fingerprint_docs",
     "nb classifier": "nb_quality_docs",
     "dsir resampling": "dsir_sample_docs",
