@@ -1713,6 +1713,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 6).alias("jaccard"),
         )
 
+    # ---- positional inverted index + exact-phrase search
+    # (operators/index.py): the phrase is the first two tokens of the
+    # min-doc_id document — derived from the data identically in both
+    # engines — so the gate exercises tokenization positions, posting
+    # aggregation, and the adjacency-intersect join end to end.
+    def phrase_search_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.index import phrase_search, posting_lists
+
+        docs = _t(spark, sf_dir, "documents")
+        first = (
+            docs.orderBy("doc_id")
+            .select(F.expr(tokens_expr("text")).alias("t"))
+            .first()["t"]
+        )
+        return phrase_search(posting_lists(docs), first[:2])
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -1882,6 +1899,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
         "mirror_pairs_docs": mirror_pairs_docs,
+        "phrase_search_docs": phrase_search_docs,
     }
 
 
@@ -3454,6 +3472,33 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.host = s.host_b
             WHERE s.shared / (sa.n + sb.n - s.shared) >= 0.3
         """,
+        # phrase search: token positions via struct unnest, phrase = first
+        # two tokens of the min-doc_id document, adjacency self-join,
+        # overlap-counting aggregate. DuckDB string_split_regex yields []
+        # on empty/whitespace text, matching the engine's filtered tokens.
+        "phrase_search_docs": rf"""
+            WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+            ph AS (
+              SELECT t[1] AS w0, t[2] AS w1 FROM tk ORDER BY doc_id LIMIT 1
+            ),
+            tp AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, len(t)),
+                            i -> struct_pack(pos := i, term := t[i + 1]))) AS s
+              FROM tk
+            ),
+            tpf AS (SELECT doc_id, s.pos AS pos, s.term AS term FROM tp),
+            m AS (
+              SELECT a.doc_id, a.pos
+              FROM tpf a
+              JOIN tpf b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              CROSS JOIN ph
+              WHERE a.term = ph.w0 AND b.term = ph.w1
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(pos) AS INT) AS first_pos
+            FROM m GROUP BY doc_id
+        """,
         # deterministic split: hash interval membership at 1/10000
         # resolution (sorted arms: test [0,100), train [100,9900),
         # validation [9900,10000) for the default weights)
@@ -3648,6 +3693,7 @@ _DRIVER_GATE = [
     "anchor_stats_docs",
     "redirect_resolve_docs",
     "mirror_pairs_docs",
+    "phrase_search_docs",
     # --- flagship crawl / extract / export gates ---
     "extract_pages_flagship",
     "extract_llm_path",
@@ -3660,7 +3706,6 @@ _DRIVER_GATE = [
     "near_dup_docs",
     "recrawl_schedule_docs",
     "simhash_near_dups",
-    "lsh_topk_docs",
     "embedding_near_dups",
     "ivf_topk_docs",
     "pq_topk_docs",
@@ -3735,6 +3780,10 @@ _EXTENDED_GATE = [
                            # assemble_training_docs and curate_docs (both
                            # on board); driver-green rounds 1 and 2 —
                            # rotated for redirect_resolve_docs
+    "lsh_topk_docs",       # hyperplane-LSH signature + bucket path also
+                           # drives embedding_near_dups (on board, with the
+                           # same planes + skew guardrail); driver-green
+                           # rounds 1 and 2 — rotated for phrase_search_docs
     "quality_score_docs",  # quality formula value-hashed inside
                            # source_reputation_docs and thresholded inside
                            # curate_docs (both on board); n_tokens pinned

@@ -438,6 +438,23 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum(F.col("resolved").cast("long")), F.sum("hops")
         ).collect()
 
+    # ---- q_postings: positional inverted index + a phrase query -----------
+    with timed("q_postings"):
+        from crawler_spark.operators.index import (
+            phrase_search,
+            posting_lists,
+            term_stats,
+        )
+
+        post = posting_lists(docs).localCheckpoint(eager=True)
+        term_stats(post).select(F.count("*"), F.sum("cf")).collect()
+        first = (
+            docs.orderBy("doc_id")
+            .selectExpr("filter(split(lower(trim(text)), '\\\\s+'), t -> t != '') t")
+            .first()["t"][:2]
+        )
+        phrase_search(post, first).select(F.count("*"), F.sum("n_matches")).collect()
+
     # ---- q_mirrors: mirror-host detection over the corpus -----------------
     # (inverted-index pair join on content key, max_df-capped, + CC groups)
     with timed("q_mirrors"):

@@ -1,0 +1,89 @@
+"""Inverted index: positional posting lists + phrase search.
+
+The retrieval-side counterpart of the crawl: once pages are text, the
+standard corpus service is a term -> (doc, positions) index. The scale
+shape matters more than the algebra:
+
+- Postings are ROW-sharded ``(term, doc_id, tf, positions)`` — never one
+  giant array row per term. A stopword's posting list is corpus-sized;
+  as one row it breaks the 2 GB column limit and single-tasks every
+  consumer, while as rows it spreads across partitions and every
+  downstream join partially aggregates. ``term_stats`` gives the
+  df/cf summary a query planner needs to start from the rarest term.
+- Phrase search is a chain of doc_id equi-joins over per-term posting
+  slices (the ``term = w`` filter pushes into the scan), carrying the
+  match-position set as an array column and intersecting with the next
+  term's positions shifted by one (``array_intersect(transform(prev,
+  p -> p + 1), positions)``) — all JVM expression code, proportional to
+  the phrase terms' posting sizes, never to the corpus.
+
+Tokenization is ``tokens_expr`` — the same lowercased, empty-filtered
+whitespace tokens every other text operator uses, so positions agree
+with the dedup/LM/packing token space.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import tokens_expr
+
+
+def posting_lists(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(term, doc_id, tf, positions)`` — positions sorted ascending.
+
+    One shuffle keyed ``(term, doc_id)`` with map-side combine; empty and
+    whitespace-only documents contribute no rows.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(tokens_expr(text_col))).alias("pos", "term"),
+    )
+    return toks.groupBy("term", id_col).agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+
+
+def term_stats(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(term, df, cf)``: document frequency and collection frequency."""
+    return postings.groupBy("term").agg(
+        F.count(id_col).alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def phrase_search(
+    postings: DataFrame, phrase: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-phrase matches: ``(doc_id, n_matches, first_pos)``.
+
+    ``first_pos`` is the token position where the first occurrence of the
+    phrase starts. Single-term phrases reduce to the term's postings.
+    """
+    terms: List[str] = list(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    cur = postings.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("positions").alias("match_pos")
+    )
+    for w in terms[1:]:
+        nxt = postings.filter(F.col("term") == w).select(
+            F.col(id_col), F.col("positions").alias("_next")
+        )
+        cur = cur.join(nxt, id_col).select(
+            F.col(id_col),
+            F.array_intersect(
+                F.transform("match_pos", lambda p: p + 1), F.col("_next")
+            ).alias("match_pos"),
+        ).filter(F.size("match_pos") > 0)
+    k = len(terms)
+    return cur.select(
+        F.col(id_col),
+        F.size("match_pos").cast("long").alias("n_matches"),
+        (F.array_min("match_pos") - F.lit(k - 1)).cast("int").alias("first_pos"),
+    )

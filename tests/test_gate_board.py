@@ -53,6 +53,7 @@ FAMILY_REPRESENTATIVES = {
     "anchor text": "anchor_stats_docs",
     "redirect resolution": "redirect_resolve_docs",
     "mirror hosts": "mirror_pairs_docs",
+    "inverted index / phrase search": "phrase_search_docs",
     # minhash_lsh rotated to extended in round 3: near_dup_docs composes
     # the same signature + banded-bucket join before its Jaccard verify
     "minhash/lsh": "near_dup_docs",
@@ -66,7 +67,9 @@ FAMILY_REPRESENTATIVES = {
     # ivf/lsh gates (cosine_topk itself rotated to extended in round 3)
     "cosine ann": "ivf_topk_docs",
     "pq ann": "pq_topk_docs",
-    "lsh ann": "lsh_topk_docs",
+    # lsh_topk_docs rotated to extended in round 3: embedding_near_dups
+    # (on board) drives the same hyperplane-signature + bucket-join path
+    "lsh ann": "embedding_near_dups",
     "ivf ann": "ivf_topk_docs",
     "embedding near-dup": "embedding_near_dups",
     "semantic dedup": "semantic_dedup_docs",
