@@ -133,3 +133,75 @@ def anchor_text_stats(
         F.countDistinct(src).alias("n_src_urls")
     )
     return stats.join(srcs, "dst_url")
+
+
+def host_anchor_relevance(
+    links: DataFrame,
+    instructions: str,
+    dst_col: str = "dst_url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-destination-HOST anchor relevance vs instruction keywords.
+
+    Focused-crawling signal (Chakrabarti et al. 1999): how other pages
+    describe a host predicts whether its unfetched pages are on-topic.
+    Keywords come from the reference's ``derive_keywords`` rule (len > 3,
+    26-stopword set — ai_processor.py:126-127); the score per host is the
+    fraction of keywords appearing as substrings in the host's inbound
+    anchor text, matching the reference's substring (not word-boundary)
+    convention.
+
+    Aggregated at HOST granularity deliberately: a URL-keyed table is
+    frontier-sized and could never broadcast, while hosts are bounded —
+    the output drops into the same broadcast-scorer seam PageRank uses.
+    Matching runs as JVM ``contains`` expressions over one concatenated
+    distinct-anchor string per host; the keyword list is a driver-side
+    literal (instructions are always small).
+    """
+    from crawler_spark.core.text import derive_keywords
+
+    keywords = derive_keywords(instructions)
+    host = F.parse_url(F.col(dst_col), F.lit("HOST")).alias("dst_host")
+    per_host = (
+        links.select(host, F.lower(F.col(anchor_col)).alias("anchor"))
+        .distinct()
+        .groupBy("dst_host")
+        .agg(F.concat_ws(" \x1f ", F.sort_array(F.collect_set("anchor"))).alias("_blob"))
+    )
+    if not keywords:
+        return per_host.select(
+            "dst_host", F.lit(0.5).alias("anchor_relevance")
+        )
+    hits = sum(
+        (F.col("_blob").contains(F.lit(kw))).cast("int") for kw in keywords
+    )
+    return per_host.select(
+        "dst_host", (hits / F.lit(len(keywords))).alias("anchor_relevance")
+    )
+
+
+def anchor_priority_scorer(host_relevance: DataFrame):
+    """Adapt :func:`host_anchor_relevance` output into the W3
+    ``CrawlConfig.priority_scorer`` seam — identical broadcast shape to
+    ``pagerank_priority_scorer`` (`operators/graph.py`): the table is
+    host-count-sized, the frontier never shuffles for scoring, unknown
+    hosts keep the default priority."""
+    table = host_relevance.select(
+        F.col("dst_host").alias("_ar_host"),
+        F.col("anchor_relevance").alias("_ar_score"),
+    )
+
+    def scorer(new_rows: DataFrame) -> DataFrame:
+        return (
+            new_rows.join(
+                F.broadcast(table),
+                new_rows["host"] == table["_ar_host"],
+                "left",
+            )
+            .withColumn(
+                "priority", F.coalesce(F.col("_ar_score"), F.col("priority"))
+            )
+            .drop("_ar_host", "_ar_score")
+        )
+
+    return scorer

@@ -129,6 +129,69 @@ def test_anchor_stats_plan_is_jvm_only(spark, link_rows):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_host_anchor_relevance_matches_replay(spark):
+    from crawler_spark.core.text import derive_keywords
+    from crawler_spark.operators.anchors import host_anchor_relevance
+
+    instructions = "Find crawl pipeline documentation about robots"
+    rows = [
+        ("http://a.test/1", "http://t1.test/x", "crawl pipeline docs"),
+        ("http://a.test/2", "http://t1.test/y", "robots guide"),
+        ("http://a.test/3", "http://t2.test/x", "cooking recipes"),
+        ("http://a.test/4", "http://t2.test/y", "PIPELINE"),  # case-folds
+        ("http://a.test/5", "http://t1.test/x", "crawl pipeline docs"),  # dup
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string, anchor string")
+    got = {
+        r["dst_host"]: r["anchor_relevance"]
+        for r in host_anchor_relevance(df, instructions).collect()
+    }
+    kws = derive_keywords(instructions)
+    blobs = {"t1.test": "crawl pipeline docs \x1f robots guide",
+             "t2.test": "cooking recipes \x1f pipeline"}
+    want = {
+        h: sum(1 for k in kws if k in blob) / len(kws) for h, blob in blobs.items()
+    }
+    assert got == want
+
+
+def test_host_anchor_relevance_no_keywords(spark):
+    from crawler_spark.operators.anchors import host_anchor_relevance
+
+    df = spark.createDataFrame(
+        [("s", "http://t.test/x", "hi")], "src_url string, dst_url string, anchor string"
+    )
+    got = host_anchor_relevance(df, "the and of").collect()
+    assert got[0]["anchor_relevance"] == 0.5
+
+
+def test_anchor_scorer_broadcasts_and_scores(spark):
+    from crawler_spark.operators.anchors import (
+        anchor_priority_scorer,
+        host_anchor_relevance,
+    )
+
+    links = spark.createDataFrame(
+        [("s", "http://hub.test/x", "crawl pipeline documentation robots")],
+        "src_url string, dst_url string, anchor string",
+    )
+    hr = host_anchor_relevance(links, "Find crawl pipeline documentation about robots")
+    cand = spark.createDataFrame(
+        [
+            ("u1", "hub.test", 1, 0, 0, 0.5),
+            ("u2", "unknown.test", 1, 0, 1, 0.5),
+        ],
+        "url string, host string, depth int, parent_seq long, "
+        "link_pos int, priority double",
+    )
+    out = anchor_priority_scorer(hr)(cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["url"]: r["priority"] for r in out.collect()}
+    assert got["u1"] == 1.0       # all 4 keywords present
+    assert got["u2"] == 0.5       # unknown host keeps default
+
+
 def test_end_to_end_over_corpus(spark, corpus_parquet):
     from crawler_spark.operators.anchors import anchor_text_stats, extract_anchors
 
