@@ -14,6 +14,7 @@ On a cluster:
         [--max-nll 4.0]         # CCNet-style corpus-LM perplexity cut
         [--nb-seed s3://bucket/seed/ --nb-buckets 4096]  # hashed-NB gate
         [--dsir-target s3://bucket/wiki/ --dsir-keep 1000000]  # DSIR top-k
+        [--mirror-dedup 0.8]    # drop non-canonical mirror sources first
 
 Locally: ``python jobs/curate.py --input ... --output ...``.
 
@@ -75,6 +76,15 @@ def main() -> None:
     p.add_argument("--dsir-keep", type=int, default=None,
                    help="top-k kept under --dsir-target (required with it)")
     p.add_argument("--dsir-buckets", type=int, default=8192)
+    p.add_argument("--mirror-dedup", type=float, default=None, metavar="J",
+                   help="drop all docs of non-canonical mirror sources: "
+                        "sources whose content-set Jaccard overlap with a "
+                        "lexicographically-smaller source is >= J "
+                        "(frontier/mirrors.py; runs before everything else "
+                        "so downstream stages never see the aliases)")
+    p.add_argument("--mirror-max-df", type=int, default=1000,
+                   help="content keys on more than this many sources are "
+                        "ignored when pairing mirrors (boilerplate cap)")
     args = p.parse_args()
     if (args.dsir_target is None) != (args.dsir_keep is None):
         p.error("--dsir-target and --dsir-keep must be given together")
@@ -84,6 +94,31 @@ def main() -> None:
 
     spark = build_session(app_name="crawler_spark_curate")
     docs = spark.read.parquet(args.input)
+    n_mirror_dropped = None
+    if args.mirror_dedup is not None:
+        from pyspark.sql import functions as F
+
+        from crawler_spark.frontier.mirrors import (
+            host_profiles,
+            mirror_groups,
+            mirror_pairs,
+            noncanonical_hosts,
+        )
+
+        prof = host_profiles(
+            docs, host_col=args.source_col, text_col=args.text_col
+        )
+        drop = noncanonical_hosts(
+            mirror_groups(
+                mirror_pairs(
+                    prof,
+                    min_jaccard=args.mirror_dedup,
+                    max_df=args.mirror_max_df,
+                )
+            )
+        ).withColumnRenamed("host", args.source_col)
+        n_mirror_dropped = drop.count()  # host-count-sized, cheap
+        docs = docs.join(F.broadcast(drop), args.source_col, "left_anti")
     if args.min_source_quality is not None or args.max_source_dup is not None:
         from crawler_spark.operators.curation import source_reputation_filter
 
@@ -172,6 +207,8 @@ def main() -> None:
         "n_deduped": row["n_deduped"],
         "output": args.output,
     }
+    if n_mirror_dropped is not None:
+        funnel["n_mirror_sources_dropped"] = n_mirror_dropped
     if n_nb is not None:
         funnel["n_nb_kept"] = n_nb
     if n_dsir is not None:

@@ -95,6 +95,39 @@ def test_partition_invariance(spark, page_rows):
     assert a == b
 
 
+def test_curate_cli_mirror_dedup(spark, tmp_path, monkeypatch):
+    """jobs/curate.py --mirror-dedup: docs of non-canonical mirror sources
+    are dropped before curation; the canonical source's docs survive."""
+    import sys
+
+    import jobs.curate as jc
+
+    rows = []
+    for i in range(12):
+        text = f"the careful fox writes prose number {i} about science"
+        rows.append((i, text, "src-a"))           # canonical (lexic. min)
+        rows.append((100 + i, text, "src-b"))     # full mirror of src-a
+    for i in range(12):
+        rows.append((200 + i, f"unique document {i} from the quiet archive", "src-c"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--mirror-dedup", "0.8",
+    ])
+    jc.main()
+    kept = spark.read.parquet(outp).collect()
+    sources = {r["source"] for r in kept}
+    assert "src-b" not in sources           # mirror alias dropped wholesale
+    assert {"src-a", "src-c"} <= sources    # canonical + unique survive
+    # curation's own exact dedup then keeps min-id per content, so src-a's
+    # docs are all present exactly once
+    assert sorted(r["doc_id"] for r in kept if r["source"] == "src-a") == list(range(12))
+
+
 def test_plan_jvm_only_and_broadcast_hot_filter(spark, page_rows):
     pages = spark.createDataFrame(page_rows, "host string, text string")
     from crawler_spark.frontier.mirrors import capped_profiles
