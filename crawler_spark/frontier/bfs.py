@@ -111,6 +111,15 @@ class CrawlConfig:
     # pass the relevance gate. None = deterministic basic extraction
     # (byte-identical to the reference's no-API-key fallback).
     structured_extractor: Optional[object] = None
+    # URL-rewrite seam, applied to expanded candidate rows BEFORE the
+    # domain policy / robots / window dedup / seen anti-join — alias urls
+    # (redirect chains via frontier.redirects.redirect_url_rewriter,
+    # aggressive canonicalization) collapse to their terminals first, so
+    # dedup, politeness, and the seen set all operate on the rewritten
+    # url. The callable sees (p_seq, parent_host, p_depth, link_pos, url,
+    # host), must keep url and host mutually consistent, and may rewrite
+    # but not add rows. None = identity (exact reference behavior).
+    url_rewriter: Optional[object] = None
     # robots crawl_delay -> per-wave budget: a wave models this many seconds
     # of polite fetching, so a host with crawl_delay d sustains at most
     # max(1, floor(wave_target_sec / d)) fetches per wave (composed with any
@@ -544,6 +553,8 @@ def crawl(
                     *meta_cols,
                     F.posexplode("links").alias("link_pos", "url"),
                 ).withColumn("host", domain_of(F.col("url")))
+            if cfg.url_rewriter is not None:
+                cand = cfg.url_rewriter(cand)
             # P7 domain policy (reference quirk: external never actually
             # reaches third-party domains — only seed hosts when enabled)
             policy = F.col("host") == F.col("parent_host")

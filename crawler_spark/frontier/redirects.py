@@ -94,6 +94,40 @@ def resolve_redirects(
     )
 
 
+def redirect_url_rewriter(resolved: DataFrame):
+    """Adapt a :func:`resolve_redirects` table into the crawl's
+    ``CrawlConfig.url_rewriter`` seam.
+
+    Candidate urls with a resolved terminal rewrite to it and get their
+    ``host`` recomputed (same netloc semantics as the expand path's
+    ``domain_of``); unresolved and unknown urls pass through untouched.
+    The mapping joins on the candidate's url — Spark broadcasts it while
+    the redirect table is small; at alias-farm scale it degrades to a
+    hash join, never a collect.
+    """
+    from crawler_spark.operators.extract import domain_of
+
+    table = resolved.filter(
+        F.col("resolved") & F.col("final_url").isNotNull()
+        & (F.col("final_url") != F.col("url"))
+    ).select(F.col("url").alias("_rw_url"), F.col("final_url").alias("_rw_final"))
+
+    def rewriter(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(table, cand["url"] == table["_rw_url"], "left")
+            .withColumn(
+                "host",
+                F.when(
+                    F.col("_rw_final").isNotNull(), domain_of(F.col("_rw_final"))
+                ).otherwise(F.col("host")),
+            )
+            .withColumn("url", F.coalesce("_rw_final", "url"))
+            .drop("_rw_url", "_rw_final")
+        )
+
+    return rewriter
+
+
 def rewrite_to_terminal(
     frontier: DataFrame,
     resolved: DataFrame,

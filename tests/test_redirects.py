@@ -65,6 +65,68 @@ def test_rewrite_to_terminal(spark):
     assert got == ["c", "d", "m", "q"]
 
 
+def test_crawl_url_rewriter_collapses_aliases(spark, corpus_parquet, corpus_spec, tmp_path):
+    """End-to-end: a redirect table plugged into CrawlConfig.url_rewriter
+    makes the crawl fetch terminals instead of aliases, and an
+    empty-table rewriter is byte-identical to no rewriter at all."""
+    from crawler_spark.core import extract_links, parse_html
+    from crawler_spark.frontier import CrawlConfig, crawl
+    from crawler_spark.frontier.redirects import (
+        redirect_url_rewriter,
+        resolve_redirects,
+    )
+
+    from urllib.parse import urlparse
+
+    from crawler_spark.datagen import default_seeds
+
+    pages = spark.read.parquet(corpus_parquet)
+    seed = default_seeds(corpus_spec)[0]["url"]
+    seed_host = urlparse(seed).netloc
+    seed_row = pages.filter(pages["url"] == seed).first()
+    links = extract_links(parse_html(bytes(seed_row["html"])), seed)
+    same_host = [u for u in links if urlparse(u).netloc == seed_host and u != seed]
+    alias = same_host[0]
+    # terminal: a real same-host page the seed does NOT link to
+    linked = set(same_host)
+    terminal = (
+        pages.filter(
+            pages["url"].startswith(f"https://{seed_host}/")
+            & ~pages["url"].isin(list(linked) + [seed])
+        )
+        .orderBy("url")
+        .first()["url"]
+    )
+    edges = spark.createDataFrame(
+        [(alias, terminal), (terminal, None)], "url string, redirect_to string"
+    )
+    cfg = dict(depth=1, max_pages=20)
+    with_rw = crawl(
+        spark, pages, [seed],
+        config=CrawlConfig(
+            url_rewriter=redirect_url_rewriter(resolve_redirects(edges)), **cfg
+        ),
+        run_dir=str(tmp_path / "rw"),
+    ).pages(spark)
+    urls_rw = {r["url"] for r in with_rw.collect()}
+    assert alias not in urls_rw and terminal in urls_rw
+
+    # identity: empty redirect table == no rewriter, bit-for-bit
+    empty = spark.createDataFrame([], "url string, redirect_to string")
+    a = crawl(
+        spark, pages, [seed],
+        config=CrawlConfig(
+            url_rewriter=redirect_url_rewriter(resolve_redirects(empty)), **cfg
+        ),
+        run_dir=str(tmp_path / "noop"),
+    ).pages(spark)
+    b = crawl(
+        spark, pages, [seed], config=CrawlConfig(**cfg),
+        run_dir=str(tmp_path / "base"),
+    ).pages(spark)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_plan_is_jvm_only(spark):
     df = spark.createDataFrame(EDGES, "url string, redirect_to string")
     plan = (
