@@ -62,6 +62,11 @@ def main() -> None:
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--host-histogram-topk", type=int, default=20,
                    help="record top-K per-host counts per wave manifest; 0 disables")
+    p.add_argument("--redirects", default=None,
+                   help="parquet of (url, redirect_to) edges: chains are "
+                        "resolved (frontier/redirects.py) and candidate "
+                        "urls rewrite to their terminals before dedup")
+    p.add_argument("--redirect-max-hops", type=int, default=32)
     p.add_argument("--seen-exact-urls", action="store_true",
                    help="key the seen anti-join by url string (collision-free) "
                         "instead of xxhash64 (default accepts ~2.7 expected "
@@ -103,6 +108,18 @@ def main() -> None:
         wave_target_sec=args.wave_target_sec or None,
         seen_exact_urls=args.seen_exact_urls,
     )
+    if args.redirects:
+        from crawler_spark.frontier.redirects import (
+            redirect_url_rewriter,
+            resolve_redirects,
+        )
+
+        cfg.url_rewriter = redirect_url_rewriter(
+            resolve_redirects(
+                spark.read.parquet(args.redirects),
+                max_hops=args.redirect_max_hops,
+            ).localCheckpoint(eager=False)
+        )
     res = crawl(
         spark, corpus, args.seeds, cfg,
         robots=robots, run_dir=args.run_dir, resume=args.resume,

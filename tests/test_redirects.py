@@ -127,6 +127,47 @@ def test_crawl_url_rewriter_collapses_aliases(spark, corpus_parquet, corpus_spec
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_crawl_cli_redirects_flag(spark, corpus_parquet, corpus_spec, tmp_path, monkeypatch):
+    """jobs/crawl.py --redirects: the alias url never appears in the
+    committed pages table."""
+    import sys
+
+    import jobs.crawl as jc
+    from crawler_spark.core import extract_links, parse_html
+    from crawler_spark.datagen import default_seeds
+
+    pages = spark.read.parquet(corpus_parquet)
+    seed = default_seeds(corpus_spec)[0]["url"]
+    seed_row = pages.filter(pages["url"] == seed).first()
+    from urllib.parse import urlparse
+
+    host = urlparse(seed).netloc
+    alias = [
+        u for u in extract_links(parse_html(bytes(seed_row["html"])), seed)
+        if urlparse(u).netloc == host and u != seed
+    ][0]
+    terminal = (
+        pages.filter(
+            pages["url"].startswith(f"https://{host}/") & (pages["url"] != seed)
+        ).orderBy("url").first()["url"]
+    )
+    redp = str(tmp_path / "redirects")
+    spark.createDataFrame(
+        [(alias, terminal), (terminal, None)], "url string, redirect_to string"
+    ).write.parquet(redp)
+    run_dir = str(tmp_path / "run")
+    monkeypatch.setattr(sys, "argv", [
+        "crawl.py", "--corpus", corpus_parquet, "--seeds", seed,
+        "--depth", "1", "--run-dir", run_dir, "--redirects", redp,
+    ])
+    jc.main()
+    from crawler_spark.frontier.checkpoint import WaveCommit
+
+    committed = WaveCommit(run_dir).read_table(spark, "pages")
+    out = {r["url"] for r in committed.collect()}
+    assert alias not in out and terminal in out
+
+
 def test_plan_is_jvm_only(spark):
     df = spark.createDataFrame(EDGES, "url string, redirect_to string")
     plan = (
