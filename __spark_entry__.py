@@ -1436,6 +1436,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bigrams", "sum_logp_q", "avg_nll"
         )
 
+    # ---- trigram Stupid Backoff (Brants et al. 2007): train on the even
+    # half of the corpus, score everything, so the backoff tiers genuinely
+    # fire on odd-doc trigrams the training half never saw
+    def sb_score_docs(spark, sf_dir):
+        from crawler_spark.operators.lm import sb_score
+
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        return sb_score(docs, train_df=train).select(
+            "doc_id", "n_trigrams", "sum_logsb_q", "avg_nll_sb"
+        )
+
     # ---- Lee-et-al. exact duplicate n-gram spans (gaps-and-islands merge)
     def dup_span_docs(spark, sf_dir):
         from crawler_spark.operators.dedup import duplicate_ngram_spans
@@ -1879,6 +1891,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": near_dup_survivors,
         "assemble_training_docs": assemble_training_docs,
         "lm_score_docs": lm_score_docs,
+        "sb_score_docs": sb_score_docs,
         "dup_span_docs": dup_span_docs,
         "strip_spans_docs": strip_spans_docs,
         "source_reputation_docs": source_reputation_docs,
@@ -2991,6 +3004,62 @@ def _all_oracle_sql() -> dict[str, str]:
                                    / 1000000, 6) END AS avg_nll
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
+        # trigram Stupid Backoff trained on the even-doc_id half: the three
+        # scoring tiers (trigram relfreq / 0.4*bigram / 0.16*add-one unigram
+        # floor) mirror lm.sb_score's CASE expression verbatim so the doubles
+        # agree bit-for-bit before fixed-point rounding
+        "sb_score_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            tr AS (SELECT tk FROM toks WHERE doc_id % 2 = 0),
+            uni AS (SELECT t, count(*) AS n1
+                    FROM (SELECT unnest(tk) AS t FROM tr) GROUP BY 1),
+            tot AS (SELECT cast(sum(n1) as bigint) AS n_tok,
+                           count(*) AS v FROM uni),
+            bi AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, count(*) AS n2
+                   FROM tr, unnest(range(1, greatest(len(tk), 1))) AS u(i)
+                   GROUP BY 1, 2),
+            tri AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+                           count(*) AS n3
+                    FROM tr,
+                         unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+                    GROUP BY 1, 2, 3),
+            ex AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+                          tk[i + 2] AS w3
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - 1, 1))) AS u(i)),
+            st AS (SELECT DISTINCT w1, w2, w3 FROM ex),
+            sc AS (SELECT st.w1, st.w2, st.w3,
+                          cast(CASE
+                               WHEN n3 IS NOT NULL THEN
+                               round(ln(n3 / cast(c2.n2 as double)) * 1000000)
+                               WHEN b2.n2 IS NOT NULL THEN
+                               round(ln(0.4 * (b2.n2 / cast(u2.n1 as double)))
+                                     * 1000000)
+                               ELSE
+                               round(ln(0.16 * ((coalesce(u3.n1, 0) + 1)
+                                     / cast(n_tok + v as double))) * 1000000)
+                               END as bigint) AS logsb_q
+                   FROM st
+                   LEFT JOIN tri ON st.w1 = tri.w1 AND st.w2 = tri.w2
+                                AND st.w3 = tri.w3
+                   LEFT JOIN bi c2 ON st.w1 = c2.w1 AND st.w2 = c2.w2
+                   LEFT JOIN bi b2 ON st.w2 = b2.w1 AND st.w3 = b2.w2
+                   LEFT JOIN uni u2 ON st.w2 = u2.t
+                   LEFT JOIN uni u3 ON st.w3 = u3.t
+                   CROSS JOIN tot),
+            pd AS (SELECT doc_id, count(*) AS n_trigrams,
+                          cast(sum(logsb_q) as bigint) AS sum_logsb_q
+                   FROM ex JOIN sc ON ex.w1 = sc.w1 AND ex.w2 = sc.w2
+                                  AND ex.w3 = sc.w3
+                   GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_trigrams, 0) AS n_trigrams,
+                   coalesce(sum_logsb_q, 0) AS sum_logsb_q,
+                   CASE WHEN coalesce(n_trigrams, 0) > 0
+                        THEN round(-sum_logsb_q / cast(n_trigrams as double)
+                                   / 1000000, 6) END AS avg_nll_sb
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
         # Lee-et-al. duplicate n-gram spans: count positions whose n-gram
         # repeats corpus-wide, merge into islands (t - rank is constant)
         "dup_span_docs": rf"""
@@ -3726,6 +3795,11 @@ _DRIVER_GATE = [
 # or a rows-only twin of a value-hashed gate): still part of the contract,
 # still runnable, asserted green by the extended check in pytest.
 _EXTENDED_GATE = [
+    # new in round 3 after the driver board hit the 50-entry cap: trigram
+    # Stupid Backoff shares lm.py's tokenizer/fixed-point contract with
+    # lm_score_docs (on board); parity held by check_entry --extended +
+    # hand-computed tier tests in test_lm_spans.py
+    "sb_score_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

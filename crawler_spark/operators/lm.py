@@ -137,6 +137,173 @@ def lm_score(
     )
 
 
+def trigrams_expr(text_col: str = "text") -> str:
+    """Ordered trigram structs ``(w1, w2, w3)`` as one SQL expression.
+
+    Same bind-once-via-transform shape as :func:`bigrams_expr`; docs with
+    fewer than 3 tokens yield an empty array (the ``size`` guard stops
+    ``sequence`` from counting down).
+    """
+    toks = tokens_expr(text_col)
+    return (
+        f"flatten(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) < 3 THEN "
+        f"cast(array() as array<struct<w1:string,w2:string,w3:string>>) "
+        f"ELSE transform(sequence(1, size(tk) - 2), "
+        f"i -> named_struct('w1', tk[i-1], 'w2', tk[i], 'w3', tk[i+1])) "
+        f"END))"
+    )
+
+
+def sb_score(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """Score documents under a trigram Stupid Backoff LM (Brants et al.
+    2007, "Large Language Models in Machine Translation") trained on
+    ``train_df`` (or on ``df`` itself when ``train_df`` is None).
+
+    Stupid Backoff is *the* web-scale n-gram model: no discounting, no
+    normalized backoff weights — just relative frequencies with a fixed
+    multiplier per backoff level, which is exactly what survives when the
+    count tables live in a distributed store. Per trigram
+    ``(w1, w2, w3)`` the score is
+
+    - ``n3 / n2(w1,w2)``                    when the trigram was seen,
+    - ``0.4 * n2(w2,w3) / n1(w2)``          else, when the bigram was seen,
+    - ``0.16 * (n1(w3) + 1) / (N + V)``     else (add-one unigram floor, so
+      out-of-vocabulary words score finite instead of -inf; 0.16 is the
+      published alpha=0.4 applied twice, kept as one literal so both
+      engines parse the identical double).
+
+    The train/score split is the real deployment shape (CCNet trains on a
+    target-domain corpus and scores crawl candidates); with
+    ``train_df=None`` every scored trigram was observed, so backoff never
+    fires and the score degenerates to trigram self-predictability — still
+    a useful boilerplate/noise signal, flagged here so nobody mistakes it
+    for a held-out perplexity.
+
+    Determinism: per-trigram log-scores are quantized to fixed-point
+    BIGINT (``round(ln(S) * 1e6)``) and summed exactly, same contract as
+    :func:`lm_score`; the expression text is mirrored verbatim in the
+    DuckDB oracle so the doubles agree bit-for-bit before rounding.
+
+    Plan shape (100 TB): three count aggregations over the train corpus
+    (map-side combine, tables vocabulary-bounded); the scored corpus is
+    exploded twice (distinct-trigram candidates, then the scoring join).
+    All model joins land on the *distinct-trigram* table — never on the
+    corpus-sized exploded frame — and the finished per-trigram score table
+    broadcasts when driver-known small, so the corpus side never shuffles
+    on the hot path.
+    """
+    train = train_df if train_df is not None else df
+    uni = (
+        train.select(F.explode(F.expr(tokens_expr(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n1"))
+    )
+    totals = uni.agg(
+        F.sum("n1").alias("n_tok"), F.count("*").alias("v")
+    )
+    bi = (
+        train.select(F.explode(F.expr(bigrams_expr(text_col))).alias("bg"))
+        .groupBy(
+            F.col("bg.prev").alias("w1"), F.col("bg.cur").alias("w2")
+        )
+        .agg(F.count("*").alias("n2"))
+    )
+    tri = (
+        train.select(F.explode(F.expr(trigrams_expr(text_col))).alias("tg"))
+        .groupBy(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .agg(F.count("*").alias("n3"))
+    )
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(trigrams_expr(text_col))).alias("tg")
+    ).select(
+        id_col,
+        F.col("tg.w1").alias("w1"),
+        F.col("tg.w2").alias("w2"),
+        F.col("tg.w3").alias("w3"),
+    )
+    # score table over the scored corpus's DISTINCT trigrams: every model
+    # join is (distinct-trigrams x vocab-sized), never corpus-sized
+    st = (
+        ex.select("w1", "w2", "w3").distinct()
+        .join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            bi.select("w1", "w2", F.col("n2").alias("ctx2_n")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("n2").alias("back2_n"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("t").alias("w2"), F.col("n1").alias("ctx1_n")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("t").alias("w3"), F.col("n1").alias("uni3_n")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logsb_q",
+            F.expr(
+                f"cast(CASE "
+                f"WHEN n3 IS NOT NULL THEN "
+                f"round(ln(n3 / cast(ctx2_n as double)) * {_Q}) "
+                f"WHEN back2_n IS NOT NULL THEN "
+                f"round(ln(0.4 * (back2_n / cast(ctx1_n as double))) * {_Q}) "
+                f"ELSE round(ln(0.16 * ((coalesce(uni3_n, 0) + 1) "
+                f"/ cast(n_tok + v as double))) * {_Q}) END as bigint)"
+            ),
+        )
+        .select("w1", "w2", "w3", "logsb_q")
+        .persist()
+    )
+    if st.count() <= broadcast_rows:
+        st = F.broadcast(st)
+    per_doc = (
+        ex.join(st, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("logsb_q").alias("sum_logsb_q"),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_trigrams", F.coalesce(F.col("n_trigrams"), F.lit(0)))
+        .withColumn(
+            "sum_logsb_q", F.coalesce(F.col("sum_logsb_q"), F.lit(0))
+        )
+        .withColumn(
+            "avg_nll_sb",
+            F.expr(
+                f"CASE WHEN n_trigrams > 0 THEN "
+                f"round(-sum_logsb_q / cast(n_trigrams as double) / {_Q}, 6) "
+                f"END"
+            ),
+        )
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     max_avg_nll: float,

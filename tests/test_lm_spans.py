@@ -17,7 +17,7 @@ from crawler_spark.operators.dedup import (
     duplicate_ngram_spans,
     strip_duplicate_spans,
 )
-from crawler_spark.operators.lm import lm_score, perplexity_filter
+from crawler_spark.operators.lm import lm_score, perplexity_filter, sb_score
 
 
 @pytest.fixture(scope="module")
@@ -78,6 +78,72 @@ def test_perplexity_filter_keeps_predictable_and_short(lm_docs):
     assert 0 in kept
     assert 2 in kept and 3 in kept  # no-bigram docs always pass the LM gate
     assert 1 not in kept  # strictly above the cut
+
+
+# ---------------------------------------------------------------------------
+# trigram Stupid Backoff (train/score split so every tier fires)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sb_corpora(spark):
+    # train: unigrams a=2 b=2 c=2 (n_tok=6, v=3); bigrams (a,b)=2 (b,c)=2;
+    # trigrams (a,b,c)=2
+    train = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b c")], "doc_id int, text string"
+    ).cache()
+    score = spark.createDataFrame(
+        [
+            (0, "a b c"),  # trigram tier: ln(n3/n2(a,b)) = ln(2/2)
+            (1, "x b c"),  # bigram tier: ln(0.4 * n2(b,c)/n1(b))
+            (2, "x y c"),  # unigram floor, c in vocab: ln(.16*(2+1)/9)
+            (3, "x y z"),  # unigram floor, z OOV:      ln(.16*(0+1)/9)
+            (4, "a b"),    # < 3 tokens: no trigrams, NULL score
+        ],
+        "doc_id int, text string",
+    ).cache()
+    return train, score
+
+
+def _sbq(x):
+    return round(math.log(x) * 1_000_000)
+
+
+def test_sb_score_every_backoff_tier(sb_corpora):
+    train, score = sb_corpora
+    out = {r["doc_id"]: r for r in sb_score(score, train_df=train).collect()}
+    expected_q = {
+        0: _sbq(2 / 2),
+        1: _sbq(0.4 * (2 / 2)),
+        2: _sbq(0.16 * (2 + 1) / (6 + 3)),
+        3: _sbq(0.16 * (0 + 1) / (6 + 3)),
+    }
+    for d, q in expected_q.items():
+        assert out[d]["n_trigrams"] == 1
+        assert out[d]["sum_logsb_q"] == q
+        assert out[d]["avg_nll_sb"] == round(-q / 1_000_000, 6)
+    assert out[4]["n_trigrams"] == 0
+    assert out[4]["sum_logsb_q"] == 0
+    assert out[4]["avg_nll_sb"] is None
+
+
+def test_sb_score_self_train_never_backs_off(sb_corpora):
+    train, _ = sb_corpora
+    # trained on itself, every scored trigram was observed: doc trigram
+    # (a,b,c) has n3=2, ctx n2(a,b)=2 -> ln(1) = 0 exactly
+    out = {r["doc_id"]: r for r in sb_score(train).collect()}
+    for d in (10, 11):
+        assert out[d]["sum_logsb_q"] == 0
+        assert out[d]["avg_nll_sb"] == 0.0
+
+
+def test_sb_score_partition_invariant(sb_corpora):
+    train, score = sb_corpora
+    one = sorted(sb_score(score, train_df=train).collect())
+    many = sorted(
+        sb_score(score.repartition(7), train_df=train.repartition(5)).collect()
+    )
+    assert one == many
 
 
 # ---------------------------------------------------------------------------
