@@ -1448,6 +1448,16 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_trigrams", "sum_logsb_q", "avg_nll_sb"
         )
 
+    # ---- exact heavy hitters: Misra-Gries candidate pre-pass + exact
+    # verify over candidates only; `certified` self-reports whether the
+    # MG superset guarantee proves the top-k exact
+    def heavy_hitters_docs(spark, sf_dir):
+        from crawler_spark.operators.sketch import heavy_hitters
+
+        return heavy_hitters(
+            _t(spark, sf_dir, "documents"), "source", k=10, capacity=4096
+        ).select("k", "n_exact", "rank", "certified")
+
     # ---- Lee-et-al. exact duplicate n-gram spans (gaps-and-islands merge)
     def dup_span_docs(spark, sf_dir):
         from crawler_spark.operators.dedup import duplicate_ngram_spans
@@ -1892,6 +1902,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_training_docs": assemble_training_docs,
         "lm_score_docs": lm_score_docs,
         "sb_score_docs": sb_score_docs,
+        "heavy_hitters_docs": heavy_hitters_docs,
         "dup_span_docs": dup_span_docs,
         "strip_spans_docs": strip_spans_docs,
         "source_reputation_docs": source_reputation_docs,
@@ -3060,6 +3071,25 @@ def _all_oracle_sql() -> dict[str, str]:
                                    / 1000000, 6) END AS avg_nll_sb
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
+        # exact heavy hitters: the oracle computes the plain exact top-k;
+        # parity proves the MG candidate pass lost nothing at this scale
+        # (capacity 4096 >> distinct sources, so `certified` must be true)
+        "heavy_hitters_docs": rf"""
+            WITH keyed AS (SELECT source AS k FROM documents
+                           WHERE source IS NOT NULL),
+            tot AS (SELECT count(*) AS n_total FROM keyed),
+            c AS (SELECT k, count(*) AS n_exact FROM keyed GROUP BY 1),
+            r AS (SELECT k, n_exact,
+                         cast(row_number() OVER (ORDER BY n_exact DESC, k)
+                              as int) AS rank
+                  FROM c),
+            sel AS (SELECT * FROM r WHERE rank <= 10)
+            SELECT k, n_exact, rank,
+                   ((SELECT count(*) FROM sel) = 10
+                    AND (SELECT min(n_exact) FROM sel) * 4097
+                        > (SELECT n_total FROM tot)) AS certified
+            FROM sel
+        """,
         # Lee-et-al. duplicate n-gram spans: count positions whose n-gram
         # repeats corpus-wide, merge into islands (t - rank is constant)
         "dup_span_docs": rf"""
@@ -3800,6 +3830,9 @@ _EXTENDED_GATE = [
     # lm_score_docs (on board); parity held by check_entry --extended +
     # hand-computed tier tests in test_lm_spans.py
     "sb_score_docs",
+    # exact heavy hitters (MG candidates + exact verify); parity held by
+    # check_entry --extended + guarantee-edge tests in test_sketch_sessions
+    "heavy_hitters_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

@@ -31,7 +31,7 @@ groupBy-max, so per-wave sketches compose without rescanning history.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.dedup import _hash60
@@ -135,3 +135,119 @@ def hll_distinct(
     """Convenience: build + estimate in one call (per-key approximate
     distinct count of ``value_expr``)."""
     return hll_estimate(hll_registers(df, key_cols, value_expr), key_cols)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters via a Misra-Gries candidate pre-pass
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, key_expr: str, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries frequent-item summaries (Misra & Gries
+    1982): at most ``capacity`` candidate keys per partition, one column
+    ``k string``, NULL keys dropped.
+
+    Why not ``groupBy(key).count()`` straight away: when keys are
+    near-unique (URLs, outlink targets) the count table is itself
+    corpus-sized and the "find the top hosts" monitoring query shuffles
+    every distinct key. MG bounds the kept state to ``capacity`` entries
+    per partition with the classic guarantee: any key whose count within a
+    partition exceeds ``n_p / (capacity + 1)`` survives that partition's
+    summary, so the union over partitions is a superset of every key with
+    global count > N / (capacity + 1). That superset is what the exact
+    second pass in :func:`heavy_hitters` counts.
+
+    The summary *content* is stream-order-dependent (inherent to MG);
+    downstream exactness does not rely on it — see the certification rule
+    in :func:`heavy_hitters`.
+    """
+    import pandas as pd
+
+    keyed = df.select(F.expr(key_expr).cast("string").alias("k"))
+
+    def mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for key in pdf["k"]:
+                if key is None:
+                    continue
+                if key in counts:
+                    counts[key] += 1
+                elif len(counts) < capacity:
+                    counts[key] = 1
+                else:
+                    dead = []
+                    for kk in counts:
+                        counts[kk] -= 1
+                        if counts[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counts[kk]
+        yield pd.DataFrame({"k": list(counts.keys())})
+
+    return keyed.mapInPandas(mg, "k string")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_expr: str,
+    k: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact top-``k`` keys by frequency without ever shuffling the full
+    distinct-key table, with a self-certifying exactness flag.
+
+    Two passes over the input, both scan-shaped:
+
+    1. candidate generation — :func:`mg_candidates`, at most
+       ``partitions * capacity`` rows total (driver-known bounded, so the
+       candidate set broadcasts);
+    2. exact verification — broadcast semi-join of the corpus against the
+       candidates, then ``groupBy(key).count()`` over *candidate rows
+       only* (map-side combined; the shuffle carries at most the candidate
+       keys, never the corpus's distinct-key set).
+
+    Output: ``(k, n_exact, rank, certified)`` for ranks 1..k, ordered by
+    ``(n_exact desc, k asc)`` — the tie-break makes the output
+    deterministic and engine-portable. ``certified`` is one boolean for
+    the whole result: true iff exactly ``k`` rows were returned AND the
+    k-th selected exact count strictly exceeds ``N / (capacity + 1)``, in
+    which case MG's superset guarantee proves no non-candidate key can
+    outrank the selection — the top-k is exact *and* independent of
+    partitioning/stream order. Fewer than ``k`` surviving candidates never
+    certify: a key the summaries dropped (count <= N/(capacity+1)) could
+    legitimately hold one of the unfilled ranks. When false the result is
+    best-effort (capacity was too small for this skew profile); callers
+    that need certainty re-run with a larger capacity.
+
+    The final ranking window orders a candidate-sized frame (bounded by
+    construction) — the corpus itself is never globally sorted.
+    """
+    cand = mg_candidates(df, key_expr, capacity).distinct()
+    keyed = df.select(F.expr(key_expr).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), "k")
+        .groupBy("k")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    w = Window.orderBy(F.desc("n_exact"), F.asc("k"))
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+    total = keyed.agg(F.count("*").alias("_n_total"))
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn(
+            "certified",
+            (F.count("*").over(w_all) == k)
+            & (
+                F.min("n_exact").over(w_all) * (capacity + 1)
+                > F.col("_n_total")
+            ),
+        )
+        .drop("_n_total")
+    )

@@ -9,10 +9,12 @@ from pyspark.sql import functions as F
 from crawler_spark.operators.sessions import session_stats, sessionize
 from crawler_spark.operators.sketch import (
     HLL_M,
+    heavy_hitters,
     hll_distinct,
     hll_estimate,
     hll_merge,
     hll_registers,
+    mg_candidates,
 )
 
 
@@ -56,6 +58,72 @@ def test_hll_partition_invariant_and_bounded(spark):
     assert sorted(one.collect()) == sorted(many.collect())
     # the register table is the scale contract: never more than m rows/key
     assert one.count() <= HLL_M
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _skewed(spark):
+    # zipf-ish by construction: "h0" x 40, "h1" x 20, "h2" x 10, then 30
+    # singletons; N = 100, exact top-3 = h0/h1/h2
+    rows = (
+        [("h0",)] * 40 + [("h1",)] * 20 + [("h2",)] * 10
+        + [(f"u{i}",) for i in range(30)]
+    )
+    return spark.createDataFrame(rows, "src string")
+
+
+def test_heavy_hitters_exact_and_certified(spark):
+    out = heavy_hitters(_skewed(spark), "src", k=3, capacity=64).collect()
+    assert [(r["k"], r["n_exact"], r["rank"]) for r in out] == [
+        ("h0", 40, 1),
+        ("h1", 20, 2),
+        ("h2", 10, 3),
+    ]
+    # kth count 10 > 100/65: the MG superset guarantee certifies exactness
+    assert all(r["certified"] for r in out)
+
+
+def test_heavy_hitters_partition_invariant_when_certified(spark):
+    df = _skewed(spark)
+    one = heavy_hitters(df, "src", k=3, capacity=64).collect()
+    many = heavy_hitters(df.repartition(7), "src", k=3, capacity=64).collect()
+    assert sorted(one) == sorted(many)
+
+
+def test_heavy_hitters_uncertified_under_tiny_capacity(spark):
+    # capacity 2 against 30 singletons per partition: the guarantee bound
+    # N/(m+1) = 100/3 = 33.3 exceeds the kth count, so the result must
+    # declare itself best-effort — and the truly dominant key still leads
+    out = heavy_hitters(_skewed(spark).coalesce(1), "src", k=3, capacity=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert not any(r["certified"] for r in rows)
+    assert rows[0]["k"] == "h0"  # count 40 > N/3: MG cannot lose it
+
+
+def test_heavy_hitters_ties_break_by_key(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], "src string"
+    )
+    out = heavy_hitters(df, "src", k=2, capacity=16).collect()
+    assert [(r["k"], r["rank"]) for r in out] == [("a", 1), ("b", 2)]
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    df = _skewed(spark).repartition(5)
+    cand = mg_candidates(df, "src", capacity=8).distinct().collect()
+    keys = {r["k"] for r in cand}
+    # bounded: at most partitions * capacity rows survive the summaries
+    assert len(cand) <= 5 * 8
+    # superset guarantee: every key with count > N/(capacity+1) is present
+    assert {"h0", "h1"} <= keys  # counts 40, 20 > 100/9
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    plan = heavy_hitters(_skewed(spark), "src", k=3, capacity=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 # ---------------------------------------------------------------------------
