@@ -1458,6 +1458,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), "source", k=10, capacity=4096
         ).select("k", "n_exact", "rank", "certified")
 
+    # ---- token-balanced training shards: deterministic hash-shuffled
+    # order + two-level distributed prefix sum (sinks/shards.py)
+    def shard_assign_docs(spark, sf_dir):
+        from crawler_spark.sinks.shards import token_balanced_shards
+
+        return token_balanced_shards(
+            _t(spark, sf_dir, "documents"), tokens_per_shard=50_000, groups=8
+        ).select("doc_id", "n_tokens", "shard")
+
     # ---- Lee-et-al. exact duplicate n-gram spans (gaps-and-islands merge)
     def dup_span_docs(spark, sf_dir):
         from crawler_spark.operators.dedup import duplicate_ngram_spans
@@ -1903,6 +1912,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_docs": lm_score_docs,
         "sb_score_docs": sb_score_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
+        "shard_assign_docs": shard_assign_docs,
         "dup_span_docs": dup_span_docs,
         "strip_spans_docs": strip_spans_docs,
         "source_reputation_docs": source_reputation_docs,
@@ -3090,6 +3100,31 @@ def _all_oracle_sql() -> dict[str, str]:
                         > (SELECT n_total FROM tot)) AS certified
             FROM sel
         """,
+        # token-balanced shard assignment: one window replays the two-level
+        # prefix sum (segment running sums + segment-total offsets compose
+        # to the running sum over the (pri % groups, pri, id) total order)
+        "shard_assign_docs": rf"""
+            WITH t AS (SELECT doc_id,
+                              cast(len({_D_TOKS}) as bigint) AS n_tokens,
+                              {_duck_hash60('cast(doc_id as varchar)')} AS pri
+                       FROM documents),
+            g AS (SELECT *, cast(pri % 8 as int) AS gg FROM t),
+            cum AS (SELECT *,
+                           coalesce(sum(n_tokens) OVER (
+                               PARTITION BY gg ORDER BY pri, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_in
+                    FROM g),
+            gt AS (SELECT gg, sum(n_tokens) AS g_tokens FROM g GROUP BY 1),
+            off AS (SELECT gg,
+                           coalesce(sum(g_tokens) OVER (
+                               ORDER BY gg ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS off_tokens
+                    FROM gt)
+            SELECT doc_id, n_tokens,
+                   cast((off_tokens + cum_in) // 50000 as int) AS shard
+            FROM cum JOIN off USING (gg)
+        """,
         # Lee-et-al. duplicate n-gram spans: count positions whose n-gram
         # repeats corpus-wide, merge into islands (t - rank is constant)
         "dup_span_docs": rf"""
@@ -3833,6 +3868,9 @@ _EXTENDED_GATE = [
     # exact heavy hitters (MG candidates + exact verify); parity held by
     # check_entry --extended + guarantee-edge tests in test_sketch_sessions
     "heavy_hitters_docs",
+    # token-balanced training-shard assignment (two-level prefix sum);
+    # parity held by check_entry --extended + replay tests in test_shards
+    "shard_assign_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",
