@@ -472,6 +472,38 @@ def run(spark, sf_dir: str):
             F.count("*"), F.countDistinct("canonical_host")
         ).collect()
 
+    # ---- q_sb_lm: trigram Stupid Backoff scoring, train/score split --------
+    # (operators/lm.py — count tables vocabulary-bounded, broadcast score
+    # table when driver-known small; the Brants-et-al. web-scale LM shape)
+    with timed("q_sb_lm"):
+        from crawler_spark.operators.lm import sb_score
+
+        sb_score(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            train_df=docs.filter(F.col("doc_id") % 2 == 0),
+        ).select(F.count("*"), F.sum("sum_logsb_q"), F.sum("n_trigrams")).collect()
+
+    # ---- q_heavy_hitters: exact top-k hosts via Misra-Gries candidates ----
+    # (operators/sketch.py — two scan-shaped passes, distinct-key table
+    # never shuffled; `certified` self-reports when top-k is provably exact)
+    with timed("q_heavy_hitters"):
+        from crawler_spark.operators.sketch import heavy_hitters
+
+        heavy_hitters(docs, "source", k=10, capacity=4096).select(
+            F.count("*"), F.sum("n_exact"), F.sum(F.col("certified").cast("int"))
+        ).collect()
+
+    # ---- q_shards: token-balanced training-shard assignment ----------------
+    # (sinks/shards.py — two-level distributed prefix sum: segment windows
+    # in parallel + a groups-sized offset broadcast, no global sort)
+    with timed("q_shards"):
+        from crawler_spark.sinks.shards import shard_manifest, token_balanced_shards
+
+        sh = token_balanced_shards(docs, tokens_per_shard=200_000, groups=64)
+        shard_manifest(sh).select(
+            F.count("*"), F.sum("n_tokens"), F.expr("bit_xor(id_checksum)")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

@@ -111,18 +111,21 @@ def token_balanced_shards(
 def shard_manifest(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-shard manifest: ``(shard, n_docs, n_tokens, id_checksum)``.
 
-    ``id_checksum`` is the BIGINT sum of each member's 60-bit id hash —
-    order-free, so two shard sets are content-identical iff their
-    manifests match row-for-row (the integrity check a resumed or
-    re-sharded pipeline compares before trusting existing output).
+    ``id_checksum`` is the BIGINT XOR of each member's 60-bit id hash —
+    order-free and overflow-free at any shard size (a plain sum of 60-bit
+    hashes overflows BIGINT past ~16 members under ANSI arithmetic), so
+    two shard sets are content-identical iff their manifests match
+    row-for-row (the integrity check a resumed or re-sharded pipeline
+    compares before trusting existing output). Ids are unique within a
+    shard, so XOR's pair-cancellation blind spot cannot fire.
     """
     return (
         sharded.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),
-            F.sum(
-                F.expr(_hash60(f"cast({id_col} as string)"))
+            F.expr(
+                f"bit_xor({_hash60(f'cast({id_col} as string)')})"
             ).alias("id_checksum"),
         )
         .orderBy("shard")
