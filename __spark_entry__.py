@@ -1370,6 +1370,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contaminated",
         )
 
+    def contamination_pruned_docs(spark, sf_dir):
+        # Bloom-pruned decontamination: fixed-size sidecar broadcast +
+        # map-side probe + exact verify of survivors — must reproduce the
+        # exact operator bit-for-bit (the sketch prunes, never decides),
+        # so the oracle is the same SQL as contamination_docs
+        from crawler_spark.operators.sampling import contamination_pruned
+
+        d = _t(spark, sf_dir, "documents")
+        ev = d.filter(F.col("doc_id") % 20 == 0)
+        tr = d.filter(F.col("doc_id") % 20 != 0)
+        return contamination_pruned(tr, ev, shingle_k=_DECON_K).select(
+            "doc_id",
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            "contaminated",
+        )
+
     def sample_budget_docs(spark, sf_dir):
         # exact token-budget mixing: per-source hash-priority running sum
         from crawler_spark.operators.sampling import sample_to_token_budget
@@ -1904,6 +1920,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": blocklist_docs,
         "line_dedup_docs": line_dedup_docs,
         "contamination_docs": contamination_docs,
+        "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
         "sample_budget_approx_docs": sample_budget_approx_docs,
         "near_dup_clusters": near_dup_clusters,
@@ -2138,7 +2155,7 @@ def _all_oracle_sql() -> dict[str, str]:
       )
     """
 
-    return {
+    sql = {
         "clean_text_collapse": r"""
             SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS cleaned
             FROM documents
@@ -3784,6 +3801,11 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM m WHERE _side = 1
         """,
     }
+    # the Bloom-pruned decontamination path must reproduce the exact
+    # operator bit-for-bit (the sketch prunes candidates, the exact join
+    # decides), so its oracle IS the exact oracle
+    sql["contamination_pruned_docs"] = sql["contamination_docs"]
+    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -3871,6 +3893,10 @@ _EXTENDED_GATE = [
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",
+    # Bloom-pruned decontamination (sidecar broadcast + exact verify);
+    # oracle is literally the exact operator's SQL — parity held by
+    # check_entry --extended + exact==pruned equivalence in test_sampling
+    "contamination_pruned_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

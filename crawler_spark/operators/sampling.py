@@ -108,6 +108,123 @@ def contamination(
     )
 
 
+def contamination_pruned(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+    bloom_cfg=None,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Bloom-pruned benchmark-overlap counts — same output as
+    :func:`contamination`, different scale envelope.
+
+    :func:`contamination` broadcasts the *exact* eval shingle-hash set,
+    which caps the eval side at executor memory (fine for MB-scale
+    benchmark suites, wrong once the decontamination target is itself a
+    corpus — a held-out split, a licensed set, 10^9+ shingles at 8 bytes
+    each). This variant broadcasts a *fixed-size* Bloom sidecar instead
+    (reusing the frontier's ``frontier/bloom.py`` blobs — size is
+    ``n_buckets * m_bits/8`` bytes by config, ~10 bits per eval shingle
+    for ~1% FP), probes every doc shingle map-side, and sends only the
+    Bloom-positive survivors — the true overlaps plus the ~1% FP floor —
+    into an exact verify join against the eval table. Bloom false
+    negatives are structurally impossible, and the verify join removes
+    every false positive, so the result is *exactly* ``contamination``'s:
+    the sketch changes the plan, never the answer.
+
+    Plan shape at scale: corpus shingles are probed inside the scan
+    (``mapInPandas`` over the blob broadcast — zero corpus shuffle) when
+    the blob set fits ``broadcast_bytes``; past that the blobs stay
+    partitioned and the probe becomes the cogrouped per-bucket shape
+    (shuffles 16-byte ``(id, hash)`` pairs, never text). The exact
+    verify join then touches suspect rows only — at a sane contamination
+    rate that is a vanishing fraction of the corpus — and the per-doc
+    counts join back broadcast exactly as in :func:`contamination`.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from crawler_spark.frontier.bloom import (
+        BloomConfig,
+        _test_bits,
+        build_blobs,
+    )
+
+    cfg = bloom_cfg or BloomConfig()
+    ev = eval_ngram_set(eval_docs, text_col, shingle_k)
+    blobs = build_blobs(ev.select(F.col("g").alias("url_hash")), cfg)
+    sh = shingles_expr(text_col, shingle_k)
+    pairs = docs.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("_s")
+    ).select(id_col, F.expr(_hash60("_s")).alias("g"))
+    out_schema = T.StructType([pairs.schema[id_col], pairs.schema["g"]])
+
+    if cfg.n_buckets * (cfg.m_bits // 8) <= broadcast_bytes:
+        # driver-known-small sidecar: broadcast the blobs, probe map-side
+        blob_map = {
+            int(r["bucket"]): np.frombuffer(r["bits"], dtype=np.uint8)
+            for r in blobs.collect()
+        }
+        bc = docs.sparkSession.sparkContext.broadcast(blob_map)
+
+        def probe_batches(batches):
+            table = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                h = pdf["g"].to_numpy()
+                buckets = h % cfg.n_buckets  # _hash60 is nonnegative
+                keep = np.zeros(len(h), dtype=bool)
+                for b in np.unique(buckets):
+                    bits = table.get(int(b))
+                    if bits is None:
+                        continue  # empty bucket: definite miss
+                    m = buckets == b
+                    keep[m] = _test_bits(bits, h[m], cfg)
+                if keep.any():
+                    yield pdf.loc[keep, [id_col, "g"]]
+
+        suspects = pairs.mapInPandas(probe_batches, schema=out_schema)
+    else:
+        # sidecar too big to broadcast: cogroup per bucket, blobs stay put
+        bucketed = pairs.withColumn("bucket", cfg.bucket_col(F.col("g")))
+
+        def probe(c_pdf, b_pdf):
+            if len(c_pdf) == 0 or len(b_pdf) == 0:
+                return c_pdf.iloc[0:0][[id_col, "g"]]
+            bits = np.frombuffer(b_pdf["bits"].iloc[0], dtype=np.uint8)
+            if len(b_pdf) > 1:  # pre-merge safety: OR extra blobs
+                bits = bits.copy()
+                for blob in b_pdf["bits"].iloc[1:]:
+                    bits |= np.frombuffer(blob, dtype=np.uint8)
+            keep = _test_bits(bits, c_pdf["g"].to_numpy(), cfg)
+            return c_pdf.loc[keep, [id_col, "g"]]
+
+        suspects = (
+            bucketed.groupBy("bucket")
+            .cogroup(blobs.groupBy("bucket"))
+            .applyInPandas(probe, schema=out_schema)
+        )
+
+    hits = (
+        suspects.join(ev, "g")  # exact verify: kills every Bloom FP
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.join(F.broadcast(hits), id_col, "left")
+        .withColumn(
+            "n_contaminated", F.coalesce(F.col("n_contaminated"), F.lit(0))
+        )
+        .withColumn(
+            "contaminated", F.col("n_contaminated") >= F.lit(int(min_overlap))
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark.operators.sampling import (
     contamination,
+    contamination_pruned,
     decontaminate,
     sample_to_token_budget,
     sample_to_token_budget_approx,
@@ -75,6 +76,81 @@ def test_contamination_plan_is_broadcast(spark, train_eval):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def _contam_map(df):
+    return {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in df.collect()
+    }
+
+
+def test_pruned_equals_exact_broadcast_path(spark, train_eval):
+    tr, ev = train_eval
+    exact = _contam_map(contamination(tr, ev, shingle_k=5))
+    pruned = _contam_map(contamination_pruned(tr, ev, shingle_k=5))
+    assert pruned == exact
+
+
+def test_pruned_equals_exact_cogroup_path(spark, train_eval):
+    # broadcast_bytes=0 forces the partitioned-blob cogroup shape
+    tr, ev = train_eval
+    exact = _contam_map(contamination(tr, ev, shingle_k=5))
+    pruned = _contam_map(
+        contamination_pruned(tr, ev, shingle_k=5, broadcast_bytes=0)
+    )
+    assert pruned == exact
+
+
+def test_pruned_exact_under_heavy_bloom_fp(spark, train_eval):
+    # a deliberately saturated sidecar (256 bits, 2 hashes) floods the
+    # probe with false positives; the verify join must kill them all
+    from crawler_spark.frontier.bloom import BloomConfig
+
+    tr, ev = train_eval
+    cfg = BloomConfig(n_buckets=2, m_bits=256, n_hashes=2)
+    exact = _contam_map(contamination(tr, ev, shingle_k=5))
+    for bb in (64 << 20, 0):  # both probe shapes
+        pruned = _contam_map(
+            contamination_pruned(
+                tr, ev, shingle_k=5, bloom_cfg=cfg, broadcast_bytes=bb
+            )
+        )
+        assert pruned == exact
+
+
+def test_pruned_empty_eval_set(spark, train_eval):
+    tr, ev = train_eval
+    out = _contam_map(
+        contamination_pruned(tr, ev.filter("doc_id < 0"), shingle_k=5)
+    )
+    assert out == {10: (0, False), 11: (0, False), 12: (0, False)}
+
+
+def test_pruned_partition_invariant(spark, train_eval):
+    tr, ev = train_eval
+    a = _contam_map(contamination_pruned(tr.repartition(1), ev, shingle_k=5))
+    b = _contam_map(
+        contamination_pruned(tr.repartition(7, "doc_id"), ev, shingle_k=5)
+    )
+    assert a == b
+
+
+def test_pruned_probe_stays_mapside(spark, train_eval):
+    # broadcast path: the corpus probe is a MapInPandas inside the scan
+    # stage (no cogroup, no corpus-side shuffle before the probe);
+    # cogroup path: the per-bucket FlatMapCoGroupsInPandas shape
+    tr, ev = train_eval
+    plan_b = (
+        contamination_pruned(tr, ev, shingle_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_b and "FlatMapCoGroupsInPandas" not in plan_b
+    plan_c = (
+        contamination_pruned(tr, ev, shingle_k=5, broadcast_bytes=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan_c
 
 
 @pytest.fixture(scope="module")
