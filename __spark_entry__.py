@@ -1452,6 +1452,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bigrams", "sum_logp_q", "avg_nll"
         )
 
+    def ppl_bucket_docs(spark, sf_dir):
+        # CCNet head/middle/tail bucketing: per-lang ntile over bigram-LM
+        # mean NLL (exact path; the approx histogram path is pytest-pinned)
+        from crawler_spark.operators.lm import perplexity_buckets
+
+        return perplexity_buckets(
+            _t(spark, sf_dir, "documents"), by="lang", n_buckets=3
+        ).select("doc_id", "lang", "n_bigrams", "avg_nll", "bucket", "ppl_bucket")
+
     # ---- trigram Stupid Backoff (Brants et al. 2007): train on the even
     # half of the corpus, score everything, so the backoff tiers genuinely
     # fire on odd-doc trigrams the training half never saw
@@ -1927,6 +1936,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_survivors": near_dup_survivors,
         "assemble_training_docs": assemble_training_docs,
         "lm_score_docs": lm_score_docs,
+        "ppl_bucket_docs": ppl_bucket_docs,
         "sb_score_docs": sb_score_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "shard_assign_docs": shard_assign_docs,
@@ -3042,6 +3052,46 @@ def _all_oracle_sql() -> dict[str, str]:
                                    / 1000000, 6) END AS avg_nll
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
+        # CCNet perplexity bucketing: the lm_score CTE (identical doubles,
+        # proven by the lm_score_docs gate) + per-lang ntile ordered by
+        # (avg_nll, doc_id) — both engines share SQL ntile's remainder rule
+        "ppl_bucket_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            ex AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+                   FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+            v AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(tk) AS t FROM toks)),
+            bg AS (SELECT prev, cur, count(*) AS bg_n FROM ex GROUP BY 1, 2),
+            cx AS (SELECT prev, count(*) AS ctx_n FROM ex GROUP BY 1),
+            sc AS (SELECT doc_id,
+                          cast(round(ln((bg_n + 1) / cast(ctx_n + v as double))
+                               * 1000000) as bigint) AS q
+                   FROM ex JOIN bg USING (prev, cur)
+                           JOIN cx USING (prev) CROSS JOIN v),
+            pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                          cast(sum(q) as bigint) AS sum_logp_q FROM sc GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(n_bigrams, 0) AS n_bigrams,
+                     CASE WHEN coalesce(n_bigrams, 0) > 0
+                          THEN round(-sum_logp_q / cast(n_bigrams as double)
+                                     / 1000000, 6) END AS avg_nll
+              FROM documents d LEFT JOIN pd USING (doc_id)
+            ),
+            ranked AS (
+              SELECT doc_id,
+                     cast(ntile(3) OVER (PARTITION BY lang
+                                         ORDER BY avg_nll, doc_id) as int)
+                       AS bucket
+              FROM scored WHERE n_bigrams > 0
+            )
+            SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_nll, r.bucket,
+                   CASE WHEN r.bucket IS NULL THEN 'unscored'
+                        WHEN r.bucket = 1 THEN 'head'
+                        WHEN r.bucket = 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored s LEFT JOIN ranked r USING (doc_id)
+        """,
         # trigram Stupid Backoff trained on the even-doc_id half: the three
         # scoring tiers (trigram relfreq / 0.4*bigram / 0.16*add-one unigram
         # floor) mirror lm.sb_score's CASE expression verbatim so the doubles
@@ -3897,6 +3947,9 @@ _EXTENDED_GATE = [
     # oracle is literally the exact operator's SQL — parity held by
     # check_entry --extended + exact==pruned equivalence in test_sampling
     "contamination_pruned_docs",
+    # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
+    # held by check_entry --extended + structural tests in test_lm_spans
+    "ppl_bucket_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

@@ -317,3 +317,130 @@ def perplexity_filter(
     return lm_score(df, text_col=text_col, id_col=id_col).filter(
         (F.col("n_bigrams") == 0) | (F.col("avg_nll") <= F.lit(max_avg_nll))
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    by: str = "lang",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx_bins: int | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per ``by``
+    group (per language, in the published pipeline), rank documents by
+    bigram-LM mean NLL and cut the ranking into ``n_buckets`` equal-count
+    buckets — ``bucket`` 1 is the most-predictable "head" slice the
+    downstream mixer oversamples, the last bucket the "tail". Output:
+    input rows + :func:`lm_score`'s columns + ``bucket`` (int; NULL for
+    docs with no bigrams) + ``ppl_bucket`` (head/middle/tail labels when
+    ``n_buckets == 3``, else the bucket number as a string; "unscored"
+    for NULL).
+
+    Exact path (default): ``ntile`` over a per-group window ordered by
+    ``(avg_nll, id)`` — deterministic, and one sort per group, which is
+    the published pipeline's own shape (CCNet shards and sorts per
+    language). That is fine while groups are languages; it serializes
+    when one group dominates.
+
+    Approx path (``approx_bins`` set): two bounded aggregations instead
+    of a sort. Pass 1 takes the per-group min/max of the fixed-point
+    score, pass 2 histograms docs into ``approx_bins`` equal-width bins
+    (a map-side-combined shuffle of at most ``#groups * approx_bins``
+    rows regardless of corpus size); the driver turns cumulative bin
+    counts into ``n_buckets - 1`` thresholds and the assignment is a
+    broadcast comparison — no window, no per-group reducer, identical
+    output at every parallelism. Bucket populations deviate from exact
+    ntile by at most one bin's occupancy per boundary; all docs sharing
+    one score land in one bucket (a property exact ntile does not have).
+    """
+    scored = lm_score(df, text_col=text_col, id_col=id_col)
+    if approx_bins is None:
+        w = Window.partitionBy(by).orderBy("avg_nll", id_col)
+        ranked = scored.filter(F.col("n_bigrams") > 0).withColumn(
+            "bucket", F.ntile(n_buckets).over(w)
+        )
+        out = scored.filter(F.col("n_bigrams") == 0).withColumn(
+            "bucket", F.lit(None).cast("int")
+        ).unionByName(ranked)
+    else:
+        # fixed-point score (bit-identical to avg_nll's rounding)
+        q = f"cast(round(avg_nll * {_Q}) as bigint)"
+        sc = scored.filter(F.col("n_bigrams") > 0).withColumn(
+            "_q", F.expr(q)
+        )
+        rng = {
+            r[by]: (int(r["lo"]), int(r["hi"]))
+            for r in sc.groupBy(by)
+            .agg(F.min("_q").alias("lo"), F.max("_q").alias("hi"))
+            .collect()
+        }
+        # equal-width bins over each group's observed range
+        bin_exprs = {
+            g: (
+                f"least(cast((((_q - {lo}) * {int(approx_bins)}) "
+                f"div {max(hi - lo + 1, 1)}) as int), {int(approx_bins) - 1})"
+            )
+            for g, (lo, hi) in rng.items()
+        }
+        whens = None
+        for g, e in sorted(bin_exprs.items()):
+            c = F.when(F.col(by) == g, F.expr(e))
+            whens = c if whens is None else whens.when(
+                F.col(by) == g, F.expr(e)
+            )
+        sc = sc.withColumn("_bin", whens)
+        hist = (
+            sc.groupBy(by, "_bin").agg(F.count("*").alias("n")).collect()
+        )
+        per_group: dict = {}
+        total: dict = {}
+        for r in hist:
+            per_group.setdefault(r[by], {})[int(r["_bin"])] = int(r["n"])
+            total[r[by]] = total.get(r[by], 0) + int(r["n"])
+        # thresholds[g] = first bin of bucket j+1, for j in 1..n_buckets-1
+        thresholds: dict = {}
+        for g, bins in per_group.items():
+            cuts, cum, j = [], 0, 1
+            for b in sorted(bins):
+                cum += bins[b]
+                while j < n_buckets and cum >= (j * total[g]) / n_buckets:
+                    cuts.append(b + 1)
+                    j += 1
+            while len(cuts) < n_buckets - 1:
+                cuts.append(int(approx_bins))
+            thresholds[g] = cuts
+        cmap = F.create_map(
+            *[
+                x
+                for g, cuts in sorted(thresholds.items())
+                for x in (
+                    F.lit(g),
+                    F.array(*[F.lit(int(c)) for c in cuts]),
+                )
+            ]
+        )
+        sc = sc.withColumn(
+            "bucket",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    cmap[F.col(by)],
+                    F.lit(0),
+                    lambda acc, t: acc
+                    + F.when(F.col("_bin") >= t, 1).otherwise(0),
+                )
+            ).cast("int"),
+        ).drop("_q", "_bin")
+        out = scored.filter(F.col("n_bigrams") == 0).withColumn(
+            "bucket", F.lit(None).cast("int")
+        ).unionByName(sc)
+    label = (
+        F.when(F.col("bucket").isNull(), F.lit("unscored"))
+        .when(F.lit(n_buckets) == 3, F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket"),
+        ))
+        .otherwise(F.col("bucket").cast("string"))
+    )
+    return out.withColumn("ppl_bucket", label)

@@ -17,7 +17,12 @@ from crawler_spark.operators.dedup import (
     duplicate_ngram_spans,
     strip_duplicate_spans,
 )
-from crawler_spark.operators.lm import lm_score, perplexity_filter, sb_score
+from crawler_spark.operators.lm import (
+    lm_score,
+    perplexity_buckets,
+    perplexity_filter,
+    sb_score,
+)
 
 
 @pytest.fixture(scope="module")
@@ -273,3 +278,84 @@ def test_cc_fast_path_matches_distributed(spark):
     slow = sorted(connected_components(pairs, local_threshold=0).collect())
     assert fast == slow
     assert fast  # non-trivial graph actually produced components
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ppl_docs(spark):
+    # 12 scoreable docs in one group + 1 unscorable (single token);
+    # repeated common bigrams make low doc_ids predictably lower-NLL
+    rows = [(i, "g1", "a b " * (6 - i // 3) + "x" + str(i) + " y" + str(i))
+            for i in range(12)]
+    rows.append((99, "g1", "z"))
+    rows += [(100 + i, "g2", "p q r " * (i + 1)) for i in range(6)]
+    return spark.createDataFrame(
+        rows, "doc_id int, lang string, text string"
+    ).cache()
+
+
+def test_ppl_buckets_exact_balanced_and_ordered(ppl_docs):
+    out = perplexity_buckets(ppl_docs, by="lang", n_buckets=3).collect()
+    rows = [r for r in out if r["lang"] == "g1" and r["bucket"] is not None]
+    sizes = {b: sum(1 for r in rows if r["bucket"] == b) for b in (1, 2, 3)}
+    assert sizes == {1: 4, 2: 4, 3: 4}  # ntile balance
+    # ranking respected: every head NLL <= every tail NLL
+    head = [r["avg_nll"] for r in rows if r["bucket"] == 1]
+    tail = [r["avg_nll"] for r in rows if r["bucket"] == 3]
+    assert max(head) <= min(tail)
+    labels = {r["bucket"]: r["ppl_bucket"] for r in rows}
+    assert labels == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_ppl_buckets_unscored_docs(ppl_docs):
+    out = {r["doc_id"]: r for r in perplexity_buckets(ppl_docs).collect()}
+    assert out[99]["bucket"] is None
+    assert out[99]["ppl_bucket"] == "unscored"
+
+
+def test_ppl_buckets_nondefault_n_labels(ppl_docs):
+    rows = [
+        r
+        for r in perplexity_buckets(ppl_docs, n_buckets=4).collect()
+        if r["lang"] == "g1" and r["bucket"] is not None
+    ]
+    assert sorted(set(r["ppl_bucket"] for r in rows)) == ["1", "2", "3", "4"]
+    assert all(r["ppl_bucket"] == str(r["bucket"]) for r in rows)
+
+
+def test_ppl_buckets_exact_partition_invariant(ppl_docs):
+    key = lambda df: sorted(
+        (r["doc_id"], r["bucket"]) for r in df.collect()
+    )
+    assert key(perplexity_buckets(ppl_docs.repartition(1))) == key(
+        perplexity_buckets(ppl_docs.repartition(7, "doc_id"))
+    )
+
+
+def test_ppl_buckets_approx_near_exact_and_invariant(ppl_docs):
+    exact = {
+        (r["lang"], r["bucket"]): 1
+        for r in perplexity_buckets(ppl_docs).collect()
+    }
+    ap = perplexity_buckets(ppl_docs, approx_bins=4096)
+    sizes = {}
+    for r in ap.collect():
+        if r["bucket"] is not None:
+            sizes[(r["lang"], r["bucket"])] = (
+                sizes.get((r["lang"], r["bucket"]), 0) + 1
+            )
+    # per-group totals conserved, every bucket within 2 of balanced
+    assert sum(v for (g, _), v in sizes.items() if g == "g1") == 12
+    assert sum(v for (g, _), v in sizes.items() if g == "g2") == 6
+    assert all(abs(v - 4) <= 2 for (g, _), v in sizes.items() if g == "g1")
+    a = sorted((r["doc_id"], r["bucket"]) for r in ap.collect())
+    b = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in perplexity_buckets(
+            ppl_docs.repartition(5, "doc_id"), approx_bins=4096
+        ).collect()
+    )
+    assert a == b
