@@ -1452,6 +1452,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_bigrams", "sum_logp_q", "avg_nll"
         )
 
+    def corpus_report_docs(spark, sf_dir):
+        # per-source corpus health report: one scan, one combined shuffle,
+        # exact token-length percentiles (approx_percentile is the 100 TB
+        # path, pytest-pinned near-exact)
+        from crawler_spark.operators.text_analysis import corpus_report
+
+        return corpus_report(_t(spark, sf_dir, "documents"))
+
     def ppl_bucket_docs(spark, sf_dir):
         # CCNet head/middle/tail bucketing: per-lang ntile over bigram-LM
         # mean NLL (exact path; the approx histogram path is pytest-pinned)
@@ -1937,6 +1945,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_training_docs": assemble_training_docs,
         "lm_score_docs": lm_score_docs,
         "ppl_bucket_docs": ppl_bucket_docs,
+        "corpus_report_docs": corpus_report_docs,
         "sb_score_docs": sb_score_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "shard_assign_docs": shard_assign_docs,
@@ -3052,6 +3061,21 @@ def _all_oracle_sql() -> dict[str, str]:
                                    / 1000000, 6) END AS avg_nll
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
+        # per-source corpus report: Spark's exact percentile() and DuckDB's
+        # quantile_cont share the (n-1)*p linear-interpolation definition
+        "corpus_report_docs": rf"""
+            WITH t AS (SELECT source, lang, len({_D_TOKS}) AS n_tok
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(n_tok) as bigint) AS n_tokens,
+                   count(DISTINCT lang) AS n_langs,
+                   round(avg(n_tok), 6) AS mean_tokens,
+                   cast(max(n_tok) as bigint) AS max_tokens,
+                   round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tok, 0.99), 6) AS p99_tokens
+            FROM t GROUP BY source
+        """,
         # CCNet perplexity bucketing: the lm_score CTE (identical doubles,
         # proven by the lm_score_docs gate) + per-lang ntile ordered by
         # (avg_nll, doc_id) — both engines share SQL ntile's remainder rule
@@ -3950,6 +3974,9 @@ _EXTENDED_GATE = [
     # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
     # held by check_entry --extended + structural tests in test_lm_spans
     "ppl_bucket_docs",
+    # per-source corpus health report (exact percentiles, one shuffle);
+    # parity held by check_entry --extended + approx-path pytest
+    "corpus_report_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

@@ -221,3 +221,56 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score_q", "rank")
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    exact: bool = True,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-source corpus health report — the monitoring table a pipeline
+    owner regenerates after every ingest wave: doc/token volume, exact
+    token-length percentiles (p50/p90/p99), mean/max length, and language
+    spread, all from ONE scan and ONE map-side-combined shuffle whose
+    output is #sources rows.
+
+    ``exact=True`` uses Spark's exact ``percentile`` — it buffers each
+    group's values on its reducer, which is right up to ~10^8 docs per
+    source. Past that pass ``exact=False``: ``approx_percentile``'s
+    mergeable KLL-style sketch keeps per-group state at
+    O(accuracy) regardless of group size (same report schema, percentile
+    error bounded by 1/accuracy of the rank).
+    """
+    toks = f"size({tokens_expr(text_col)})"
+    pct = (
+        f"percentile(_n_tok, array(0.5, 0.9, 0.99))"
+        if exact
+        else f"approx_percentile(_n_tok, array(0.5, 0.9, 0.99), "
+        f"{int(approx_accuracy)})"
+    )
+    return (
+        df.withColumn("_n_tok", F.expr(toks))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("_n_tok").cast("long")).alias("n_tokens"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.round(F.avg("_n_tok"), 6).alias("mean_tokens"),
+            F.max("_n_tok").cast("long").alias("max_tokens"),
+            F.expr(pct).alias("_p"),
+        )
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            "mean_tokens",
+            "max_tokens",
+            F.round(F.element_at("_p", 1).cast("double"), 6).alias("p50_tokens"),
+            F.round(F.element_at("_p", 2).cast("double"), 6).alias("p90_tokens"),
+            F.round(F.element_at("_p", 3).cast("double"), 6).alias("p99_tokens"),
+        )
+    )

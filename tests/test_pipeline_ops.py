@@ -954,3 +954,50 @@ def test_tfidf_keywords_downweights_ubiquitous_tokens(spark):
     one = sorted(tfidf_keywords(docs, k=2).collect())
     many = sorted(tfidf_keywords(docs.repartition(5), k=2).collect())
     assert one == many
+
+
+# --------------------------------------------------------------------------
+# corpus_report (per-source health stats, exact + approx percentile paths)
+# --------------------------------------------------------------------------
+
+def test_corpus_report_exact_values(spark):
+    from crawler_spark.operators.text_analysis import corpus_report
+
+    rows = [
+        (i, "s1", "en", " ".join("w" for _ in range(i + 1))) for i in range(5)
+    ] + [(10, "s2", "de", "a b c"), (11, "s2", "fr", "a")]
+    df = spark.createDataFrame(
+        rows, "doc_id int, source string, lang string, text string"
+    )
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    s1 = out["s1"]  # token counts 1..5
+    assert (s1["n_docs"], s1["n_tokens"], s1["n_langs"]) == (5, 15, 1)
+    assert s1["p50_tokens"] == 3.0 and s1["max_tokens"] == 5
+    assert s1["p90_tokens"] == pytest.approx(4.6)
+    assert s1["mean_tokens"] == 3.0
+    s2 = out["s2"]
+    assert (s2["n_docs"], s2["n_tokens"], s2["n_langs"]) == (2, 4, 2)
+
+
+def test_corpus_report_approx_near_exact_and_invariant(spark):
+    from crawler_spark.operators.text_analysis import corpus_report
+
+    rows = [
+        (i, f"s{i % 3}", "en", " ".join("w" for _ in range(1 + i % 50)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, source string, lang string, text string"
+    )
+    exact = {r["source"]: r for r in corpus_report(df).collect()}
+    approx = {
+        r["source"]: r for r in corpus_report(df, exact=False).collect()
+    }
+    for s in exact:
+        # high-accuracy sketch: within one rank step of exact on 100 rows
+        assert abs(approx[s]["p50_tokens"] - exact[s]["p50_tokens"]) <= 1.0
+        assert abs(approx[s]["p99_tokens"] - exact[s]["p99_tokens"]) <= 1.0
+        assert approx[s]["n_docs"] == exact[s]["n_docs"]
+    a = sorted(map(tuple, corpus_report(df.repartition(1)).collect()))
+    b = sorted(map(tuple, corpus_report(df.repartition(7, "doc_id")).collect()))
+    assert a == b
