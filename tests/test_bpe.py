@@ -1,0 +1,149 @@
+"""Distributed BPE training/encoding (`operators/bpe.py`) vs an exact
+pure-Python replay of the published algorithm (Sennrich et al. 2016).
+
+No SQL oracle: the training loop is iterative with a driver-side argmax
+per round (like connected components) — the replay below IS the oracle.
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.bpe import (
+    _EOW,
+    bpe_encode,
+    bpe_train,
+    bpe_vocab,
+    word_freqs,
+)
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "new new new nebular",
+]
+
+
+def py_bpe(texts, n_merges, min_pair_freq=2):
+    wf = Counter(w for t in texts for w in t.strip().lower().split())
+    syms = {w: list(w) + [_EOW] for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (a, b), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_freq:
+            break
+        merges.append((rank, a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms, wf
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id int, text string"
+    ).cache()
+
+
+def test_bpe_train_matches_python_replay(docs):
+    merges, syms_df = bpe_train(docs, n_merges=12)
+    exp_merges, exp_syms, _ = py_bpe(TEXTS, 12)
+    assert merges == exp_merges
+    got = {r["word"]: list(r["syms"]) for r in syms_df.collect()}
+    assert got == exp_syms
+
+
+def test_bpe_train_partition_invariant(docs):
+    a, _ = bpe_train(docs.repartition(1), n_merges=8)
+    b, _ = bpe_train(docs.repartition(7, "doc_id"), n_merges=8)
+    assert a == b
+
+
+def test_bpe_train_early_stop_on_min_freq(docs):
+    # a high floor stops training before n_merges rounds
+    merges, _ = bpe_train(docs, n_merges=50, min_pair_freq=8)
+    exp_merges, _, _ = py_bpe(TEXTS, 50, min_pair_freq=8)
+    assert merges == exp_merges
+    assert 0 < len(merges) < 50
+
+
+def test_bpe_vocab_conserves_mass(docs):
+    merges, syms_df = bpe_train(docs, n_merges=6)
+    vocab = {r["subword"]: r["freq"] for r in bpe_vocab(syms_df).collect()}
+    _, exp_syms, wf = py_bpe(TEXTS, 6)
+    exp = Counter()
+    for w, s in exp_syms.items():
+        for sub in s:
+            exp[sub] += wf[w]
+    assert vocab == dict(exp)
+
+
+def test_bpe_encode_replays_training_segmentation(docs):
+    merges, syms_df = bpe_train(docs, n_merges=12)
+    trained = {r["word"]: list(r["syms"]) for r in syms_df.collect()}
+    enc = bpe_encode(docs, merges)
+    for r in enc.collect():
+        toks = list(r["bpe_tokens"])
+        # re-split the doc's token stream word by word and compare
+        i = 0
+        for w in r["text"].strip().lower().split():
+            seg = trained[w]
+            assert toks[i : i + len(seg)] == seg
+            i += len(seg)
+        assert i == len(toks) == r["n_bpe_tokens"]
+
+
+def test_bpe_encode_unseen_word_falls_back(docs, spark):
+    merges, _ = bpe_train(docs, n_merges=12)
+    new = spark.createDataFrame([(0, "zzz")], "doc_id int, text string")
+    row = bpe_encode(new, merges).collect()[0]
+    # nothing mergeable: raw characters + end-of-word marker survive
+    assert list(row["bpe_tokens"]) == ["z", "z", "z", _EOW]
+
+
+def test_word_freqs_sample_is_deterministic_slice(docs):
+    full = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    half_a = {
+        r["word"]: r["freq"]
+        for r in word_freqs(docs, sample_frac=0.5).collect()
+    }
+    half_b = {
+        r["word"]: r["freq"]
+        for r in word_freqs(
+            docs.repartition(5, "doc_id"), sample_frac=0.5
+        ).collect()
+    }
+    assert half_a == half_b  # hash slice, not RNG
+    assert set(half_a) <= set(full)
+
+
+def test_bpe_multibyte_symbols(spark):
+    # codepoint-level splitting: CJK text segments per character
+    df = spark.createDataFrame(
+        [(0, "中文 中文 中文")], "doc_id int, text string"
+    )
+    merges, syms_df = bpe_train(df, n_merges=3)
+    got = {r["word"]: list(r["syms"]) for r in syms_df.collect()}
+    exp_merges, exp_syms, _ = py_bpe(["中文 中文 中文"], 3)
+    assert merges == exp_merges and got == exp_syms
+    # fully merged: one symbol for the whole word
+    assert got["中文"] == ["中文" + _EOW]
