@@ -5,6 +5,9 @@ from crawler_spark.streaming.ingest import (
     host_session_stream,
     stream_extract,
     stream_seen_dedup,
+    term_rate_stream,
+    top_terms,
+    trending_terms,
 )
 
 __all__ = [
@@ -14,4 +17,7 @@ __all__ = [
     "politeness_sink_stream",
     "host_session_stream",
     "stream_seen_dedup",
+    "term_rate_stream",
+    "top_terms",
+    "trending_terms",
 ]

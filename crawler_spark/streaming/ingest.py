@@ -400,3 +400,71 @@ def host_session_stream(
             "n_pages",
         )
     )
+
+
+def term_rate_stream(
+    spark: SparkSession,
+    corpus_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    stopwords: Optional[list] = None,
+) -> DataFrame:
+    """Event-time term counts over arriving pages — the trending-topics /
+    corpus-drift monitor of a continuous crawl.
+
+    Tokens ride the same watermarked tumbling windows as
+    :func:`host_rate_stream`; state is bounded by (windows in flight x
+    distinct terms), and late pages beyond the watermark stop updating
+    their window. Returns the unstarted aggregated stream; pair it with
+    :func:`top_terms` / :func:`trending_terms` on the materialized
+    metrics table (ranking needs a closed window, which is a batch
+    concern by construction).
+    """
+    from crawler_spark.operators.dedup import tokens_expr
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(corpus_dir)
+    toks = stream.withWatermark("warc_ts", watermark).select(
+        "warc_ts", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    if stopwords:
+        toks = toks.filter(~F.col("term").isin(list(stopwords)))
+    return (
+        toks.groupBy(F.window("warc_ts", window).alias("w"), "term")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def top_terms(term_rates: DataFrame, k: int = 10) -> DataFrame:
+    """Batch helper over a materialized :func:`term_rate_stream` table:
+    deterministic top-``k`` terms per window, ties broken lexically."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), "term")
+    return (
+        term_rates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def trending_terms(term_rates: DataFrame, k: int = 10) -> DataFrame:
+    """Batch helper: per-window top-``k`` RISERS — terms ranked by count
+    delta vs the same term's previous window (a term absent last window
+    has delta = n). The change signal, not the raw-volume signal
+    :func:`top_terms` gives."""
+    from pyspark.sql import Window as W
+
+    lag_w = W.partitionBy("term").orderBy("window_start")
+    deltas = term_rates.withColumn(
+        "prev_n",
+        F.coalesce(F.lag("n").over(lag_w), F.lit(0)),
+    ).withColumn("delta", F.col("n") - F.col("prev_n"))
+    rank_w = W.partitionBy("window_start").orderBy(F.desc("delta"), "term")
+    return deltas.withColumn("rank", F.row_number().over(rank_w)).filter(
+        F.col("rank") <= int(k)
+    )

@@ -297,3 +297,75 @@ def test_politeness_sink_stream_storage_backlog(spark, split_corpus, tmp_path):
         n_admitted = got.count()
     assert n_admitted == total
     assert got.select("url").distinct().count() == total
+
+
+def test_term_rate_stream_and_ranking(spark, split_corpus):
+    """Windowed term counts match the batch replay; top/trending ranking
+    helpers are deterministic on the materialized table."""
+    from crawler_spark.operators.dedup import tokens_expr
+    from crawler_spark.streaming import (
+        term_rate_stream,
+        top_terms,
+        trending_terms,
+    )
+
+    agg = term_rate_stream(spark, split_corpus["dir"], window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("term_rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rates = spark.table("term_rates").cache()
+    assert rates.count() > 0
+
+    # per-term totals across windows == batch token counts
+    stream_tot = {
+        r["term"]: r["t"]
+        for r in rates.groupBy("term").agg(F.sum("n").alias("t")).collect()
+    }
+    batch_tot = {
+        r["term"]: r["t"]
+        for r in spark.read.parquet(split_corpus["dir"])
+        .select(F.explode(F.expr(tokens_expr("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("t"))
+        .collect()
+    }
+    assert stream_tot == batch_tot
+
+    # top_terms: per window, exactly the (n desc, term) head of the table
+    top = top_terms(rates, k=3)
+    for ws_row in rates.select("window_start").distinct().collect():
+        ws = ws_row["window_start"]
+        exp = sorted(
+            (
+                (-r["n"], r["term"])
+                for r in rates.filter(F.col("window_start") == ws).collect()
+            )
+        )[:3]
+        got = [
+            (-r["n"], r["term"])
+            for r in top.filter(F.col("window_start") == ws)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == exp
+
+    # trending_terms: delta vs the SAME term's previous window
+    tr = {
+        (r["window_start"], r["term"]): (r["prev_n"], r["delta"])
+        for r in trending_terms(rates, k=10_000).collect()
+    }
+    by_term = {}
+    for r in rates.collect():
+        by_term.setdefault(r["term"], []).append((r["window_start"], r["n"]))
+    for term, seq in by_term.items():
+        seq.sort()
+        prev = 0
+        for ws, n in seq:
+            assert tr[(ws, term)] == (prev, n - prev)
+            prev = n
+    rates.unpersist()
