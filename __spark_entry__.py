@@ -796,6 +796,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), num_hashes=8, bands=4, shingle_k=3
         )
 
+    # ---- incremental cross-wave near-dup vs a persisted signature store:
+    # prior = doc_id % 3 != 0 (its signatures ARE the store; text never
+    # re-shingled), new wave = % 3 == 0 probed against it
+    def incr_near_dup_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import (
+            incremental_near_dups,
+            minhash_signatures,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        prior_sigs = minhash_signatures(
+            d.filter(F.col("doc_id") % 3 != 0), num_hashes=8, shingle_k=3
+        )
+        pairs, _ = incremental_near_dups(
+            d.filter(F.col("doc_id") % 3 == 0),
+            prior_sigs,
+            num_hashes=8,
+            bands=4,
+            shingle_k=3,
+            threshold=0.5,
+        )
+        return pairs
+
     # ---- two-stage near-dup: LSH candidates -> exact Jaccard verify
     def near_dup_docs(spark, sf_dir):
         from crawler_spark.operators.dedup import near_dup_pairs
@@ -1899,6 +1922,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": exact_dedup_docs,
         "minhash_signature": minhash_signature,
         "minhash_lsh": minhash_lsh,
+        "incr_near_dup_docs": incr_near_dup_docs,
         "near_dup_docs": near_dup_docs,
         "ngram_jaccard": ngram_jaccard,
         "cosine_topk": cosine_topk,
@@ -2244,6 +2268,24 @@ def _all_oracle_sql() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_lsh_pairs_ctes}
             SELECT id_a, id_b FROM lsh_pairs
+        """,
+        # incremental cross-wave near-dup: batch LSH pairs restricted to
+        # pairs touching the new wave (doc_id % 3 = 0) — provably the same
+        # set the store-probe produces — plus the MinHash agreement
+        # estimator over the full 8-component signatures
+        "incr_near_dup_docs": f"""
+            WITH {_lsh_pairs_ctes},
+            incr AS (SELECT id_a, id_b FROM lsh_pairs
+                     WHERE id_a % 3 = 0 OR id_b % 3 = 0),
+            est AS (
+              SELECT id_a, id_b,
+                     round(len(list_filter(range(1, 9),
+                               i -> sa.minhash[i] = sb.minhash[i])) / 8.0,
+                           6) AS est_jaccard
+              FROM incr JOIN sigs sa ON sa.doc_id = id_a
+                        JOIN sigs sb ON sb.doc_id = id_b
+            )
+            SELECT * FROM est WHERE est_jaccard >= 0.5
         """,
         "near_dup_docs": f"""
             WITH sigs AS (
@@ -3977,6 +4019,9 @@ _EXTENDED_GATE = [
     # per-source corpus health report (exact percentiles, one shuffle);
     # parity held by check_entry --extended + approx-path pytest
     "corpus_report_docs",
+    # incremental cross-wave near-dup vs a persisted signature store;
+    # parity held by check_entry --extended + wave-union==batch pytest
+    "incr_near_dup_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

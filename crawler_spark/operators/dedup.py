@@ -139,6 +139,106 @@ def minhash_signatures(
     return df.select(F.col(id_col), F.expr(sig).alias("minhash"))
 
 
+def banded_rows(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, minhash)`` signatures -> ``(id, band_id, band_sig)`` LSH
+    index rows — the layout a persisted signature store is bucketed by."""
+    assert num_hashes % bands == 0
+    rows_per = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> concat_ws(',', slice(minhash, b * {rows_per} + 1, {rows_per})))"
+            )
+        ).alias("band_id", "band_sig"),
+    )
+
+
+def estimate_jaccard(num_hashes: int) -> str:
+    """SQL expr (over columns ``sig_a``, ``sig_b``): fraction of agreeing
+    minhash components — the unbiased MinHash Jaccard estimator."""
+    return (
+        f"round(size(filter(sequence(1, {num_hashes}), "
+        f"i -> element_at(sig_a, i) = element_at(sig_b, i))) "
+        f"/ cast({num_hashes} as double), 6)"
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    prior_sigs: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """Cross-wave near-duplicate detection against a persisted signature
+    store — the continuous-crawl shape where re-LSH-ing the whole corpus
+    every wave is the thing you cannot afford.
+
+    ``prior_sigs`` is the accumulated ``(id, minhash)`` table from earlier
+    waves (None for the first wave). Only the NEW wave is shingled and
+    hashed; the band join probes new band rows against the full store, so
+    per-wave cost scales with the wave, not the corpus, and band buckets
+    keep the join candidate-bounded exactly as in :func:`minhash_lsh_pairs`.
+    Matching is signature-estimated Jaccard (the store does not retain
+    text — components agreeing / ``num_hashes``); pairs at or above
+    ``threshold`` are reported with ``id_a < id_b``.
+
+    Returns ``(pairs, all_sigs)``: the flagged pairs (new-vs-prior and
+    new-vs-new) and the merged signature table to persist as the next
+    wave's store. Invariant (pytest-pinned): the union of per-wave pair
+    sets over any wave split equals one batch run over the whole corpus.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=False)
+    all_sigs = (
+        new_sigs
+        if prior_sigs is None
+        else prior_sigs.unionByName(new_sigs)
+    )
+    nb = banded_rows(new_sigs, num_hashes, bands, id_col).alias("l")
+    ab = banded_rows(all_sigs, num_hashes, bands, id_col).alias("r")
+    cand = (
+        nb.join(
+            ab,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")
+    )
+    sb = all_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")
+    )
+    pairs = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.expr(estimate_jaccard(num_hashes)))
+        .filter(F.col("est_jaccard") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return pairs, all_sigs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -158,20 +258,11 @@ def minhash_lsh_pairs(
     (at corpus scale this is the written signature table).
     """
     assert num_hashes % bands == 0
-    rows_per = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     if materialize_signatures:
         sigs = sigs.localCheckpoint(eager=False)
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> concat_ws(',', slice(minhash, b * {rows_per} + 1, {rows_per})))"
-            )
-        ).alias("band_id", "band_sig"),
-    )
+    banded = banded_rows(sigs, num_hashes, bands, id_col)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
