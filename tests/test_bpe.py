@@ -147,3 +147,37 @@ def test_bpe_multibyte_symbols(spark):
     assert merges == exp_merges and got == exp_syms
     # fully merged: one symbol for the whole word
     assert got["中文"] == ["中文" + _EOW]
+
+
+def test_tokenizer_cli_end_to_end(spark, docs, tmp_path, monkeypatch):
+    """jobs/tokenizer.py: merges + vocab written, encode round-trips, and
+    the written merge table equals the library's."""
+    import sys
+
+    import jobs.tokenizer as jt
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "tok")
+    enc = str(tmp_path / "enc")
+    docs.write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "tokenizer.py", "--input", inp, "--output", out,
+        "--merges", "10", "--encode", enc,
+    ])
+    jt.main()
+    stored = [
+        (r["rank"], r["left"], r["right"])
+        for r in spark.read.parquet(out + "/merges").orderBy("rank").collect()
+    ]
+    exp_merges, exp_syms, wf = py_bpe(TEXTS, 10)
+    assert stored == exp_merges
+    vocab = {
+        r["subword"]: r["freq"]
+        for r in spark.read.parquet(out + "/vocab").collect()
+    }
+    assert sum(vocab.values()) == sum(
+        len(s) * wf[w] for w, s in exp_syms.items()
+    )
+    encoded = spark.read.parquet(enc)
+    assert encoded.count() == len(TEXTS)
+    assert "bpe_tokens" in encoded.columns and "n_bpe_tokens" in encoded.columns
