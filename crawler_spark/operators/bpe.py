@@ -202,13 +202,22 @@ def bpe_encode(
             syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return syms
 
+    import re
+
+    # Java regex \s is ASCII-only; Python str.split() is Unicode-wide.
+    # Match the JVM tokenizer (tokens_expr) exactly so a doc with exotic
+    # whitespace (U+00A0 etc.) segments identically in train and encode.
+    ws = re.compile(r"\s+", re.ASCII)
+
     def run(batches: Iterator) -> Iterator:
         cache: dict = {}
         for pdf in batches:
             toks, ns = [], []
             for text in pdf[text_col].astype(str):
                 out: List[str] = []
-                for w in text.strip().lower().split():
+                for w in ws.split(text.lower()):
+                    if not w:
+                        continue
                     got = cache.get(w)
                     if got is None:
                         got = cache[w] = encode_word(w)

@@ -181,3 +181,17 @@ def test_tokenizer_cli_end_to_end(spark, docs, tmp_path, monkeypatch):
     encoded = spark.read.parquet(enc)
     assert encoded.count() == len(TEXTS)
     assert "bpe_tokens" in encoded.columns and "n_bpe_tokens" in encoded.columns
+
+
+def test_bpe_encode_whitespace_rule_matches_train(spark):
+    """Java \\s is ASCII-only: a U+00A0 'space' is part of the token on
+    both the train and encode paths (no silent split divergence)."""
+    text = "aa bb aa bb cc"
+    df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    merges, syms_df = bpe_train(df, n_merges=6, min_pair_freq=2)
+    trained = {r["word"]: list(r["syms"]) for r in syms_df.collect()}
+    assert "aa bb" in trained  # nbsp did NOT split the word
+    row = bpe_encode(df, merges).collect()[0]
+    toks = list(row["bpe_tokens"])
+    exp = trained["aa bb"] * 2 + trained["cc"]
+    assert toks == exp
