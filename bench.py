@@ -504,6 +504,48 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_tokens"), F.expr("bit_xor(id_checksum)")
         ).collect()
 
+    # ---- q_incr_dedup: cross-wave near-dup vs a persisted signature store -
+    # (dedup.incremental_near_dups — only the new wave is shingled; its
+    # band rows probe the accumulated store)
+    with timed("q_incr_dedup"):
+        from crawler_spark.operators.dedup import (
+            incremental_near_dups,
+            minhash_signatures,
+        )
+
+        prior = minhash_signatures(
+            docs.filter(F.col("doc_id") % 3 != 0), num_hashes=16, shingle_k=3
+        ).localCheckpoint()
+        pairs, _ = incremental_near_dups(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            prior,
+            num_hashes=16,
+            bands=4,
+            shingle_k=3,
+            threshold=0.5,
+        )
+        pairs.select(F.count("*"), F.sum("est_jaccard")).collect()
+
+    # ---- q_ppl_buckets: CCNet head/middle/tail perplexity bucketing -------
+    # (lm.perplexity_buckets — bigram-LM scoring + per-lang ntile)
+    with timed("q_ppl_buckets"):
+        from crawler_spark.operators.lm import perplexity_buckets
+
+        perplexity_buckets(docs, by="lang", n_buckets=3).groupBy(
+            "lang", "ppl_bucket"
+        ).count().collect()
+
+    # ---- q_bpe: BPE tokenizer training on a hash sample + corpus encode ---
+    # (operators/bpe.py — merge loop over the word-frequency table)
+    with timed("q_bpe"):
+        from crawler_spark.operators.bpe import bpe_encode, bpe_train
+
+        merges, _ = bpe_train(docs, n_merges=40, sample_frac=0.25)
+        bpe_encode(docs, merges).select(
+            F.count("*"), F.sum("n_bpe_tokens")
+        ).collect()
+    extra["bpe_merges"] = len(merges)
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):
