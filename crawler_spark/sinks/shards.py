@@ -133,10 +133,17 @@ def shard_manifest(sharded: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def write_shards(
-    sharded: DataFrame, path: str, id_col: str = "doc_id"
+    sharded: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Materialize assigned shards as ``{path}/shards/shard=N/`` parquet
+    """Materialize assigned shards as ``{path}/shards/shard=N/`` files
     plus a ``{path}/manifest/`` parquet, and return the manifest.
+
+    ``fmt`` is ``parquet`` (default) or ``json`` — JSONL is the lingua
+    franca trainer ingest format; the manifest stays parquet either way
+    (it is the integrity contract, not training data).
 
     ``repartitionByRange`` on the shard id lines partitions up with shard
     boundaries so each shard directory lands as one file in the common
@@ -145,13 +152,16 @@ def write_shards(
     back for the range partitioner is a driver-known scalar (same
     decide-from-a-count pattern as the frontier's broadcast decisions).
     """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {fmt!r}")
     n_shards = sharded.agg(F.max("shard")).first()[0]
     n_shards = int(n_shards) + 1 if n_shards is not None else 1
     (
         sharded.repartitionByRange(n_shards, "shard", id_col)
         .write.partitionBy("shard")
         .mode("overwrite")
-        .parquet(os.path.join(path, "shards"))
+        .format(fmt)
+        .save(os.path.join(path, "shards"))
     )
     manifest = shard_manifest(sharded, id_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(

@@ -103,3 +103,25 @@ def test_shard_plan_is_jvm_side(tok_docs):
     # offsets broadcast back; no Python in the assignment path
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_shards_jsonl(spark, tmp_path):
+    from crawler_spark.sinks.shards import token_balanced_shards, write_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(5 + i % 4))) for i in range(40)],
+        "doc_id int, text string",
+    )
+    sharded = token_balanced_shards(docs, tokens_per_shard=60, groups=8)
+    manifest = write_shards(sharded, str(tmp_path / "out"), fmt="json")
+    back = spark.read.json(str(tmp_path / "out" / "shards"))
+    assert back.count() == 40
+    # JSONL round-trips the assignment: same (doc_id -> shard) mapping
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    exp = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    assert got == exp
+    assert manifest.count() == len(set(exp.values()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_shards(sharded, str(tmp_path / "bad"), fmt="csvx")
