@@ -179,6 +179,7 @@ def incremental_near_dups(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    new_sigs: Optional[DataFrame] = None,
 ):
     """Cross-wave near-duplicate detection against a persisted signature
     store — the continuous-crawl shape where re-LSH-ing the whole corpus
@@ -197,10 +198,15 @@ def incremental_near_dups(
     new-vs-new) and the merged signature table to persist as the next
     wave's store. Invariant (pytest-pinned): the union of per-wave pair
     sets over any wave split equals one batch run over the whole corpus.
+
+    Pass ``new_sigs`` to reuse already-computed wave signatures (e.g. a
+    streaming sink that also writes them to the store) — ``new_docs`` is
+    then ignored for hashing.
     """
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_k
-    ).localCheckpoint(eager=False)
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_k
+        ).localCheckpoint(eager=False)
     all_sigs = (
         new_sigs
         if prior_sigs is None

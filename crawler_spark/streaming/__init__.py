@@ -5,6 +5,7 @@ from crawler_spark.streaming.ingest import (
     host_session_stream,
     stream_extract,
     stream_seen_dedup,
+    incremental_dedup_stream,
     term_rate_stream,
     top_terms,
     trending_terms,
@@ -17,6 +18,7 @@ __all__ = [
     "politeness_sink_stream",
     "host_session_stream",
     "stream_seen_dedup",
+    "incremental_dedup_stream",
     "term_rate_stream",
     "top_terms",
     "trending_terms",

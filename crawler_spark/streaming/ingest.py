@@ -468,3 +468,97 @@ def trending_terms(term_rates: DataFrame, k: int = 10) -> DataFrame:
     return deltas.withColumn("rank", F.row_number().over(rank_w)).filter(
         F.col("rank") <= int(k)
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous cross-wave near-dup: every arriving micro-batch of
+    documents probes the accumulated MinHash signature store
+    (``operators/dedup.incremental_near_dups``) and then appends its own
+    signatures — the streaming face of the batch incremental dedup, so a
+    live crawl flags duplicates against everything ever ingested without
+    re-hashing old waves.
+
+    Exactly-once without streaming state: the store and the pairs output
+    are parquet tables partitioned by ``batch_id`` written with DYNAMIC
+    partition overwrite, so a replayed batch (checkpoint recovery)
+    overwrites its own partition instead of double-appending, and the
+    probe reads only partitions with ``batch_id < current`` — a replay
+    sees exactly the store the original attempt saw. State store holds
+    nothing; the signature table is just data (the same
+    backlog-in-storage stance as ``politeness_sink_stream``).
+
+    Returns the started StreamingQuery.
+    """
+    from crawler_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_signatures,
+    )
+
+    schema = spark.read.parquet(docs_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def process(batch_df, batch_id):
+        s = batch_df.sparkSession
+        new_sigs = minhash_signatures(
+            batch_df, text_col, id_col, num_hashes, shingle_k
+        ).localCheckpoint()
+        try:
+            prior = (
+                s.read.parquet(store_dir)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select(id_col, "minhash")
+            )  # empty on a batch-0 replay: the probe degrades to new-new
+        except Exception:  # store not created yet
+            prior = None
+        pairs, _ = incremental_near_dups(
+            batch_df,
+            prior,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            new_sigs=new_sigs,
+        )
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(pairs_dir)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(**dyn)
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

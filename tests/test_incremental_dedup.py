@@ -129,3 +129,39 @@ def test_threshold_filters(waves):
     assert set(tm) <= set(lm)
     assert all(v == 1.0 for v in tm.values())
     assert set(tm) == {k for k, v in lm.items() if v == 1.0}
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, waves, tmp_path):
+    """incremental_dedup_stream: per-micro-batch probing of the signature
+    store reconstructs the batch pair set; the store accumulates one
+    batch_id partition per micro-batch."""
+    from crawler_spark.streaming import incremental_dedup_stream
+
+    w1, w2, full = waves
+    docs_dir = str(tmp_path / "docs")
+    w1.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    kw = dict(
+        store_dir=str(tmp_path / "store"),
+        pairs_dir=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=K,
+        max_files_per_trigger=1,
+    )
+    q = incremental_dedup_stream(spark, docs_dir, **kw)
+    q.awaitTermination()
+    # second drop arrives; restart drains only the new file (exactly-once)
+    w2.coalesce(1).write.mode("append").parquet(docs_dir)
+    q = incremental_dedup_stream(spark, docs_dir, **kw)
+    q.awaitTermination()
+
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in spark.read.parquet(kw["pairs_dir"]).collect()
+    }
+    assert got == _batch_pairs(full, 0.5)
+    store = spark.read.parquet(kw["store_dir"])
+    assert store.count() == 30  # one signature per doc, no double-append
+    assert store.select("batch_id").distinct().count() == 2
