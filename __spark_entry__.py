@@ -3981,7 +3981,10 @@ _DRIVER_GATE = [
     "embedding_near_dups",
     "ivf_topk_docs",
     "pq_topk_docs",
-    "lang_id_docs",
+    # lang_id_docs rotated to extended (driver-green rounds 1 and 2;
+    # lang_pred still gates curate_docs survivorship on board) to give the
+    # round-3 incremental cross-wave near-dup a driver row
+    "incr_near_dup_docs",
     "fingerprint_docs",
     "curate_docs",
     "media_features",
@@ -3990,7 +3993,11 @@ _DRIVER_GATE = [
     "pii_redact_docs",
     "blocklist_docs",
     "line_dedup_docs",
-    "contamination_docs",
+    # contamination_docs -> contamination_pruned_docs is evidence-NEUTRAL:
+    # the pruned gate's oracle IS the exact gate's SQL, so the driver
+    # still value-hashes the same decontamination semantics — now through
+    # the Bloom-sidecar probe path as well
+    "contamination_pruned_docs",
     "sample_budget_docs",
 ]
 
@@ -4009,19 +4016,20 @@ _EXTENDED_GATE = [
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",
-    # Bloom-pruned decontamination (sidecar broadcast + exact verify);
-    # oracle is literally the exact operator's SQL — parity held by
-    # check_entry --extended + exact==pruned equivalence in test_sampling
-    "contamination_pruned_docs",
+    # exact decontamination analog: rotated out for its Bloom-pruned twin
+    # (same oracle SQL, so the driver still checks these exact semantics);
+    # driver-green round 2, exact==pruned equivalence in test_sampling
+    "contamination_docs",
+    # lang-id rotated out (driver-green rounds 1 and 2) for the round-3
+    # incremental near-dup gate; lang_pred still decides curate_docs
+    # survivorship on the driver board
+    "lang_id_docs",
     # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
     # held by check_entry --extended + structural tests in test_lm_spans
     "ppl_bucket_docs",
     # per-source corpus health report (exact percentiles, one shuffle);
     # parity held by check_entry --extended + approx-path pytest
     "corpus_report_docs",
-    # incremental cross-wave near-dup vs a persisted signature store;
-    # parity held by check_entry --extended + wave-union==batch pytest
-    "incr_near_dup_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",

@@ -73,7 +73,10 @@ FAMILY_REPRESENTATIVES = {
     "ivf ann": "ivf_topk_docs",
     "embedding near-dup": "embedding_near_dups",
     "semantic dedup": "semantic_dedup_docs",
-    "lang id": "lang_id_docs",
+    # lang_id_docs rotated to extended in round 3 (driver-green rounds 1
+    # and 2): lang_pred decides curate_docs survivorship on the board
+    "lang id": "curate_docs",
+    "incremental near-dup": "incr_near_dup_docs",
     # quality_score_docs rotated to extended in round 3: the quality
     # formula is value-hashed inside source_reputation_docs and gates
     # curate_docs survivorship
@@ -92,7 +95,9 @@ FAMILY_REPRESENTATIVES = {
     "pii": "pii_redact_docs",
     "blocklist": "blocklist_docs",
     "line dedup": "line_dedup_docs",
-    "decontamination": "contamination_docs",
+    # contamination_docs swapped for its Bloom-pruned twin in round 3 —
+    # same oracle SQL, so the same semantics stay driver-checked
+    "decontamination": "contamination_pruned_docs",
     "budget mixing exact": "sample_budget_docs",
     "budget mixing approx": "sample_budget_approx_docs",
     "connected components": "near_dup_clusters",
