@@ -1686,6 +1686,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=4).select("id", "rank_q")
 
+    def hits_docs(spark, sf_dir):
+        # HITS over the same synthetic edge set as pagerank_docs; the _q
+        # columns are exact fixed-point BIGINTs (2 unrolled iterations in
+        # the oracle)
+        from crawler_spark.operators.graph import hits
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return hits(edges, iterations=2).select("id", "auth_q", "hub_q")
+
     # ---- inbound anchor-text aggregation (operators/anchors.py). The
     # gate builds an anchor-rich html corpus from documents by expression
     # (same-source lead(1)/lead(2) links plus a hot per-source hub link
@@ -1990,6 +2007,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
         "pagerank_docs": pagerank_docs,
+        "hits_docs": hits_docs,
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
         "mirror_pairs_docs": mirror_pairs_docs,
@@ -3614,6 +3632,49 @@ def _all_oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN s4 ON nodes.id = s4.id)
             SELECT id, rank_q FROM r4
         """,
+        # HITS hubs/authorities: two unrolled half-round pairs over the
+        # pagerank_docs edge set; each half re-normalizes by
+        # greatest(max // Q, 1) with integer division only — identical
+        # arithmetic to graph.hits at Q = 10^9
+        "hits_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e AS (SELECT DISTINCT doc_id AS src,
+                         (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                  FROM documents, (VALUES (1), (2), (3)) t(j)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS hub_q FROM nodes),
+            ar1 AS (SELECT e.dst AS id, SUM(h0.hub_q) AS raw
+                    FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst),
+            a1 AS (SELECT nodes.id,
+                          CAST(COALESCE(ar1.raw, 0)
+                               // (SELECT greatest(max(raw) // 1000000000, 1)
+                                   FROM ar1) AS BIGINT) AS auth_q
+                   FROM nodes LEFT JOIN ar1 ON nodes.id = ar1.id),
+            hr1 AS (SELECT e.src AS id, SUM(a1.auth_q) AS raw
+                    FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+            h1 AS (SELECT nodes.id,
+                          CAST(COALESCE(hr1.raw, 0)
+                               // (SELECT greatest(max(raw) // 1000000000, 1)
+                                   FROM hr1) AS BIGINT) AS hub_q
+                   FROM nodes LEFT JOIN hr1 ON nodes.id = hr1.id),
+            ar2 AS (SELECT e.dst AS id, SUM(h1.hub_q) AS raw
+                    FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+            a2 AS (SELECT nodes.id,
+                          CAST(COALESCE(ar2.raw, 0)
+                               // (SELECT greatest(max(raw) // 1000000000, 1)
+                                   FROM ar2) AS BIGINT) AS auth_q
+                   FROM nodes LEFT JOIN ar2 ON nodes.id = ar2.id),
+            hr2 AS (SELECT e.src AS id, SUM(a2.auth_q) AS raw
+                    FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+            h2 AS (SELECT nodes.id,
+                          CAST(COALESCE(hr2.raw, 0)
+                               // (SELECT greatest(max(raw) // 1000000000, 1)
+                                   FROM hr2) AS BIGINT) AS hub_q
+                   FROM nodes LEFT JOIN hr2 ON nodes.id = hr2.id)
+            SELECT nodes.id, a2.auth_q, h2.hub_q
+            FROM nodes JOIN a2 ON nodes.id = a2.id
+                       JOIN h2 ON nodes.id = h2.id
+        """,
         # inbound anchor-text stats: re-derive the (src, dst, anchor)
         # stream from the gate's construction rules (lead(1)/lead(2)
         # same-source links + per-source hub link with parity-varied
@@ -4027,6 +4088,9 @@ _EXTENDED_GATE = [
     # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
     # held by check_entry --extended + structural tests in test_lm_spans
     "ppl_bucket_docs",
+    # HITS hubs/authorities (fixed-point, unrolled-iteration oracle);
+    # parity held by check_entry --extended + python replay in test_graph
+    "hits_docs",
     # per-source corpus health report (exact percentiles, one shuffle);
     # parity held by check_entry --extended + approx-path pytest
     "corpus_report_docs",

@@ -220,3 +220,128 @@ def pagerank_priority_scorer(host_ranks: DataFrame):
         )
 
     return scorer
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_scale: int = 10**9,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hubs point at good
+    authorities, authorities are pointed at by good hubs — the companion
+    signal to :func:`pagerank` for focused crawling (a directory/hub page
+    is exactly what a crawler wants early, and hub score finds it where
+    PageRank does not).
+
+    Returns ``(id, auth_q, hub_q, auth, hub)`` with the ``_q`` columns
+    exact fixed-point BIGINTs (the oracle-compared values). Integer
+    contract: each half-round re-normalizes by the L-infinity norm using
+    ``raw div greatest(max_raw div Q, 1)`` — division only, so nothing
+    ever multiplies past BIGINT range (per-node sums stay <= in_deg * ~2Q
+    <= ~10^17 at Q=10^9 and 10^8-degree hubs), and the result is
+    bit-identical across partitionings and engines. The per-round max is
+    a driver-known scalar (two tiny actions per iteration — the
+    decide-from-a-count pattern; HITS normalization is a global reduce by
+    definition, there is no shuffle-free form).
+
+    Scale shape: the edge list is stored TWICE, hash-partitioned by
+    ``src`` and by ``dst`` (the adjacency/transpose pair every HITS/SALSA
+    implementation keeps), each persisted once; per round only node-sized
+    score tables move.
+    """
+    spark = edges.sparkSession
+    q = int(rank_scale)
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=False)
+    )
+    e_src = e.repartition(num_partitions, "src").persist()
+    e_dst = e.repartition(num_partitions, "dst").persist()
+    e_src.count(), e_dst.count()
+
+    hubs = nodes.withColumn("hub_q", F.lit(q).cast("bigint"))
+    auth = nodes.withColumn("auth_q", F.lit(0).cast("bigint"))
+    for _ in range(int(iterations)):
+        a_raw = (
+            e_src.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub_q").alias("raw"))
+        )
+        amax = a_raw.agg(F.max("raw")).first()[0] or 0
+        anorm = max(amax // q, 1)
+        auth = (
+            nodes.join(a_raw, "id", "left")
+            .select(
+                "id",
+                F.expr(f"coalesce(raw, 0L) div {anorm}").alias("auth_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e_dst.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth_q").alias("raw"))
+        )
+        hmax = h_raw.agg(F.max("raw")).first()[0] or 0
+        hnorm = max(hmax // q, 1)
+        hubs = (
+            nodes.join(h_raw, "id", "left")
+            .select(
+                "id",
+                F.expr(f"coalesce(raw, 0L) div {hnorm}").alias("hub_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = (
+        nodes.join(auth, "id")
+        .join(hubs, "id")
+        .select(
+            "id",
+            "auth_q",
+            "hub_q",
+            (F.col("auth_q") / F.lit(float(q))).alias("auth"),
+            (F.col("hub_q") / F.lit(float(q))).alias("hub"),
+        )
+    )
+    e_src.unpersist(), e_dst.unpersist()
+    return out
+
+
+def host_hits(
+    results: DataFrame,
+    iterations: int = 3,
+    host_col: str = "host",
+    link_hosts_col: str = "link_hosts",
+) -> DataFrame:
+    """Host-level HITS straight from extraction output:
+    ``(host, auth_q, hub_q, auth, hub)`` — same xxhash64 keying and
+    name join-back as :func:`host_pagerank`."""
+    g = host_link_graph(results, host_col, link_hosts_col)
+    names = (
+        g.select(F.col("src_host").alias("h"))
+        .unionByName(g.select(F.col("dst_host").alias("h")))
+        .distinct()
+        .withColumn("hid", F.xxhash64("h"))
+    )
+    edges = g.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+    )
+    hs = hits(edges, iterations=iterations)
+    return (
+        hs.join(names, hs["id"] == names["hid"])
+        .select(F.col("h").alias(host_col), "auth_q", "hub_q", "auth", "hub")
+    )

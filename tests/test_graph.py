@@ -186,3 +186,77 @@ def test_pagerank_plan_is_jvm_only(spark):
     out = pagerank(df, iterations=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities)
+# --------------------------------------------------------------------------
+
+def _py_hits(edges, iterations, q=10**9):
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: q for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        a_raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            a_raw[v] += hub[u]
+        anorm = max(max(a_raw.values()) // q, 1)
+        auth = {n: a_raw[n] // anorm for n in nodes}
+        h_raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            h_raw[u] += auth[v]
+        hnorm = max(max(h_raw.values()) // q, 1)
+        hub = {n: h_raw[n] // hnorm for n in nodes}
+    return auth, hub
+
+
+def test_hits_matches_python_replay(spark):
+    from crawler_spark.operators.graph import hits
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 20), (2, 20), (10, 1), (1, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: (r["auth_q"], r["hub_q"]) for r in hits(df, 3).collect()}
+    exp_auth, exp_hub = _py_hits(edges, 3)
+    assert out == {n: (exp_auth[n], exp_hub[n]) for n in exp_auth}
+
+
+def test_hits_hub_vs_authority_star(spark):
+    from crawler_spark.operators.graph import hits
+
+    # 0 points at 1..5 (pure hub); 1..5 point nowhere
+    edges = [(0, v) for v in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["id"]: r for r in hits(df, 2).collect()}
+    assert out[0]["hub_q"] == max(r["hub_q"] for r in out.values())
+    assert out[0]["auth_q"] == 0  # nothing points at the hub
+    for v in range(1, 6):
+        assert out[v]["hub_q"] == 0 and out[v]["auth_q"] > 0
+
+
+def test_hits_partition_invariant(spark):
+    from crawler_spark.operators.graph import hits
+
+    edges = [(i % 7, (i * 3 + 1) % 7) for i in range(25) if i % 7 != (i * 3 + 1) % 7]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, hits(df.repartition(1), 3).collect()))
+    b = sorted(map(tuple, hits(df.repartition(9, "src"), 3).collect()))
+    assert a == b
+
+
+def test_host_hits_names_join(spark):
+    from crawler_spark.operators.graph import host_hits
+
+    rows = [
+        ("hub.test", ["a.test", "b.test", "c.test"]),
+        ("a.test", ["b.test"]),
+    ]
+    out = {
+        r["host"]: r
+        for r in host_hits(
+            spark.createDataFrame(rows, "host string, link_hosts array<string>"),
+            2,
+        ).collect()
+    }
+    assert out["hub.test"]["hub_q"] == max(r["hub_q"] for r in out.values())
+    assert out["b.test"]["auth_q"] >= out["c.test"]["auth_q"]
