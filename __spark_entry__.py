@@ -1563,6 +1563,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    def funnel_steps_events(spark, sf_dir):
+        # strict-order view->click->purchase funnel over the events table
+        # (operators/sessions.py); times as exact epoch micros
+        from crawler_spark.operators.sessions import funnel
+
+        return funnel(
+            _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+        ).select("user_id", "t1", "t2", "t3", "steps_completed")
+
     # ---- aggressive URL canonicalization (dedup keys at frontier scale)
     def canonical_url_docs(spark, sf_dir):
         from crawler_spark.core.urls import canonical_url_expr
@@ -1995,6 +2004,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reputation_docs": source_reputation_docs,
         "hll_distinct_docs": hll_distinct_docs,
         "session_stats_events": session_stats_events,
+        "funnel_steps_events": funnel_steps_events,
         "asof_join_events": asof_join_events,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -3394,6 +3404,26 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         # gap sessionization: lag + running-sum session numbering, floor
         # epoch seconds on both sides (sessions.py)
+        # strict-order funnel: cascaded min-after-previous-step CTEs; times
+        # are exact epoch micros (epoch_us == Spark's unix_micros)
+        "funnel_steps_events": """
+            WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                        FROM events WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+                   FROM events e JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.t1
+                   GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+                   FROM events e JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.t2
+                   GROUP BY 1)
+            SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+                   cast(1 + (t2.t2 IS NOT NULL)::int
+                          + (t3.t3 IS NOT NULL)::int AS int)
+                     AS steps_completed
+            FROM t1 LEFT JOIN t2 USING (user_id)
+                    LEFT JOIN t3 USING (user_id)
+        """,
         "session_stats_events": f"""
             WITH s AS (
               SELECT user_id, event_id, ts,
@@ -4091,6 +4121,10 @@ _EXTENDED_GATE = [
     # HITS hubs/authorities (fixed-point, unrolled-iteration oracle);
     # parity held by check_entry --extended + python replay in test_graph
     "hits_docs",
+    # strict-order event funnel (cascaded min-after-prev CTEs); parity
+    # held by check_entry --extended + hand-built cases in
+    # test_sketch_sessions
+    "funnel_steps_events",
     # per-source corpus health report (exact percentiles, one shuffle);
     # parity held by check_entry --extended + approx-path pytest
     "corpus_report_docs",

@@ -76,3 +76,88 @@ def session_stats(
         F.max(id_col).alias("max_event_id"),
         (F.max(F.expr(sec)) - F.min(F.expr(sec))).alias("duration_sec"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-step funnel: per user, the earliest time each step
+    completes STRICTLY AFTER the previous step's completion (the standard
+    strict-order funnel — a purchase logged before the first view does
+    not convert).
+
+    Output: one row per user who completed step 1, with
+    ``t1..tN`` (epoch microseconds, BIGINT — exact and
+    timezone-representation-free on both engines; NULL from the first
+    uncompleted step on) and ``steps_completed``. By construction
+    ``t{i}`` is non-null only when ``t{i-1}`` is, so
+    ``steps_completed`` is a prefix length.
+
+    Plan shape: one filtered min-aggregation per step plus one
+    ``user``-keyed join against the previous step's (user, t) table —
+    N-1 joins total, every frame user-count-sized after the first
+    aggregation, no window over the full event stream and no per-user
+    event buffering (the classic cascade; each stage's input partitioning
+    on ``user`` is reused by AQE).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("at least one funnel step required")
+    us = f"unix_micros(cast({ts_col} as timestamp))"
+    tables = []
+    prev = None
+    for i, s in enumerate(steps, 1):
+        e = events.filter(F.col(type_col) == s).select(
+            F.col(user_col), F.expr(us).alias("_t")
+        )
+        if prev is None:
+            t = e.groupBy(user_col).agg(F.min("_t").alias(f"t{i}"))
+        else:
+            t = (
+                e.join(prev, user_col)
+                .filter(F.col("_t") > F.col(f"t{i-1}"))
+                .groupBy(user_col)
+                .agg(F.min("_t").alias(f"t{i}"))
+            )
+        tables.append(t)
+        prev = t.select(user_col, f"t{i}")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.join(t, user_col, "left")
+    done = None
+    for i in range(1, len(steps) + 1):
+        d = F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        done = d if done is None else done + d
+    return out.withColumn("steps_completed", done.cast("int"))
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-step conversion counts: ``(step_idx, step, n_users)`` — how
+    many users reached at least step ``step_idx`` in order."""
+    f = funnel(events, steps, user_col, ts_col, type_col)
+    steps = list(steps)
+    aggs = [
+        F.sum(
+            F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+        ).alias(f"_n{i}")
+        for i in range(1, len(steps) + 1)
+    ]
+    row = f.agg(*aggs).first()
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, steps[i - 1], int(row[f"_n{i}"] or 0))
+            for i in range(1, len(steps) + 1)
+        ],
+        "step_idx int, step string, n_users bigint",
+    )

@@ -299,3 +299,68 @@ def test_asof_join_matches_bruteforce_on_random_streams(spark):
             assert out[lid] == want, (lid, out[lid], want)
 
     check()
+
+
+# --------------------------------------------------------------------------
+# ordered-step funnel
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    # u1 completes view->click->purchase in order; u2 clicks BEFORE its
+    # first view (strict order: click must not count); u3 views only;
+    # u4 has two views then a click (earliest valid times win)
+    rows = [
+        (1, "2024-01-01 00:00:01", "view"),
+        (1, "2024-01-01 00:00:05", "click"),
+        (1, "2024-01-01 00:00:09", "purchase"),
+        (2, "2024-01-01 00:00:02", "click"),
+        (2, "2024-01-01 00:00:04", "view"),
+        (3, "2024-01-01 00:00:03", "view"),
+        (4, "2024-01-01 00:00:01", "view"),
+        (4, "2024-01-01 00:00:02", "view"),
+        (4, "2024-01-01 00:00:06", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string, event_type string")
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).cache()
+
+
+def test_funnel_strict_order(funnel_events):
+    from crawler_spark.operators.sessions import funnel
+
+    out = {
+        r["user_id"]: r
+        for r in funnel(funnel_events, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t1"] < out[1]["t2"] < out[1]["t3"]
+    # u2's click precedes its view: only step 1 counts
+    assert out[2]["steps_completed"] == 1
+    assert out[2]["t2"] is None and out[2]["t3"] is None
+    assert out[3]["steps_completed"] == 1
+    # u4: earliest view counts as t1, click converts
+    assert out[4]["steps_completed"] == 2
+    assert out[4]["t1"] < out[4]["t2"]
+
+
+def test_funnel_counts_and_validation(funnel_events):
+    from crawler_spark.operators.sessions import funnel, funnel_counts
+
+    got = {
+        (r["step_idx"], r["step"]): r["n_users"]
+        for r in funnel_counts(
+            funnel_events, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {(1, "view"): 4, (2, "click"): 2, (3, "purchase"): 1}
+    with pytest.raises(ValueError):
+        funnel(funnel_events, [])
+
+
+def test_funnel_partition_invariant(funnel_events):
+    from crawler_spark.operators.sessions import funnel
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(
+        funnel(funnel_events.repartition(1), ["view", "click"])
+    ) == key(funnel(funnel_events.repartition(7, "event_type"), ["view", "click"]))
