@@ -1563,6 +1563,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    def weighted_sample_docs(spark, sf_dir):
+        # A-ES weighted sampling without replacement, n_chars as weight;
+        # keys from the engine-wide id hash (no RNG), distributed top-k
+        from crawler_spark.operators.sampling import weighted_sample
+
+        return weighted_sample(
+            _t(spark, sf_dir, "documents"), 100, "n_chars"
+        ).select("doc_id", F.round("sample_key", 6).alias("key_r"))
+
     def funnel_steps_events(spark, sf_dir):
         # strict-order view->click->purchase funnel over the events table
         # (operators/sessions.py); times as exact epoch micros
@@ -2005,6 +2014,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_docs": hll_distinct_docs,
         "session_stats_events": session_stats_events,
         "funnel_steps_events": funnel_steps_events,
+        "weighted_sample_docs": weighted_sample_docs,
         "asof_join_events": asof_join_events,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
@@ -3404,6 +3414,19 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         # gap sessionization: lag + running-sum session numbering, floor
         # epoch seconds on both sides (sessions.py)
+        # A-ES weighted sample: same hash-uniform -> -ln(u)/w key on both
+        # engines (ln parity already load-bearing in the LM gates)
+        "weighted_sample_docs": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     -ln((({_duck_hash60('cast(doc_id as varchar)')})::double
+                          + 1.0) / 1152921504606846977.0)
+                       / n_chars::double AS sample_key
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, round(sample_key, 6) AS key_r
+            FROM t ORDER BY sample_key, doc_id LIMIT 100
+        """,
         # strict-order funnel: cascaded min-after-previous-step CTEs; times
         # are exact epoch micros (epoch_us == Spark's unix_micros)
         "funnel_steps_events": """
@@ -4125,6 +4148,9 @@ _EXTENDED_GATE = [
     # held by check_entry --extended + hand-built cases in
     # test_sketch_sessions
     "funnel_steps_events",
+    # A-ES deterministic weighted sampling (hash-uniform keys); parity
+    # held by check_entry --extended + selection tests in test_sampling
+    "weighted_sample_docs",
     # per-source corpus health report (exact percentiles, one shuffle);
     # parity held by check_entry --extended + approx-path pytest
     "corpus_report_docs",

@@ -603,3 +603,49 @@ def pack_sequences_firstfit(
         return out
 
     return docs.groupBy(source_col, "_shard").applyInPandas(pack, out_schema)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets the key ``-ln(u) / w`` from a
+    hash-derived uniform ``u`` — taking the ``k`` SMALLEST keys is an
+    exact weighted sample without replacement, with inclusion odds
+    proportional to ``w`` at every draw. The "randomness" is the
+    engine-wide 60-bit id hash, so the sample is reproducible,
+    partition-independent, and identical across engines — the repo-wide
+    no-RNG contract (same stance as ``split_assign`` and the budget
+    samplers).
+
+    ``by=None``: global top-k — ``orderBy(key).limit(k)``, which Spark
+    executes as ``TakeOrderedAndProject`` (per-partition heaps + a
+    k-sized driver merge; no global sort materializes). ``by=col``:
+    stratified — k rows per group via a per-group rank window (one
+    shuffle on the group key; group skew bounded by the same shard
+    trick as packing if ever needed).
+
+    Rows with non-positive weights are excluded (zero weight = zero
+    inclusion probability; the A-ES key is undefined there).
+    Output: the sampled input rows + ``sample_key`` (double).
+    """
+    h = _hash60(f"cast({id_col} as string)")
+    key = (
+        f"-ln((cast({h} as double) + 1.0d) / 1152921504606846977.0d) "
+        f"/ cast({weight_col} as double)"
+    )
+    scored = docs.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key", F.expr(key)
+    )
+    if by is None:
+        return scored.orderBy("sample_key", id_col).limit(int(k))
+    w = Window.partitionBy(by).orderBy("sample_key", id_col)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_rk")
+    )

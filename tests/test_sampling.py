@@ -575,3 +575,72 @@ def test_crawl_to_training_set_end_to_end(spark, corpus_parquet):
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
     out.unpersist()
+
+
+# --------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wdocs(spark):
+    rows = [(i, f"g{i % 2}", 1.0 if i else 1e9) for i in range(60)]
+    return spark.createDataFrame(
+        rows, "doc_id int, grp string, w double"
+    ).cache()
+
+
+def test_weighted_sample_takes_k_smallest_keys(spark, wdocs):
+    from crawler_spark.operators.sampling import weighted_sample
+
+    allk = weighted_sample(wdocs, 60, "w")
+    keys = sorted((r["sample_key"], r["doc_id"]) for r in allk.collect())
+    top10 = weighted_sample(wdocs, 10, "w")
+    assert sorted(
+        (r["sample_key"], r["doc_id"]) for r in top10.collect()
+    ) == keys[:10]
+    # the astronomically-weighted doc 0 always samples first
+    assert keys[0][1] == 0
+
+
+def test_weighted_sample_partition_invariant_and_no_zero_weights(spark, wdocs):
+    from crawler_spark.operators.sampling import weighted_sample
+
+    z = wdocs.withColumn(
+        "w", F.when(F.col("doc_id") % 3 == 0, 0.0).otherwise(F.col("w"))
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(z.repartition(1), 15, "w").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(z.repartition(7, "doc_id"), 15, "w").collect()
+    )
+    assert a == b
+    assert all(d % 3 != 0 for d in a)  # zero-weight rows excluded
+
+
+def test_weighted_sample_stratified(spark, wdocs):
+    from crawler_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(wdocs, 5, "w", by="grp")
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["grp"], []).append(r)
+    assert set(per) == {"g0", "g1"} and all(len(v) == 5 for v in per.values())
+    # within each group: exactly that group's 5 smallest keys
+    allk = weighted_sample(wdocs, 60, "w")
+    for g, rows in per.items():
+        exp = sorted(
+            (r["sample_key"], r["doc_id"])
+            for r in allk.collect()
+            if r["grp"] == g
+        )[:5]
+        assert sorted((r["sample_key"], r["doc_id"]) for r in rows) == exp
+
+
+def test_weighted_sample_plan_is_topk(spark, wdocs):
+    from crawler_spark.operators.sampling import weighted_sample
+
+    plan = (
+        weighted_sample(wdocs, 10, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort materializes
