@@ -375,6 +375,10 @@ def perplexity_buckets(
             .agg(F.min("_q").alias("lo"), F.max("_q").alias("hi"))
             .collect()
         }
+        if not rng:  # nothing scoreable: everyone is "unscored"
+            return scored.withColumn(
+                "bucket", F.lit(None).cast("int")
+            ).withColumn("ppl_bucket", F.lit("unscored"))
         # equal-width bins over each group's observed range
         bin_exprs = {
             g: (

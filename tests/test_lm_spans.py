@@ -359,3 +359,13 @@ def test_ppl_buckets_approx_near_exact_and_invariant(ppl_docs):
         ).collect()
     )
     assert a == b
+
+
+def test_ppl_buckets_approx_all_unscored(spark):
+    # every doc too short for bigrams: the approx path must not crash on
+    # an empty score range — everyone lands in the "unscored" seam
+    df = spark.createDataFrame(
+        [(0, "g1", "x"), (1, "g1", "")], "doc_id int, lang string, text string"
+    )
+    out = perplexity_buckets(df, approx_bins=128).collect()
+    assert all(r["bucket"] is None and r["ppl_bucket"] == "unscored" for r in out)
