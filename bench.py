@@ -413,6 +413,33 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("rank_q")
         ).collect()
 
+    # ---- q_hits: hubs/authorities over the same synthetic graph -----------
+    # (operators/graph.py — division-only fixed-point half-rounds,
+    # adjacency/transpose edge pair each partitioned once)
+    with timed("q_hits"):
+        from crawler_spark.operators.graph import hits
+
+        hits(edges, iterations=3).select(
+            F.count("*"), F.sum("auth_q"), F.sum("hub_q")
+        ).collect()
+
+    # ---- q_funnel: strict-order view->click->purchase over events ---------
+    with timed("q_funnel"):
+        from crawler_spark.operators.sessions import funnel
+
+        ev_f = spark.read.parquet(f"{sf_dir}/events.parquet")
+        funnel(ev_f, ["view", "click", "purchase"]).select(
+            F.count("*"), F.sum("steps_completed")
+        ).collect()
+
+    # ---- q_weighted_sample: A-ES top-k by n_chars weight -------------------
+    with timed("q_weighted_sample"):
+        from crawler_spark.operators.sampling import weighted_sample
+
+        weighted_sample(docs, 500, "n_chars").select(
+            F.count("*"), F.sum("doc_id")
+        ).collect()
+
     # ---- q_anchor_stats: parse -> inbound anchor-text aggregation ---------
     # (one html parse per page, then the pure-JVM two-stage aggregate)
     with timed("q_anchor_stats"):

@@ -19,10 +19,11 @@ Scale shape — the part worth getting right:
   (``aggregate`` over the symbol array — leftmost-first non-overlapping,
   the published rule), so iterations never leave the JVM; the table is
   ``localCheckpoint``-ed every ``checkpoint_every`` rounds (the
-  connected-components pattern in ``operators/dedup.py``; every 4 rather
-  than every 1 halves training wall-clock at small scale — one
-  materialization job amortizes over four merge rewrites, and a 4-deep
-  nested-HOF plan is still cheap for Catalyst).
+  connected-components pattern in ``operators/dedup.py``; cadence 4
+  trades one materialization job per four merge rewrites against a
+  <=4-deep nested-HOF plan — at sandbox scale the two cadences measure
+  the same within VM noise, at vocabulary scale fewer materializations
+  of a millions-row table is the win).
 - Real pipelines train on a corpus *sample*: ``sample_frac`` takes a
   deterministic hash-slice of documents (same 60-bit id hash the budget
   sampler uses) — reproducible, partition-independent, no RNG.
