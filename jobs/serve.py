@@ -125,6 +125,23 @@ def make_handler(service: CrawlerService, download_dir: str):
                 return self._json(200, {"status": "ok", "version": "0.1.0"})
             if self.path == "/api/environment":
                 return self._json(200, self._environment())
+            if self.path == "/":
+                # reference root serves its web UI (api/main.py:124-129);
+                # the engine has no UI, so the root answers with the
+                # service map instead of a 404 — same
+                # "the server is up, here is what it does" contract
+                return self._json(
+                    200,
+                    {
+                        "service": "crawler_spark",
+                        "endpoints": [
+                            "POST /api/scrape",
+                            "POST /api/download",
+                            "GET /health",
+                            "GET /api/environment",
+                        ],
+                    },
+                )
             self._json(404, {"detail": "Not Found"})
 
         def _environment(self) -> Dict:

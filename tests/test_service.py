@@ -152,3 +152,13 @@ def test_environment_endpoint(server):
 def test_unknown_get_route(server):
     code, _ = _get(server, "/api/nope")
     assert code == 404
+
+
+def test_root_serves_service_map(server):
+    """GET / answers (reference root serves its UI, api/main.py:124-129;
+    the engine answers with its endpoint map instead of a 404)."""
+    code, content = _get(server, "/")
+    assert code == 200
+    body = json.loads(content)
+    assert body["service"] == "crawler_spark"
+    assert "POST /api/scrape" in body["endpoints"]
