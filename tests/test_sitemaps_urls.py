@@ -149,3 +149,81 @@ def test_canonical_url_idempotent(spark):
     once = df.select(F.expr(canonical_url_expr("url")).alias("c"))
     twice = once.select(F.expr(canonical_url_expr("c")).alias("c"))
     assert once.collect() == twice.collect()
+
+
+# --------------------------------------------------------------------------
+# sitemap freshness hints -> recrawl schedule
+# --------------------------------------------------------------------------
+
+_HINTED = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://h.test/fresh</loc><lastmod>2024-01-02</lastmod>
+       <changefreq>daily</changefreq><priority>0.9</priority></url>
+  <url><loc>https://h.test/stale</loc><changefreq>never</changefreq></url>
+  <url><loc>https://h.test/bare</loc></url>
+  <url><loc>https://h.test/bad</loc><priority>high</priority>
+       <changefreq>sometimes</changefreq></url>
+  <url><lastmod>2024-01-01</lastmod></url>
+</urlset>"""
+
+
+def test_parse_sitemap_hints():
+    from crawler_spark.frontier.sitemaps import parse_sitemap_hints
+
+    got = parse_sitemap_hints(_HINTED)
+    assert got == [
+        ("https://h.test/fresh", "2024-01-02", "daily", 0.9),
+        ("https://h.test/stale", None, "never", None),
+        ("https://h.test/bare", None, None, None),
+        # unknown changefreq kept verbatim; unparseable priority -> None
+        ("https://h.test/bad", None, "sometimes", None),
+    ]
+    assert parse_sitemap_hints("<sitemapindex></sitemapindex>") == []
+    assert parse_sitemap_hints("<!DOCTYPE x [<!ENTITY a 'b'>]><urlset/>") == []
+
+
+def test_hints_schedule_and_due_bridge(spark):
+    from crawler_spark.frontier.recrawl import due_url_hashes
+    from crawler_spark.frontier.sitemaps import hints_schedule, sitemap_hints
+
+    bodies = spark.createDataFrame(
+        [("h.test", _HINTED)], "host string, body string"
+    )
+    hints = sitemap_hints(bodies)
+    sched = {
+        r["url"]: r
+        for r in hints_schedule(hints, "2024-01-10 00:00:00").collect()
+    }
+    day = 86_400
+    assert sched["https://h.test/fresh"]["interval_sec"] == day
+    # lastmod-based: 2024-01-02 + 1 day
+    assert str(sched["https://h.test/fresh"]["next_fetch_ts"]).startswith(
+        "2024-01-03"
+    )
+    # never/unknown/missing changefreq -> max bound from asof
+    for u in ("stale", "bare", "bad"):
+        assert sched[f"https://h.test/{u}"]["interval_sec"] == 30 * day
+        assert str(
+            sched[f"https://h.test/{u}"]["next_fetch_ts"]
+        ).startswith("2024-02-09")
+    # bridge: by 2024-01-05 only the lastmod-dated daily page is due
+    due = due_url_hashes(
+        hints_schedule(hints, "2024-01-10 00:00:00"), "2024-01-05 00:00:00"
+    )
+    assert [r["url"] for r in due.collect()] == ["https://h.test/fresh"]
+
+
+def test_hints_schedule_dedups_across_files(spark):
+    from crawler_spark.frontier.sitemaps import hints_schedule
+
+    hints = spark.createDataFrame(
+        [
+            ("h", "https://h.test/x", None, "daily", None),
+            ("h", "https://h.test/x", None, "monthly", None),
+        ],
+        "host string, url string, lastmod string, changefreq string, "
+        "priority double",
+    )
+    out = hints_schedule(hints, "2024-01-01 00:00:00").collect()
+    assert len(out) == 1
+    assert out[0]["interval_sec"] == 86_400  # soonest fetch wins
