@@ -649,3 +649,24 @@ def weighted_sample(
         .filter(F.col("_rk") <= int(k))
         .drop("_rk")
     )
+
+
+def decontaminate_pruned(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 13,
+    min_overlap: int = 1,
+    bloom_cfg=None,
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """:func:`decontaminate` through the Bloom-pruned probe — identical
+    survivors (the sketch never decides), corpus-sized eval sets allowed."""
+    flagged = contamination_pruned(
+        docs, eval_docs, text_col, id_col, shingle_k, min_overlap,
+        bloom_cfg, broadcast_bytes,
+    )
+    return flagged.filter(~F.col("contaminated")).drop(
+        "n_contaminated", "contaminated"
+    )

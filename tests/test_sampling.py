@@ -644,3 +644,13 @@ def test_weighted_sample_plan_is_topk(spark, wdocs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # no global sort materializes
+
+
+def test_decontaminate_pruned_equals_exact(spark, train_eval):
+    from crawler_spark.operators.sampling import decontaminate_pruned
+
+    tr, ev = train_eval
+    exact = sorted(r["doc_id"] for r in decontaminate(tr, ev, shingle_k=5).collect())
+    pruned = decontaminate_pruned(tr, ev, shingle_k=5)
+    assert sorted(r["doc_id"] for r in pruned.collect()) == exact
+    assert pruned.columns == tr.columns
