@@ -1852,6 +1852,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return phrase_search(posting_lists(docs), first[:2])
 
+    # ---- BM25 ranked retrieval over the same postings: the query is the
+    # first three tokens of the min-doc_id document (data-derived in both
+    # engines), Lucene's non-negative idf, top-10 with doc_id tie-break.
+    def bm25_search_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.index import bm25_search, posting_lists
+
+        docs = _t(spark, sf_dir, "documents")
+        first = (
+            docs.orderBy("doc_id")
+            .select(F.expr(tokens_expr("text")).alias("t"))
+            .first()["t"]
+        )
+        return bm25_search(posting_lists(docs), first[:3], k=10).select(
+            "doc_id", "n_terms", F.round("score", 6).alias("score")
+        )
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -2032,6 +2049,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve_docs": redirect_resolve_docs,
         "mirror_pairs_docs": mirror_pairs_docs,
         "phrase_search_docs": phrase_search_docs,
+        "bm25_search_docs": bm25_search_docs,
     }
 
 
@@ -3914,6 +3932,45 @@ def _all_oracle_sql() -> dict[str, str]:
                         ORDER BY pri, doc_id) - 1 as int) AS bin_pos
             FROM b
         """,
+        # BM25 ranked retrieval: rebuild the postings, dl, N/avgdl, and
+        # Lucene-idf stages the Spark operator runs, query = first three
+        # tokens of the min-doc_id document (deduped), top-10 by
+        # (score desc, doc_id)
+        "bm25_search_docs": rf"""
+            WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+            q AS (
+              SELECT DISTINCT unnest(t[1:3]) AS term
+              FROM (SELECT t FROM tk ORDER BY doc_id LIMIT 1)
+            ),
+            post AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+              GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+            g AS (SELECT cast(count(*) AS double) AS n_docs,
+                         avg(dl) AS avgdl FROM dl),
+            idf AS (
+              SELECT p.term,
+                     ln((g.n_docs - cast(count(*) AS double) + 0.5)
+                        / (cast(count(*) AS double) + 0.5) + 1.0) AS idf,
+                     g.avgdl AS avgdl
+              FROM post p JOIN q USING (term) CROSS JOIN g
+              GROUP BY p.term, g.n_docs, g.avgdl
+            ),
+            sc AS (
+              SELECT p.doc_id,
+                     i.idf * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / i.avgdl)) AS w
+              FROM post p
+              JOIN idf i ON p.term = i.term
+              JOIN dl ON dl.doc_id = p.doc_id
+            )
+            SELECT doc_id, cast(count(*) AS bigint) AS n_terms,
+                   round(sum(w), 6) AS score
+            FROM sc GROUP BY doc_id
+            ORDER BY sum(w) DESC, doc_id LIMIT 10
+        """,
         # exact first-fit packing replay: the same sequential recurrence the
         # applyInPandas scan runs, as a recursive CTE stepping each source's
         # (hash-priority, id) order one row per level, carrying the bin-load
@@ -4127,6 +4184,10 @@ _EXTENDED_GATE = [
     # exact heavy hitters (MG candidates + exact verify); parity held by
     # check_entry --extended + guarantee-edge tests in test_sketch_sessions
     "heavy_hitters_docs",
+    # BM25 ranked retrieval over the positional index (phrase_search_docs,
+    # on board, pins the same postings); parity held by check_entry
+    # --extended + python-replay tests in test_index
+    "bm25_search_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

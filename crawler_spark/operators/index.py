@@ -87,3 +87,82 @@ def phrase_search(
         F.size("match_pos").cast("long").alias("n_matches"),
         (F.array_min("match_pos") - F.lit(k - 1)).cast("int").alias("first_pos"),
     )
+
+
+def doc_lengths(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, dl)``: document length in tokens, from the postings.
+
+    One corpus-wide shuffle keyed on the doc id — at index-build time this
+    is a sidecar you persist next to the postings; ``bm25_search`` accepts
+    it precomputed so per-query work never rescans the whole index.
+    """
+    return postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+
+def bm25_search(
+    postings: DataFrame,
+    query: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval: top-``k`` ``(doc_id, n_terms, score)``.
+
+    Lucene's non-negative idf variant: ``ln((N - df + 0.5)/(df + 0.5) + 1)``;
+    duplicate query terms collapse (query term frequency 1). Ties break on
+    ascending doc id so the top-k is deterministic.
+
+    Scale shape: the ``term IN (query)`` filter pushes into the postings
+    scan, so everything downstream is proportional to the query terms'
+    posting sizes — except the one join against ``doc_lens``, which is
+    corpus-sized but equi-keyed (AQE turns it into a broadcast when the
+    filtered side is small). ``N``/``avgdl`` stay DataFrame-side as a 1-row
+    aggregate cross-joined in — no driver collect; the per-term idf table
+    (≤ |query| rows) is broadcast. All expression code, no Python UDFs.
+    """
+    terms: List[str] = sorted(set(query))
+    if not terms:
+        raise ValueError("empty query")
+    if doc_lens is None:
+        doc_lens = doc_lengths(postings, id_col)
+    qpost = postings.filter(F.col("term").isin(terms))
+    g = doc_lens.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = (
+        qpost.groupBy("term")
+        .agg(F.count(id_col).cast("double").alias("df"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    scored = (
+        qpost.join(F.broadcast(idf), "term")
+        .join(doc_lens, id_col)
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_terms"), F.sum("w").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

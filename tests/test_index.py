@@ -4,7 +4,13 @@ from collections import defaultdict
 
 import pytest
 
-from crawler_spark.operators.index import phrase_search, posting_lists, term_stats
+from crawler_spark.operators.index import (
+    bm25_search,
+    doc_lengths,
+    phrase_search,
+    posting_lists,
+    term_stats,
+)
 
 DOCS = [
     (0, "the cat sat on the mat"),
@@ -91,6 +97,88 @@ def test_partition_invariance(spark):
 
 def test_plan_jvm_only(postings):
     df = phrase_search(postings, ("the", "cat"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _replay_bm25(docs, query, k=10, k1=1.2, b=0.75):
+    toks = {did: _tokens(text) for did, text in docs}
+    dls = {did: len(t) for did, t in toks.items() if t}
+    n_docs = len(dls)
+    avgdl = sum(dls.values()) / n_docs
+    terms = sorted(set(query))
+    out = {}
+    for did, t in toks.items():
+        score, n_terms = 0.0, 0
+        for w in terms:
+            tf = t.count(w)
+            if tf == 0:
+                continue
+            df = sum(1 for tt in toks.values() if w in tt)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[did] / avgdl))
+            n_terms += 1
+        if n_terms:
+            out[did] = (n_terms, score)
+    ranked = sorted(out.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [(did, nt, round(s, 9)) for did, (nt, s) in ranked]
+
+
+def test_bm25_matches_replay(postings):
+    got = [
+        (r["doc_id"], r["n_terms"], round(r["score"], 9))
+        for r in bm25_search(postings, ["cat", "mat"], k=10).collect()
+    ]
+    assert got == _replay_bm25(DOCS, ["cat", "mat"])
+
+
+def test_bm25_duplicate_query_terms_collapse(postings):
+    a = bm25_search(postings, ["cat", "cat", "mat"]).collect()
+    b = bm25_search(postings, ["cat", "mat"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_rare_term_outranks_stopword(postings):
+    # "dog" appears in one doc; "the" in most — doc 2 must rank first
+    top = bm25_search(postings, ["dog"], k=1).collect()
+    assert top[0]["doc_id"] == 2
+
+
+def test_bm25_precomputed_doc_lens(postings):
+    dl = doc_lengths(postings)
+    a = bm25_search(postings, ["cat", "sat"], doc_lens=dl).collect()
+    b = bm25_search(postings, ["cat", "sat"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bm25_empty_query_raises(postings):
+    with pytest.raises(ValueError):
+        bm25_search(postings, [])
+
+
+def test_bm25_partition_invariance(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    runs = [
+        [
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+            for r in bm25_search(posting_lists(df.repartition(n)), ["cat", "on"]).collect()
+        ]
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_bm25_plan_jvm_only(postings):
+    df = bm25_search(postings, ("the", "cat"))
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
