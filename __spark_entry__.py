@@ -1869,6 +1869,41 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_terms", F.round("score", 6).alias("score")
         )
 
+    # ---- Count-Min sketch: build over the corpus token stream, point-query
+    # the first doc's first five distinct tokens, pair each estimate with
+    # the exact count (the gate thereby value-hashes the CMS >= exact
+    # guarantee too). All-integer output — engine-portable by construction.
+    def cms_estimate_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.sketch import cms_build, cms_estimate
+
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(
+            F.explode(F.expr(tokens_expr("text"))).alias("term")
+        )
+        first = (
+            docs.orderBy("doc_id")
+            .select(F.expr(tokens_expr("text")).alias("t"))
+            .first()["t"]
+        )
+        keys = spark.createDataFrame(
+            [(w,) for w in sorted(set(first[:5]))], "k string"
+        )
+        est = cms_estimate(cms_build(toks, "term"), keys)
+        exact = (
+            toks.join(
+                F.broadcast(keys.withColumnRenamed("k", "term")), "term"
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("bigint").alias("n_exact"))
+            .withColumnRenamed("term", "k")
+        )
+        return est.join(exact, "k", "left").select(
+            "k",
+            "cms_count",
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+        )
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -2050,6 +2085,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_pairs_docs": mirror_pairs_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
+        "cms_estimate_docs": cms_estimate_docs,
     }
 
 
@@ -3971,6 +4007,42 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM sc GROUP BY doc_id
             ORDER BY sum(w) DESC, doc_id LIMIT 10
         """,
+        # Count-Min sketch replay: same row-tagged hash60 buckets, exact
+        # BIGINT counters, min-over-rows estimate, plus the exact count of
+        # each probed key — every value an integer, no float seam at all
+        "cms_estimate_docs": rf"""
+            WITH tk AS (SELECT doc_id, {_D_TOKS} AS t FROM documents),
+            q AS (
+              SELECT DISTINCT unnest(t[1:5]) AS k
+              FROM (SELECT t FROM tk ORDER BY doc_id LIMIT 1)
+            ),
+            toks AS (SELECT unnest(t) AS term FROM tk),
+            rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cnts AS (
+              SELECT r,
+                     {_duck_hash60("concat('cms', cast(r as varchar), '|', term)")}
+                       % 2048 AS bucket,
+                     count(*) AS cnt
+              FROM toks CROSS JOIN rws
+              GROUP BY r, bucket
+            ),
+            est AS (
+              SELECT q.k, min(coalesce(c.cnt, 0)) AS cms_count
+              FROM q CROSS JOIN rws
+              LEFT JOIN cnts c ON c.r = rws.r AND c.bucket =
+                {_duck_hash60("concat('cms', cast(rws.r as varchar), '|', q.k)")}
+                  % 2048
+              GROUP BY q.k
+            ),
+            ex AS (
+              SELECT term AS k, count(*) AS n_exact
+              FROM toks JOIN q ON term = q.k GROUP BY term
+            )
+            SELECT est.k,
+                   cast(cms_count AS bigint) AS cms_count,
+                   cast(coalesce(n_exact, 0) AS bigint) AS n_exact
+            FROM est LEFT JOIN ex ON est.k = ex.k
+        """,
         # exact first-fit packing replay: the same sequential recurrence the
         # applyInPandas scan runs, as a recursive CTE stepping each source's
         # (hash-priority, id) order one row per level, carrying the bin-load
@@ -4188,6 +4260,10 @@ _EXTENDED_GATE = [
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index
     "bm25_search_docs",
+    # Count-Min sketch point queries paired with exact counts (all-integer
+    # gate); parity held by check_entry --extended + python-replay, merge,
+    # and overcount-guarantee tests in test_sketch_sessions
+    "cms_estimate_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

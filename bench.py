@@ -360,6 +360,22 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("hll_est"), F.sum("hll_zero_buckets")
         ).collect()
 
+    # ---- q_cms: Count-Min sketch build over the token stream + point
+    # queries (bounded-state frequency monitoring twin of q_hll) ------------
+    with timed("q_cms"):
+        from crawler_spark.operators.sketch import cms_build, cms_estimate
+
+        keys = spark.createDataFrame(
+            [("key",), ("agg",), ("row",), ("scan",), ("slow",), ("fast",),
+             ("table",), ("value",), ("part",), ("hash",), ("merge",),
+             ("batch",), ("spark",), ("the",), ("line",), ("sort",),
+             ("window",), ("never-seen",)],
+            "k string",
+        )
+        cms_estimate(cms_build(ex.select("t"), "t"), keys).select(
+            F.count("*"), F.sum("cms_count")
+        ).collect()
+
     # ---- q_sessions: gap sessionization over the events stream ------------
     with timed("q_sessions"):
         from crawler_spark.operators.sessions import session_stats
@@ -481,6 +497,14 @@ def run(spark, sf_dir: str):
             .first()["t"][:2]
         )
         phrase_search(post, first).select(F.count("*"), F.sum("n_matches")).collect()
+
+    # ---- q_bm25: BM25 ranked retrieval over the same postings -------------
+    # (doc-length sidecar built once, then a term-filtered scoring join)
+    with timed("q_bm25"):
+        from crawler_spark.operators.index import bm25_search, doc_lengths
+
+        dl = doc_lengths(post).localCheckpoint(eager=True)
+        bm25_search(post, first, k=10, doc_lens=dl).collect()
 
     # ---- q_mirrors: mirror-host detection over the corpus -----------------
     # (inverted-index pair join on content key, max_df-capped, + CC groups)

@@ -251,3 +251,114 @@ def heavy_hitters(
         )
         .drop("_n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# The frequency-estimation counterpart of the HLL above and the MG pass in
+# heavy_hitters: "how often does THIS key occur" for keys you name later,
+# from state that is depth*width counters regardless of corpus size. In the
+# crawl/curation engine that is the per-wave shape for term-frequency,
+# outlink-target, and host-hit monitoring where the distinct-key table is
+# itself corpus-sized but the queries arrive after the scan is gone.
+#
+# Deterministic and engine-portable by construction: the d row-hashes are
+# the engine-wide md5 hash60 with a per-row tag ('cms{r}|' prefix), counters
+# are exact BIGINTs (groupBy count, merge is groupBy sum — commutative
+# monoid like the HLL registers and the Bloom sidecar), and the estimate is
+# a min over integers. No floats anywhere, so partitioning, stream order,
+# and engine cannot change a single output value. Standard CMS guarantee:
+# est >= true count always; est <= true + eps*N with prob 1-delta for
+# width = ceil(e/eps), depth = ceil(ln(1/delta)).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+
+
+def cms_bucket_expr(key_col: str, row: int, width: int = CMS_WIDTH) -> str:
+    """Bucket index of ``key_col`` in sketch row ``row`` — hash60 of the
+    row-tagged key, modulo ``width`` (hash60 is non-negative, plain ``%``
+    is safe and matches the DuckDB oracle)."""
+    tagged = f"concat('cms{row}|', {key_col})"
+    return f"{_hash60(tagged)} % {width}"
+
+
+def _cms_probes(keyed: DataFrame, depth: int, width: int) -> DataFrame:
+    """``(k, row, bucket)`` — one probe row per key occurrence per hash row."""
+    return keyed.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        F.expr(cms_bucket_expr("k", r, width))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("k", "rb.row", "rb.bucket")
+
+
+def cms_build(
+    df: DataFrame,
+    key_expr: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch: ``(row, bucket, cnt)``, at most ``depth * width``
+    rows. One groupBy with map-side combine — the shuffle carries bounded
+    counter rows, never the corpus's distinct keys. NULL keys are dropped
+    (same contract as heavy_hitters)."""
+    keyed = df.select(F.expr(key_expr).cast("string").alias("k")).where(
+        F.col("k").isNotNull()
+    )
+    return (
+        _cms_probes(keyed, depth, width)
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Elementwise-sum merge: build(X) ⊎ build(Y) == build(X ∪ Y) exactly,
+    so per-wave sketches compose without rescanning history."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str = "k",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point queries: ``(k, cms_count)`` for each distinct key in ``keys``.
+
+    The sketch is depth*width rows by construction — always the broadcast
+    side; probe rows are |keys| * depth. A bucket the sketch never touched
+    counts 0 (left join + coalesce), so never-seen keys estimate 0."""
+    probes = _cms_probes(
+        keys.select(F.col(key_col).cast("string").alias("k"))
+        .where(F.col("k").isNotNull())
+        .distinct(),
+        depth,
+        width,
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("k")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_count")
+        )
+    )

@@ -364,3 +364,96 @@ def test_funnel_partition_invariant(funnel_events):
     assert key(
         funnel(funnel_events.repartition(1), ["view", "click"])
     ) == key(funnel(funnel_events.repartition(7, "event_type"), ["view", "click"]))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from crawler_spark.operators.sketch import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_cms(values, depth=CMS_DEPTH, width=CMS_WIDTH):
+    table = {}
+    for v in values:
+        for r in range(depth):
+            b = _py_hash60(f"cms{r}|{v}") % width
+            table[(r, b)] = table.get((r, b), 0) + 1
+    return table
+
+
+def _py_cms_est(table, key, depth=CMS_DEPTH, width=CMS_WIDTH):
+    return min(
+        table.get((r, _py_hash60(f"cms{r}|{key}") % width), 0)
+        for r in range(depth)
+    )
+
+
+@pytest.fixture(scope="module")
+def zipf_words(spark):
+    # word_i appears i+1 times: heavy and light keys in one frame
+    rows = [(f"w{i}",) for i in range(60) for _ in range(i + 1)]
+    return spark.createDataFrame(rows, "word string")
+
+
+def test_cms_matches_python_replay(spark, zipf_words):
+    sketch = cms_build(zipf_words, "word")
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    assert got == _py_cms([f"w{i}" for i in range(60) for _ in range(i + 1)])
+
+
+def test_cms_never_undercounts_and_zero_for_unseen(spark, zipf_words):
+    sketch = cms_build(zipf_words, "word")
+    keys = spark.createDataFrame(
+        [(f"w{i}",) for i in range(60)] + [("never-seen",)], "k string"
+    )
+    est = {r["k"]: r["cms_count"] for r in cms_estimate(sketch, keys).collect()}
+    for i in range(60):
+        assert est[f"w{i}"] >= i + 1, (i, est[f"w{i}"])
+    assert est["never-seen"] >= 0  # may collide, never negative
+    # python-replay exact agreement (same hash, same min)
+    table = _py_cms([f"w{i}" for i in range(60) for _ in range(i + 1)])
+    for k, v in est.items():
+        assert v == _py_cms_est(table, k), k
+
+
+def test_cms_merge_equals_build_of_union(spark, zipf_words):
+    a = zipf_words.filter(F.col("word") < "w3")
+    b = zipf_words.filter(F.col("word") >= "w3")
+    merged = cms_merge(cms_build(a, "word"), cms_build(b, "word"))
+    direct = cms_build(zipf_words, "word")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_partition_invariant_and_bounded(spark, zipf_words):
+    runs = [
+        sorted(map(tuple, cms_build(zipf_words.repartition(n), "word").collect()))
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+    assert len(runs[0]) <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_cms_plan_jvm_only_and_broadcast_probe(spark, zipf_words):
+    sketch = cms_build(zipf_words, "word")
+    keys = spark.createDataFrame([("w1",), ("w2",)], "k string")
+    df = cms_estimate(sketch, keys)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
