@@ -1904,6 +1904,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
         )
 
+    # ---- temperature-scaled mixing (budget_s ∝ c_s^0.5): alpha=0.5 keeps
+    # the power IEEE-exact (sqrt), integerized weights keep the total an
+    # exact BIGINT sum — the whole budget derivation is bit-identical
+    # across engines, then the standard hash-priority running-sum filter.
+    def temperature_sample_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import sample_temperature
+
+        return sample_temperature(
+            _t(spark, sf_dir, "documents"), alpha=0.5, token_budget=100_000
+        ).select("doc_id", "source", "n_tokens")
+
     # ---- deterministic train/val/test split (hash intervals, no shuffle)
     def split_assign_docs(spark, sf_dir):
         from crawler_spark.operators.sampling import split_assign
@@ -2086,6 +2097,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
+        "temperature_sample_docs": temperature_sample_docs,
     }
 
 
@@ -4043,6 +4055,44 @@ def _all_oracle_sql() -> dict[str, str]:
                    cast(coalesce(n_exact, 0) AS bigint) AS n_exact
             FROM est LEFT JOIN ex ON est.k = ex.k
         """,
+        # temperature-scaled mixing replay: sqrt-weights integerized to
+        # floor(sqrt(c) * 2^20) (exact-BIGINT total), budget as the same
+        # fixed three-op double expression, capped at the source's own
+        # token count, then the hash-priority running-sum keep rule
+        "temperature_sample_docs": rf"""
+            WITH t AS (
+              SELECT doc_id, source, len({_D_TOKS}) AS n_tokens,
+                     {_duck_hash60('cast(doc_id as varchar)')} AS pri
+              FROM documents
+            ),
+            cnt AS (
+              SELECT source, cast(sum(n_tokens) AS bigint) AS c
+              FROM t GROUP BY source
+            ),
+            wi AS (
+              SELECT source, c,
+                     cast(floor(sqrt(cast(c AS double)) * 1048576.0)
+                          AS bigint) AS w_int
+              FROM cnt
+            ),
+            tot AS (SELECT cast(sum(w_int) AS bigint) AS w_tot FROM wi),
+            bud AS (
+              SELECT source,
+                     least(cast(floor(cast(100000 AS double) *
+                           (cast(w_int AS double) / cast(w_tot AS double)))
+                           AS bigint), c) AS budget
+              FROM wi CROSS JOIN tot
+            ),
+            c2 AS (
+              SELECT t.doc_id, t.source, t.n_tokens, bud.budget,
+                     sum(t.n_tokens) OVER (PARTITION BY t.source
+                         ORDER BY t.pri, t.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t JOIN bud ON t.source = bud.source
+            )
+            SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens
+            FROM c2 WHERE cum <= budget
+        """,
         # exact first-fit packing replay: the same sequential recurrence the
         # applyInPandas scan runs, as a recursive CTE stepping each source's
         # (hash-priority, id) order one row per level, carrying the bin-load
@@ -4264,6 +4314,11 @@ _EXTENDED_GATE = [
     # gate); parity held by check_entry --extended + python-replay, merge,
     # and overcount-guarantee tests in test_sketch_sessions
     "cms_estimate_docs",
+    # temperature-scaled mixing (budget ∝ c^alpha, alpha=0.5 IEEE-exact);
+    # parity held by check_entry --extended + replay/cap/flattening tests
+    # in test_sampling; sample_budget_docs (on board) pins the shared
+    # running-sum keep rule
+    "temperature_sample_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

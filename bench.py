@@ -456,6 +456,14 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("doc_id")
         ).collect()
 
+    # ---- q_temperature: alpha=0.5 temperature-scaled source mixing --------
+    with timed("q_temperature"):
+        from crawler_spark.operators.sampling import sample_temperature
+
+        sample_temperature(docs, 0.5, 500_000).select(
+            F.count("*"), F.sum("n_tokens")
+        ).collect()
+
     # ---- q_anchor_stats: parse -> inbound anchor-text aggregation ---------
     # (one html parse per page, then the pure-JVM two-stage aggregate)
     with timed("q_anchor_stats"):

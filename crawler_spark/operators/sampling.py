@@ -670,3 +670,92 @@ def decontaminate_pruned(
     return flagged.filter(~F.col("contaminated")).drop(
         "n_contaminated", "contaminated"
     )
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    alpha: float,
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source integer token budgets for temperature-scaled mixing:
+    ``budget_s ∝ c_s^alpha`` where ``c_s`` is the source's natural token
+    count — the standard multilingual-pretraining resampling rule
+    (alpha < 1 flattens the head, upweights the tail; alpha = 1 is
+    proportional, alpha -> 0 approaches uniform).
+
+    Everything stays DataFrame-side: counts are one groupBy, the weight
+    total is a 1-row aggregate cross-joined back (no driver collect, no
+    host list — same scale contract as ``sample_to_token_budget``'s
+    uniform default).
+
+    Determinism across engines: weights are integerized as
+    ``w_s = floor(c_s^alpha * 2^20)`` so the weight TOTAL is an exact
+    BIGINT sum (no float summation-order seam), and the final share is a
+    fixed three-op double expression over identical integer inputs. For
+    ``alpha`` 0.5 / 1.0 the power itself is IEEE-exact (sqrt is correctly
+    rounded; identity is trivial) — the gate uses 0.5; other exponents go
+    through ``pow`` (platform libm, ±1 ulp — fine for production, not for
+    a value-hash oracle). Budgets are capped at ``c_s`` — a source can
+    never be asked for more tokens than it has.
+    """
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col, F.expr(f"size({tokens_expr(text_col)})")
+        )
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (alpha=1 is proportional)")
+    counts = docs.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("bigint").alias("c")
+    )
+    if alpha == 1.0:
+        wexpr = "cast(c as double)"
+    elif alpha == 0.5:
+        wexpr = "sqrt(cast(c as double))"
+    else:
+        wexpr = f"pow(cast(c as double), {float(alpha)!r})"
+    wi = counts.withColumn(
+        "w_int", F.expr(f"cast(floor({wexpr} * 1048576.0) as bigint)")
+    )
+    tot = wi.agg(F.sum("w_int").cast("bigint").alias("w_tot"))
+    return wi.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.expr(
+            f"least(cast(floor(cast({int(token_budget)} as double) * "
+            f"(cast(w_int as double) / cast(w_tot as double))) as bigint), c)"
+        ).alias("budget"),
+    )
+
+
+def sample_temperature(
+    docs: DataFrame,
+    alpha: float,
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled exact mixing: ``temperature_budgets`` feeds the
+    same hash-priority inclusive-running-sum filter as
+    ``sample_to_token_budget`` — kept documents fit entirely, the sample
+    never exceeds a source's budget. The budget table is sources-sized and
+    equi-joined (AQE broadcasts it when small)."""
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col, F.expr(f"size({tokens_expr(text_col)})")
+        )
+    budgets = temperature_budgets(
+        docs, alpha, token_budget, source_col, tokens_col, text_col
+    )
+    w = Window.partitionBy(source_col).orderBy("_pri", id_col)
+    return (
+        docs.join(budgets, source_col)
+        .withColumn("_pri", F.expr(_priority_expr(id_col)))
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= F.col("budget"))
+        .drop("_pri", "_cum", "budget")
+        .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+    )

@@ -654,3 +654,93 @@ def test_decontaminate_pruned_equals_exact(spark, train_eval):
     pruned = decontaminate_pruned(tr, ev, shingle_k=5)
     assert sorted(r["doc_id"] for r in pruned.collect()) == exact
     assert pruned.columns == tr.columns
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixing (budget_s ∝ c_s^alpha)
+# ---------------------------------------------------------------------------
+
+import math
+
+from crawler_spark.operators.sampling import (
+    sample_temperature,
+    temperature_budgets,
+)
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    # heavy source s0 (60 docs), medium s1 (25), tail s2 (5)
+    rows = [
+        (i, "s0" if i < 60 else ("s1" if i < 85 else "s2"),
+         " ".join(f"w{j}" for j in range(12)))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, source string, text string"
+    ).cache()
+
+
+def _py_temp_budgets(counts, alpha, budget):
+    wi = {s: math.floor((c ** alpha) * 1048576.0) for s, c in counts.items()}
+    tot = sum(wi.values())
+    return {
+        s: min(math.floor(float(budget) * (float(w) / float(tot))), counts[s])
+        for s, w in wi.items()
+    }
+
+
+def test_temperature_budgets_match_replay(spark, skew_docs):
+    counts = {"s0": 60 * 12, "s1": 25 * 12, "s2": 5 * 12}
+    for alpha in (0.5, 1.0):
+        got = {
+            r["source"]: r["budget"]
+            for r in temperature_budgets(skew_docs, alpha, 500).collect()
+        }
+        assert got == _py_temp_budgets(counts, alpha, 500), alpha
+
+
+def test_temperature_flattens_the_head(spark, skew_docs):
+    prop = {r["source"]: r["budget"]
+            for r in temperature_budgets(skew_docs, 1.0, 500).collect()}
+    flat = {r["source"]: r["budget"]
+            for r in temperature_budgets(skew_docs, 0.5, 500).collect()}
+    # alpha<1 shifts share from the dominant source to the tail
+    assert flat["s0"] < prop["s0"]
+    assert flat["s2"] > prop["s2"]
+
+
+def test_temperature_sample_within_budget(spark, skew_docs):
+    budgets = {r["source"]: r["budget"]
+               for r in temperature_budgets(skew_docs, 0.5, 500).collect()}
+    got = (
+        sample_temperature(skew_docs, 0.5, 500)
+        .groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    for r in got:
+        assert r["t"] <= budgets[r["source"]], r
+
+
+def test_temperature_sample_partition_invariant(spark, skew_docs):
+    runs = [
+        sorted(
+            (r["doc_id"], r["source"], r["n_tokens"])
+            for r in sample_temperature(
+                skew_docs.repartition(n), 0.5, 500
+            ).collect()
+        )
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_temperature_budget_capped_at_source_size(spark, skew_docs):
+    # a budget far above the corpus: every source capped at its own tokens
+    got = {r["source"]: r["budget"]
+           for r in temperature_budgets(skew_docs, 0.5, 10**9).collect()}
+    assert got == {"s0": 60 * 12, "s1": 25 * 12, "s2": 5 * 12}
+
+
+def test_temperature_invalid_alpha(spark, skew_docs):
+    with pytest.raises(ValueError):
+        temperature_budgets(skew_docs, 0.0, 500)
