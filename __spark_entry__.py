@@ -1704,6 +1704,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=4).select("id", "rank_q")
 
+    def trustrank_docs(spark, sf_dir):
+        # TrustRank over the pagerank_docs edge set, trusted seeds
+        # {0, 1, 2}: teleport mass only to seeds, integer fixed-point
+        from crawler_spark.operators.graph import trustrank
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return trustrank(edges, [0, 1, 2], iterations=3).select(
+            "id", "rank_q"
+        )
+
     def hits_docs(spark, sf_dir):
         # HITS over the same synthetic edge set as pagerank_docs; the _q
         # columns are exact fixed-point BIGINTs (2 unrolled iterations in
@@ -2090,6 +2108,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
         "pagerank_docs": pagerank_docs,
+        "trustrank_docs": trustrank_docs,
         "hits_docs": hits_docs,
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
@@ -3751,6 +3770,48 @@ def _all_oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN s4 ON nodes.id = s4.id)
             SELECT id, rank_q FROM r4
         """,
+        # TrustRank: three unrolled iterations over the pagerank_docs edge
+        # set; teleport (base 10^12*15//(100*3) = 50000000000, init
+        # 10^12//3 = 333333333333) applies ONLY to seeds {0,1,2}; identical
+        # integer arithmetic to graph.trustrank
+        "trustrank_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e AS (SELECT DISTINCT doc_id AS src,
+                         (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                  FROM documents, (VALUES (1), (2), (3)) t(j)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            ej AS (SELECT e.src, e.dst, deg.out_deg
+                   FROM e JOIN deg USING (src)),
+            r0 AS (SELECT id, CAST(CASE WHEN id IN (0, 1, 2)
+                         THEN 333333333333 ELSE 0 END AS BIGINT) AS rank_q
+                   FROM nodes),
+            s1 AS (SELECT ej.dst AS id, SUM(r0.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r0 ON ej.src = r0.id GROUP BY ej.dst),
+            r1 AS (SELECT nodes.id,
+                          CAST(CASE WHEN nodes.id IN (0, 1, 2)
+                               THEN 50000000000 ELSE 0 END
+                               + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s1 ON nodes.id = s1.id),
+            s2 AS (SELECT ej.dst AS id, SUM(r1.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r1 ON ej.src = r1.id GROUP BY ej.dst),
+            r2 AS (SELECT nodes.id,
+                          CAST(CASE WHEN nodes.id IN (0, 1, 2)
+                               THEN 50000000000 ELSE 0 END
+                               + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s2 ON nodes.id = s2.id),
+            s3 AS (SELECT ej.dst AS id, SUM(r2.rank_q // ej.out_deg) AS s
+                   FROM ej JOIN r2 ON ej.src = r2.id GROUP BY ej.dst),
+            r3 AS (SELECT nodes.id,
+                          CAST(CASE WHEN nodes.id IN (0, 1, 2)
+                               THEN 50000000000 ELSE 0 END
+                               + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT)
+                          AS rank_q
+                   FROM nodes LEFT JOIN s3 ON nodes.id = s3.id)
+            SELECT id, rank_q FROM r3
+        """,
         # HITS hubs/authorities: two unrolled half-round pairs over the
         # pagerank_docs edge set; each half re-normalizes by
         # greatest(max // Q, 1) with integer division only — identical
@@ -4319,6 +4380,10 @@ _EXTENDED_GATE = [
     # in test_sampling; sample_budget_docs (on board) pins the shared
     # running-sum keep rule
     "temperature_sample_docs",
+    # TrustRank (seed-personalized teleport, fixed-point unrolled oracle);
+    # parity held by check_entry --extended + python-replay/island tests
+    # in test_graph; pagerank_docs (on board) pins the shared loop
+    "trustrank_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

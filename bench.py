@@ -439,6 +439,14 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("auth_q"), F.sum("hub_q")
         ).collect()
 
+    # ---- q_trustrank: seed-personalized teleport over the same graph ------
+    with timed("q_trustrank"):
+        from crawler_spark.operators.graph import trustrank
+
+        trustrank(edges, [0, 1, 2], iterations=3).select(
+            F.count("*"), F.sum("rank_q")
+        ).collect()
+
     # ---- q_funnel: strict-order view->click->purchase over events ---------
     with timed("q_funnel"):
         from crawler_spark.operators.sessions import funnel

@@ -36,7 +36,7 @@ Scale shape (the part that must survive 10^10 edges):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +63,7 @@ def pagerank(
     dst_col: str = "dst",
     rank_scale: Optional[int] = None,
     num_partitions: Optional[int] = None,
+    seed_ids: Optional[Sequence[int]] = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -76,12 +77,24 @@ def pagerank(
     ``iterations`` is fixed rather than convergence-tested: at web scale
     the standard practice (and the only SQL-replayable form) is a fixed
     small number of power-iteration rounds.
+
+    ``seed_ids`` personalizes the teleport (TrustRank, Gyöngyi et al.
+    2004): restart mass goes ONLY to the listed nodes, split evenly
+    (``q*(1-d) div (d_den*|S|)`` each, init ``q div |S|``), every other
+    node starts at 0 and receives mass through links alone. The seed set
+    is a driver-held literal by design — trusted-seed lists are
+    human-curated and small (hundreds), never corpus-sized.
     """
     spark = edges.sparkSession
     q = _Q if rank_scale is None else rank_scale
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
-    base = (q * (damping_den - damping_num)) // damping_den
+    seeds = sorted(set(int(s) for s in seed_ids)) if seed_ids else None
+    if seeds is not None and not seeds:
+        raise ValueError("seed_ids must be non-empty when provided")
+    base = (q * (damping_den - damping_num)) // (
+        damping_den * (len(seeds) if seeds else 1)
+    )
 
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
@@ -104,7 +117,20 @@ def pagerank(
     )
     ej.count()  # materialize so each round scans, never recomputes
 
-    ranks = nodes.withColumn("rank_q", F.lit(q).cast("bigint"))
+    if seeds is None:
+        base_expr = F.lit(base).cast("bigint")
+        init_expr = F.lit(q).cast("bigint")
+    else:
+        is_seed = F.col("id").isin(seeds)
+        base_expr = F.when(is_seed, F.lit(base)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+        init_expr = (
+            F.when(is_seed, F.lit(q // len(seeds)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+    ranks = nodes.withColumn("rank_q", init_expr)
     for _ in range(iterations):
         contribs = (
             ej.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -119,7 +145,7 @@ def pagerank(
             .select(
                 "id",
                 (
-                    F.lit(base).cast("bigint")
+                    base_expr
                     + F.expr(
                         f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
                     )
@@ -134,6 +160,40 @@ def pagerank(
     out = ranks.withColumn("rank", F.col("rank_q") / F.lit(float(q)))
     ej.unpersist()
     return out
+
+
+def trustrank(
+    edges: DataFrame,
+    seed_ids: Sequence[int],
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rank_scale: Optional[int] = None,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with
+    the teleport restricted to a curated trusted-seed set, so trust decays
+    with link distance from the seeds and spam islands that merely
+    self-link receive (near-)zero mass. The spam-demotion complement of
+    the anchor/priority signals feeding the crawl frontier: rank pages by
+    ``trustrank`` descending and low-trust hosts sink regardless of their
+    internal link farms. Same fixed-point BIGINT arithmetic, scale shape,
+    and oracle-replayability as :func:`pagerank`."""
+    if not seed_ids:
+        raise ValueError("trustrank requires a non-empty trusted-seed set")
+    return pagerank(
+        edges,
+        iterations=iterations,
+        damping_num=damping_num,
+        damping_den=damping_den,
+        src_col=src_col,
+        dst_col=dst_col,
+        rank_scale=rank_scale,
+        num_partitions=num_partitions,
+        seed_ids=seed_ids,
+    )
 
 
 def host_link_graph(

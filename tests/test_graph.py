@@ -260,3 +260,71 @@ def test_host_hits_names_join(spark):
     }
     assert out["hub.test"]["hub_q"] == max(r["hub_q"] for r in out.values())
     assert out["b.test"]["auth_q"] >= out["c.test"]["auth_q"]
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (seed-personalized teleport)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.graph import trustrank
+
+
+def replay_trust(edges, seeds, iters, q=Q, num=85, den=100):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = Counter(s for s, _ in edges)
+    seeds = sorted(set(seeds))
+    base = q * (den - num) // (den * len(seeds))
+    r = {n: (q // len(seeds) if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for s, d in edges:
+            inc[d] += r[s] // deg[s]
+        r = {
+            n: (base if n in seeds else 0) + num * inc.get(n, 0) // den
+            for n in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_pure_python_replay(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["id"]: r["rank_q"]
+        for r in trustrank(df, [1, 4], iterations=4).collect()
+    }
+    assert got == replay_trust(EDGES, [1, 4], 4)
+
+
+def test_trustrank_unreachable_island_gets_zero(spark):
+    # 10 -> 11 is disconnected from seed 1's reach: no teleport, no inflow
+    edges = EDGES + [(10, 11), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["rank_q"] for r in trustrank(df, [1], iterations=3).collect()
+    }
+    assert got == replay_trust(edges, [1], 3)
+    assert got[10] == 0 and got[11] == 0
+    assert got[1] > 0
+
+
+def test_trustrank_partition_invariance(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = {r["id"]: r["rank_q"]
+         for r in trustrank(df.repartition(1), [2, 5], iterations=3).collect()}
+    b = {r["id"]: r["rank_q"]
+         for r in trustrank(df.repartition(9), [2, 5], iterations=3).collect()}
+    assert a == b == replay_trust(EDGES, [2, 5], 3)
+
+
+def test_trustrank_empty_seeds_raises(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError):
+        trustrank(df, [], iterations=2)
+
+
+def test_pagerank_unchanged_without_seeds(spark):
+    # the seed plumbing must not disturb the classic path
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=3).collect()}
+    assert got == replay(EDGES, 3)
