@@ -1685,6 +1685,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    # ---- latest-wins snapshot view over the same synthesized fetch
+    # history: the current-revision row per URL plus fetch/change counters
+    # (the corpus view downstream curation reads after recrawls).
+    def latest_snapshot_docs(spark, sf_dir):
+        from crawler_spark.frontier.recrawl import latest_snapshot
+
+        hist = (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat('https://', source, '.docs.test/doc/', "
+                    "cast(doc_id as string))"
+                ).alias("url"),
+                F.expr("explode(sequence(0, 3))").alias("i"),
+            )
+            .select(
+                "url",
+                F.expr(
+                    "timestampadd(SECOND, i * 3600 * (doc_id % 5 + 1), "
+                    "timestamp '2025-01-01 00:00:00')"
+                ).alias("warc_ts"),
+                F.expr(
+                    "CASE WHEN doc_id % 3 = 0 THEN cast(i as string) "
+                    "WHEN doc_id % 3 = 1 THEN cast(i div 2 as string) "
+                    "ELSE '0' END"
+                ).alias("content_hash"),
+            )
+        )
+        return latest_snapshot(hist).select(
+            "url",
+            "content_hash",
+            "n_fetches",
+            "n_changes",
+            F.expr("cast(unix_timestamp(warc_ts) as bigint)").alias(
+                "latest_epoch"
+            ),
+            F.expr("cast(unix_timestamp(first_fetch_ts) as bigint)").alias(
+                "first_epoch"
+            ),
+        )
+
     # ---- link-graph PageRank (crawl prioritization; operators/graph.py).
     # Edges are synthesized deterministically from the doc_id space (3
     # out-links per doc via modular arithmetic) so Spark and the oracle
@@ -2107,6 +2149,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_docs": canonical_url_docs,
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
+        "latest_snapshot_docs": latest_snapshot_docs,
         "pagerank_docs": pagerank_docs,
         "trustrank_docs": trustrank_docs,
         "hits_docs": hits_docs,
@@ -3668,6 +3711,42 @@ def _all_oracle_sql() -> dict[str, str]:
                         // 1000000 AS bigint) AS next_fetch_epoch
             FROM s
         """,
+        # latest-wins snapshot: same synthesized history, row_number pick
+        # (ts desc, hash desc) + per-URL counters in one window pass
+        "latest_snapshot_docs": """
+            WITH h AS (
+              SELECT concat('https://', source, '.docs.test/doc/',
+                            cast(doc_id AS varchar)) AS url,
+                     TIMESTAMPTZ '2025-01-01 00:00:00+00'
+                       + to_seconds(i * 3600 * (doc_id % 5 + 1)) AS warc_ts,
+                     CASE WHEN doc_id % 3 = 0 THEN cast(i AS varchar)
+                          WHEN doc_id % 3 = 1 THEN cast(i // 2 AS varchar)
+                          ELSE '0' END AS content_hash
+              FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)),
+            m AS (
+              SELECT url, warc_ts, content_hash,
+                     CASE WHEN lag(content_hash) OVER w IS NULL THEN 0
+                          WHEN lag(content_hash) OVER w <> content_hash
+                          THEN 1 ELSE 0 END AS changed
+              FROM h
+              WINDOW w AS (PARTITION BY url ORDER BY warc_ts, content_hash)),
+            a AS (
+              SELECT url, content_hash, warc_ts,
+                     row_number() OVER (PARTITION BY url
+                         ORDER BY warc_ts DESC, content_hash DESC) AS rn,
+                     cast(count(*) OVER (PARTITION BY url) AS bigint)
+                       AS n_fetches,
+                     cast(sum(changed) OVER (PARTITION BY url) AS bigint)
+                       AS n_changes,
+                     min(warc_ts) OVER (PARTITION BY url) AS first_ts
+              FROM m)
+            SELECT url, content_hash, n_fetches, n_changes,
+                   cast(epoch_us(warc_ts) // 1000000 AS bigint)
+                     AS latest_epoch,
+                   cast(epoch_us(first_ts) // 1000000 AS bigint)
+                     AS first_epoch
+            FROM a WHERE rn = 1
+        """,
         # crawl-trap detection: same synthetic frontier arithmetic, same
         # regexp host/path/query split, same HOF cycle counter, same
         # digit-collapse skeleton (frontier/traps.py); thresholds pinned to
@@ -4384,6 +4463,12 @@ _EXTENDED_GATE = [
     # parity held by check_entry --extended + python-replay/island tests
     # in test_graph; pagerank_docs (on board) pins the shared loop
     "trustrank_docs",
+    # latest-wins snapshot view over fetch history (one-Exchange window
+    # pick + counters); parity held by check_entry --extended +
+    # hand-checked/tie-break/plan tests in test_recrawl;
+    # recrawl_schedule_docs (on board) pins the shared history synthesis
+    # and change rule
+    "latest_snapshot_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

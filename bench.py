@@ -197,6 +197,11 @@ def run(spark, sf_dir: str):
         recrawl_schedule(hist).select(
             F.count("*"), F.sum("interval_sec"), F.sum("n_changes")
         ).collect()
+        from crawler_spark.frontier.recrawl import latest_snapshot
+
+        latest_snapshot(hist).select(
+            F.count("*"), F.sum("n_fetches"), F.sum("n_changes")
+        ).collect()
 
     # ---- pipeline operators over driver testdata --------------------------
     with timed("q_exact_dedup"):

@@ -121,6 +121,53 @@ def recrawl_schedule(
     )
 
 
+def latest_snapshot(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Latest-wins corpus view over an append-only fetch log: one row per
+    URL — the most recent fetch's columns (all of them, html/text/etc.
+    included) plus ``(n_fetches, n_changes, first_fetch_ts)``.
+
+    The CDX-index question "what is the current revision of every page",
+    the view every downstream curation stage should consume when the
+    frontier recrawls (otherwise a 5×-recrawled page is 5× overweighted in
+    dedup, mixing, and LM training). One Exchange keyed on the URL; both
+    window passes and the per-URL aggregates ride it. Deterministic pick:
+    ``(ts desc, content_hash desc)`` — two records sharing a timestamp
+    cannot flip the result across partitionings or engines. ``n_changes``
+    counts consecutive-fetch hash transitions in ``(ts, hash)`` ascending
+    order — the same rule as :func:`change_stats`, so the two operators
+    never disagree on what "changed" means.
+    """
+    w_asc = Window.partitionBy(url_col).orderBy(ts_col, hash_col)
+    w_desc = Window.partitionBy(url_col).orderBy(
+        F.desc(ts_col), F.desc(hash_col)
+    )
+    w_all = (
+        Window.partitionBy(url_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev = F.lag(hash_col).over(w_asc)
+    marked = history.withColumn(
+        "_chg",
+        F.when(prev.isNull(), F.lit(0))
+        .when(prev != F.col(hash_col), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        marked.withColumn("_rn", F.row_number().over(w_desc))
+        .withColumn("n_fetches", F.count("*").over(w_all).cast("bigint"))
+        .withColumn("n_changes", F.sum("_chg").over(w_all).cast("bigint"))
+        .withColumn("first_fetch_ts", F.min(ts_col).over(w_all))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_chg")
+    )
+
+
 def due_url_hashes(schedule: DataFrame, now_ts) -> DataFrame:
     """URL-hash keys (xxhash64 of the url, the engine's J1/F10 key) for
     every URL whose ``next_fetch_ts`` has passed ``now_ts`` — feed to

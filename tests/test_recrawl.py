@@ -129,3 +129,61 @@ def test_partition_invariance_and_plan(spark, hist_df):
         recrawl_schedule(hist_df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# latest-wins snapshot view
+# ---------------------------------------------------------------------------
+
+from crawler_spark.frontier.recrawl import latest_snapshot
+
+
+def test_latest_snapshot_picks_newest_and_counts(spark, hist_df):
+    got = {r["url"]: r for r in latest_snapshot(hist_df).collect()}
+    assert len(got) == 4  # one row per URL
+    last = T0 + timedelta(hours=24)
+    hot = got["https://hot.test/a"]
+    assert (hot["content_hash"], hot["n_fetches"], hot["n_changes"]) == ("h4", 5, 4)
+    assert hot["warc_ts"].replace(tzinfo=timezone.utc) == last
+    assert hot["first_fetch_ts"].replace(tzinfo=timezone.utc) == T0
+    warm = got["https://warm.test/b"]
+    assert (warm["content_hash"], warm["n_changes"]) == ("w2", 2)
+    cold = got["https://cold.test/c"]
+    assert (cold["content_hash"], cold["n_fetches"], cold["n_changes"]) == ("c0", 5, 0)
+    new = got["https://new.test/d"]
+    assert (new["content_hash"], new["n_fetches"], new["n_changes"]) == ("n0", 1, 0)
+
+
+def test_latest_snapshot_preserves_extra_columns(spark, hist_df):
+    h = hist_df.withColumn("html", F.concat(F.lit("<p>"), F.col("content_hash")))
+    got = {r["url"]: r["html"] for r in latest_snapshot(h).collect()}
+    assert got["https://hot.test/a"] == "<p>h4"
+
+
+def test_latest_snapshot_tiebreak_on_equal_ts(spark):
+    # two records at the same instant: hash desc wins, deterministically
+    rows = [("u", T0, "aaa"), ("u", T0, "zzz")]
+    h = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, content_hash string"
+    )
+    got = latest_snapshot(h).collect()
+    assert len(got) == 1 and got[0]["content_hash"] == "zzz"
+
+
+def test_latest_snapshot_partition_invariant(spark, hist_df):
+    runs = [
+        sorted(
+            (r["url"], r["content_hash"], r["n_fetches"], r["n_changes"])
+            for r in latest_snapshot(hist_df.repartition(n)).collect()
+        )
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_latest_snapshot_single_exchange(spark, hist_df):
+    plan = (
+        latest_snapshot(hist_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
