@@ -2044,6 +2044,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "token", "tf", "df", "score_q", "rank"
         )
 
+    # ---- point-in-interval attribution join: every view/click landing in
+    # a ±30 min window around a same-user purchase (chunked equi-join path;
+    # the oracle is the plain BETWEEN theta-join, so the gate cross-checks
+    # the entire chunk-explode/containment machinery)
+    def interval_join_events(spark, sf_dir):
+        from crawler_spark.operators.asof import interval_join
+
+        ev = _t(spark, sf_dir, "events")
+        pts = ev.filter(
+            F.col("event_type").isin("view", "click")
+        ).select("event_id", "user_id", "ts")
+        ivs = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.expr("timestampadd(MINUTE, -30, ts)").alias("start_ts"),
+            F.expr("timestampadd(MINUTE, 30, ts)").alias("end_ts"),
+        )
+        return interval_join(pts, ivs, on=["user_id"], chunk_sec=600).select(
+            "event_id", "interval_id", "user_id"
+        )
+
     # ---- as-of join: latest preceding 'view' for every non-view event
     def asof_join_events(spark, sf_dir):
         from crawler_spark.operators.asof import asof_join
@@ -2139,6 +2160,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps_events": funnel_steps_events,
         "weighted_sample_docs": weighted_sample_docs,
         "asof_join_events": asof_join_events,
+        "interval_join_events": interval_join_events,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
@@ -4323,6 +4345,25 @@ def _all_oracle_sql() -> dict[str, str]:
         # as-of join: the same union + running last_value construction as
         # the engine (asof.py) — NOT DuckDB's native ASOF JOIN, so the
         # same-timestamp tie rules are pinned identically on both sides
+        # point-in-interval attribution: the oracle is the naive BETWEEN
+        # theta-join — deliberately a DIFFERENT plan shape than the
+        # engine's chunked equi-join, so the value-hash proves the chunk
+        # explode + containment filter reproduces exact semantics
+        "interval_join_events": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type IN ('view', 'click')
+            ),
+            i AS (
+              SELECT event_id AS interval_id, user_id,
+                     ts - INTERVAL 30 MINUTE AS start_ts,
+                     ts + INTERVAL 30 MINUTE AS end_ts
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, i.interval_id, p.user_id
+            FROM p JOIN i ON p.user_id = i.user_id
+                         AND p.ts >= i.start_ts AND p.ts <= i.end_ts
+        """,
         "asof_join_events": """
             WITH l AS (SELECT user_id AS _k, ts AS _ts, event_id AS _tie,
                               1 AS _side, NULL::BIGINT AS rv_id,
@@ -4469,6 +4510,11 @@ _EXTENDED_GATE = [
     # recrawl_schedule_docs (on board) pins the shared history synthesis
     # and change rule
     "latest_snapshot_docs",
+    # point-in-interval join (chunked equi-join vs the oracle's BETWEEN
+    # theta-join — different plan shapes, same values); parity held by
+    # check_entry --extended + brute-force/bounds/plan tests in
+    # test_sketch_sessions
+    "interval_join_events",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

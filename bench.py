@@ -415,6 +415,24 @@ def run(spark, sf_dir: str):
             value_cols=["event_id", "value"],
         ).select(F.count("*"), F.sum("asof_value")).collect()
 
+    # ---- q_interval_join: ±30 min purchase-window attribution -------------
+    # (chunked equi-join; operators/asof.py interval_join)
+    with timed("q_interval_join"):
+        from crawler_spark.operators.asof import interval_join
+
+        pts = ev.filter(F.col("event_type").isin("view", "click")).select(
+            "event_id", "user_id", "ts"
+        )
+        ivs = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("interval_id"),
+            "user_id",
+            F.expr("timestampadd(MINUTE, -30, ts)").alias("start_ts"),
+            F.expr("timestampadd(MINUTE, 30, ts)").alias("end_ts"),
+        )
+        interval_join(pts, ivs, on=["user_id"], chunk_sec=600).select(
+            F.count("*"), F.sum("interval_id")
+        ).collect()
+
     # ---- q_pagerank: link-graph rank over a synthetic 3-out-degree graph --
     # (frontier prioritization signal; operators/graph.py — 4 fixed-point
     # power iterations, edge list partitioned once and reused)

@@ -76,3 +76,66 @@ def asof_join(
         F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in value_cols
     ]
     return merged.filter(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    on: Optional[Sequence[str]] = None,
+    chunk_sec: int = 3600,
+) -> DataFrame:
+    """Point-in-interval inner join: every ``points`` row paired with every
+    ``intervals`` row whose ``[start_col, end_col]`` (inclusive) contains
+    its ``ts_col``, optionally also matching equi-keys ``on`` — the
+    attribution join (event-to-campaign, fetch-to-crawl-window,
+    request-to-maintenance-window) that a naive ``BETWEEN`` theta-join
+    makes quadratic.
+
+    Scale shape: time is chunked into ``chunk_sec`` buckets. Each point
+    lands in exactly ONE chunk; each interval explodes to the chunks it
+    covers. The join is then a plain equi-join on ``(chunk, *on)`` — hash
+    join, AQE-eligible, never a BroadcastNestedLoopJoin — followed by the
+    exact containment filter. Because a point has a single chunk, every
+    qualifying (point, interval) pair meets exactly once: no dedup pass.
+    Cost rides on interval length: an interval explodes to
+    ``span/chunk_sec`` rows, so pick ``chunk_sec`` near the typical
+    interval span (rule of thumb: sum of spans / count). Intervals with
+    ``end < start`` are dropped up front (they can match nothing).
+
+    Column names must not collide across the two inputs (apart from
+    ``on``); a collision raises rather than silently aliasing.
+    """
+    on = list(on) if on else []
+    overlap = (set(points.columns) & set(intervals.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"column collision between points and intervals: {sorted(overlap)}"
+        )
+    chunk_sec = int(chunk_sec)
+    if chunk_sec <= 0:
+        raise ValueError("chunk_sec must be positive")
+    p = points.withColumn(
+        "_chunk",
+        F.expr(f"cast(unix_timestamp({ts_col}) as bigint) div {chunk_sec}"),
+    )
+    i = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_chunk",
+        F.explode(
+            F.expr(
+                f"sequence(cast(unix_timestamp({start_col}) as bigint) "
+                f"div {chunk_sec}, "
+                f"cast(unix_timestamp({end_col}) as bigint) div {chunk_sec})"
+            )
+        ),
+    )
+    return (
+        p.join(i, ["_chunk"] + on)
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_chunk")
+    )

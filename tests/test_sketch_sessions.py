@@ -457,3 +457,111 @@ def test_cms_plan_jvm_only_and_broadcast_probe(spark, zipf_words):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# point-in-interval join (chunked equi-join, never a nested loop)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from crawler_spark.operators.asof import interval_join
+
+_T = datetime(2025, 3, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def pts_and_ivs(spark):
+    pts = spark.createDataFrame(
+        [(j, j % 3, _T + timedelta(minutes=17 * j)) for j in range(40)],
+        "pid long, k long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # short, long (spans many 10-min chunks), point-sized, inverted
+            (100, 0, _T + timedelta(minutes=5), _T + timedelta(minutes=45)),
+            (101, 1, _T, _T + timedelta(hours=8)),
+            (102, 2, _T + timedelta(minutes=34), _T + timedelta(minutes=34)),
+            (103, 0, _T + timedelta(hours=2), _T + timedelta(hours=1)),
+        ],
+        "iid long, k long, start_ts timestamp, end_ts timestamp",
+    )
+    return pts.cache(), ivs.cache()
+
+
+def _brute(pts, ivs, keyed):
+    out = set()
+    for p in pts:
+        for i in ivs:
+            if keyed and p["k"] != i["k"]:
+                continue
+            if i["start_ts"] <= p["ts"] <= i["end_ts"]:
+                out.add((p["pid"], i["iid"]))
+    return out
+
+
+def test_interval_join_matches_bruteforce(spark, pts_and_ivs):
+    pts, ivs = pts_and_ivs
+    for chunk in (60, 600, 86400):  # chunk far smaller / near / far larger
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pts, ivs.drop("k"), chunk_sec=chunk
+            ).collect()
+        }
+        assert got == _brute(pts.collect(), ivs.collect(), keyed=False), chunk
+
+
+def test_interval_join_with_equi_key(spark, pts_and_ivs):
+    pts, ivs = pts_and_ivs
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, on=["k"], chunk_sec=600).collect()
+    }
+    assert got == _brute(pts.collect(), ivs.collect(), keyed=True)
+
+
+def test_interval_join_bounds_inclusive_and_inverted_dropped(spark):
+    pts = spark.createDataFrame(
+        [(0, _T), (1, _T + timedelta(seconds=60))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(10, _T, _T + timedelta(seconds=60)),
+         (11, _T + timedelta(seconds=60), _T)],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, chunk_sec=30).collect()
+    )
+    # both endpoints match interval 10; inverted interval 11 matches nothing
+    assert got == [(0, 10), (1, 10)]
+
+
+def test_interval_join_column_collision_raises(spark, pts_and_ivs):
+    pts, ivs = pts_and_ivs
+    with pytest.raises(ValueError):
+        interval_join(pts, ivs)  # 'k' collides without on=["k"]
+
+
+def test_interval_join_partition_invariant(spark, pts_and_ivs):
+    pts, ivs = pts_and_ivs
+    runs = [
+        sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pts.repartition(n), ivs.drop("k"), chunk_sec=600
+            ).collect()
+        )
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, pts_and_ivs):
+    pts, ivs = pts_and_ivs
+    plan = (
+        interval_join(pts, ivs, on=["k"], chunk_sec=600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
