@@ -2044,6 +2044,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "token", "tf", "df", "score_q", "rank"
         )
 
+    # ---- PMI collocations: top-k corpus bigrams by pointwise mutual
+    # information (exact-BIGINT counts, one fixed five-term ln expression)
+    def pmi_collocations_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import pmi_collocations
+
+        return pmi_collocations(
+            _t(spark, sf_dir, "documents"), k=50, min_count=5
+        )
+
+    # ---- Unicode script profile: per-doc script histogram + dominant
+    # script (row-local expression code; zero shuffle, plan-pinned)
+    def script_profile_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import script_profile
+
+        return script_profile(_t(spark, sf_dir, "documents"))
+
     # ---- point-in-interval attribution join: every view/click landing in
     # a ±30 min window around a same-user purchase (chunked equi-join path;
     # the oracle is the plain BETWEEN theta-join, so the gate cross-checks
@@ -2161,6 +2177,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "asof_join_events": asof_join_events,
         "interval_join_events": interval_join_events,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "script_profile_docs": script_profile_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
@@ -4345,6 +4363,86 @@ def _all_oracle_sql() -> dict[str, str]:
         # as-of join: the same union + running last_value construction as
         # the engine (asof.py) — NOT DuckDB's native ASOF JOIN, so the
         # same-timestamp tie rules are pinned identically on both sides
+        # Unicode script profile: the same length-minus-stripped counting
+        # per script class (RE2 \x{...} ranges = Java's \uXXXX), greatest()
+        # dominant pick with first-range-wins tie CASE
+        "script_profile_docs": r"""
+            WITH c AS (
+              SELECT doc_id,
+                cast(length(text) AS bigint) AS n_chars,
+                cast(length(text) - length(regexp_replace(text,
+                  '[A-Za-z]', '', 'g')) AS bigint) AS n_latin,
+                cast(length(text) - length(regexp_replace(text,
+                  '[0-9]', '', 'g')) AS bigint) AS n_digit,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{0400}-\x{04FF}]', '', 'g')) AS bigint) AS n_cyrillic,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{0370}-\x{03FF}]', '', 'g')) AS bigint) AS n_greek,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{0600}-\x{06FF}]', '', 'g')) AS bigint) AS n_arabic,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{0900}-\x{097F}]', '', 'g')) AS bigint) AS n_devanagari,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g'))
+                  AS bigint) AS n_cjk,
+                cast(length(text) - length(regexp_replace(text,
+                  '[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g'))
+                  AS bigint) AS n_hangul
+              FROM documents
+            ),
+            g AS (
+              SELECT *,
+                greatest(n_latin, n_digit, n_cyrillic, n_greek, n_arabic,
+                         n_devanagari, n_cjk, n_hangul) AS best_n,
+                n_latin + n_digit + n_cyrillic + n_greek + n_arabic
+                  + n_devanagari + n_cjk + n_hangul AS total_n
+              FROM c
+            )
+            SELECT doc_id, n_chars, n_latin, n_digit, n_cyrillic, n_greek,
+                   n_arabic, n_devanagari, n_cjk, n_hangul,
+                   CASE WHEN total_n > 0
+                        THEN round(best_n / cast(total_n AS double), 6)
+                        ELSE 0.0 END AS script_ratio,
+                   CASE WHEN n_latin > 0 AND n_latin = best_n THEN 'latin'
+                        WHEN n_digit > 0 AND n_digit = best_n THEN 'digit'
+                        WHEN n_cyrillic > 0 AND n_cyrillic = best_n
+                          THEN 'cyrillic'
+                        WHEN n_greek > 0 AND n_greek = best_n THEN 'greek'
+                        WHEN n_arabic > 0 AND n_arabic = best_n THEN 'arabic'
+                        WHEN n_devanagari > 0 AND n_devanagari = best_n
+                          THEN 'devanagari'
+                        WHEN n_cjk > 0 AND n_cjk = best_n THEN 'cjk'
+                        WHEN n_hangul > 0 AND n_hangul = best_n THEN 'hangul'
+                        ELSE 'other' END AS script_pred
+            FROM g
+        """,
+        # PMI collocations: same bigram/unigram count tables, the same
+        # decomposed five-term ln, (pmi desc, prev, cur) top-50
+        "pmi_collocations_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            ex AS (SELECT tk[i] AS prev, tk[i + 1] AS cur
+                   FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+            bg AS (SELECT prev, cur, cast(count(*) AS bigint) AS bg_n
+                   FROM ex GROUP BY 1, 2),
+            uni AS (SELECT t, cast(count(*) AS bigint) AS u_n
+                    FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+            tot AS (SELECT (SELECT cast(sum(bg_n) AS bigint) FROM bg) AS n_b,
+                           (SELECT cast(sum(u_n) AS bigint) FROM uni) AS n_u)
+            SELECT bg.prev, bg.cur, bg.bg_n,
+                   up.u_n AS u_prev, uc.u_n AS u_cur,
+                   round(ln(cast(bg_n AS double))
+                         + 2.0 * ln(cast(n_u AS double))
+                         - ln(cast(n_b AS double))
+                         - ln(cast(up.u_n AS double))
+                         - ln(cast(uc.u_n AS double)), 6) AS pmi
+            FROM bg
+            JOIN uni up ON bg.prev = up.t
+            JOIN uni uc ON bg.cur = uc.t
+            CROSS JOIN tot
+            WHERE bg_n >= 5
+            ORDER BY pmi DESC, bg.prev, bg.cur
+            LIMIT 50
+        """,
         # point-in-interval attribution: the oracle is the naive BETWEEN
         # theta-join — deliberately a DIFFERENT plan shape than the
         # engine's chunked equi-join, so the value-hash proves the chunk
@@ -4515,6 +4613,16 @@ _EXTENDED_GATE = [
     # check_entry --extended + brute-force/bounds/plan tests in
     # test_sketch_sessions
     "interval_join_events",
+    # PMI collocation mining (exact-count tables + one decomposed ln);
+    # parity held by check_entry --extended + python-replay tests in
+    # test_pipeline_ops; lm_score_docs (on board) pins the shared bigram
+    # extraction
+    "pmi_collocations_docs",
+    # Unicode script profile (row-local histogram + dominant script; the
+    # orthography complement of lang_id); parity held by check_entry
+    # --extended + hand-checked multilingual/tie/plan tests in
+    # test_pipeline_ops
+    "script_profile_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

@@ -222,6 +222,14 @@ def run(spark, sf_dir: str):
             F.min("fingerprint"),
         ).collect()
 
+    # ---- q_pmi: top-50 PMI collocations over corpus bigrams ---------------
+    with timed("q_pmi"):
+        from crawler_spark.operators.text_analysis import pmi_collocations
+
+        pmi_collocations(docs, k=50, min_count=5).select(
+            F.count("*"), F.sum("bg_n")
+        ).collect()
+
     with timed("q_simhash_pairs"):
         from crawler_spark.operators.dedup import simhash_near_dup_pairs
 

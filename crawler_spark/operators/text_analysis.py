@@ -274,3 +274,146 @@ def corpus_report(
             F.round(F.element_at("_p", 3).cast("double"), 6).alias("p99_tokens"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    ``pmi = ln(P(prev,cur) / (P(prev)·P(cur)))`` over corpus token
+    bigrams — the classic collocation-mining signal (Church & Hanks 1990)
+    a corpus report uses to surface boilerplate phrases and multi-word
+    terms. ``min_count`` is the standard guard against PMI's rare-pair
+    explosion (a hapax pair maxes the score by definition).
+
+    Returns ``(prev, cur, bg_n, u_prev, u_cur, pmi)`` ordered by
+    ``(pmi desc, prev, cur)``, pmi in nats rounded to 6 decimals.
+
+    Determinism: every count is an exact BIGINT; the only float step is
+    one fixed five-term ``ln`` expression over those integers
+    (``ln(bg) + 2·ln(Nu) − ln(Nb) − ln(u_prev) − ln(u_cur)`` — the
+    decomposed form never overflows, where the naive ratio's numerator
+    ``bg·Nu²`` would blow past BIGINT at web scale).
+
+    Scale shape: the bigram count table is vocabulary²-bounded and built
+    with one map-side-combined groupBy (same contract as ``lm_score``);
+    unigram counts and both totals derive from it — the corpus is
+    exploded once, scanned never again. The final top-k is
+    TakeOrdered on the bounded count table, not a global sort of the
+    corpus.
+    """
+    from crawler_spark.operators.lm import bigrams_expr
+
+    bg = (
+        docs.select(F.explode(F.expr(bigrams_expr(text_col))).alias("b"))
+        .select(F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("bg_n"))
+    )
+    # unigram counts from the corpus token stream (bigram-marginals would
+    # miss each document's first/last token)
+    uni = (
+        docs.select(F.explode(F.expr(tokens_expr(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("u_n"))
+    )
+    totals = bg.agg(F.sum("bg_n").cast("bigint").alias("n_b")).crossJoin(
+        uni.agg(F.sum("u_n").cast("bigint").alias("n_u"))
+    )
+    # count-table equi-joins, unhinted: the unigram table is
+    # vocabulary-sized (can itself be billions of rows on raw web tokens),
+    # so the broadcast decision belongs to AQE's runtime size check
+    scored = (
+        bg.filter(F.col("bg_n") >= int(min_count))
+        .join(
+            uni.withColumnRenamed("t", "prev").withColumnRenamed("u_n", "u_prev"),
+            "prev",
+        )
+        .join(
+            uni.withColumnRenamed("t", "cur").withColumnRenamed("u_n", "u_cur"),
+            "cur",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "prev",
+            "cur",
+            "bg_n",
+            "u_prev",
+            "u_cur",
+            F.round(
+                F.expr(
+                    "ln(cast(bg_n as double)) + 2.0d * ln(cast(n_u as double)) "
+                    "- ln(cast(n_b as double)) - ln(cast(u_prev as double)) "
+                    "- ln(cast(u_cur as double))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "prev", "cur").limit(int(k))
+
+
+# Unicode script ranges counted by script_profile. Each entry is
+# (name, regex char class) — BMP ranges only, identical RE2/Java regex
+# semantics in Spark and DuckDB so the oracle replays the same counts.
+_SCRIPT_RANGES = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[\\u0400-\\u04FF]"),
+    ("greek", "[\\u0370-\\u03FF]"),
+    ("arabic", "[\\u0600-\\u06FF]"),
+    ("devanagari", "[\\u0900-\\u097F]"),
+    ("cjk", "[\\u4E00-\\u9FFF\\u3040-\\u30FF]"),
+    ("hangul", "[\\uAC00-\\uD7AF\\u1100-\\u11FF]"),
+]
+
+
+def script_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Unicode script histogram + dominant script: the
+    orthography-level complement of the n-gram ``lang_id`` (which assumes
+    Latin text). Counts characters per script family via
+    ``length(text) - length(regexp_replace(text, class, ''))`` — pure JVM
+    expression code, one scan, no shuffle at all (row-local), so it
+    composes into any curation pipeline for free.
+
+    Output: ``(id, n_chars, n_<script>... , script_ratio, script_pred)``
+    where ``script_ratio`` is the dominant script's share of all
+    script-classified characters (6 decimals; 0 when none matched) and
+    ``script_pred`` is the dominant script name, ``'other'`` when nothing
+    matched — ties break by the fixed ``_SCRIPT_RANGES`` order, so the
+    prediction is deterministic everywhere.
+    """
+    out = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        *[
+            (
+                F.length(F.col(text_col))
+                - F.length(F.regexp_replace(F.col(text_col), pat, ""))
+            )
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, pat in _SCRIPT_RANGES
+        ],
+    )
+    names = [n for n, _ in _SCRIPT_RANGES]
+    best_n = F.greatest(*[F.col(f"n_{n}") for n in names])
+    total = sum((F.col(f"n_{n}") for n in names[1:]), F.col(f"n_{names[0]}"))
+    pred = F.lit("other")
+    # reversed fold: the FIRST range in _SCRIPT_RANGES wins ties
+    for n in reversed(names):
+        pred = F.when(
+            (F.col(f"n_{n}") > 0) & (F.col(f"n_{n}") == best_n), F.lit(n)
+        ).otherwise(pred)
+    return out.select(
+        "*",
+        F.when(total > 0, F.round(best_n / total.cast("double"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("script_ratio"),
+        pred.alias("script_pred"),
+    )

@@ -1001,3 +1001,138 @@ def test_corpus_report_approx_near_exact_and_invariant(spark):
     a = sorted(map(tuple, corpus_report(df.repartition(1)).collect()))
     b = sorted(map(tuple, corpus_report(df.repartition(7, "doc_id")).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from crawler_spark.operators.text_analysis import pmi_collocations
+
+
+def _py_pmi(texts, k, min_count):
+    from collections import Counter
+
+    uni, bg = Counter(), Counter()
+    for t in texts:
+        toks = [w for w in t.lower().strip().split() if w]
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n_u, n_b = sum(uni.values()), sum(bg.values())
+    rows = []
+    for (p, c), n in bg.items():
+        if n < min_count:
+            continue
+        pmi = round(
+            _math.log(n) + 2 * _math.log(n_u) - _math.log(n_b)
+            - _math.log(uni[p]) - _math.log(uni[c]),
+            6,
+        )
+        rows.append((p, c, n, uni[p], uni[c], pmi))
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:k]
+
+
+def test_pmi_matches_python_replay(spark):
+    texts = [
+        "new york is big",
+        "new york city has new people",
+        "york has a new city hall",
+        "big city big people big new york",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in pmi_collocations(docs, k=10, min_count=2).collect()]
+    assert got == _py_pmi(texts, 10, 2)
+    # the glued pair outranks the incidental ones
+    assert got[0][:2] == ("new", "york")
+
+
+def test_pmi_min_count_guards_rare_pairs(spark):
+    docs = spark.createDataFrame(
+        [("unique hapax pair",), ("common word common word common word",)],
+        "text string",
+    )
+    got = pmi_collocations(docs, k=10, min_count=2).collect()
+    assert all(r["bg_n"] >= 2 for r in got)
+    assert not any((r["prev"], r["cur"]) == ("unique", "hapax") for r in got)
+
+
+def test_pmi_partition_invariant(spark):
+    texts = [f"alpha beta gamma w{i} alpha beta" for i in range(30)]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    runs = [
+        [tuple(r) for r in pmi_collocations(
+            docs.repartition(n), k=5, min_count=3).collect()]
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1] == _py_pmi(texts, 5, 3)
+
+
+def test_pmi_plan_jvm_only(spark):
+    docs = spark.createDataFrame([("a b a b",)], "text string")
+    df = pmi_collocations(docs, k=5, min_count=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.text_analysis import script_profile
+
+_SCRIPT_DOCS = [
+    (0, "hello world 123"),
+    (1, "привет мир"),                      # cyrillic
+    (2, "你好世界"),        # cjk
+    (3, "안녕하세요"),  # hangul
+    (4, "mixed 你好 latin heavy text here"),
+    (5, ""),
+    (6, "!!! ... ???"),                     # nothing classified
+    (7, "αβγ alpha"),        # greek + latin tie broken by order
+]
+
+
+def test_script_profile_hand_checked(spark):
+    docs = spark.createDataFrame(_SCRIPT_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs).collect()}
+    assert got[0]["script_pred"] == "latin" and got[0]["n_latin"] == 10
+    assert got[0]["n_digit"] == 3
+    assert got[1]["script_pred"] == "cyrillic" and got[1]["n_cyrillic"] == 9
+    assert got[2]["script_pred"] == "cjk" and got[2]["n_cjk"] == 4
+    assert got[3]["script_pred"] == "hangul"
+    assert got[4]["script_pred"] == "latin" and got[4]["n_cjk"] == 2
+    assert got[5]["script_pred"] == "other" and got[5]["script_ratio"] == 0.0
+    assert got[6]["script_pred"] == "other"
+    # 3 greek chars vs 5 latin ("alpha"): latin dominates
+    assert got[7]["n_greek"] == 3 and got[7]["n_latin"] == 5
+    assert got[7]["script_pred"] == "latin"
+
+
+def test_script_profile_tie_breaks_by_range_order(spark):
+    docs = spark.createDataFrame(
+        [(0, "abc абв")], "doc_id long, text string"
+    )  # 3 latin vs 3 cyrillic
+    got = script_profile(docs).collect()[0]
+    assert got["n_latin"] == got["n_cyrillic"] == 3
+    assert got["script_pred"] == "latin"
+
+
+def test_script_profile_ratio(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab你")], "doc_id long, text string"
+    )  # 2 latin, 1 cjk -> ratio 2/3
+    got = script_profile(docs).collect()[0]
+    assert got["script_ratio"] == round(2 / 3, 6)
+
+
+def test_script_profile_no_shuffle_no_python(spark):
+    docs = spark.createDataFrame(_SCRIPT_DOCS, "doc_id long, text string")
+    df = script_profile(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
