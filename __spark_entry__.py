@@ -836,6 +836,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
         return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.02, max_df=100)
 
+    # ---- asymmetric containment pairs (inter / min size): the
+    # quote/subset detector Jaccard structurally misses on size-mismatched
+    # documents; same inverted index and max_df guardrail
+    def ngram_containment_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import ngram_containment_pairs
+
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+        return ngram_containment_pairs(
+            d, shingle_k=3, threshold=0.05, max_df=100
+        )
+
     # ---- brute-force cosine top-k over embeddings
     def cosine_topk(spark, sf_dir):
         return brute_force_topk(
@@ -2120,6 +2131,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_near_dup_docs": incr_near_dup_docs,
         "near_dup_docs": near_dup_docs,
         "ngram_jaccard": ngram_jaccard,
+        "ngram_containment_docs": ngram_containment_docs,
         "cosine_topk": cosine_topk,
         "lsh_bucket_counts": lsh_bucket_counts,
         "lsh_topk_docs": lsh_topk_docs,
@@ -2544,6 +2556,29 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter / (sa.n + sb.n - inter) >= 0.02
+        """,
+        # containment pairs: identical index/inter CTEs, the asymmetric
+        # inter / least(na, nb) coefficient, jaccard carried alongside
+        "ngram_containment_docs": f"""
+            WITH t AS (SELECT doc_id, {sh} AS sh FROM documents WHERE doc_id < 120),
+            ex AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+            sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+            idx AS (
+              SELECT * FROM ex WHERE shingle IN (
+                SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 100)
+            ),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / least(sa.n, sb.n), 6) AS containment,
+                   round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / least(sa.n, sb.n) >= 0.05
         """,
         "cosine_topk": f"""
             SELECT vec_id,
@@ -4623,6 +4658,11 @@ _EXTENDED_GATE = [
     # --extended + hand-checked multilingual/tie/plan tests in
     # test_pipeline_ops
     "script_profile_docs",
+    # asymmetric n-gram containment pairs (quote/subset detection; shares
+    # the Jaccard operator's inverted index and max_df guardrail); parity
+    # held by check_entry --extended + subset-vs-jaccard tests in
+    # test_pipeline_ops
+    "ngram_containment_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

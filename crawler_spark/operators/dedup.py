@@ -313,6 +313,28 @@ def ngram_jaccard_pairs(
     None (default) keeps exact semantics for small corpora / post-LSH
     re-ranking.
     """
+    counts = _shingle_pair_counts(df, text_col, id_col, shingle_k, max_df)
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _shingle_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    max_df: Optional[int],
+) -> DataFrame:
+    """Shared inverted-index pair machinery: ``(id_a, id_b, inter, na,
+    nb)`` for every document pair sharing at least one (kept) shingle —
+    the common core of the Jaccard and containment pair operators,
+    including the ``max_df`` hot-shingle guardrail."""
     sh = shingles_expr(text_col, shingle_k)
     ex = df.select(
         F.col(id_col), F.explode(F.expr(sh)).alias("shingle")
@@ -345,14 +367,47 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("nb"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """n-gram CONTAINMENT pairs: ``inter / min(|A|, |B|) >= threshold`` —
+    the asymmetric twin of :func:`ngram_jaccard_pairs` (Broder 1997's
+    containment coefficient). Jaccard misses subset duplication between
+    size-mismatched documents by construction: a page fully quoted inside
+    a 10× longer page has jaccard <= 0.1 but containment 1.0. This is the
+    operator that catches quote-stuffing, article-plus-boilerplate
+    mirrors, and training docs embedded verbatim in longer ones.
+
+    Output ``(id_a, id_b, containment, jaccard)`` — both coefficients, so
+    a curation policy can distinguish "same document" (both high) from
+    "one inside the other" (containment high, jaccard low). Same inverted
+    index, same self-join bound, same ``max_df`` guardrail and lower-bound
+    semantics as the Jaccard operator.
+    """
+    counts = _shingle_pair_counts(df, text_col, id_col, shingle_k, max_df)
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        counts.withColumn(
+            "containment", F.col("inter") / F.least("na", "nb")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

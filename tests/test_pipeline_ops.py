@@ -1136,3 +1136,57 @@ def test_script_profile_no_shuffle_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment pairs
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+
+def _shingle_set(text, k=3):
+    toks = [t for t in text.lower().strip().split() if t]
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " " + " ".join(f"filler{i} pad{i} tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long_doc)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.8).collect()
+    jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(jac) == 0  # size mismatch hides the quote from jaccard
+    assert len(cont) == 1
+    r = cont[0]
+    sa, sb = _shingle_set(short), _shingle_set(long_doc)
+    inter = len(sa & sb)
+    assert r["containment"] == round(inter / min(len(sa), len(sb)), 6)
+    assert r["jaccard"] == round(inter / len(sa | sb), 6)
+    assert r["containment"] >= 0.8 > r["jaccard"]
+
+
+def test_containment_equals_jaccard_on_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "one two three four five"), (1, "one two three four five")],
+        "doc_id long, text string",
+    )
+    r = ngram_containment_pairs(docs, threshold=0.5).collect()[0]
+    assert r["containment"] == 1.0 and r["jaccard"] == 1.0
+
+
+def test_containment_partition_invariant(spark):
+    rows = [(i, f"common phrase core w{i} common phrase core") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = [
+        sorted(
+            map(tuple, ngram_containment_pairs(
+                docs.repartition(n), threshold=0.3).collect())
+        )
+        for n in (1, 7)
+    ]
+    assert runs[0] == runs[1]
