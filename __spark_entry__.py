@@ -2055,6 +2055,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "token", "tf", "df", "score_q", "rank"
         )
 
+    # ---- k-means Lloyd step: nearest-centroid assignment + fixed-point
+    # component sums — the exact integer sufficient statistics of the
+    # quantizer refinement (ivf_refine is this in a loop). All-integer
+    # output; the oracle replays seed selection, argmin, and reduction.
+    def kmeans_step_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import (
+            ivf_centroids,
+            kmeans_step_sums,
+        )
+
+        e = _t(spark, sf_dir, "embeddings")
+        cents = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(e, _IVF_K).collect()
+        ]
+        return kmeans_step_sums(e, cents, quant_bits=20)
+
     # ---- PMI collocations: top-k corpus bigrams by pointwise mutual
     # information (exact-BIGINT counts, one fixed five-term ln expression)
     def pmi_collocations_docs(spark, sf_dir):
@@ -2191,6 +2208,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": interval_join_events,
         "pmi_collocations_docs": pmi_collocations_docs,
         "script_profile_docs": script_profile_docs,
+        "kmeans_step_docs": kmeans_step_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
@@ -2622,6 +2640,24 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign_docs": f"""
             SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        # k-means Lloyd step: the same assignment CTE, then fixed-point
+        # (2^20) component quantization and exact integer (qsum, n)
+        # reduction per (centroid, component) — the refinement's
+        # sufficient statistics, every value a BIGINT
+        "kmeans_step_docs": f"""
+            WITH asg AS (SELECT vec_id, embedding, centroid_id
+                         FROM ({ivf_assigned})),
+            q AS (
+              SELECT centroid_id, i AS pos,
+                     cast(round(cast(embedding[i + 1] AS double)
+                                * 1048576.0) AS bigint) AS qv
+              FROM asg, unnest(range(0, {_EMB_DIM})) AS u(i)
+            )
+            SELECT centroid_id, cast(pos AS int) AS pos,
+                   cast(sum(qv) AS bigint) AS qsum,
+                   cast(count(*) AS bigint) AS n
+            FROM q GROUP BY centroid_id, pos
         """,
         "semantic_dedup_docs": f"""
             WITH an AS (
@@ -4663,6 +4699,12 @@ _EXTENDED_GATE = [
     # held by check_entry --extended + subset-vs-jaccard tests in
     # test_pipeline_ops
     "ngram_containment_docs",
+    # k-means Lloyd accumulation step (assignment + fixed-point integer
+    # sufficient statistics; ivf_refine's core); parity held by
+    # check_entry --extended + partition-bit-identity tests in
+    # test_pipeline_ops; ivf_assign_docs/ivf_topk_docs (on board) pin the
+    # shared assignment expression
+    "kmeans_step_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

@@ -269,6 +269,42 @@ def ivf_assign(
     return df.withColumn(out_col, F.expr(nearest_centroid_expr(centroid_rows, vec_col)))
 
 
+def kmeans_step_sums(
+    df: DataFrame,
+    centroid_rows: Sequence,
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """One Lloyd accumulation step as a DataFrame: assign every vector to
+    its nearest centroid (the zero-shuffle ``ivf_assign`` expression),
+    quantize each component to fixed-point ``round(v * 2^quant_bits)``
+    BIGINTs, and reduce to ``(centroid_id, pos, qsum, n)`` — the exact
+    integer sufficient statistics of the k-means update. All-integer
+    output: associative order-free reduction, bit-identical at any
+    partition count and engine-replayable (see the ``kmeans_step_docs``
+    oracle). ``ivf_refine`` is this step in a loop plus the mean division.
+
+    Shuffle shape: posexplode keys (centroid, component) with map-side
+    partial sums — the shuffle carries partitions × k × dim rows, never
+    the vectors."""
+    scale = float(1 << quant_bits)
+    cur = [(int(c), [float(x) for x in e]) for c, e in centroid_rows]
+    assigned = ivf_assign(df, cur, vec_col)
+    return (
+        assigned.select(
+            "centroid_id",
+            F.posexplode(
+                F.expr(
+                    f"transform({vec_col}, v -> "
+                    f"cast(round(cast(v as double) * {scale!r}d) as bigint))"
+                )
+            ).alias("pos", "q"),
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum("q").alias("qsum"), F.count("*").alias("n"))
+    )
+
+
 def ivf_refine(
     df: DataFrame,
     centroid_rows: Sequence,
@@ -299,21 +335,7 @@ def ivf_refine(
     scale = float(1 << quant_bits)
     cur = [(int(c), [float(x) for x in e]) for c, e in centroid_rows]
     for _ in range(max(0, iters)):
-        assigned = ivf_assign(df, cur, vec_col)
-        sums = (
-            assigned.select(
-                "centroid_id",
-                F.posexplode(
-                    F.expr(
-                        f"transform({vec_col}, v -> "
-                        f"cast(round(cast(v as double) * {scale!r}d) as bigint))"
-                    )
-                ).alias("pos", "q"),
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("q").alias("qsum"), F.count("*").alias("n"))
-            .collect()
-        )
+        sums = kmeans_step_sums(df, cur, vec_col, quant_bits).collect()
         by_cid: dict = {}
         for r in sums:
             by_cid.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = (

@@ -1190,3 +1190,55 @@ def test_containment_partition_invariant(spark):
         for n in (1, 7)
     ]
     assert runs[0] == runs[1]
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_step_sums_matches_numpy(spark):
+    from crawler_spark.operators.similarity import kmeans_step_sums
+
+    rng = np.random.RandomState(7)
+    data = rng.randn(60, 8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [float(x) for x in data[0]]), (1, [float(x) for x in data[1]])]
+    got = {
+        (r["centroid_id"], r["pos"]): (r["qsum"], r["n"])
+        for r in kmeans_step_sums(df, cents, quant_bits=20).collect()
+    }
+    # numpy replay: argmin squared-L2 with id tie-break, then quantized sums
+    d = data.astype(np.float64)
+    cmat = np.array([c for _, c in cents], dtype=np.float64)
+    assign = np.argmin(((d[:, None, :] - cmat[None]) ** 2).sum(-1), axis=1)
+    scale = float(1 << 20)
+    exp = {}
+    for cid in (0, 1):
+        rows = d[assign == cid]
+        q = np.floor(rows * scale + 0.5).astype(np.int64)  # round-half-up
+        q = np.where(rows < 0, -np.floor(-rows * scale + 0.5), q).astype(np.int64)
+        for pos in range(8):
+            exp[(cid, pos)] = (int(q[:, pos].sum()), rows.shape[0])
+    assert got == exp
+
+
+def test_kmeans_step_sums_partition_invariant(spark):
+    from crawler_spark.operators.similarity import kmeans_step_sums
+
+    rng = np.random.RandomState(11)
+    data = rng.randn(50, 4).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in data[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])]
+    runs = [
+        sorted(map(tuple, kmeans_step_sums(
+            df.repartition(n), cents).collect()))
+        for n in (1, 9)
+    ]
+    assert runs[0] == runs[1]
