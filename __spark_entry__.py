@@ -2055,6 +2055,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "token", "tf", "df", "score_q", "rank"
         )
 
+    # ---- registrable domain (eTLD+1): deterministic multi-suffix host
+    # synthesis from doc_id, then the pure-expression PSL-subset rule
+    def registrable_domain_docs(spark, sf_dir):
+        from crawler_spark.core.urls import registrable_domain_expr
+
+        host = (
+            "concat('s', cast(doc_id % 3 as string), '.', "
+            "CASE cast(doc_id % 5 as int) "
+            "WHEN 0 THEN 'alpha.co.uk' WHEN 1 THEN 'beta.com' "
+            "WHEN 2 THEN 'gamma.com.au' WHEN 3 THEN 'delta.org' "
+            "ELSE 'eps.co.jp' END)"
+        )
+        return (
+            _t(spark, sf_dir, "documents")
+            .selectExpr("doc_id", f"{host} AS host")
+            .selectExpr(
+                "doc_id", "host", registrable_domain_expr("host") + " AS rd"
+            )
+        )
+
     # ---- k-means Lloyd step: nearest-centroid assignment + fixed-point
     # component sums — the exact integer sufficient statistics of the
     # quantizer refinement (ivf_refine is this in a loop). All-integer
@@ -2209,6 +2229,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "script_profile_docs": script_profile_docs,
         "kmeans_step_docs": kmeans_step_docs,
+        "registrable_domain_docs": registrable_domain_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
@@ -2640,6 +2661,37 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign_docs": f"""
             SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        # registrable domain: same host synthesis, same PSL-subset rule
+        # (string_split + negative list indexing mirrors Spark's
+        # split + element_at)
+        "registrable_domain_docs": """
+            WITH h AS (
+              SELECT doc_id,
+                     concat('s', cast(doc_id % 3 AS varchar), '.',
+                       CASE cast(doc_id % 5 AS int)
+                         WHEN 0 THEN 'alpha.co.uk' WHEN 1 THEN 'beta.com'
+                         WHEN 2 THEN 'gamma.com.au' WHEN 3 THEN 'delta.org'
+                         ELSE 'eps.co.jp' END) AS host
+              FROM documents
+            ),
+            p AS (SELECT doc_id, host, string_split(host, '.') AS parts
+                  FROM h),
+            c AS (SELECT doc_id, host, parts,
+                         parts[-2] || '.' || parts[-1] AS last2
+                  FROM p)
+            SELECT doc_id, host,
+                   CASE WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){3}$')
+                          THEN host
+                        WHEN len(parts) <= 2 THEN host
+                        WHEN last2 IN ('ac.uk', 'co.uk', 'gov.uk', 'org.uk',
+                          'co.jp', 'ne.jp', 'or.jp', 'com.au', 'net.au',
+                          'org.au', 'com.ar', 'com.br', 'com.cn', 'com.hk',
+                          'com.mx', 'com.sg', 'com.tr', 'com.tw', 'co.in',
+                          'co.kr', 'co.nz', 'co.za')
+                          THEN parts[-3] || '.' || last2
+                        ELSE last2 END AS rd
+            FROM c
         """,
         # k-means Lloyd step: the same assignment CTE, then fixed-point
         # (2^20) component quantization and exact integer (qsum, n)
@@ -4705,6 +4757,10 @@ _EXTENDED_GATE = [
     # test_pipeline_ops; ivf_assign_docs/ivf_topk_docs (on board) pin the
     # shared assignment expression
     "kmeans_step_docs",
+    # registrable domain / eTLD+1 (pure-expression PSL-subset rule — the
+    # politeness/mirror/reputation grouping key); parity held by
+    # check_entry --extended + case tests in test_sitemaps_urls
+    "registrable_domain_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

@@ -76,3 +76,50 @@ def canonical_url_expr(col: str) -> str:
         f"concat({scheme}, '://', lower({hostport}), {path}, "
         f"CASE WHEN {q2} = '' THEN '' ELSE concat('?', {q2}) END)"
     )
+
+
+# Two-label public suffixes a crawler meets constantly. Deliberately a
+# compact built-in subset of the PSL (the full list is a data file a
+# deployment can swap in): enough that co.uk/com.au-style hosts group by
+# the actual registrant instead of by country registry.
+TWO_LABEL_SUFFIXES = [
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.ar", "com.br", "com.cn", "com.hk", "com.mx",
+    "com.sg", "com.tr", "com.tw",
+    "co.in", "co.kr", "co.nz", "co.za",
+]
+
+
+def registrable_domain_expr(host_col: str) -> str:
+    """SQL expression: registrable domain (eTLD+1) of a lowercase host.
+
+    The grouping key politeness, reputation, and mirror detection should
+    really use: ``a.shop.example.co.uk`` and ``b.example.co.uk`` are one
+    registrant, while plain last-two-labels grouping would call them
+    ``co.uk`` — merging every UK company into one politeness bucket.
+
+    Rules (pure JVM/DuckDB-portable string expression, no Python):
+    - IPv4 literals pass through unchanged;
+    - one- or two-label hosts pass through unchanged;
+    - if the last two labels are a known two-label public suffix
+      (``TWO_LABEL_SUFFIXES``), keep the last three labels;
+    - otherwise keep the last two.
+
+    Input contract: an already-lowercased bare host (no scheme, port, or
+    path) — what ``canonical_url_expr``'s host step or
+    ``parse_url(url, 'HOST')`` produce.
+    """
+    parts = f"split({host_col}, '[.]')"
+    last2 = (
+        f"concat(element_at({parts}, -2), '.', element_at({parts}, -1))"
+    )
+    last3 = f"concat(element_at({parts}, -3), '.', {last2})"
+    inlist = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
+    return (
+        f"CASE WHEN {host_col} rlike '^[0-9]+(\\\\.[0-9]+){{3}}$' THEN {host_col} "
+        f"WHEN size({parts}) <= 2 THEN {host_col} "
+        f"WHEN {last2} IN ({inlist}) THEN {last3} "
+        f"ELSE {last2} END"
+    )

@@ -227,3 +227,52 @@ def test_hints_schedule_dedups_across_files(spark):
     out = hints_schedule(hints, "2024-01-01 00:00:00").collect()
     assert len(out) == 1
     assert out[0]["interval_sec"] == 86_400  # soonest fetch wins
+
+
+# ---------------------------------------------------------------------------
+# registrable domain (eTLD+1)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.core.urls import registrable_domain_expr
+
+
+def test_registrable_domain_cases(spark):
+    from pyspark.sql import functions as F
+
+    cases = {
+        "a.shop.example.co.uk": "example.co.uk",
+        "b.example.co.uk": "example.co.uk",
+        "example.com": "example.com",
+        "www.example.com": "example.com",
+        "deep.sub.example.com.au": "example.com.au",
+        "localhost": "localhost",
+        "192.168.0.1": "192.168.0.1",
+        "co.uk": "co.uk",           # bare suffix passes through (2 labels)
+        "x.co.uk": "x.co.uk",       # the registrant itself
+        "sub.x.co.jp": "x.co.jp",
+        "a.b.c.example.org": "example.org",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.selectExpr(
+            "host", registrable_domain_expr("host") + " AS rd"
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_groups_mirror_subdomains(spark):
+    # the politeness-bucket motivation: one registrant, many subdomains
+    from pyspark.sql import functions as F
+
+    hosts = [f"s{i}.crawl.example.co.uk" for i in range(5)] + [
+        f"cdn{i}.other.com" for i in range(3)
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    counts = (
+        df.selectExpr(registrable_domain_expr("host") + " AS rd")
+        .groupBy("rd").count().collect()
+    )
+    got = {r["rd"]: r["count"] for r in counts}
+    assert got == {"example.co.uk": 5, "other.com": 3}
