@@ -1775,6 +1775,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "rank_q"
         )
 
+    def reciprocity_docs(spark, sf_dir):
+        # per-source reciprocity rate (link-nepotism signal) over the
+        # pagerank_docs edge set
+        from crawler_spark.operators.graph import reciprocity_by_source
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return reciprocity_by_source(edges)
+
     def hits_docs(spark, sf_dir):
         # HITS over the same synthetic edge set as pagerank_docs; the _q
         # columns are exact fixed-point BIGINTs (2 unrolled iterations in
@@ -2243,6 +2259,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot_docs": latest_snapshot_docs,
         "pagerank_docs": pagerank_docs,
         "trustrank_docs": trustrank_docs,
+        "reciprocity_docs": reciprocity_docs,
         "hits_docs": hits_docs,
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
@@ -4012,6 +4029,27 @@ def _all_oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN s4 ON nodes.id = s4.id)
             SELECT id, rank_q FROM r4
         """,
+        # per-source reciprocity: same synthetic edge set, mirror-pair
+        # equi-join, two exact counts and one rounded ratio
+        "reciprocity_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e0 AS (SELECT DISTINCT doc_id AS src,
+                          (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                   FROM documents, (VALUES (1), (2), (3)) t(j)),
+            e AS (SELECT * FROM e0 WHERE src <> dst),
+            fwd AS (SELECT src, dst FROM e WHERE src < dst),
+            rev AS (SELECT dst AS src, src AS dst FROM e WHERE src > dst),
+            mu AS (SELECT f.src AS id_a, f.dst AS id_b
+                   FROM fwd f JOIN rev r ON f.src = r.src AND f.dst = r.dst),
+            mc AS (SELECT id, count(*) AS n_mutual
+                   FROM (SELECT id_a AS id FROM mu
+                         UNION ALL SELECT id_b FROM mu) GROUP BY id),
+            outd AS (SELECT src AS id, count(*) AS n_out FROM e GROUP BY src)
+            SELECT outd.id, cast(n_out AS bigint) AS n_out,
+                   cast(coalesce(n_mutual, 0) AS bigint) AS n_mutual,
+                   round(coalesce(n_mutual, 0) / n_out, 6) AS reciprocity
+            FROM outd LEFT JOIN mc ON outd.id = mc.id
+        """,
         # TrustRank: three unrolled iterations over the pagerank_docs edge
         # set; teleport (base 10^12*15//(100*3) = 50000000000, init
         # 10^12//3 = 333333333333) applies ONLY to seeds {0,1,2}; identical
@@ -4761,6 +4799,10 @@ _EXTENDED_GATE = [
     # politeness/mirror/reputation grouping key); parity held by
     # check_entry --extended + case tests in test_sitemaps_urls
     "registrable_domain_docs",
+    # per-source link reciprocity (nepotism signal; mirror-pair equi-join,
+    # never quadratic); parity held by check_entry --extended +
+    # hand-checked/plan tests in test_graph
+    "reciprocity_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

@@ -405,3 +405,74 @@ def host_hits(
         hs.join(names, hs["id"] == names["hid"])
         .select(F.col("h").alias(host_col), "auth_q", "hub_q", "auth", "hub")
     )
+
+
+def reciprocal_links(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Mutual-link pairs: every unordered ``{a, b}`` with both ``a -> b``
+    and ``b -> a`` present — the classic link-nepotism signal (reciprocal
+    linking is the cheapest link-exchange scheme; a host whose outlinks
+    are mostly reciprocated is trading links, not citing). Output
+    ``(id_a, id_b)`` with ``id_a < id_b``, each pair once.
+
+    One self-equi-join on the (deduped) edge list keyed ``(src, dst)`` =
+    ``(dst, src)`` — hash join, never quadratic: each edge meets at most
+    its exact mirror. Self-loops are excluded (a self-link is trivially
+    reciprocal and pure noise for the signal).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    fwd = e.filter(F.col("src") < F.col("dst"))
+    rev = e.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.join(rev, ["src", "dst"]).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+
+
+def reciprocity_by_source(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-source reciprocity rate: ``(id, n_out, n_mutual, reciprocity)``
+    over the deduped self-loop-free edge list — the rankable form of
+    :func:`reciprocal_links` (flag hosts above a reciprocity threshold,
+    feed ``1 - reciprocity`` into the composite priority scorer).
+    ``reciprocity`` is rounded to 6 decimals from two exact counts."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mutual = reciprocal_links(e)
+    m = mutual.select(F.col("id_a").alias("id")).unionByName(
+        mutual.select(F.col("id_b").alias("id"))
+    ).groupBy("id").agg(F.count("*").alias("n_mutual"))
+    out = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("n_out")
+    )
+    return (
+        out.join(m, "id", "left")
+        .select(
+            "id",
+            F.col("n_out").cast("bigint").alias("n_out"),
+            F.coalesce("n_mutual", F.lit(0)).cast("bigint").alias("n_mutual"),
+            F.round(
+                F.coalesce("n_mutual", F.lit(0)) / F.col("n_out"), 6
+            ).alias("reciprocity"),
+        )
+    )

@@ -328,3 +328,36 @@ def test_pagerank_unchanged_without_seeds(spark):
     df = spark.createDataFrame(EDGES, "src long, dst long")
     got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=3).collect()}
     assert got == replay(EDGES, 3)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal links (link nepotism)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.graph import reciprocal_links, reciprocity_by_source
+
+
+def test_reciprocal_links_hand_checked(spark):
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (4, 3), (5, 5), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r["id_a"], r["id_b"]) for r in reciprocal_links(df).collect())
+    # {1,2} mutual, {3,4} mutual (dup edge counted once), 5->5 self ignored
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_reciprocity_by_source(spark):
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["n_out"], r["n_mutual"], r["reciprocity"])
+           for r in reciprocity_by_source(df).collect()}
+    # node 1: out {2,3,4}; mutual {2,4} -> 2/3
+    assert got[1] == (3, 2, round(2 / 3, 6))
+    assert got[2] == (1, 1, 1.0)
+    assert got[4] == (1, 1, 1.0)
+    assert 3 not in got  # node 3 has no out-edges
+
+
+def test_reciprocal_links_plan_is_hash_join(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = reciprocal_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
