@@ -9,6 +9,8 @@ from crawler_spark.streaming.ingest import (
     term_rate_stream,
     top_terms,
     trending_terms,
+    snapshot_stream,
+    snapshot_view,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "term_rate_stream",
     "top_terms",
     "trending_terms",
+    "snapshot_stream",
+    "snapshot_view",
 ]

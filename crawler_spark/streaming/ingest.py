@@ -562,3 +562,155 @@ def incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def snapshot_stream(
+    spark: SparkSession,
+    history_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    hash_col: str = "content_hash",
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous latest-wins snapshot: the streaming face of
+    ``frontier.recrawl.latest_snapshot``. Each micro-batch of fetch
+    records reduces to ONE summary row per URL — ``(url, first_ts,
+    first_hash, last_ts, last_hash, n_fetches, n_changes, batch_id)`` —
+    written as a parquet partition with DYNAMIC overwrite, so a replayed
+    batch (checkpoint recovery) overwrites its own partition instead of
+    double-counting: exactly-once with zero state-store rows, the same
+    backlog-in-storage stance as ``incremental_dedup_stream``.
+
+    ``snapshot_view`` merges the summaries on read. Per-URL change
+    counting across batch boundaries needs segment order, so the merge is
+    exact when each URL's fetches arrive in event-time order across
+    batches (the normal shape of a fetch log: a recrawl happens after the
+    previous fetch was recorded); within a batch any order is fine.
+
+    Returns the started StreamingQuery.
+    """
+    schema = spark.read.parquet(history_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(history_dir)
+
+    def process(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        w_asc = Window.partitionBy(url_col).orderBy(ts_col, hash_col)
+        w_all = (
+            Window.partitionBy(url_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        prev = F.lag(hash_col).over(w_asc)
+        summary = (
+            batch_df.withColumn(
+                "_chg",
+                F.when(prev.isNull(), F.lit(0))
+                .when(prev != F.col(hash_col), F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+            .withColumn("_rn_a", F.row_number().over(w_asc))
+            .withColumn(
+                "_rn_d",
+                F.row_number().over(
+                    Window.partitionBy(url_col).orderBy(
+                        F.desc(ts_col), F.desc(hash_col)
+                    )
+                ),
+            )
+            .withColumn("n_fetches", F.count("*").over(w_all).cast("bigint"))
+            .withColumn("n_changes", F.sum("_chg").over(w_all).cast("bigint"))
+            .withColumn("first_ts", F.min(ts_col).over(w_all))
+            .withColumn(
+                "first_hash", F.first(hash_col).over(w_asc)
+            )
+            .filter(F.col("_rn_d") == 1)
+            .select(
+                F.col(url_col).alias("url"),
+                "first_ts",
+                "first_hash",
+                F.col(ts_col).alias("last_ts"),
+                F.col(hash_col).alias("last_hash"),
+                "n_fetches",
+                "n_changes",
+            )
+        )
+        (
+            summary.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .options(partitionOverwriteMode="dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def snapshot_view(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Merge ``snapshot_stream`` summaries into the current-revision view:
+    ``(url, content_hash, n_fetches, n_changes, warc_ts, first_fetch_ts)``
+    — the same columns ``latest_snapshot`` derives from raw history
+    (asserted equal in tests). The input is one row per (url, batch), so
+    this reads summaries, never refetches raw rows: counters sum; latest
+    is the max (last_ts, last_hash) segment; boundary transitions add 1
+    change when a segment's first_hash differs from its predecessor's
+    last_hash (segments ordered by (first_ts, first_hash, batch_id))."""
+    from pyspark.sql import Window
+
+    seg = spark.read.parquet(store_dir)
+    w_ord = Window.partitionBy("url").orderBy(
+        "first_ts", "first_hash", "batch_id"
+    )
+    w_all = (
+        Window.partitionBy("url")
+        .orderBy("first_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev_last = F.lag("last_hash").over(w_ord)
+    marked = seg.withColumn(
+        "_bchg",
+        F.when(prev_last.isNull(), F.lit(0))
+        .when(prev_last != F.col("first_hash"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        marked.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(
+                    F.desc("last_ts"), F.desc("last_hash"), F.desc("batch_id")
+                )
+            ),
+        )
+        .withColumn(
+            "n_fetches_t", F.sum("n_fetches").over(w_all).cast("bigint")
+        )
+        .withColumn(
+            "n_changes_t",
+            (F.sum("n_changes").over(w_all) + F.sum("_bchg").over(w_all))
+            .cast("bigint"),
+        )
+        .withColumn("first_fetch_ts", F.min("first_ts").over(w_all))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "url",
+            F.col("last_hash").alias("content_hash"),
+            F.col("n_fetches_t").alias("n_fetches"),
+            F.col("n_changes_t").alias("n_changes"),
+            F.col("last_ts").alias("warc_ts"),
+            "first_fetch_ts",
+        )
+    )

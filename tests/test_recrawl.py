@@ -187,3 +187,56 @@ def test_latest_snapshot_single_exchange(spark, hist_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# streaming latest-wins snapshot
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_stream_matches_batch_latest_snapshot(spark, tmp_path):
+    """snapshot_stream + snapshot_view over two event-time-ordered drops
+    reconstructs latest_snapshot over the concatenated history exactly,
+    and a checkpoint-resumed second run drains only the new file."""
+    from crawler_spark.streaming.ingest import snapshot_stream, snapshot_view
+
+    hist = spark.createDataFrame(
+        _history(), "url string, warc_ts timestamp, content_hash string"
+    )
+    # wave 1 = fetches before T0+12h, wave 2 = the rest (per-URL time order)
+    cut = T0 + timedelta(hours=12)
+    w1 = hist.filter(F.col("warc_ts") < cut)
+    w2 = hist.filter(F.col("warc_ts") >= cut)
+    hist_dir = str(tmp_path / "hist")
+    w1.coalesce(1).write.mode("append").parquet(hist_dir)
+
+    kw = dict(
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q = snapshot_stream(spark, hist_dir, **kw)
+    q.awaitTermination()
+    w2.coalesce(1).write.mode("append").parquet(hist_dir)
+    q = snapshot_stream(spark, hist_dir, **kw)
+    q.awaitTermination()
+
+    got = sorted(
+        (
+            r["url"], r["content_hash"], r["n_fetches"], r["n_changes"],
+            r["warc_ts"], r["first_fetch_ts"],
+        )
+        for r in snapshot_view(spark, kw["store_dir"]).collect()
+    )
+    exp = sorted(
+        (
+            r["url"], r["content_hash"], r["n_fetches"], r["n_changes"],
+            r["warc_ts"], r["first_fetch_ts"],
+        )
+        for r in latest_snapshot(hist).collect()
+    )
+    assert got == exp
+    # one summary row per (url, batch): urls in both waves have 2 segments
+    store = spark.read.parquet(kw["store_dir"])
+    assert store.count() == store.select("url", "batch_id").distinct().count()
+    assert store.select("batch_id").distinct().count() == 2
