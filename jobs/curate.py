@@ -85,9 +85,32 @@ def main() -> None:
     p.add_argument("--mirror-max-df", type=int, default=1000,
                    help="content keys on more than this many sources are "
                         "ignored when pairing mirrors (boilerplate cap)")
+    p.add_argument("--containment-dedup", type=float, default=None,
+                   metavar="C",
+                   help="drop subset duplicates: for every pair whose "
+                        "n-gram containment (inter / min size) is >= C, "
+                        "the higher-id doc is dropped (min-id survivor, "
+                        "the engine-wide dedup convention; "
+                        "operators/dedup.ngram_containment_pairs). Catches "
+                        "quotes/boilerplate-wrapped copies Jaccard misses "
+                        "on size-mismatched pairs")
+    p.add_argument("--containment-ngram", type=int, default=8,
+                   help="shingle width for --containment-dedup")
+    p.add_argument("--containment-max-df", type=int, default=1000,
+                   help="hot-shingle cap for --containment-dedup")
+    p.add_argument("--temperature-mix", type=float, default=None,
+                   metavar="ALPHA",
+                   help="after curation, resample to --mix-budget tokens "
+                        "with per-source budgets proportional to "
+                        "c_source^ALPHA (operators/sampling."
+                        "sample_temperature; 0.5 flattens the head)")
+    p.add_argument("--mix-budget", type=int, default=None,
+                   help="total token budget for --temperature-mix")
     args = p.parse_args()
     if (args.dsir_target is None) != (args.dsir_keep is None):
         p.error("--dsir-target and --dsir-keep must be given together")
+    if (args.temperature_mix is None) != (args.mix_budget is None):
+        p.error("--temperature-mix and --mix-budget must be given together")
 
     from crawler_spark.operators.curation import curate, curation_stats
     from crawler_spark.session import build_session
@@ -144,6 +167,25 @@ def main() -> None:
             .join(stripped, args.id_col)
             .withColumnRenamed("kept_text", args.text_col)
         )
+    n_contained_dropped = None
+    if args.containment_dedup is not None:
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.dedup import ngram_containment_pairs
+
+        pairs = ngram_containment_pairs(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            shingle_k=args.containment_ngram,
+            threshold=args.containment_dedup,
+            max_df=args.containment_max_df,
+        )
+        drop = pairs.select(
+            F.col("id_b").alias(args.id_col)
+        ).distinct()
+        n_contained_dropped = drop.count()
+        docs = docs.join(drop, args.id_col, "left_anti")
     if args.max_nll is not None:
         from crawler_spark.operators.lm import perplexity_filter
 
@@ -188,6 +230,19 @@ def main() -> None:
             id_col=args.id_col,
         ).drop("n_feats", "sum_lw_q", "log_w", "avg_lw")
         n_dsir = curated.count()
+    n_mixed = None
+    if args.temperature_mix is not None:
+        from crawler_spark.operators.sampling import sample_temperature
+
+        curated = sample_temperature(
+            curated,
+            alpha=args.temperature_mix,
+            token_budget=args.mix_budget,
+            source_col=args.source_col,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        n_mixed = curated.count()
     writer = curated.write.mode("overwrite")
     if args.partition_by:
         writer = writer.partitionBy(args.partition_by)
@@ -209,6 +264,10 @@ def main() -> None:
     }
     if n_mirror_dropped is not None:
         funnel["n_mirror_sources_dropped"] = n_mirror_dropped
+    if n_contained_dropped is not None:
+        funnel["n_contained_dropped"] = n_contained_dropped
+    if n_mixed is not None:
+        funnel["n_mixed"] = n_mixed
     if n_nb is not None:
         funnel["n_nb_kept"] = n_nb
     if n_dsir is not None:

@@ -744,3 +744,50 @@ def test_temperature_budget_capped_at_source_size(spark, skew_docs):
 def test_temperature_invalid_alpha(spark, skew_docs):
     with pytest.raises(ValueError):
         temperature_budgets(skew_docs, 0.0, 500)
+
+
+def test_curate_cli_containment_and_temperature(spark, tmp_path, monkeypatch):
+    """jobs/curate.py --containment-dedup + --temperature-mix: subset
+    duplicates drop (min-id survivor), then the temperature sampler caps
+    per-source tokens."""
+    import sys
+
+    import jobs.curate as jc
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    for i in range(10):
+        rows.append((i, base + f" unique tail {i} words", "src-a"))
+    # doc 100 embeds doc 0's full text inside a longer page (containment
+    # ~1 for doc 0's shingles; jaccard low)
+    rows.append((100, rows[0][1] + " " + " ".join(f"extra{j} pad{j}" for j in range(30)), "src-a"))
+    for i in range(5):
+        rows.append((200 + i, f"tail source document {i} with its own words entirely", "src-b"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    inp, outp = str(tmp_path / "in"), str(tmp_path / "out")
+    docs.write.parquet(inp)
+
+    # stage 1: containment only — the contained pair keeps its min id
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--containment-dedup", "0.9", "--containment-ngram", "5",
+    ])
+    jc.main()
+    ids = {r["doc_id"] for r in spark.read.parquet(outp).collect()}
+    assert 0 in ids and 100 not in ids
+    assert {200 + i for i in range(5)} <= ids  # other source untouched
+
+    # stage 2: + temperature mix — global token budget respected
+    outp2 = str(tmp_path / "out2")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", outp2,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--containment-dedup", "0.9", "--containment-ngram", "5",
+        "--temperature-mix", "0.5", "--mix-budget", "120",
+    ])
+    jc.main()
+    kept = spark.read.parquet(outp2).collect()
+    assert {r["doc_id"] for r in kept} <= ids  # mixing only subsets
+    assert sum(len(r["text"].split()) for r in kept) <= 120
+    assert len({r["source"] for r in kept}) == 2  # tail source still present
