@@ -183,3 +183,48 @@ def test_bm25_plan_jvm_only(postings):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# jobs/search.py CLI (build -> bucket-pruned query)
+# ---------------------------------------------------------------------------
+
+
+def test_search_cli_build_and_query(spark, tmp_path, monkeypatch, capsys):
+    import json as _json
+    import sys
+
+    import jobs.search as js
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    inp, idx = str(tmp_path / "docs"), str(tmp_path / "idx")
+    docs.write.parquet(inp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "search.py", "build", "--input", inp, "--index", idx,
+    ])
+    js.main()
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["n_docs"] == 4  # docs 3/4 are empty -> no dl rows
+
+    # bm25 through the bucket-pruned CLI path == full-postings operator
+    monkeypatch.setattr(sys, "argv", [
+        "search.py", "bm25", "--index", idx, "--query", "cat mat", "--k", "5",
+    ])
+    js.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    got = [(_json.loads(l)["doc_id"], _json.loads(l)["score"])
+           for l in lines[:-1]]
+    full = posting_lists(docs)
+    exp = [(r["doc_id"], round(r["score"], 6))
+           for r in bm25_search(full, ["cat", "mat"], k=5).collect()]
+    assert got == exp
+
+    monkeypatch.setattr(sys, "argv", [
+        "search.py", "phrase", "--index", idx, "--query", "the cat",
+    ])
+    js.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    hits = {_json.loads(l)["doc_id"]: _json.loads(l)["n_matches"]
+            for l in lines[:-1]}
+    assert hits == {0: 1, 1: 3, 2: 1}
