@@ -2071,6 +2071,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "token", "tf", "df", "score_q", "rank"
         )
 
+    # ---- Unicode NFC normalization: a decomposed-accent suffix (e +
+    # U+0301) is appended in both engines so the gate proves real
+    # composition work, not ASCII identity
+    def nfc_normalize_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import normalize_text
+
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" e\u0301cole")).alias("text"),
+        )
+        return normalize_text(docs, form="NFC").select("doc_id", "norm_text")
+
     # ---- registrable domain (eTLD+1): deterministic multi-suffix host
     # synthesis from doc_id, then the pure-expression PSL-subset rule
     def registrable_domain_docs(spark, sf_dir):
@@ -2246,6 +2258,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile_docs": script_profile_docs,
         "kmeans_step_docs": kmeans_step_docs,
         "registrable_domain_docs": registrable_domain_docs,
+        "nfc_normalize_docs": nfc_normalize_docs,
         "vocab_topk_docs": vocab_topk_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "split_assign_docs": split_assign_docs,
@@ -2678,6 +2691,15 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign_docs": f"""
             SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        # Unicode NFC: DuckDB's engine-native nfc_normalize over the same
+        # decomposed-suffix construction (chr(769) = U+0301 COMBINING
+        # ACUTE) — different Unicode implementations, same tables
+        "nfc_normalize_docs": """
+            SELECT doc_id,
+                   nfc_normalize(text || ' e' || chr(769) || 'cole')
+                     AS norm_text
+            FROM documents
         """,
         # registrable domain: same host synthesis, same PSL-subset rule
         # (string_split + negative list indexing mirrors Spark's
@@ -4803,6 +4825,11 @@ _EXTENDED_GATE = [
     # never quadratic); parity held by check_entry --extended +
     # hand-checked/plan tests in test_graph
     "reciprocity_docs",
+    # Unicode NFC normalization (Arrow-batched; vs DuckDB's native
+    # nfc_normalize over a decomposed-accent construction); parity held
+    # by check_entry --extended + NFKC/strip-accents DuckDB cross-checks
+    # in test_pipeline_ops
+    "nfc_normalize_docs",
     # token-balanced training-shard assignment (two-level prefix sum);
     # parity held by check_entry --extended + replay tests in test_shards
     "shard_assign_docs",

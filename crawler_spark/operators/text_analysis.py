@@ -417,3 +417,55 @@ def script_profile(
         .alias("script_ratio"),
         pred.alias("script_pred"),
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    form: str = "NFC",
+    strip_accents: bool = False,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode normalization (+ optional accent stripping) — the CCNet-style
+    preprocessing step that must run BEFORE hashing/dedup/LM so that
+    composed ``é`` (U+00E9) and decomposed ``e`` + U+0301 stop being
+    different documents with different content hashes.
+
+    ``form`` is NFC/NFKC/NFD/NFKD; ``strip_accents=True`` removes combining
+    marks after NFD/NFKD decomposition (``é -> e``), then re-composes to
+    the requested form. Unicode tables are not expressible as JVM column
+    math, so this is an Arrow-batched pandas UDF — the documented slow
+    path, row-local (zero shuffle), scan-shaped, and the ONLY Python in
+    the text pipeline; run it once at ingest and persist. The DuckDB
+    oracle uses the engine-native ``nfc_normalize``/``strip_accents``
+    (same Unicode tables, asserted equal).
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    form = form.upper()
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    # NB: no type hints — this module uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # hint inference; the plain signature selects SCALAR eval directly
+    @pandas_udf("string")
+    def _norm(s):
+        def one(t):
+            if t is None:
+                return None
+            if strip_accents:
+                decomp = "NFKD" if form in ("NFKC", "NFKD") else "NFD"
+                t = "".join(
+                    ch
+                    for ch in unicodedata.normalize(decomp, t)
+                    if not unicodedata.combining(ch)
+                )
+            return unicodedata.normalize(form, t)
+
+        return s.map(one)
+
+    return docs.withColumn(out_col, _norm(F.col(text_col)))

@@ -1242,3 +1242,66 @@ def test_kmeans_step_sums_partition_invariant(spark):
         for n in (1, 9)
     ]
     assert runs[0] == runs[1]
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.text_analysis import normalize_text
+
+
+def test_normalize_text_composes_and_matches_duckdb(spark):
+    import duckdb
+    import unicodedata
+
+    rows = [
+        (0, "école"),            # decomposed é
+        (1, "école"),             # composed é
+        (2, "ﬁle ﬁne"),           # U+FB01 ligature (NFKC-sensitive)
+        (3, ""),
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(docs, form="NFC").collect()}
+    # decomposed == composed after NFC; hashes would now agree
+    assert got[0] == got[1] == "école"
+    assert got[4] is None
+    # cross-check every non-null value against DuckDB's nfc_normalize
+    for did, t in rows:
+        if t is None:
+            continue
+        exp = duckdb.sql("SELECT nfc_normalize(?)", params=[t]).fetchone()[0]
+        assert got[did] == exp, did
+    # NFKC folds the ligature, NFC does not
+    nfkc = {r["doc_id"]: r["norm_text"]
+            for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[2] == "file fine" and got[2] != "file fine"
+
+
+def test_normalize_text_strip_accents_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(0, "école ÀÉÎÕÜ naïve"), (1, "no accents here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(docs, strip_accents=True).collect()}
+    for did, t in rows:
+        exp = duckdb.sql("SELECT strip_accents(?)", params=[t]).fetchone()[0]
+        assert got[did] == exp, did
+
+
+def test_normalize_text_invalid_form(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        normalize_text(docs, form="NFX")
+
+
+def test_normalize_text_is_arrow_not_rowpython(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = (
+        normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
