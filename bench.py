@@ -359,6 +359,18 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("removed_tokens"), F.sum(F.length("kept_text"))
         ).collect()
 
+    # ---- q_suffix: distributed suffix array (prefix doubling). Like
+    # q_crawl, sf0.1 timing is per-round FIXED cost (log2(max_doclen) ~ 8
+    # rounds x ~5 small jobs each, incl. a localCheckpoint); the shuffled
+    # bytes per round are 3 bigints/position, so the shape is
+    # shuffle-bound only at real scale ----------------------------------
+    with timed("q_suffix"):
+        from crawler_spark.operators.suffix import suffix_array_ranks
+
+        suffix_array_ranks(docs).select(
+            F.count("*"), F.sum("sa_rank")
+        ).collect()
+
     # ---- q_hll: per-source HLL distinct-token sketch (512 registers) ------
     with timed("q_hll"):
         from crawler_spark.operators.dedup import tokens_expr
