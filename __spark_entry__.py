@@ -1627,6 +1627,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.expr(canonical_url_expr(f"({url})")).alias("canonical"),
         )
 
+    # ---- SURT keys (core/urls.surt_key_expr, the CDX-J index key): URLs
+    # synthesized from doc_id arithmetic exercise every rule — case fold,
+    # www strip, default-port drop vs :8080 keep, label reversal across
+    # 1/2-label TLDs, query sort. The oracle CONSTRUCTS the expected key
+    # from the same arithmetic (independent of the transform), so a shared
+    # transform bug cannot self-confirm.
+    def surt_key_docs(spark, sf_dir):
+        from crawler_spark.core.urls import surt_key_expr
+
+        url = (
+            "concat('HTTP://', CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END, "
+            "'Host', cast(doc_id % 7 as string), '.Example.', "
+            "CASE cast(doc_id % 3 as int) WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+            "ELSE 'org' END, "
+            "CASE cast(doc_id % 5 as int) WHEN 0 THEN ':8080' WHEN 1 THEN ':80' "
+            "ELSE '' END, "
+            "'/Path/', cast(doc_id % 9 as string), "
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "concat('?B=', cast(doc_id % 6 as string), '&a=1') ELSE '' END, "
+            "'#frag')"
+        )
+        return _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(url).alias("raw_url"),
+            F.expr(surt_key_expr(f"({url})")).alias("surt_key"),
+        )
+
     # ---- crawl-trap detection (frontier/traps.py): the URL universe is
     # synthesized from doc_id arithmetic so both engines flag the *same*
     # frontier — doc_id%11 mints calendar-template URLs (skeleton
@@ -2289,6 +2316,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_docs": nb_quality_docs,
         "dsir_sample_docs": dsir_sample_docs,
         "canonical_url_docs": canonical_url_docs,
+        "surt_key_docs": surt_key_docs,
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
         "latest_snapshot_docs": latest_snapshot_docs,
@@ -3825,6 +3853,43 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         # aggressive URL canonicalization: same string-level rules as
         # core.urls.canonical_url_expr, DuckDB function names
+        # SURT key: the oracle never runs the transform — it CONSTRUCTS
+        # the expected key from the same doc_id arithmetic that minted the
+        # URL (reversed labels, :80 dropped / :8080 kept, www stripped,
+        # lowercase, query pre-sorted as 'a=1' < 'b=N'), so the gate is an
+        # independent check of surt_key_expr, not a mirror of it
+        "surt_key_docs": """
+            WITH u AS (
+              SELECT doc_id,
+                     concat('HTTP://',
+                       CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END,
+                       'Host', cast(doc_id % 7 as varchar), '.Example.',
+                       CASE cast(doc_id % 3 as int) WHEN 0 THEN 'com'
+                         WHEN 1 THEN 'co.uk' ELSE 'org' END,
+                       CASE cast(doc_id % 5 as int) WHEN 0 THEN ':8080'
+                         WHEN 1 THEN ':80' ELSE '' END,
+                       '/Path/', cast(doc_id % 9 as varchar),
+                       CASE WHEN doc_id % 2 = 0 THEN
+                         concat('?B=', cast(doc_id % 6 as varchar), '&a=1')
+                         ELSE '' END,
+                       '#frag') AS raw_url
+              FROM documents
+            )
+            SELECT doc_id, raw_url,
+                   concat(
+                     CASE cast(doc_id % 3 as int)
+                       WHEN 0 THEN 'com,example,host'
+                       WHEN 1 THEN 'uk,co,example,host'
+                       ELSE 'org,example,host' END,
+                     cast(doc_id % 7 as varchar),
+                     CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END,
+                     ')/path/', cast(doc_id % 9 as varchar),
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       concat('?a=1&b=', cast(doc_id % 6 as varchar))
+                       ELSE '' END
+                   ) AS surt_key
+            FROM u
+        """,
         "canonical_url_docs": rf"""
             WITH raw AS (
               SELECT doc_id,
@@ -4867,6 +4932,11 @@ _EXTENDED_GATE = [
     # test_pipeline_ops; ivf_assign_docs/ivf_topk_docs (on board) pin the
     # shared assignment expression
     "kmeans_step_docs",
+    # SURT keys (the CDX-J index key; core/urls.surt_key_expr): the
+    # oracle constructs the expected key from the URL-minting arithmetic,
+    # so it is an independent check; sorted-shard/roundtrip/slice behavior
+    # is pinned in test_cdxj
+    "surt_key_docs",
     # registrable domain / eTLD+1 (pure-expression PSL-subset rule — the
     # politeness/mirror/reputation grouping key); parity held by
     # check_entry --extended + case tests in test_sitemaps_urls

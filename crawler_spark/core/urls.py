@@ -78,6 +78,65 @@ def canonical_url_expr(col: str) -> str:
     )
 
 
+def surt_key_expr(col: str) -> str:
+    """SQL expression: SURT key (Sort-friendly URI Reordering Transform).
+
+    The key format of web-archive CDX(-J) indexes: the host is reversed
+    label-by-label and comma-joined so that a lexicographic sort groups a
+    whole registrable domain (``com,example``, ``com,example,shop``, ...)
+    into one contiguous run — which is what makes a 100 TB archive's index
+    binary-searchable by host/domain prefix. ``https://www.Shop.Example.com
+    :443/A/b?B=2&a=1`` -> ``com,example,shop)/a/b?a=1&b=2``.
+
+    Rules (deliberately string-level, one JVM/DuckDB-portable expression,
+    no Python — the same stance as :func:`canonical_url_expr`):
+
+    - drop the ``#fragment`` and the scheme;
+    - lowercase everything (host, path, and query — archive keys are
+      case-folded wholesale, unlike :func:`canonical_url_expr` which
+      preserves path case for live-crawl identity);
+    - drop a default ``:80``/``:443`` port; keep any other port attached
+      after the reversed host (``com,example:8080)/``);
+    - strip one leading ``www.`` label when at least two labels remain;
+    - reverse the host labels, join with ``,``;
+    - empty path becomes ``/``;
+    - query parameters split on ``&``, empties dropped, sorted bytewise,
+      re-joined (order-insensitive equality), ``?`` dropped when none
+      survive.
+
+    Input contract: an absolute http(s) URL as produced by
+    ``normalize_url`` (one ``://``).
+    """
+    u = f"split_part({col}, '#', 1)"
+    rest = f"split_part({u}, '://', 2)"
+    hostport_raw = f"split_part(split_part({rest}, '/', 1), '?', 1)"
+    after = f"substring({rest}, length({hostport_raw}) + 1)"
+    hp = f"regexp_replace(lower({hostport_raw}), ':(80|443)$', '')"
+    host = f"split_part({hp}, ':', 1)"
+    port = (
+        f"CASE WHEN instr({hp}, ':') > 0 "
+        f"THEN substring({hp}, instr({hp}, ':')) ELSE '' END"
+    )
+    host2 = (
+        f"CASE WHEN {host} LIKE 'www.%.%' "
+        f"THEN substring({host}, 5) ELSE {host} END"
+    )
+    rev = f"array_join(reverse(split({host2}, '[.]')), ',')"
+    path = f"lower(split_part({after}, '?', 1))"
+    path2 = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = (
+        f"CASE WHEN instr({after}, '?') > 0 "
+        f"THEN lower(substring({after}, instr({after}, '?') + 1)) "
+        f"ELSE '' END"
+    )
+    keep = f"filter(split({q}, '&'), p -> p <> '')"
+    q2 = f"array_join(array_sort({keep}), '&')"
+    return (
+        f"concat({rev}, {port}, ')', {path2}, "
+        f"CASE WHEN {q2} = '' THEN '' ELSE concat('?', {q2}) END)"
+    )
+
+
 # Two-label public suffixes a crawler meets constantly. Deliberately a
 # compact built-in subset of the PSL (the full list is a data file a
 # deployment can swap in): enough that co.uk/com.au-style hosts group by

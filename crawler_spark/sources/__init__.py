@@ -1,5 +1,14 @@
-"""Input sources beyond parquet: WARC (Common Crawl's archive format)."""
+"""Input sources beyond parquet: WARC (Common Crawl's archive format) and
+CDX-J (the sorted SURT-keyed index that makes an archive addressable)."""
 
+from crawler_spark.sources.cdxj import (
+    build_cdxj,
+    cdxj_to_index,
+    host_slice,
+    read_cdxj,
+    surt_prefix,
+    write_cdxj,
+)
 from crawler_spark.sources.warc import (
     read_warc,
     read_warc_indexed,
@@ -10,6 +19,12 @@ from crawler_spark.sources.warc import (
 )
 
 __all__ = [
+    "build_cdxj",
+    "cdxj_to_index",
+    "host_slice",
+    "read_cdxj",
+    "surt_prefix",
+    "write_cdxj",
     "read_warc",
     "read_warc_indexed",
     "stream_warc",
