@@ -9,6 +9,13 @@ from crawler_spark.sources.cdxj import (
     surt_prefix,
     write_cdxj,
 )
+from crawler_spark.sources.wet import (
+    pages_to_wet_frame,
+    read_wat,
+    read_wet,
+    write_wat,
+    write_wet,
+)
 from crawler_spark.sources.warc import (
     read_warc,
     read_warc_indexed,
@@ -19,6 +26,11 @@ from crawler_spark.sources.warc import (
 )
 
 __all__ = [
+    "pages_to_wet_frame",
+    "read_wat",
+    "read_wet",
+    "write_wat",
+    "write_wet",
     "build_cdxj",
     "cdxj_to_index",
     "host_slice",

@@ -203,16 +203,21 @@ def _parse_ts(s: str) -> datetime:
 
 
 def parse_warc_records(
-    data: bytes, strict: bool = False
+    data: bytes, strict: bool = False, record_type: str = "response"
 ) -> Iterator[Tuple[str, datetime, bytes]]:
-    """Yield ``(url, warc_ts, html)`` for every *response* record in a raw
-    (already-decompressed, possibly multi-record) WARC byte stream.
+    """Yield ``(url, warc_ts, block-or-body)`` for every ``record_type``
+    record in a raw (already-decompressed, possibly multi-record) WARC byte
+    stream.
 
-    Non-response records (warcinfo/request/metadata) are skipped — that is
-    the spec-correct reading of a CC shard, not an error. Malformed framing
-    raises ``ValueError`` when ``strict`` else stops the member (one corrupt
-    record cannot desynchronize framing because Content-Length is taken
-    from the header before the body is trusted).
+    Records of other types (warcinfo/request/metadata/...) are skipped —
+    that is the spec-correct reading of a CC shard, not an error. Malformed
+    framing raises ``ValueError`` when ``strict`` else stops the member (one
+    corrupt record cannot desynchronize framing because Content-Length is
+    taken from the header before the body is trusted).
+
+    For ``response`` records the yielded bytes are the HTTP body (headers
+    split off); for other types (WET ``conversion``, WAT ``metadata``) the
+    record block IS the payload and is yielded whole.
     """
     pos = 0
     n = len(data)
@@ -243,7 +248,7 @@ def parse_warc_records(
                 raise ValueError("truncated record at offset %d" % pos)
             return
         pos = end_head + 4 + length + 4  # skip the record separator
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         try:
             url = headers["warc-target-uri"]
@@ -252,17 +257,21 @@ def parse_warc_records(
             if strict:
                 raise ValueError("bad response headers before offset %d" % pos)
             continue
-        body_at = block.find(_SEP)
-        html = block if body_at < 0 else block[body_at + 4 :]
-        yield url, ts, html
+        if record_type == "response":
+            body_at = block.find(_SEP)
+            yield url, ts, (block if body_at < 0 else block[body_at + 4 :])
+        else:
+            yield url, ts, block
 
 
-def _records_from_raw(raw: bytes, strict: bool) -> Iterator[Tuple[str, datetime, bytes]]:
+def _records_from_raw(
+    raw: bytes, strict: bool, record_type: str = "response"
+) -> Iterator[Tuple[str, datetime, bytes]]:
     if raw[:2] == b"\x1f\x8b":
         for member in _gzip_members(raw):
-            yield from parse_warc_records(member, strict)
+            yield from parse_warc_records(member, strict, record_type)
     else:
-        yield from parse_warc_records(raw, strict)
+        yield from parse_warc_records(raw, strict, record_type)
 
 
 # ---------------------------------------------------------------------------
