@@ -16,7 +16,14 @@ On a cluster:
         [--index s3a://bucket/cdx/]   # CDX parquet (path, offset, length):
                                       # record-range reads, record-granular
                                       # parallelism for sparse slices
+        [--cdxj s3a://bucket/cdxj/]   # CDX-J text shards instead of parquet;
+                                      # [--host example.com] slices by SURT
+                                      # prefix before a single WARC byte is
+                                      # read
         [--extract s3a://bucket/extracted/] [--drop-traps] [--strict]
+        [--write-cdxj PATH]           # sorted CDX-J index of the ingest
+        [--write-wet PATH]            # WET derivative (needs --extract)
+        [--write-wat PATH]            # WAT derivative (needs --extract)
 
 Locally: ``python jobs/ingest_warc.py --input 'shards/*.warc.gz' ...``.
 """
@@ -52,7 +59,27 @@ def main() -> None:
                    help="fail on malformed WARC framing instead of skipping")
     p.add_argument("--partitions", type=int, default=None,
                    help="repartition width for indexed reads")
+    p.add_argument("--cdxj", default=None, metavar="PATH",
+                   help="CDX-J text shards: drive record-range reads from "
+                        "the archive's own index (alternative to --index)")
+    p.add_argument("--host", default=None, metavar="HOST",
+                   help="with --cdxj: SURT-prefix slice to this host/domain "
+                        "(and subdomains) before any WARC bytes are read")
+    p.add_argument("--write-cdxj", default=None, metavar="PATH",
+                   help="write a sorted CDX-J index of the ingested pages")
+    p.add_argument("--write-wet", default=None, metavar="PATH",
+                   help="write the WET derivative (extracted text); "
+                        "requires --extract")
+    p.add_argument("--write-wat", default=None, metavar="PATH",
+                   help="write the WAT derivative (title/links metadata); "
+                        "requires --extract")
     args = p.parse_args()
+    if (args.write_wet or args.write_wat) and not args.extract:
+        p.error("--write-wet/--write-wat require --extract")
+    if args.write_cdxj and not args.write_wet:
+        p.error("--write-cdxj indexes the WET archive this job writes; "
+                "it requires --write-wet (an existing WARC's index is "
+                "what --index/--cdxj consume, not what this job mints)")
 
     from crawler_spark.session import build_session
     from crawler_spark.sources.warc import (
@@ -62,7 +89,20 @@ def main() -> None:
     )
 
     spark = build_session(app_name="ingest_warc")
-    if args.index:
+    if args.cdxj:
+        from crawler_spark.sources.cdxj import (
+            cdxj_to_index,
+            host_slice,
+            read_cdxj,
+        )
+
+        cdxj = read_cdxj(spark, args.cdxj, strict=args.strict)
+        if args.host:
+            cdxj = host_slice(cdxj, args.host)
+        raw = read_warc_indexed(spark, cdxj_to_index(cdxj),
+                                strict=args.strict,
+                                partitions=args.partitions)
+    elif args.index:
         idx = spark.read.parquet(args.index)
         raw = read_warc_indexed(spark, idx, strict=args.strict,
                                 partitions=args.partitions)
@@ -83,13 +123,58 @@ def main() -> None:
     if args.extract:
         from crawler_spark.operators.extract import extract_pages
 
+        # warc_ts rides along so every record's timestamp (and the WET
+        # records' WARC-Date) is the page's fetch time, not a blank
         ext = extract_pages(
-            spark.read.parquet(args.output).select("url", "html"),
+            spark.read.parquet(args.output).select("url", "html", "warc_ts"),
             carry=False,
         )
         ext.write.mode("overwrite").parquet(args.extract)
         out["extracted"] = args.extract
         out["n_extracted"] = spark.read.parquet(args.extract).count()
+
+        from pyspark.sql import functions as F
+
+        ext_df = spark.read.parquet(args.extract)
+        shards = args.partitions or spark.sparkContext.defaultParallelism
+        if args.write_wet:
+            from crawler_spark.sources.wet import pages_to_wet_frame, write_wet
+
+            wet_idx = write_wet(
+                pages_to_wet_frame(ext_df).repartitionByRange(shards, "url"),
+                args.write_wet,
+            ).cache()
+            out["wet"] = args.write_wet
+            out["n_wet"] = wet_idx.count()  # materializes the shard writes
+            if args.write_cdxj:
+                from crawler_spark.sources.cdxj import build_cdxj, write_cdxj
+
+                pages_ts = spark.read.parquet(args.output).select(
+                    "url", "warc_ts"
+                )
+                write_cdxj(
+                    build_cdxj(wet_idx.join(pages_ts, "url")),
+                    args.write_cdxj,
+                    shards=shards,
+                )
+                out["cdxj"] = args.write_cdxj
+            wet_idx.unpersist()
+        if args.write_wat:
+            from crawler_spark.sources.wet import write_wat
+
+            pages_df = spark.read.parquet(args.output)
+            wat_in = ext_df.join(
+                pages_df.select(
+                    "url",
+                    "warc_ts",
+                    F.length("html").cast("bigint").alias("n_bytes"),
+                ),
+                "url",
+            ).select("url", "warc_ts", "title", "links", "n_bytes")
+            out["wat"] = args.write_wat
+            out["n_wat"] = write_wat(
+                wat_in.repartitionByRange(shards, "url"), args.write_wat
+            ).count()
     print(json.dumps(out))
 
 

@@ -184,3 +184,66 @@ def test_read_cdxj_lenient_drops_malformed(spark, tmp_path):
     assert got.count() == 1
     r = got.collect()[0]
     assert (r["url"], r["offset"], r["length"]) == ("http://example.com/", 0, 10)
+
+
+def test_ingest_cli_cdxj_in_and_derivatives_out(spark, rows, archive, tmp_path, monkeypatch):
+    """jobs/ingest_warc.py with --cdxj input (host slice) and WET/WAT/CDX-J
+    outputs: the full derivative-archive production path, one submit."""
+    import json as jsonmod
+    import sys
+
+    import jobs.ingest_warc as jiw
+
+    d, index = archive
+    cdxj_in = str(tmp_path / "cdxj_in")
+    write_cdxj(build_cdxj(spark.createDataFrame(index)), cdxj_in, shards=2)
+
+    host = sorted({r["url"].split("/")[2] for r in rows})[1]
+    n_host = sum(1 for r in rows if r["url"].split("/")[2] == host)
+    pages_p = str(tmp_path / "pages")
+    ext_p = str(tmp_path / "ext")
+    wet_p = str(tmp_path / "wet")
+    wat_p = str(tmp_path / "wat")
+    cdxj_out = str(tmp_path / "cdxj_out")
+    monkeypatch.setattr(sys, "argv", [
+        "ingest_warc.py", "--input", "unused",
+        "--cdxj", cdxj_in, "--host", host, "--strict",
+        "--output", pages_p, "--extract", ext_p,
+        "--write-wet", wet_p, "--write-wat", wat_p,
+        "--write-cdxj", cdxj_out, "--partitions", "2",
+    ])
+    jiw.main()
+
+    pages = spark.read.parquet(pages_p)
+    assert pages.count() == n_host
+    assert all(r["url"].split("/")[2] == host for r in pages.select("url").collect())
+
+    # WET holds the extraction of exactly the sliced pages
+    from crawler_spark.sources.wet import read_wet
+
+    wet = read_wet(spark, wet_p + "/*.warc.wet.gz", strict=True)
+    truth = {r["url"]: r["text"] for r in rows if r["url"].split("/")[2] == host}
+    got = {r["url"]: r["text"] for r in wet.collect()}
+    assert got == truth
+
+    # the minted CDX-J indexes the WET archive: range reads resolve
+    cdxj2 = read_cdxj(spark, cdxj_out, strict=True)
+    assert cdxj2.count() == n_host
+    e = cdxj2.orderBy("surt_key").collect()[0]
+    import zlib
+
+    from crawler_spark.sources.warc import parse_warc_records
+
+    with open(e["filename"], "rb") as f:
+        f.seek(e["offset"])
+        raw = f.read(e["length"])
+    member = zlib.decompressobj(wbits=31).decompress(raw)
+    (rec,) = parse_warc_records(member, strict=True, record_type="conversion")
+    assert rec[0] == e["url"]
+
+    # WAT carries the link graph of the slice
+    from crawler_spark.sources.wet import read_wat
+
+    wat = read_wat(spark, wat_p + "/*.warc.wat.gz", strict=True)
+    assert wat.count() == n_host
+    assert wat.filter("size(links) > 0").count() > 0
