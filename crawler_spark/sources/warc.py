@@ -60,7 +60,8 @@ _TS_FMT_US = "%Y-%m-%dT%H:%M:%S.%fZ"
 
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, "
-    "warc_path string, warc_offset bigint"
+    "warc_path string, warc_offset bigint, "
+    "http_status int, mime string, charset string"
 )
 
 
@@ -77,21 +78,31 @@ def _format_ts(ts: datetime) -> str:
     return ts.strftime(_TS_FMT)
 
 
+_STATUS_REASON = {200: "OK", 301: "Moved Permanently", 302: "Found",
+                  304: "Not Modified", 404: "Not Found", 410: "Gone",
+                  429: "Too Many Requests", 500: "Internal Server Error",
+                  503: "Service Unavailable"}
+
+
 def warc_record_bytes(
     url: str,
     warc_ts: datetime,
     html: bytes,
     record_type: str = "response",
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
 ) -> bytes:
     """One WARC/1.0 record: WARC headers + an HTTP/1.1 response block.
 
     The record block (HTTP headers + body) length is the WARC
     ``Content-Length``, per ISO 28500; the two-CRLF record separator
-    follows the block.
+    follows the block. ``status``/``content_type`` synthesize the non-200
+    / non-HTML records a real crawl archive carries.
     """
+    reason = _STATUS_REASON.get(status, "Unknown")
     http = (
-        b"HTTP/1.1 200 OK" + _CRLF
-        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        ("HTTP/1.1 %d %s" % (status, reason)).encode() + _CRLF
+        + b"Content-Type: " + content_type.encode() + _CRLF
         + b"Content-Length: " + str(len(html)).encode() + _CRLF
         + _CRLF
         + html
@@ -133,7 +144,11 @@ def write_warc(
     with open(path, "wb") as f:
         off = 0
         for r in rows:
-            rec = warc_record_bytes(r["url"], r["warc_ts"], r["html"])
+            rec = warc_record_bytes(
+                r["url"], r["warc_ts"], r["html"],
+                status=r.get("status", 200),
+                content_type=r.get("content_type", "text/html; charset=utf-8"),
+            )
             if compress:
                 # mtime=0 + fixed filename-less header: bit-deterministic
                 buf = io.BytesIO()
@@ -202,12 +217,37 @@ def _parse_ts(s: str) -> datetime:
     return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
 
 
-def parse_warc_records(
+def _parse_http_head(head: bytes) -> Tuple[int, str, str]:
+    """(status, mime, charset) from an HTTP response head. Defaults
+    ``(200, 'text/html', '')`` when a field is absent/mangled — a record
+    without a parseable status line is treated as a bare-body 200 (some
+    archives store bodies without the HTTP block)."""
+    status, mime, charset = 200, "text/html", ""
+    lines = head.split(_CRLF)
+    first = lines[0].decode("latin-1", "replace") if lines else ""
+    if first.startswith("HTTP/"):
+        parts = first.split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+    for line in lines[1:]:
+        k, _, v = line.decode("latin-1", "replace").partition(":")
+        if k.strip().lower() == "content-type":
+            v = v.strip()
+            mime = v.split(";", 1)[0].strip().lower() or mime
+            low = v.lower()
+            at = low.find("charset=")
+            if at >= 0:
+                charset = low[at + 8 :].split(";", 1)[0].strip().strip('"')
+            break
+    return status, mime, charset
+
+
+def parse_warc_records_full(
     data: bytes, strict: bool = False, record_type: str = "response"
-) -> Iterator[Tuple[str, datetime, bytes]]:
-    """Yield ``(url, warc_ts, block-or-body)`` for every ``record_type``
-    record in a raw (already-decompressed, possibly multi-record) WARC byte
-    stream.
+) -> Iterator[Tuple[str, datetime, bytes, Optional[int], Optional[str], Optional[str]]]:
+    """Yield ``(url, warc_ts, payload, http_status, mime, charset)`` for
+    every ``record_type`` record in a raw (already-decompressed, possibly
+    multi-record) WARC byte stream.
 
     Records of other types (warcinfo/request/metadata/...) are skipped —
     that is the spec-correct reading of a CC shard, not an error. Malformed
@@ -215,9 +255,12 @@ def parse_warc_records(
     corrupt record cannot desynchronize framing because Content-Length is
     taken from the header before the body is trusted).
 
-    For ``response`` records the yielded bytes are the HTTP body (headers
-    split off); for other types (WET ``conversion``, WAT ``metadata``) the
-    record block IS the payload and is yielded whole.
+    For ``response`` records the payload is the HTTP body (headers split
+    off and mined for status/mime/charset — real CC shards carry 3xx/4xx
+    and non-HTML records, and downstream stages decide with these columns
+    instead of mis-ingesting); for other types (WET ``conversion``, WAT
+    ``metadata``) the record block IS the payload, yielded whole, with
+    ``(None, None, None)`` for the HTTP fields.
     """
     pos = 0
     n = len(data)
@@ -259,19 +302,34 @@ def parse_warc_records(
             continue
         if record_type == "response":
             body_at = block.find(_SEP)
-            yield url, ts, (block if body_at < 0 else block[body_at + 4 :])
+            if body_at < 0:
+                yield url, ts, block, 200, "text/html", ""
+            else:
+                status, mime, charset = _parse_http_head(block[:body_at])
+                yield url, ts, block[body_at + 4 :], status, mime, charset
         else:
-            yield url, ts, block
+            yield url, ts, block, None, None, None
+
+
+def parse_warc_records(
+    data: bytes, strict: bool = False, record_type: str = "response"
+) -> Iterator[Tuple[str, datetime, bytes]]:
+    """Back-compat 3-tuple view of :func:`parse_warc_records_full`:
+    ``(url, warc_ts, payload)``."""
+    for url, ts, payload, _s, _m, _c in parse_warc_records_full(
+        data, strict, record_type
+    ):
+        yield url, ts, payload
 
 
 def _records_from_raw(
     raw: bytes, strict: bool, record_type: str = "response"
-) -> Iterator[Tuple[str, datetime, bytes]]:
+) -> Iterator[Tuple[str, datetime, bytes, Optional[int], Optional[str], Optional[str]]]:
     if raw[:2] == b"\x1f\x8b":
         for member in _gzip_members(raw):
-            yield from parse_warc_records(member, strict, record_type)
+            yield from parse_warc_records_full(member, strict, record_type)
     else:
-        yield from parse_warc_records(raw, strict, record_type)
+        yield from parse_warc_records_full(raw, strict, record_type)
 
 
 # ---------------------------------------------------------------------------
@@ -301,10 +359,10 @@ def read_warc(
         for pdf in batches:
             out: List[Tuple] = []
             for fpath, raw in zip(pdf["path"], pdf["content"]):
-                for i, (url, ts, html) in enumerate(
+                for i, (url, ts, html, st, mi, ch) in enumerate(
                     _records_from_raw(bytes(raw), strict)
                 ):
-                    out.append((url, ts, html, fpath, i))
+                    out.append((url, ts, html, fpath, i, st, mi, ch))
                     if len(out) >= batch_rows:
                         yield _to_pdf(out)
                         out = []
@@ -318,9 +376,14 @@ def _to_pdf(rows: List[Tuple]):
     import pandas as pd
 
     pdf = pd.DataFrame(
-        rows, columns=["url", "warc_ts", "html", "warc_path", "warc_offset"]
+        rows,
+        columns=[
+            "url", "warc_ts", "html", "warc_path", "warc_offset",
+            "http_status", "mime", "charset",
+        ],
     )
     pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
+    pdf["http_status"] = pdf["http_status"].astype("int32")
     return pdf
 
 
@@ -361,8 +424,12 @@ def read_warc_indexed(
                     ):
                         f.seek(int(off))
                         raw = f.read(int(length))
-                        for url, ts, html in _records_from_raw(raw, strict):
-                            out.append((url, ts, html, fpath, int(off)))
+                        for url, ts, html, st, mi, ch in _records_from_raw(
+                            raw, strict
+                        ):
+                            out.append(
+                                (url, ts, html, fpath, int(off), st, mi, ch)
+                            )
                 if len(out) >= 256:
                     yield _to_pdf(out)
                     out = []
@@ -417,10 +484,10 @@ def stream_warc(
         for pdf in batches:
             out: List[Tuple] = []
             for fpath, raw in zip(pdf["path"], pdf["content"]):
-                for i, (url, ts, html) in enumerate(
+                for i, (url, ts, html, st, mi, ch) in enumerate(
                     _records_from_raw(bytes(raw), strict)
                 ):
-                    out.append((url, ts, html, fpath, i))
+                    out.append((url, ts, html, fpath, i, st, mi, ch))
                     if len(out) >= 256:
                         yield _to_pdf(out)
                         out = []
@@ -430,13 +497,24 @@ def stream_warc(
     return files.mapInPandas(gen, schema=READ_SCHEMA)
 
 
-def warc_to_pages(warc_df: DataFrame) -> DataFrame:
-    """Adapt a WARC read to the engine's canonical pages frame: dedup
-    repeated fetches of a URL (newest wins, ordinal tiebreak — the window
-    pattern, never ``dropDuplicates`` whose survivor is partition-dependent)
-    and project ``(url, warc_ts, html)``."""
+def warc_to_pages(warc_df: DataFrame, ok_only: bool = True) -> DataFrame:
+    """Adapt a WARC read to the engine's canonical pages frame: keep
+    ingestable captures (2xx HTML — redirects/errors/media belong to the
+    frontier and media pipelines, not the text pipeline; ``ok_only=False``
+    keeps everything), dedup repeated fetches of a URL (newest wins,
+    ordinal tiebreak — the window pattern, never ``dropDuplicates`` whose
+    survivor is partition-dependent) and project ``(url, warc_ts, html)``."""
     from pyspark.sql import Window
 
+    if ok_only:
+        warc_df = warc_df.filter(
+            (F.col("http_status") >= 200)
+            & (F.col("http_status") < 300)
+            & (
+                F.col("mime").isin("text/html", "application/xhtml+xml")
+                | F.col("mime").isNull()
+            )
+        )
     w = (
         Window.partitionBy("url")
         .orderBy(F.desc("warc_ts"), F.desc("warc_offset"), F.asc("warc_path"))

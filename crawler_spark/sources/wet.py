@@ -199,7 +199,7 @@ def read_wet(spark, path: str, strict: bool = False) -> DataFrame:
         for pdf in batches:
             out: List[Tuple] = []
             for raw in pdf["content"]:
-                for url, ts, block in _records_from_raw(
+                for url, ts, block, _s, _m, _c in _records_from_raw(
                     bytes(raw), strict, record_type="conversion"
                 ):
                     out.append((url, ts, block.decode("utf-8", "replace")))
@@ -233,7 +233,7 @@ def read_wat(spark, path: str, strict: bool = False) -> DataFrame:
         for pdf in batches:
             out: List[Tuple] = []
             for raw in pdf["content"]:
-                for url, ts, block in _records_from_raw(
+                for url, ts, block, _s, _m, _c in _records_from_raw(
                     bytes(raw), strict, record_type="metadata"
                 ):
                     try:

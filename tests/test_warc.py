@@ -225,3 +225,60 @@ def test_fractional_warc_date_parses(rows):
     assert b"WARC-Date: " in rec and b".250000Z" in rec
     (url, got_ts, html) = next(iter(parse_warc_records(rec, strict=True)))
     assert got_ts == ts.replace(tzinfo=dt.timezone.utc)
+
+
+def test_http_status_mime_charset_columns(spark, tmp_path):
+    """Real archives carry 3xx/4xx and non-HTML records: the reader
+    surfaces status/mime/charset and warc_to_pages keeps only 2xx HTML."""
+    from datetime import datetime, timezone
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    mixed = [
+        {"url": "http://a/ok", "warc_ts": ts, "html": b"<html>ok</html>"},
+        {"url": "http://a/moved", "warc_ts": ts, "html": b"",
+         "status": 301, "content_type": "text/html"},
+        {"url": "http://a/gone", "warc_ts": ts, "html": b"nope",
+         "status": 404, "content_type": "text/html; charset=utf-8"},
+        {"url": "http://a/img", "warc_ts": ts, "html": b"\x89PNG",
+         "content_type": "image/png"},
+        {"url": "http://a/latin", "warc_ts": ts, "html": b"caf\xe9",
+         "content_type": "text/html; charset=ISO-8859-1"},
+    ]
+    p = str(tmp_path / "mixed.warc.gz")
+    write_warc(p, mixed)
+    got = {r["url"]: r for r in read_warc(spark, p, strict=True).collect()}
+    assert got["http://a/ok"]["http_status"] == 200
+    assert got["http://a/ok"]["charset"] == "utf-8"
+    assert got["http://a/moved"]["http_status"] == 301
+    assert got["http://a/gone"]["http_status"] == 404
+    assert got["http://a/img"]["mime"] == "image/png"
+    assert got["http://a/latin"]["charset"] == "iso-8859-1"
+    assert bytes(got["http://a/latin"]["html"]) == b"caf\xe9"  # bytes untouched
+
+    pages = warc_to_pages(read_warc(spark, p, strict=True))
+    kept = sorted(r["url"] for r in pages.select("url").collect())
+    assert kept == ["http://a/latin", "http://a/ok"]  # 2xx html only
+    everything = warc_to_pages(read_warc(spark, p, strict=True), ok_only=False)
+    assert everything.count() == 5
+
+
+def test_headerless_body_defaults_200_html():
+    """Records whose block carries no HTTP head (bare-body archives) read
+    as 200 text/html with the whole block as html."""
+    from crawler_spark.sources.warc import parse_warc_records_full
+
+    body = b"<html>bare</html>"
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:x:1>\r\n"
+        b"WARC-Target-URI: http://a/\r\n"
+        b"WARC-Date: 2025-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    (r,) = parse_warc_records_full(raw, strict=True)
+    url, _ts, html, status, mime, charset = r
+    assert (status, mime, charset) == (200, "text/html", "")
+    assert html == body
