@@ -250,14 +250,64 @@ class _TreeBuilder(HTMLParser):
         self.root._end = end
 
 
-def parse_html(html: Union[str, bytes, None]) -> MiniSoup:
-    """Parse HTML to a MiniSoup document. bytes are decoded as UTF-8
-    (errors replaced) — the corpus `html` column is UTF-8 binary per the
-    input contract."""
+import re as _re
+
+_META_CHARSET = _re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+))""",
+    _re.IGNORECASE,
+)
+
+
+def decode_html(data: bytes, charset: str = "") -> str:
+    """Decode page bytes to text the way a browser-adjacent consumer does:
+    BOM first, then the transport ``charset`` hint (HTTP Content-Type —
+    the ``charset`` column `sources/warc.py` mines), then a ``<meta
+    charset>`` sniff of the first 2 KB, then UTF-8 with replacement.
+
+    Every step decodes with ``errors="replace"`` — a page that lies about
+    its charset yields replacement characters, never a crash; an unknown
+    label falls through to the next step.
+    """
+    import codecs
+
+    data = bytes(data)
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", errors="replace")
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return data.decode("utf-16", errors="replace")
+    for label in (charset, None):
+        if label is None:
+            m = _META_CHARSET.search(data[:2048])
+            if not m:
+                break
+            label = m.group(1).decode("ascii", "replace")
+        label = label.strip().strip('"').strip("'")
+        if not label:
+            continue
+        try:
+            codec = codecs.lookup(label)
+        except LookupError:
+            continue
+        return data.decode(codec.name, errors="replace")
+    return data.decode("utf-8", errors="replace")
+
+
+def parse_html(
+    html: Union[str, bytes, None], charset: Optional[str] = None
+) -> MiniSoup:
+    """Parse HTML to a MiniSoup document. By default bytes are decoded as
+    UTF-8 (errors replaced) — the corpus `html` column is UTF-8 binary per
+    the input contract. Pass ``charset`` (the HTTP hint; ``""`` to rely on
+    the meta sniff) to route bytes through :func:`decode_html` instead —
+    the real-archive path where pages declare ISO-8859-1/Shift_JIS/...
+    """
     if html is None:
         html = ""
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        if charset is None:
+            html = bytes(html).decode("utf-8", errors="replace")
+        else:
+            html = decode_html(html, charset)
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()

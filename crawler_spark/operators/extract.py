@@ -155,6 +155,15 @@ def _extract_batch(
     # substitute for the reference's datetime.now(...).isoformat() at
     # enhanced_crawler.py:225/:236 (the one wall-clock field we replace)
     tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf.columns else [None] * n
+    # transport charset hints (sources/warc.py's `charset` column): when the
+    # column rides along, bytes decode via the BOM/hint/meta-sniff ladder —
+    # the real-archive path; absent, the UTF-8 input contract holds and the
+    # byte-pinned extraction bytes are unchanged
+    charsets = (
+        [c if isinstance(c, str) else None for c in pdf["charset"].tolist()]
+        if "charset" in pdf.columns
+        else [None] * n
+    )
 
     from crawler_spark.core.htmlparse import parse_html
 
@@ -168,7 +177,7 @@ def _extract_batch(
         # reference parses twice (enhanced_crawler.py:196, ai_processor.py:247)
         # with byte-identical results; parsing is the crawl's dominant CPU
         # cost, so don't pay it twice
-        soup = parse_html(html)
+        soup = parse_html(html, charset=charsets[i])
         title, links, markdown = extract_page(html, url, soup=soup)
         score, reason = relevance(markdown, title, instructions)
         out["title"][i] = title

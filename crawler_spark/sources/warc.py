@@ -503,7 +503,10 @@ def warc_to_pages(warc_df: DataFrame, ok_only: bool = True) -> DataFrame:
     frontier and media pipelines, not the text pipeline; ``ok_only=False``
     keeps everything), dedup repeated fetches of a URL (newest wins,
     ordinal tiebreak — the window pattern, never ``dropDuplicates`` whose
-    survivor is partition-dependent) and project ``(url, warc_ts, html)``."""
+    survivor is partition-dependent) and project ``(url, warc_ts, html,
+    charset)`` — the charset hint rides along so extraction can decode
+    non-UTF-8 pages (absent on non-WARC pages frames; extraction treats
+    that as the UTF-8 contract)."""
     from pyspark.sql import Window
 
     if ok_only:
@@ -519,8 +522,11 @@ def warc_to_pages(warc_df: DataFrame, ok_only: bool = True) -> DataFrame:
         Window.partitionBy("url")
         .orderBy(F.desc("warc_ts"), F.desc("warc_offset"), F.asc("warc_path"))
     )
+    cols = ["url", "warc_ts", "html"] + (
+        ["charset"] if "charset" in warc_df.columns else []
+    )
     return (
         warc_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("url", "warc_ts", "html")
+        .select(*cols)
     )

@@ -124,9 +124,12 @@ def main() -> None:
         from crawler_spark.operators.extract import extract_pages
 
         # warc_ts rides along so every record's timestamp (and the WET
-        # records' WARC-Date) is the page's fetch time, not a blank
+        # records' WARC-Date) is the page's fetch time, not a blank;
+        # charset routes non-UTF-8 pages through the decode ladder
         ext = extract_pages(
-            spark.read.parquet(args.output).select("url", "html", "warc_ts"),
+            spark.read.parquet(args.output).select(
+                "url", "html", "warc_ts", "charset"
+            ),
             carry=False,
         )
         ext.write.mode("overwrite").parquet(args.extract)

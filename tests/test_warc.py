@@ -282,3 +282,48 @@ def test_headerless_body_defaults_200_html():
     url, _ts, html, status, mime, charset = r
     assert (status, mime, charset) == (200, "text/html", "")
     assert html == body
+
+
+def test_decode_html_ladder():
+    from crawler_spark.core.htmlparse import decode_html
+
+    # BOM wins over everything
+    assert decode_html(b"\xef\xbb\xbfcaf\xc3\xa9", "iso-8859-1") == "caf\xe9"
+    # transport hint
+    assert decode_html(b"caf\xe9", "ISO-8859-1") == "caf\xe9"
+    assert decode_html(b"\x82\xa0", "shift_jis") == "あ"
+    # meta sniff when no hint
+    html = b'<html><head><meta charset="windows-1251"></head>\xcf\xf0</html>'
+    assert "Пр" in decode_html(html, "")
+    meta2 = (b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=iso-8859-1">caf\xe9')
+    assert decode_html(meta2, "").endswith("caf\xe9")
+    # unknown label falls through to utf-8
+    assert decode_html("café".encode(), "not-a-charset") == "café"
+    # garbage never crashes
+    assert "�" in decode_html(b"\xff\xfe\xfd", "utf-8")
+
+
+def test_charset_decodes_through_extraction(spark, tmp_path):
+    """ISO-8859-1 page in a WARC: the charset hint flows reader ->
+    warc_to_pages -> extract_pages, and the markdown carries the real
+    character, not mojibake."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.operators.extract import extract_pages
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    body = "<html><head><title>Caf\xe9</title></head><body><p>au lait caf\xe9</p></body></html>".encode("iso-8859-1")
+    p = str(tmp_path / "latin.warc.gz")
+    write_warc(p, [{"url": "http://l/", "warc_ts": ts, "html": body,
+                    "content_type": "text/html; charset=ISO-8859-1"}])
+    pages = warc_to_pages(read_warc(spark, p, strict=True))
+    assert "charset" in pages.columns
+    ext = extract_pages(pages.select("url", "html", "warc_ts", "charset"),
+                        carry=False)
+    r = ext.collect()[0]
+    assert r["title"] == "Caf\xe9"
+    assert "caf\xe9" in r["markdown"]
+    # without the hint the same bytes would mojibake to a replacement char
+    ext2 = extract_pages(pages.select("url", "html"), carry=False)
+    assert "�" in ext2.collect()[0]["title"]
