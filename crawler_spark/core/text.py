@@ -43,6 +43,53 @@ def extract_title(soup: MiniSoup) -> str:
     return "No title found"
 
 
+_REL_SPLIT = re.compile(r"[,\s]+")
+
+
+def extract_robots_directives(soup: MiniSoup) -> Tuple[bool, bool]:
+    """``(noindex, nofollow)`` from ``<meta name="robots" content=...>``.
+
+    Beyond the reference (it has no robots-meta handling); semantics follow
+    the de-facto REP meta standard: tokens are comma/space separated and
+    case-insensitive, ``none`` means both directives, multiple robots metas
+    OR together (the conservative/restrictive union every major crawler
+    applies when directives conflict).
+    """
+    noindex = nofollow = False
+    for m in soup.find_all("meta"):
+        if (m.get("name") or "").strip().lower() != "robots":
+            continue
+        toks = {
+            t.strip().lower()
+            for t in _REL_SPLIT.split(m.get("content") or "")
+        }
+        if "none" in toks:
+            noindex = nofollow = True
+        noindex = noindex or "noindex" in toks
+        nofollow = nofollow or "nofollow" in toks
+    return noindex, nofollow
+
+
+def extract_link_rels(soup: MiniSoup, base_url: str) -> List[bool]:
+    """Per-link ``rel=nofollow`` flags, index-aligned with
+    :func:`extract_links`' output: the same document-order walk and
+    first-wins dedup, so ``flags[i]`` describes ``links[i]`` — and when a
+    URL appears more than once, the FIRST occurrence's rel decides (the
+    same survivor extract_links keeps)."""
+    flags: List[bool] = []
+    seen = set()
+    for a_tag in soup.find_all("a", href=True):
+        normalized = normalize_url(base_url, a_tag["href"])
+        if normalized and normalized not in seen:
+            seen.add(normalized)
+            toks = {
+                t.strip().lower()
+                for t in _REL_SPLIT.split(a_tag.get("rel") or "")
+            }
+            flags.append("nofollow" in toks)
+    return flags
+
+
 def extract_links(soup: MiniSoup, base_url: str) -> List[str]:
     """All <a href> in document order -> normalized, order-preserving dedup.
 

@@ -127,6 +127,12 @@ class CrawlConfig:
     # (enhanced_crawler.py:131-153); in wave dataflow the sleep becomes a
     # budget. None disables delay translation.
     wave_target_sec: Optional[float] = 60.0
+    # REP meta directives: when True, pages whose <meta name="robots">
+    # carries nofollow contribute no frontier links, and individual
+    # rel=nofollow links are dropped at expand time (noindex is a sink-side
+    # concern — see operators.extract.indexable). False (default) preserves
+    # exact reference behavior (the reference has no robots-meta handling).
+    respect_meta_robots: bool = False
     fetch_broadcast_threshold: int = 200_000  # rows; waves below this broadcast
     max_waves: int = 10_000
     use_bloom: bool = True  # Bloom prefilter ahead of the exact seen anti-join
@@ -526,6 +532,17 @@ def crawl(
                 & F.col("error").isNull()
                 & (F.size("links") > 0)
             )
+            meta_robots = (
+                cfg.respect_meta_robots
+                and "robots_nofollow" in parsed_c.columns
+            )
+            if meta_robots:
+                # REP page-level nofollow: the page's links never enter the
+                # frontier (row filter — cheaper than exploding then
+                # dropping every child)
+                base = base.filter(
+                    ~F.coalesce(F.col("robots_nofollow"), F.lit(False))
+                )
             meta_cols = [
                 F.col("seq").alias("p_seq"),
                 F.col("host").alias("parent_host"),
@@ -535,12 +552,25 @@ def crawl(
                 # hosts were computed at extraction time (where the urls
                 # already sat in Python) — the expand path stays fully
                 # JVM-side even at millions of candidate links
+                zip_cols = ["links", "link_hosts"] + (
+                    ["link_nofollow"]
+                    if meta_robots and "link_nofollow" in parsed_c.columns
+                    else []
+                )
                 cand = base.select(
                     *meta_cols,
-                    F.posexplode(F.arrays_zip("links", "link_hosts")).alias(
+                    F.posexplode(F.arrays_zip(*zip_cols)).alias(
                         "link_pos", "_lz"
                     ),
-                ).select(
+                )
+                if len(zip_cols) == 3:
+                    # REP link-level rel=nofollow: flagged links drop;
+                    # links past the aligned flag array keep (conservative
+                    # toward crawling, matches links[:20] truncation)
+                    cand = cand.filter(
+                        ~F.coalesce(F.col("_lz.link_nofollow"), F.lit(False))
+                    )
+                cand = cand.select(
                     "p_seq",
                     "parent_host",
                     "p_depth",

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawler_spark.core.page import RELEVANCE_GATE, missing_page_error
-from crawler_spark.core.text import basic_extraction, extract_page, relevance
+from crawler_spark.core.text import (
+    basic_extraction,
+    extract_link_rels,
+    extract_page,
+    extract_robots_directives,
+    relevance,
+)
 from crawler_spark.core.urls import get_domain
 
 # Page-record schema: the reference's conditional dict keys become nullable
@@ -66,6 +72,13 @@ PAGE_RECORD_FIELDS = [
     T.StructField("extracted", EXTRACTED_TYPE),
     T.StructField("error", T.StringType()),
     T.StructField("timestamp", T.StringType()),
+    # REP meta directives (beyond the reference): page-level noindex/
+    # nofollow from <meta name="robots">, and per-link rel=nofollow flags
+    # index-aligned with links[:20] — the frontier's respect_meta_robots
+    # policy and the index/export sinks read these instead of re-parsing
+    T.StructField("robots_noindex", T.BooleanType()),
+    T.StructField("robots_nofollow", T.BooleanType()),
+    T.StructField("link_nofollow", T.ArrayType(T.BooleanType())),
 ]
 
 _CARRY_COLS = ["seq", "wave", "depth", "parent_seq", "link_pos", "host"]
@@ -148,6 +161,9 @@ def _extract_batch(
         "extracted": [None] * n,
         "error": [None] * n,
         "timestamp": [None] * n,
+        "robots_noindex": [None] * n,
+        "robots_nofollow": [None] * n,
+        "link_nofollow": [None] * n,
     }
     htmls = pdf["html"].tolist()
     urls = pdf["url"].tolist()
@@ -183,6 +199,10 @@ def _extract_batch(
         out["title"][i] = title
         out["links"][i] = links[:20]  # P8: stored AND used for enqueue
         out["link_hosts"][i] = [get_domain(u) for u in links[:20]]
+        noindex, nofollow = extract_robots_directives(soup)
+        out["robots_noindex"][i] = noindex
+        out["robots_nofollow"][i] = nofollow
+        out["link_nofollow"][i] = extract_link_rels(soup, url)[:20]
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):
@@ -210,6 +230,16 @@ def _extract_batch(
         if c in pdf.columns:
             res[c] = pdf[c].values
     return res
+
+
+def indexable(pages: DataFrame) -> DataFrame:
+    """Drop ``<meta name="robots" content="noindex">`` pages — the filter
+    export/index/RAG sinks apply when honoring REP meta directives (the
+    frontier half, nofollow, lives in ``CrawlConfig.respect_meta_robots``;
+    noindex pages are still CRAWLED for their links, just not published)."""
+    if "robots_noindex" not in pages.columns:
+        return pages
+    return pages.filter(~F.coalesce(F.col("robots_noindex"), F.lit(False)))
 
 
 def extract_pages(
