@@ -61,8 +61,28 @@ _TS_FMT_US = "%Y-%m-%dT%H:%M:%S.%fZ"
 READ_SCHEMA = (
     "url string, warc_ts timestamp, html binary, "
     "warc_path string, warc_offset bigint, "
-    "http_status int, mime string, charset string"
+    "http_status int, mime string, charset string, digest string"
 )
+
+REVISIT_SCHEMA = (
+    "url string, warc_ts timestamp, digest string, "
+    "refers_url string, refers_ts timestamp, "
+    "warc_path string, warc_offset bigint"
+)
+
+
+def payload_digest(payload: bytes) -> str:
+    """``sha1:<base32>`` of the payload — the WARC-Payload-Digest
+    convention (RFC 3548 base32 of SHA-1, the labelled-digest form CC and
+    every mainstream WARC tool emit). Revisit records point at earlier
+    captures through this string, so writer and reader must agree on it
+    byte-for-byte."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()
+    ).decode("ascii")
 
 
 # ---------------------------------------------------------------------------
@@ -128,22 +148,85 @@ def warc_record_bytes(
     return head + http + _SEP
 
 
+def warc_revisit_bytes(
+    url: str,
+    warc_ts: datetime,
+    digest: str,
+    refers_url: str,
+    refers_ts: datetime,
+) -> bytes:
+    """One WARC/1.0 *revisit* record (identical-payload-digest profile):
+    the archive's dedup primitive — "this fetch returned bytes identical
+    to an earlier capture", carrying the digest and a pointer to the
+    original instead of the body. At archive scale this is most of the
+    storage win: recrawls of stable pages cost ~300 bytes, not the page.
+    """
+    import hashlib
+
+    rid = "<urn:crawler-spark:%s>" % hashlib.md5(
+        ("revisit|%s|%s" % (url, warc_ts.isoformat())).encode()
+    ).hexdigest()[:16]
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: revisit" + _CRLF
+        + b"WARC-Record-ID: " + rid.encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Date: " + _format_ts(warc_ts).encode() + _CRLF
+        + b"WARC-Profile: http://netpreserve.org/warc/1.0/revisit/"
+          b"identical-payload-digest" + _CRLF
+        + b"WARC-Payload-Digest: " + digest.encode() + _CRLF
+        + b"WARC-Refers-To-Target-URI: " + refers_url.encode() + _CRLF
+        + b"WARC-Refers-To-Date: " + _format_ts(refers_ts).encode() + _CRLF
+        + b"Content-Length: 0"
+        + _SEP
+        + _SEP
+    )
+    return head
+
+
 def write_warc(
     path: str,
     rows: Iterable[Dict],
     compress: bool = True,
+    dedup_payloads: bool = False,
 ) -> List[Dict]:
     """Write rows ``{url, warc_ts, html}`` to one WARC file.
 
     With ``compress=True`` every record is its own gzip member (the Common
-    Crawl convention that makes byte-range reads self-contained). Returns
-    the CDX-style index: one ``{url, path, offset, length}`` per record, in
-    file order — feed it to :func:`read_warc_indexed`.
+    Crawl convention that makes byte-range reads self-contained). With
+    ``dedup_payloads=True`` a row whose payload digest was already written
+    emits a *revisit* record pointing at the first capture instead of a
+    second copy of the body. Returns the CDX-style index: one
+    ``{url, path, offset, length}`` per record, in file order — feed it to
+    :func:`read_warc_indexed`.
     """
     index: List[Dict] = []
+    seen_digests: Dict[str, Tuple[str, datetime]] = {}
     with open(path, "wb") as f:
         off = 0
         for r in rows:
+            if dedup_payloads:
+                dg = payload_digest(r["html"])
+                if dg in seen_digests:
+                    ref_url, ref_ts = seen_digests[dg]
+                    rec = warc_revisit_bytes(
+                        r["url"], r["warc_ts"], dg, ref_url, ref_ts
+                    )
+                    if compress:
+                        buf = io.BytesIO()
+                        with gzip.GzipFile(
+                            fileobj=buf, mode="wb", mtime=0
+                        ) as gz:
+                            gz.write(rec)
+                        rec = buf.getvalue()
+                    f.write(rec)
+                    index.append(
+                        {"url": r["url"], "path": path, "offset": off,
+                         "length": len(rec)}
+                    )
+                    off += len(rec)
+                    continue
+                seen_digests[dg] = (r["url"], r["warc_ts"])
             rec = warc_record_bytes(
                 r["url"], r["warc_ts"], r["html"],
                 status=r.get("status", 200),
@@ -168,6 +251,7 @@ def write_warc_files(
     rows: Iterable[Dict],
     records_per_file: int = 1000,
     compress: bool = True,
+    dedup_payloads: bool = False,
 ) -> List[Dict]:
     """Shard rows across ``part-NNNNN.warc[.gz]`` files under ``dir_path``.
 
@@ -184,11 +268,11 @@ def write_warc_files(
         buf.append(r)
         if len(buf) == records_per_file:
             p = os.path.join(dir_path, "part-%05d%s" % (n_file, ext))
-            index.extend(write_warc(p, buf, compress))
+            index.extend(write_warc(p, buf, compress, dedup_payloads))
             buf, n_file = [], n_file + 1
     if buf:
         p = os.path.join(dir_path, "part-%05d%s" % (n_file, ext))
-        index.extend(write_warc(p, buf, compress))
+        index.extend(write_warc(p, buf, compress, dedup_payloads))
     return index
 
 
@@ -215,6 +299,46 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
 def _parse_ts(s: str) -> datetime:
     fmt = _TS_FMT_US if "." in s else _TS_FMT
     return datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+
+
+def iter_warc_record_blocks(
+    data: bytes, strict: bool = False
+) -> Iterator[Tuple[Dict[str, str], bytes]]:
+    """Yield ``(warc_headers, block)`` for every record in a raw WARC byte
+    stream — the shared framing walk under every typed parser. Malformed
+    framing raises ``ValueError`` when ``strict`` else stops the member
+    (one corrupt record cannot desynchronize framing because
+    Content-Length is taken from the header before the body is trusted)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        end_head = data.find(_SEP, pos)
+        if end_head < 0 or not data.startswith(b"WARC/", pos):
+            if strict:
+                raise ValueError("malformed WARC header at offset %d" % pos)
+            return
+        headers: Dict[str, str] = {}
+        for line in data[pos:end_head].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if strict:
+                raise ValueError("missing Content-Length at offset %d" % pos)
+            return
+        block = data[end_head + 4 : end_head + 4 + length]
+        if len(block) < length:  # truncated record: never emit partial body
+            if strict:
+                raise ValueError("truncated record at offset %d" % pos)
+            return
+        pos = end_head + 4 + length + 4  # skip the record separator
+        yield headers, block
 
 
 def _parse_http_head(head: bytes) -> Tuple[int, str, str]:
@@ -262,35 +386,7 @@ def parse_warc_records_full(
     ``metadata``) the record block IS the payload, yielded whole, with
     ``(None, None, None)`` for the HTTP fields.
     """
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # tolerate inter-record padding
-        while pos < n and data[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            return
-        end_head = data.find(_SEP, pos)
-        if end_head < 0 or not data.startswith(b"WARC/", pos):
-            if strict:
-                raise ValueError("malformed WARC header at offset %d" % pos)
-            return
-        headers: Dict[str, str] = {}
-        for line in data[pos:end_head].split(_CRLF)[1:]:
-            k, _, v = line.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers["content-length"])
-        except (KeyError, ValueError):
-            if strict:
-                raise ValueError("missing Content-Length at offset %d" % pos)
-            return
-        block = data[end_head + 4 : end_head + 4 + length]
-        if len(block) < length:  # truncated record: never emit partial html
-            if strict:
-                raise ValueError("truncated record at offset %d" % pos)
-            return
-        pos = end_head + 4 + length + 4  # skip the record separator
+    for headers, block in iter_warc_record_blocks(data, strict):
         if headers.get("warc-type") != record_type:
             continue
         try:
@@ -298,7 +394,7 @@ def parse_warc_records_full(
             ts = _parse_ts(headers["warc-date"])
         except (KeyError, ValueError):
             if strict:
-                raise ValueError("bad response headers before offset %d" % pos)
+                raise ValueError("bad record headers (%s)" % headers.get("warc-type"))
             continue
         if record_type == "response":
             body_at = block.find(_SEP)
@@ -362,7 +458,10 @@ def read_warc(
                 for i, (url, ts, html, st, mi, ch) in enumerate(
                     _records_from_raw(bytes(raw), strict)
                 ):
-                    out.append((url, ts, html, fpath, i, st, mi, ch))
+                    out.append(
+                        (url, ts, html, fpath, i, st, mi, ch,
+                         payload_digest(html))
+                    )
                     if len(out) >= batch_rows:
                         yield _to_pdf(out)
                         out = []
@@ -379,7 +478,7 @@ def _to_pdf(rows: List[Tuple]):
         rows,
         columns=[
             "url", "warc_ts", "html", "warc_path", "warc_offset",
-            "http_status", "mime", "charset",
+            "http_status", "mime", "charset", "digest",
         ],
     )
     pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"], utc=True)
@@ -428,7 +527,8 @@ def read_warc_indexed(
                             raw, strict
                         ):
                             out.append(
-                                (url, ts, html, fpath, int(off), st, mi, ch)
+                                (url, ts, html, fpath, int(off), st, mi, ch,
+                                 payload_digest(html))
                             )
                 if len(out) >= 256:
                     yield _to_pdf(out)
@@ -487,7 +587,10 @@ def stream_warc(
                 for i, (url, ts, html, st, mi, ch) in enumerate(
                     _records_from_raw(bytes(raw), strict)
                 ):
-                    out.append((url, ts, html, fpath, i, st, mi, ch))
+                    out.append(
+                        (url, ts, html, fpath, i, st, mi, ch,
+                         payload_digest(html))
+                    )
                     if len(out) >= 256:
                         yield _to_pdf(out)
                         out = []
@@ -530,3 +633,128 @@ def warc_to_pages(warc_df: DataFrame, ok_only: bool = True) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(*cols)
     )
+
+
+def read_warc_revisits(spark, path: str, strict: bool = False) -> DataFrame:
+    """Scan *revisit* records -> :data:`REVISIT_SCHEMA`: the archive's
+    dedup pointers (identical-payload-digest profile). Resolution back to
+    bodies is :func:`resolve_revisits` — a join, deliberately separate
+    from the scan so a caller who only needs change statistics (how many
+    recrawls were identical?) never touches a single page body."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: List[Tuple] = []
+            for fpath, raw in zip(pdf["path"], pdf["content"]):
+                members = (
+                    _gzip_members(bytes(raw))
+                    if bytes(raw)[:2] == b"\x1f\x8b"
+                    else [bytes(raw)]
+                )
+                i = 0
+                for member in members:
+                    for headers, _block in iter_warc_record_blocks(
+                        member, strict
+                    ):
+                        if headers.get("warc-type") != "revisit":
+                            continue
+                        try:
+                            out.append(
+                                (
+                                    headers["warc-target-uri"],
+                                    _parse_ts(headers["warc-date"]),
+                                    headers.get("warc-payload-digest", ""),
+                                    headers.get(
+                                        "warc-refers-to-target-uri", ""
+                                    ),
+                                    _parse_ts(
+                                        headers["warc-refers-to-date"]
+                                    )
+                                    if "warc-refers-to-date" in headers
+                                    else None,
+                                    fpath,
+                                    i,
+                                )
+                            )
+                        except (KeyError, ValueError):
+                            if strict:
+                                raise ValueError(
+                                    "bad revisit headers in %s" % fpath
+                                )
+                            continue
+                        i += 1
+            pdf_out = pd.DataFrame(
+                out,
+                columns=[
+                    "url", "warc_ts", "digest", "refers_url", "refers_ts",
+                    "warc_path", "warc_offset",
+                ],
+            )
+            pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"], utc=True)
+            pdf_out["refers_ts"] = pd.to_datetime(
+                pdf_out["refers_ts"], utc=True
+            )
+            yield pdf_out
+
+    return files.mapInPandas(gen, schema=REVISIT_SCHEMA)
+
+
+def resolve_revisits(
+    responses: DataFrame, revisits: DataFrame
+) -> DataFrame:
+    """Fill revisit rows with their referred bodies: one equi-join on the
+    payload digest.
+
+    Shape at scale: originals first dedup to one representative body per
+    digest (window, deterministic survivor — earliest capture), so the
+    join's build side is one row per DISTINCT payload, not per capture;
+    revisits shuffle once on the 32-byte digest key. Unresolvable
+    revisits (digest absent from the response set — a foreign archive
+    slice) are dropped; count them as
+    ``revisits.join(responses, "digest", "left_anti")`` if the gap
+    matters. Output schema == :data:`READ_SCHEMA`, so
+    ``responses.unionByName(resolved)`` is the full capture stream and
+    :func:`warc_to_pages` runs unchanged on it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy(
+        "warc_ts", "url", "warc_path", "warc_offset"
+    )
+    bodies = (
+        responses.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "digest",
+            F.col("html").alias("_html"),
+            F.col("http_status").alias("_st"),
+            F.col("mime").alias("_mi"),
+            F.col("charset").alias("_ch"),
+        )
+    )
+    return (
+        revisits.join(bodies, "digest")
+        .select(
+            "url",
+            "warc_ts",
+            F.col("_html").alias("html"),
+            "warc_path",
+            "warc_offset",
+            F.col("_st").alias("http_status"),
+            F.col("_mi").alias("mime"),
+            F.col("_ch").alias("charset"),
+            "digest",
+        )
+    )
+
+
+def read_warc_resolved(spark, path: str, strict: bool = False) -> DataFrame:
+    """Full capture stream of an archive with revisit records: responses
+    plus revisits resolved to their referred bodies, in
+    :data:`READ_SCHEMA`. The stream :func:`warc_to_pages` should see when
+    an archive was written with payload dedup."""
+    responses = read_warc(spark, path, strict=strict)
+    revisits = read_warc_revisits(spark, path, strict=strict)
+    return responses.unionByName(resolve_revisits(responses, revisits))

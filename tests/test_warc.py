@@ -327,3 +327,98 @@ def test_charset_decodes_through_extraction(spark, tmp_path):
     # without the hint the same bytes would mojibake to a replacement char
     ext2 = extract_pages(pages.select("url", "html"), carry=False)
     assert "�" in ext2.collect()[0]["title"]
+
+
+def test_revisit_dedup_roundtrip(spark, tmp_path):
+    """Payload-dedup'd archive: identical bodies write once; revisit
+    records resolve back so the full capture stream equals the undeduped
+    archive's, and the deduped file is materially smaller."""
+    from datetime import datetime, timedelta, timezone
+
+    from crawler_spark.sources.warc import (
+        payload_digest,
+        read_warc,
+        read_warc_resolved,
+        read_warc_revisits,
+        resolve_revisits,
+    )
+
+    import hashlib
+
+    t0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    # incompressible filler so the on-disk size comparison reflects the
+    # dedup (a repeated-phrase body gzips to ~nothing per member and the
+    # full archive would already be as small as the deduped one)
+    filler = b"".join(
+        hashlib.sha256(b"noise%d" % i).digest() for i in range(100)
+    ).hex().encode()
+    body_a = b"<html><body>" + filler + b"</body></html>"
+    body_b = b"<html><body>changed</body></html>"
+    caps = []
+    for day in range(4):  # url1 never changes; url2 changes at day 2
+        caps.append({"url": "http://h/stable", "warc_ts": t0 + timedelta(days=day),
+                     "html": body_a})
+        caps.append({"url": "http://h/vol", "warc_ts": t0 + timedelta(days=day),
+                     "html": body_a if day < 2 else body_b})
+    p_dedup = str(tmp_path / "d.warc.gz")
+    p_full = str(tmp_path / "f.warc.gz")
+    write_warc(p_dedup, caps, dedup_payloads=True)
+    write_warc(p_full, caps)
+    assert os.path.getsize(p_dedup) < os.path.getsize(p_full) / 2
+
+    # 2 distinct payloads -> 2 response records, 6 revisits
+    resp = read_warc(spark, p_dedup, strict=True)
+    rev = read_warc_revisits(spark, p_dedup, strict=True)
+    assert resp.count() == 2 and rev.count() == 6
+    assert set(r["digest"] for r in rev.collect()) == {
+        payload_digest(body_a), payload_digest(body_b)
+    }
+    r0 = rev.orderBy("warc_ts", "url").collect()[0]
+    assert r0["refers_url"] == "http://h/stable"
+
+    # resolution restores every capture byte-identically
+    full = read_warc_resolved(spark, p_dedup, strict=True)
+    key = lambda df: sorted(
+        (r["url"], r["warc_ts"].isoformat(), bytes(r["html"]))
+        for r in df.select("url", "warc_ts", "html").collect()
+    )
+    assert key(full) == key(read_warc(spark, p_full, strict=True))
+    assert full.count() == 8
+
+    # warc_to_pages on the resolved stream: newest capture wins per url
+    pages = {r["url"]: bytes(r["html"])
+             for r in warc_to_pages(full).collect()}
+    assert pages == {"http://h/stable": body_a, "http://h/vol": body_b}
+
+
+def test_resolve_revisits_drops_foreign_digests(spark, tmp_path):
+    """A revisit whose original lives outside the read slice resolves to
+    nothing (dropped, countable via anti-join) rather than poisoning."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.sources.warc import (
+        read_warc,
+        read_warc_revisits,
+        resolve_revisits,
+        warc_revisit_bytes,
+    )
+    import gzip as gz
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    p = str(tmp_path / "x.warc.gz")
+    write_warc(p, [{"url": "http://h/a", "warc_ts": ts, "html": b"<p>a</p>"}])
+    orphan = warc_revisit_bytes(
+        "http://h/b", ts, "sha1:NOSUCHDIGEST", "http://other/", ts
+    )
+    import io as iomod
+
+    buf = iomod.BytesIO()
+    with gz.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(orphan)
+    with open(p, "ab") as f:
+        f.write(buf.getvalue())
+    resp = read_warc(spark, p, strict=True)
+    rev = read_warc_revisits(spark, p, strict=True)
+    assert rev.count() == 1
+    assert resolve_revisits(resp, rev).count() == 0
+    assert rev.join(resp, "digest", "left_anti").count() == 1
