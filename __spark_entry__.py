@@ -1785,6 +1785,98 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    # ---- WARC revisit resolution (sources/warc.resolve_revisits): a
+    # payload-dedup'd archive stores each distinct body once ("response")
+    # and later identical captures as digest-only "revisit" pointers; the
+    # resolve join restores the full capture stream. Capture history is
+    # the recrawl gates' synthesis (%3 change cadence, %5 fetch cadence);
+    # digest = 'sha1:' + md5(url|rev) so writer dedup semantics (one body
+    # per distinct payload, earliest capture is the keeper) are minted by
+    # the same row_number both engines compute. Output carries the
+    # revisit-side warc_offset but the body-side content — the exact
+    # column provenance resolve_revisits promises.
+    def revisit_resolve_docs(spark, sf_dir):
+        from pyspark.sql import Window
+
+        from crawler_spark.sources.warc import resolve_revisits
+
+        hist = (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                F.expr(
+                    "concat('https://', source, '.docs.test/doc/', "
+                    "cast(doc_id as string))"
+                ).alias("url"),
+                F.expr("explode(sequence(0, 3))").alias("i"),
+            )
+            .select(
+                "url",
+                F.col("i").cast("bigint").alias("warc_offset"),
+                F.expr(
+                    "timestampadd(SECOND, i * 3600 * (doc_id % 5 + 1), "
+                    "timestamp '2025-01-01 00:00:00')"
+                ).alias("warc_ts"),
+                F.expr(
+                    "CASE WHEN doc_id % 3 = 0 THEN cast(i as string) "
+                    "WHEN doc_id % 3 = 1 THEN cast(i div 2 as string) "
+                    "ELSE '0' END"
+                ).alias("rev"),
+            )
+            .withColumn(
+                "digest",
+                F.concat(
+                    F.lit("sha1:"), F.md5(F.concat_ws("|", "url", "rev"))
+                ),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("digest").orderBy("warc_ts")
+                ),
+            )
+        )
+        responses = hist.filter("_rn = 1").select(
+            "url",
+            "warc_ts",
+            F.encode(
+                F.format_string("<html>%s|%s</html>", "rev", "url"), "utf-8"
+            ).alias("html"),
+            F.lit("synth.warc.gz").alias("warc_path"),
+            "warc_offset",
+            F.lit(200).alias("http_status"),
+            F.lit("text/html").alias("mime"),
+            F.lit("utf-8").alias("charset"),
+            "digest",
+        )
+        first = Window.partitionBy("digest")
+        revisits = (
+            hist.withColumn("refers_ts", F.min("warc_ts").over(first))
+            .filter("_rn > 1")
+            .select(
+                "url",
+                "warc_ts",
+                "digest",
+                F.col("url").alias("refers_url"),
+                "refers_ts",
+                F.lit("synth.warc.gz").alias("warc_path"),
+                "warc_offset",
+            )
+        )
+        full = responses.unionByName(
+            resolve_revisits(responses, revisits)
+        )
+        return full.select(
+            "url",
+            F.expr("cast(unix_timestamp(warc_ts) as bigint)").alias(
+                "capture_epoch"
+            ),
+            F.decode("html", "utf-8").alias("body"),
+            "http_status",
+            "warc_offset",
+            "digest",
+        )
+
     # ---- link-graph PageRank (crawl prioritization; operators/graph.py).
     # Edges are synthesized deterministically from the doc_id space (3
     # out-links per doc via modular arithmetic) so Spark and the oracle
@@ -2320,6 +2412,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
         "latest_snapshot_docs": latest_snapshot_docs,
+        "revisit_resolve_docs": revisit_resolve_docs,
         "pagerank_docs": pagerank_docs,
         "trustrank_docs": trustrank_docs,
         "reciprocity_docs": reciprocity_docs,
@@ -4000,6 +4093,52 @@ def _all_oracle_sql() -> dict[str, str]:
                         // 1000000 AS bigint) AS next_fetch_epoch
             FROM s
         """,
+        # WARC revisit resolution: same history, writer dedup replayed as
+        # row_number per digest (rn=1 -> response row with the body, rn>1
+        # -> digest-only revisit), then the resolve equi-join restores
+        # revisit rows' bodies from the rn=1 keeper — stage for stage the
+        # plan resolve_revisits builds
+        "revisit_resolve_docs": """
+            WITH h AS (
+              SELECT url, warc_offset, warc_ts, rev,
+                     'sha1:' || md5(url || '|' || rev) AS digest
+              FROM (
+                SELECT concat('https://', source, '.docs.test/doc/',
+                              cast(doc_id AS varchar)) AS url,
+                       cast(i AS bigint) AS warc_offset,
+                       TIMESTAMPTZ '2025-01-01 00:00:00+00'
+                         + to_seconds(i * 3600 * (doc_id % 5 + 1)) AS warc_ts,
+                       CASE WHEN doc_id % 3 = 0 THEN cast(i AS varchar)
+                            WHEN doc_id % 3 = 1 THEN cast(i // 2 AS varchar)
+                            ELSE '0' END AS rev
+                FROM documents
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY digest ORDER BY warc_ts) AS rn
+              FROM h),
+            resp AS (
+              SELECT url, warc_ts, warc_offset, digest,
+                     '<html>' || rev || '|' || url || '</html>' AS body
+              FROM r WHERE rn = 1),
+            rvs AS (
+              SELECT url, warc_ts, warc_offset, digest
+              FROM r WHERE rn > 1),
+            resolved AS (
+              SELECT rvs.url, rvs.warc_ts, resp.body, rvs.warc_offset,
+                     rvs.digest
+              FROM rvs JOIN resp USING (digest))
+            SELECT url,
+                   cast(epoch_us(warc_ts) // 1000000 AS bigint)
+                     AS capture_epoch,
+                   body, 200 AS http_status, warc_offset, digest
+            FROM resp
+            UNION ALL
+            SELECT url,
+                   cast(epoch_us(warc_ts) // 1000000 AS bigint),
+                   body, 200, warc_offset, digest
+            FROM resolved
+        """,
         # latest-wins snapshot: same synthesized history, row_number pick
         # (ts desc, hash desc) + per-URL counters in one window pass
         "latest_snapshot_docs": """
@@ -4906,6 +5045,11 @@ _EXTENDED_GATE = [
     # recrawl_schedule_docs (on board) pins the shared history synthesis
     # and change rule
     "latest_snapshot_docs",
+    # WARC revisit resolution (payload-dedup'd archive -> full capture
+    # stream): writer dedup + resolve join replayed stage-for-stage in
+    # SQL; parity held by check_entry --extended + roundtrip/orphan tests
+    # in test_warc
+    "revisit_resolve_docs",
     # point-in-interval join (chunked equi-join vs the oracle's BETWEEN
     # theta-join — different plan shapes, same values); parity held by
     # check_entry --extended + brute-force/bounds/plan tests in
