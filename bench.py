@@ -167,6 +167,67 @@ def run(spark, sf_dir: str):
         ).count()
     extra["warc_pages_per_sec"] = round(n_warc / times["q_warc_ingest"], 1)
 
+    # ---- q_revisit_resolve: payload-dedup'd archive -> full capture stream.
+    # 4 recrawls per url (half identical), writer dedup replayed as a
+    # window, then resolve_revisits' digest equi-join restores bodies —
+    # the recrawl-archive read path at 4x corpus row count, no file IO.
+    with timed("q_revisit_resolve"):
+        from pyspark.sql import Window
+
+        from crawler_spark.sources.warc import resolve_revisits
+
+        hist = (
+            corpus.select("url", "warc_ts", "html")
+            .withColumn("i", F.expr("explode(sequence(0, 3))"))
+            .select(
+                "url",
+                F.expr("timestampadd(HOUR, i, warc_ts)").alias("warc_ts"),
+                F.col("i").cast("bigint").alias("warc_offset"),
+                # revisions 0/1 share a body, 2/3 each differ -> 1 in 4
+                # captures is a revisit of rev 0
+                F.expr(
+                    "concat(html, encode(cast(greatest(i - 1, 0) as string),"
+                    " 'utf-8'))"
+                ).alias("html"),
+            )
+            .withColumn(
+                "digest",
+                F.concat(F.lit("sha1:"), F.md5(F.concat_ws("|", "url", "html"))),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("digest").orderBy("warc_ts")
+                ),
+            )
+        )
+        responses = hist.filter("_rn = 1").select(
+            "url", "warc_ts", "html",
+            F.lit("bench.warc.gz").alias("warc_path"), "warc_offset",
+            F.lit(200).alias("http_status"),
+            F.lit("text/html").alias("mime"),
+            F.lit("utf-8").alias("charset"), "digest",
+        )
+        revisits = (
+            hist.withColumn(
+                "refers_ts",
+                F.min("warc_ts").over(Window.partitionBy("digest")),
+            )
+            .filter("_rn > 1")
+            .select(
+                "url", "warc_ts", "digest",
+                F.col("url").alias("refers_url"), "refers_ts",
+                F.lit("bench.warc.gz").alias("warc_path"), "warc_offset",
+            )
+        )
+        n_resolved = responses.unionByName(
+            resolve_revisits(responses, revisits)
+        ).count()
+        assert n_resolved == 4 * n_corpus, n_resolved
+    extra["revisit_captures_per_sec"] = round(
+        n_resolved / times["q_revisit_resolve"], 1
+    )
+
     # ---- q_frontier_guard: trap detection + recrawl scheduling ------------
     with timed("q_frontier_guard"):
         from crawler_spark.frontier.recrawl import recrawl_schedule
