@@ -758,3 +758,141 @@ def read_warc_resolved(spark, path: str, strict: bool = False) -> DataFrame:
     responses = read_warc(spark, path, strict=strict)
     revisits = read_warc_revisits(spark, path, strict=strict)
     return responses.unionByName(resolve_revisits(responses, revisits))
+
+
+def write_warc_shards(
+    pages: DataFrame,
+    dir_path: str,
+    compress: bool = True,
+    dedup_payloads: bool = False,
+) -> DataFrame:
+    """Distributed WARC sink: each task writes its partition as one
+    ``part-NNNNN.warc[.gz]`` shard (record-per-gzip-member, the CC
+    convention) and the mapInPandas OUTPUT is the CDX-style index
+    ``(url, path, offset, length)`` of what it wrote — the sink scales
+    with the upstream partitioning and never funnels through the driver
+    (:func:`write_warc`/:func:`write_warc_files` are the driver-side
+    harness twins; this is the production path). Materialize the returned
+    index exactly once (cache+count or write to parquet) — re-evaluating
+    the plan rewrites shards (byte-idempotent, wasted I/O).
+
+    With ``dedup_payloads=True`` the dedup is GLOBAL: one shuffle on the
+    payload digest (a window over ``sha1(html)``) elects the earliest
+    capture per distinct payload as the stored *response*; every later
+    identical capture is written as a ~300-byte *revisit* record pointing
+    at the keeper (identical-payload-digest profile). That one exchange
+    is the entire scale cost — at recrawl-archive scale it trades a full
+    copy of every unchanged page for a pointer. Without dedup the sink is
+    zero-shuffle and shard layout follows the input partitioning
+    (pre-partition, e.g. ``repartitionByRange("url")``, for a bit-stable
+    layout).
+
+    Expected columns: ``url, warc_ts, html`` (+ optional ``http_status``,
+    ``mime``, ``charset`` — defaulted when absent, round-tripped by
+    :func:`read_warc` when present). Read the result back with
+    :func:`read_warc` (responses only), :func:`read_warc_revisits`
+    (pointers only), or :func:`read_warc_resolved` (full capture stream).
+
+    The returned index carries ``(url, warc_ts, path, offset, length,
+    digest, mime, status)`` — exactly what
+    :func:`~crawler_spark.sources.cdxj.build_cdxj` consumes, so the CDX-J
+    of a fresh archive is one projection away, no join back to the pages.
+    Revisit rows index as ``mime='warc/revisit'`` (the CDX convention).
+    """
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    os.makedirs(dir_path, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    df = pages
+    for col, default in (
+        ("http_status", F.lit(200)),
+        ("mime", F.lit("text/html")),
+        ("charset", F.lit("utf-8")),
+    ):
+        if col not in df.columns:
+            df = df.withColumn(col, default)
+    base = ["url", "warc_ts", "html", "http_status", "mime", "charset"]
+    if dedup_payloads:
+        w = Window.partitionBy("_dig").orderBy(
+            "warc_ts", "url"
+        )
+        df = (
+            df.withColumn("_dig", F.sha1("html"))
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_ref_url", F.first("url").over(w))
+            .withColumn("_ref_ts", F.first("warc_ts").over(w))
+            .select(
+                *base,
+                (F.col("_rn") > 1).alias("_is_rev"),
+                "_ref_url",
+                "_ref_ts",
+            )
+        )
+    else:
+        df = df.select(
+            *base,
+            F.lit(False).alias("_is_rev"),
+            F.lit(None).cast("string").alias("_ref_url"),
+            F.lit(None).cast("timestamp").alias("_ref_ts"),
+        )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(dir_path, "part-%05d%s" % (pid, ext))
+        out: List[Tuple] = []
+        off = 0
+        f = None
+        for pdf in batches:
+            if len(pdf) and f is None:
+                f = open(path, "wb")
+            for url, ts, html, st, mi, ch, is_rev, ref_url, ref_ts in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"],
+                pdf["http_status"], pdf["mime"], pdf["charset"],
+                pdf["_is_rev"], pdf["_ref_url"], pdf["_ref_ts"],
+            ):
+                body = bytes(html)
+                ts = ts.to_pydatetime()
+                dg = payload_digest(body)
+                if is_rev:
+                    rec = warc_revisit_bytes(
+                        url, ts, dg, ref_url, ref_ts.to_pydatetime(),
+                    )
+                    idx_mime = "warc/revisit"
+                else:
+                    ct = mi + ("; charset=" + ch if ch else "")
+                    rec = warc_record_bytes(
+                        url, ts, body, status=int(st), content_type=ct
+                    )
+                    idx_mime = mi
+                if compress:
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                        gz.write(rec)
+                    rec = buf.getvalue()
+                f.write(rec)
+                out.append(
+                    (url, ts, path, off, len(rec), dg, idx_mime, int(st))
+                )
+                off += len(rec)
+        if f is not None:
+            f.close()
+        pdf_out = pd.DataFrame(
+            out,
+            columns=["url", "warc_ts", "path", "offset", "length",
+                     "digest", "mime", "status"],
+        )
+        pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"], utc=True)
+        yield pdf_out
+
+    return df.mapInPandas(
+        gen,
+        schema="url string, warc_ts timestamp, path string, offset bigint, "
+               "length bigint, digest string, mime string, status int",
+    )

@@ -422,3 +422,86 @@ def test_resolve_revisits_drops_foreign_digests(spark, tmp_path):
     assert rev.count() == 1
     assert resolve_revisits(resp, rev).count() == 0
     assert rev.join(resp, "digest", "left_anti").count() == 1
+
+
+def test_write_warc_shards_distributed_roundtrip(spark, rows, tmp_path):
+    """Distributed sink: one shard per partition, CDX index as output,
+    byte-exact roundtrip incl. status/mime/charset, and every indexed
+    (offset, length) readable standalone."""
+    from crawler_spark.sources.warc import write_warc_shards
+
+    d = str(tmp_path / "shards")
+    pages = spark.createDataFrame(
+        [
+            {
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],
+                "html": r["html"],
+                "http_status": 404 if i % 7 == 0 else 200,
+                "mime": "text/plain" if i % 5 == 0 else "text/html",
+                "charset": "" if i % 3 == 0 else "utf-8",
+            }
+            for i, r in enumerate(rows)
+        ]
+    ).repartition(3)
+    idx = write_warc_shards(pages, d).cache()
+    n_idx = idx.count()
+    assert n_idx == len(rows)
+    assert len([p for p in os.listdir(d) if p.endswith(".warc.gz")]) == 3
+
+    back = read_warc(spark, d + "/*.warc.gz", strict=True)
+    want = sorted(
+        (r["url"], bytes(r["html"]), 404 if i % 7 == 0 else 200,
+         "text/plain" if i % 5 == 0 else "text/html",
+         "" if i % 3 == 0 else "utf-8")
+        for i, r in enumerate(rows)
+    )
+    got = sorted(
+        (r["url"], bytes(r["html"]), r["http_status"], r["mime"],
+         r["charset"])
+        for r in back.collect()
+    )
+    assert got == want
+
+    # the emitted index drives record-range reads identical to a full scan
+    ranged = read_warc_indexed(spark, idx.select("path", "offset", "length"),
+                               strict=True)
+    assert _key(ranged) == _key(back)
+
+
+def test_write_warc_shards_dedup_is_global(spark, tmp_path):
+    """dedup_payloads crosses input partitions: duplicates placed in
+    different partitions still collapse to ONE stored body, revisits point
+    at the globally-earliest capture, and the resolved stream equals the
+    full capture set."""
+    from datetime import datetime, timedelta, timezone
+
+    from crawler_spark.sources.warc import (
+        read_warc_resolved,
+        read_warc_revisits,
+        write_warc_shards,
+    )
+
+    t0 = datetime(2025, 3, 1, tzinfo=timezone.utc)
+    caps = [
+        {"url": "http://h/p%d" % (i % 4), "warc_ts": t0 + timedelta(hours=i),
+         "html": b"<html>body-%d</html>" % (i % 4)}
+        for i in range(16)  # 4 distinct payloads x 4 captures each
+    ]
+    d = str(tmp_path / "dedup_shards")
+    pages = spark.createDataFrame(caps).select(
+        "url", "warc_ts", F.col("html").cast("binary").alias("html")
+    ).repartition(4)
+    idx = write_warc_shards(pages, d, dedup_payloads=True).cache()
+    assert idx.count() == 16
+
+    resp = read_warc(spark, d + "/*.warc.gz", strict=True)
+    rev = read_warc_revisits(spark, d + "/*.warc.gz", strict=True)
+    assert resp.count() == 4 and rev.count() == 12
+    # every revisit refers to the globally-earliest capture of its payload
+    for r in rev.collect():
+        assert r["refers_ts"].replace(tzinfo=timezone.utc) == t0 + timedelta(
+            hours=int(r["refers_url"].rsplit("p", 1)[1])
+        )
+    full = read_warc_resolved(spark, d + "/*.warc.gz", strict=True)
+    assert _key(full) == _key(caps)
