@@ -1947,6 +1947,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hits(edges, iterations=2).select("id", "auth_q", "hub_q")
 
+    def label_prop_docs(spark, sf_dir):
+        # deterministic synchronous self-vote label propagation (host
+        # communities) over the pagerank_docs edge set; the oracle unrolls
+        # 3 vote/argmax rounds with the identical (count desc, label asc)
+        # tie-break
+        from crawler_spark.operators.graph import label_propagation
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return label_propagation(edges, iterations=3)
+
     # ---- inbound anchor-text aggregation (operators/anchors.py). The
     # gate builds an anchor-rich html corpus from documents by expression
     # (same-source lead(1)/lead(2) links plus a hot per-source hub link
@@ -2417,6 +2435,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_docs": trustrank_docs,
         "reciprocity_docs": reciprocity_docs,
         "hits_docs": hits_docs,
+        "label_prop_docs": label_prop_docs,
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
         "mirror_pairs_docs": mirror_pairs_docs,
@@ -4383,6 +4402,49 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM nodes JOIN a2 ON nodes.id = a2.id
                        JOIN h2 ON nodes.id = h2.id
         """,
+        # deterministic synchronous self-vote label propagation: three
+        # unrolled vote/argmax rounds over the undirected self-loop-free
+        # view of the pagerank_docs edge set; per round every node adopts
+        # the most frequent label among neighbors + one self-vote, ties to
+        # the smallest label — identical spec to graph.label_propagation
+        "label_prop_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e0 AS (SELECT DISTINCT doc_id AS src,
+                          (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                   FROM documents, (VALUES (1), (2), (3)) t(j)),
+            e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+            v1 AS (SELECT id, label, count(*) AS c FROM (
+                     SELECT und.src AS id, l0.label
+                     FROM und JOIN l0 ON und.dst = l0.id
+                     UNION ALL SELECT id, label FROM l0)
+                   GROUP BY id, label),
+            l1 AS (SELECT id, label FROM (
+                     SELECT id, label, row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label) AS rn
+                     FROM v1) WHERE rn = 1),
+            v2 AS (SELECT id, label, count(*) AS c FROM (
+                     SELECT und.src AS id, l1.label
+                     FROM und JOIN l1 ON und.dst = l1.id
+                     UNION ALL SELECT id, label FROM l1)
+                   GROUP BY id, label),
+            l2 AS (SELECT id, label FROM (
+                     SELECT id, label, row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label) AS rn
+                     FROM v2) WHERE rn = 1),
+            v3 AS (SELECT id, label, count(*) AS c FROM (
+                     SELECT und.src AS id, l2.label
+                     FROM und JOIN l2 ON und.dst = l2.id
+                     UNION ALL SELECT id, label FROM l2)
+                   GROUP BY id, label),
+            l3 AS (SELECT id, label FROM (
+                     SELECT id, label, row_number() OVER (
+                       PARTITION BY id ORDER BY c DESC, label) AS rn
+                     FROM v3) WHERE rn = 1)
+            SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label
+            FROM l3
+        """,
         # inbound anchor-text stats: re-derive the (src, dst, anchor)
         # stream from the gate's construction rules (lead(1)/lead(2)
         # same-source links + per-source hub link with parity-varied
@@ -5111,6 +5173,10 @@ _EXTENDED_GATE = [
     # HITS hubs/authorities (fixed-point, unrolled-iteration oracle);
     # parity held by check_entry --extended + python replay in test_graph
     "hits_docs",
+    # deterministic self-vote label propagation (host communities;
+    # unrolled vote/argmax oracle); parity held by check_entry --extended
+    # + python replay / clique tests in test_graph
+    "label_prop_docs",
     # strict-order event funnel (cascaded min-after-prev CTEs); parity
     # held by check_entry --extended + hand-built cases in
     # test_sketch_sessions

@@ -551,6 +551,16 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("rank_q")
         ).collect()
 
+    # ---- q_label_prop: host-community label propagation over the graph ----
+    # (operators/graph.py — per round one node-sized label join + one
+    # map-side-combined vote aggregate, deterministic argmax)
+    with timed("q_label_prop"):
+        from crawler_spark.operators.graph import label_propagation
+
+        label_propagation(edges, iterations=3).select(
+            F.count("*"), F.sum("label")
+        ).collect()
+
     # ---- q_funnel: strict-order view->click->purchase over events ---------
     with timed("q_funnel"):
         from crawler_spark.operators.sessions import funnel

@@ -407,6 +407,133 @@ def host_hits(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al. 2007)
+    over the undirected view of a directed edge list — host/site community
+    detection for the crawl graph. Communities group mutually-linking host
+    neighborhoods (a university's department sites, a link ring, a CMS
+    farm) — the partition a crawler uses to diversify frontier budgets
+    across communities rather than hosts alone, and the coarse complement
+    of :func:`reciprocal_links`' pairwise nepotism signal.
+
+    Classic LPA is randomized (random tie-break, asynchronous sweeps);
+    that is unreplayable, so this is the deterministic synchronous
+    self-vote form: every node starts labeled with its own id; each round,
+    every node adopts the most frequent label among its neighbors PLUS its
+    own current label (one self-vote — the standard damping against the
+    2-cycles pure synchronous LPA falls into on bipartite structures, e.g.
+    a pendant pair swapping labels forever), ties broken by the smallest
+    label; a fixed number of rounds (convergence-free, the only
+    SQL-replayable form). Self-loop edges are dropped (the self-vote
+    already covers them); duplicate and reciprocal edges collapse to one
+    undirected neighbor relation.
+
+    Returns ``(id, label)`` — nodes sharing a ``label`` are one community;
+    the label value is a node id (with the self-vote it is in practice a
+    member of the community, though LPA gives no hard guarantee).
+
+    Scale shape: the symmetrized edge list is hash-partitioned on ``src``
+    ONCE and persisted; each round joins the node-sized label table to it
+    (one exchange per round), aggregates votes with map-side combine on
+    ``(node, label)``, and picks the winner with a single deterministic
+    ``min(struct(-count, label))`` aggregate — no window, no per-node
+    buffering; per-round frames are ``localCheckpoint``-ed to cut lineage
+    (same pattern as :func:`pagerank` / ``connected_components``).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    und = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    und.count()  # materialize once; every round rescans this layout
+    nodes = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=False)
+    )
+
+    labels = nodes.withColumn("label", F.col("id"))
+    for _ in range(int(iterations)):
+        votes = (
+            und.join(
+                labels.select(F.col("id").alias("dst"), "label"), "dst"
+            )
+            .select(F.col("src").alias("id"), "label")
+            .unionByName(labels)  # the self-vote
+            .groupBy("id", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("m")
+            )
+            .select("id", F.col("m.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels
+
+
+def host_communities(
+    results: DataFrame,
+    iterations: int = 5,
+    host_col: str = "host",
+    link_hosts_col: str = "link_hosts",
+) -> DataFrame:
+    """Host-level communities straight from extraction output:
+    ``(host, community)`` with ``community`` the label-holder host's name —
+    same xxhash64 keying and name join-back as :func:`host_pagerank`, plus
+    a second (host-count-sized) join resolving the winning label id back
+    to a readable host name."""
+    g = host_link_graph(results, host_col, link_hosts_col)
+    names = (
+        g.select(F.col("src_host").alias("h"))
+        .unionByName(g.select(F.col("dst_host").alias("h")))
+        .distinct()
+        .withColumn("hid", F.xxhash64("h"))
+    )
+    edges = g.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+    )
+    lp = label_propagation(edges, iterations=iterations)
+    named = lp.join(names, lp["id"] == names["hid"]).select(
+        F.col("h").alias(host_col), "label"
+    )
+    lnames = names.select(
+        F.col("hid").alias("label"), F.col("h").alias("community")
+    )
+    return named.join(lnames, "label").select(host_col, "community")
+
+
 def reciprocal_links(
     edges: DataFrame,
     src_col: str = "src",

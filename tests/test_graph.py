@@ -361,3 +361,104 @@ def test_reciprocal_links_plan_is_hash_join(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     plan = reciprocal_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# label propagation (host communities)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.graph import host_communities, label_propagation
+
+
+def lpa_replay(edges, iters):
+    """Pure-Python replay of the deterministic synchronous self-vote LPA
+    spec: undirected self-loop-free neighbor relation, init label = id,
+    per round every node takes the most frequent label among its
+    neighbors plus one vote for its own current label, ties to the
+    smallest label."""
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nbrs = defaultdict(list)
+    for s, d in und:
+        nbrs[s].append(d)
+    nodes = sorted(nbrs)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            c = Counter(lab[m] for m in nbrs[n])
+            c[lab[n]] += 1
+            new[n] = min((-cnt, l) for l, cnt in c.items())[1]
+        lab = new
+    return lab
+
+
+LPA_EDGES = [
+    # clique A {1,2,3} + clique B {10,11,12} + one bridge 3->10, plus a
+    # pendant 20-21 pair, duplicate and self edges to exercise cleanup
+    (1, 2), (2, 3), (1, 3), (3, 1),
+    (10, 11), (11, 12), (10, 12),
+    (3, 10),
+    (20, 21), (21, 21), (20, 21),
+]
+
+
+def test_label_propagation_matches_replay(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in label_propagation(df, iterations=4).collect()}
+    assert got == lpa_replay(LPA_EDGES, 4)
+
+
+def test_label_propagation_two_cliques_separate_communities(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src long, dst long")
+    got = {r["id"]: r["label"]
+           for r in label_propagation(df, iterations=5).collect()}
+    # each clique converges to one label, and the two differ; the pendant
+    # pair forms its own community
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
+    assert got[20] == got[21]
+    assert got[20] not in (got[1], got[10])
+
+
+def test_label_propagation_partition_invariance(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src long, dst long")
+    a = {r["id"]: r["label"]
+         for r in label_propagation(df.repartition(1), iterations=3,
+                                    num_partitions=3).collect()}
+    b = {r["id"]: r["label"]
+         for r in label_propagation(df.repartition(11), iterations=3,
+                                    num_partitions=7).collect()}
+    assert a == b == lpa_replay(LPA_EDGES, 3)
+
+
+def test_label_propagation_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(LPA_EDGES, "src long, dst long")
+    out = label_propagation(df, iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_host_communities_end_to_end(spark):
+    rows = [
+        ("a.test", ["b.test", "c.test"]),
+        ("b.test", ["a.test", "c.test"]),
+        ("c.test", ["a.test"]),
+        ("x.test", ["y.test"]),
+        ("y.test", ["x.test"]),
+    ]
+    df = spark.createDataFrame(rows, "host string, link_hosts array<string>")
+    got = {r["host"]: r["community"]
+           for r in host_communities(df, iterations=5).collect()}
+    # the {a,b,c} triangle is one community, {x,y} another; community
+    # names resolve back to member host names
+    assert got["a.test"] == got["b.test"] == got["c.test"]
+    assert got["x.test"] == got["y.test"]
+    assert got["a.test"] != got["x.test"]
+    assert got["a.test"] in {"a.test", "b.test", "c.test"}
+    assert got["x.test"] in {"x.test", "y.test"}
