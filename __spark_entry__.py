@@ -1388,6 +1388,30 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "deduped_text"
         )
 
+    def host_boilerplate_docs(spark, sf_dir):
+        # per-host template-line mining + strip: the gate stamps a footer
+        # line onto every doc of a source and a promo line onto the even
+        # half, re-lines the word-soup text into pseudo-lines, and strips
+        # at min_frac=0.6 — the footer (100%) dies everywhere, the promo
+        # (~50%) survives; the oracle replays the same construction,
+        # distinct-doc counting, thresholds, and position-ordered rebuild
+        from crawler_spark.operators.filters import strip_host_boilerplate
+
+        d2 = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"concat(array_join({_PLINES}, chr(10)), chr(10), "
+                "'footer of ', source, "
+                "CASE WHEN doc_id % 2 = 0 "
+                "THEN concat(chr(10), 'promo ', source) ELSE '' END)"
+            ).alias("text2"),
+        )
+        return strip_host_boilerplate(
+            d2, host_col="source", text_col="text2",
+            min_frac=0.6, min_docs=3,
+        ).select("doc_id", "stripped_text", "n_boilerplate_removed")
+
     # ---- benchmark decontamination + token-budget mixing ------------------
     def contamination_docs(spark, sf_dir):
         # eval split = every 20th doc (a stand-in benchmark suite); count
@@ -2389,6 +2413,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": pii_redact_docs,
         "blocklist_docs": blocklist_docs,
         "line_dedup_docs": line_dedup_docs,
+        "host_boilerplate_docs": host_boilerplate_docs,
         "contamination_docs": contamination_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
@@ -3384,6 +3409,48 @@ def _all_oracle_sql() -> dict[str, str]:
                         FROM firsts WHERE rn = 1 GROUP BY doc_id)
             SELECT b.doc_id, coalesce(r.deduped_text, '') AS deduped_text
             FROM base b LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # per-host boilerplate: same footer/promo stamping, distinct-doc
+        # counts per (source, line), min_docs/min_frac thresholds, all
+        # occurrences stripped, position-ordered rebuild — identical spec
+        # to filters.strip_host_boilerplate
+        "host_boilerplate_docs": f"""
+            WITH d2 AS (SELECT doc_id, source,
+                   array_to_string({_D_PLINES}, chr(10)) || chr(10) ||
+                   'footer of ' || source ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'promo ' || source ELSE '' END
+                   AS text2
+                 FROM documents),
+            l0 AS (SELECT doc_id, source,
+                          string_split(text2, chr(10)) AS ls FROM d2),
+            lp AS (SELECT doc_id, source, ls,
+                          unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+            lx AS (SELECT doc_id, source, pos, ls[pos] AS line
+                   FROM lp WHERE ls[pos] <> ''),
+            hd AS (SELECT source, count(DISTINCT doc_id) AS host_docs
+                   FROM d2 GROUP BY source),
+            pl AS (SELECT source, line, count(DISTINCT doc_id) AS n_docs
+                   FROM lx GROUP BY source, line),
+            bp AS (SELECT pl.source, pl.line
+                   FROM pl JOIN hd USING (source)
+                   WHERE host_docs >= 3 AND n_docs / host_docs >= 0.6),
+            marked AS (SELECT lx.doc_id, lx.pos, lx.line,
+                              (bp.line IS NOT NULL) AS is_bp
+                       FROM lx LEFT JOIN bp
+                         ON lx.source = bp.source AND lx.line = bp.line),
+            rebuilt AS (SELECT doc_id,
+                               string_agg(line, chr(10) ORDER BY pos)
+                               AS stripped_text
+                        FROM marked WHERE NOT is_bp GROUP BY doc_id),
+            removed AS (SELECT doc_id, count(*) AS n
+                        FROM marked WHERE is_bp GROUP BY doc_id)
+            SELECT d2.doc_id,
+                   coalesce(rebuilt.stripped_text, '') AS stripped_text,
+                   CAST(coalesce(removed.n, 0) AS BIGINT)
+                     AS n_boilerplate_removed
+            FROM d2 LEFT JOIN rebuilt USING (doc_id)
+                    LEFT JOIN removed USING (doc_id)
         """,
         "contamination_docs": f"""
             -- benchmark decontamination: distinct 8-gram hash overlap
@@ -5177,6 +5244,11 @@ _EXTENDED_GATE = [
     # unrolled vote/argmax oracle); parity held by check_entry --extended
     # + python replay / clique tests in test_graph
     "label_prop_docs",
+    # per-host boilerplate line mining + strip (template cleanup;
+    # line_dedup_docs on board pins the shared explode/rebuild idiom);
+    # parity held by check_entry --extended + hand-built host cases in
+    # test_filters
+    "host_boilerplate_docs",
     # strict-order event funnel (cascaded min-after-prev CTEs); parity
     # held by check_entry --extended + hand-built cases in
     # test_sketch_sessions

@@ -384,6 +384,21 @@ def run(spark, sf_dir: str):
             )
         ).select(F.sum(F.length("deduped_text"))).collect()
 
+    # ---- q_boilerplate: per-host template-line mining + strip -------------
+    with timed("q_boilerplate"):
+        from crawler_spark.operators.filters import strip_host_boilerplate
+
+        strip_host_boilerplate(
+            docs.withColumn(
+                "text", F.regexp_replace("text", r"((\S+\s+){9}\S+)\s", "$1\n")
+            ),
+            min_frac=0.3,
+            min_docs=3,
+        ).select(
+            F.sum(F.length("stripped_text")),
+            F.sum("n_boilerplate_removed"),
+        ).collect()
+
     # ---- q_lm_score: corpus-trained bigram LM scoring (CCNet-style) -------
     with timed("q_lm_score"):
         from crawler_spark.operators.lm import lm_score

@@ -31,7 +31,7 @@ except where noted in the gate.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -317,4 +317,148 @@ def line_dedup_global(
         df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
         .drop("_id")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
+def host_boilerplate_lines(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Per-host template lines: every line that appears in at least
+    ``min_frac`` of a host's documents, for hosts with at least
+    ``min_docs`` documents — the nav/footer/cookie-banner boilerplate a
+    site template stamps onto every page. The corpus-wide first-wins rule
+    (:func:`line_dedup_global`) keeps exactly one copy of such a line
+    somewhere; this operator identifies the line itself so it can be
+    stripped everywhere (the CCNet/RefinedWeb-style per-source template
+    cleanup — boilerplate is a property of the HOST, reference-free text
+    quality scores cannot see it).
+
+    Returns ``(host, line, n_docs, host_docs, doc_frac)`` with ``n_docs``
+    the distinct-document count (a line repeated inside one page counts
+    once — template detection is about breadth, not volume).
+
+    Scale shape: one posexplode + a distinct on ``(host, line, id)``
+    (partial aggregation collapses a host's repeats map-side), one
+    map-side-combined count to the (host, line)-sized table, and one
+    broadcast-friendly join against the host-count-sized totals. The
+    output is thresholded, so downstream joins see only true template
+    lines, not the corpus's line vocabulary.
+    """
+    lines = (
+        df.select(
+            F.col(host_col).alias("_host"),
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.col(text_col), line_delim)).alias("_line"),
+        )
+        .filter(F.col("_line") != "")
+        .distinct()
+    )
+    per_line = lines.groupBy("_host", "_line").agg(
+        F.count("*").alias("n_docs")
+    )
+    host_docs = df.groupBy(F.col(host_col).alias("_host")).agg(
+        F.countDistinct(id_col).alias("host_docs")
+    )
+    return (
+        per_line.join(host_docs, "_host")
+        .filter(
+            (F.col("host_docs") >= int(min_docs))
+            & (F.col("n_docs") / F.col("host_docs") >= float(min_frac))
+        )
+        .select(
+            F.col("_host").alias(host_col),
+            F.col("_line").alias("line"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("host_docs").cast("bigint").alias("host_docs"),
+            F.round(F.col("n_docs") / F.col("host_docs"), 6).alias(
+                "doc_frac"
+            ),
+        )
+    )
+
+
+def strip_host_boilerplate(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "stripped_text",
+    min_frac: float = 0.5,
+    min_docs: int = 3,
+    line_delim: str = "\n",
+    boilerplate: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Remove every per-host boilerplate line (all occurrences) from each
+    document and reassemble the survivors in original position order.
+    Adds ``out_col`` plus ``n_boilerplate_removed`` (line occurrences
+    dropped; empty lines are collapsed, matching
+    :func:`line_dedup_global`'s convention). Pass a precomputed
+    ``boilerplate`` frame (from :func:`host_boilerplate_lines`, possibly
+    persisted across runs) to skip recomputation — the two-pass shape a
+    production pipeline uses: mine templates once per crawl wave, strip on
+    every read.
+
+    The boilerplate join is an equi-join on ``(host, line)`` against the
+    thresholded template table — template-lines-sized, broadcastable in
+    practice, never the corpus line vocabulary.
+    """
+    bp = (
+        boilerplate
+        if boilerplate is not None
+        else host_boilerplate_lines(
+            df,
+            host_col=host_col,
+            id_col=id_col,
+            text_col=text_col,
+            min_frac=min_frac,
+            min_docs=min_docs,
+            line_delim=line_delim,
+        )
+    )
+    bp_set = bp.select(
+        F.col(host_col).alias("_host"), F.col("line").alias("_line")
+    ).distinct()
+    lines = (
+        df.select(
+            F.col(host_col).alias("_host"),
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), line_delim)).alias(
+                "_pos", "_line"
+            ),
+        )
+        .filter(F.col("_line") != "")
+    )
+    marked = lines.join(
+        bp_set.withColumn("_bp", F.lit(1)), ["_host", "_line"], "left"
+    )
+    kept = marked.filter(F.col("_bp").isNull()).select("_id", "_pos", "_line")
+    removed = (
+        marked.filter(F.col("_bp").isNotNull())
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_boilerplate_removed"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list(struct(_pos, _line))),"
+            f" s -> s._line), '{line_delim}')"
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .drop("_id")
+        .join(removed, df[id_col] == removed["_id"], "left")
+        .drop("_id")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn(
+            "n_boilerplate_removed",
+            F.coalesce(F.col("n_boilerplate_removed"), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
     )

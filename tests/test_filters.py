@@ -174,3 +174,99 @@ class TestLineDedupGlobal:
             .filter(F.col("l") != "").distinct().count()
         )
         assert nd == orig
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate line removal
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.filters import (
+    host_boilerplate_lines,
+    strip_host_boilerplate,
+)
+
+
+class TestHostBoilerplate:
+    ROWS = [
+        # host A (4 docs): "footer a" on all 4, "promo a" on 2 of 4,
+        # "body N" unique per doc; one doc repeats the footer twice
+        (1, "a", "body 1\nfooter a"),
+        (2, "a", "body 2\nfooter a\npromo a"),
+        (3, "a", "footer a\nbody 3\nfooter a\npromo a"),
+        (4, "a", "body 4\nfooter a"),
+        # host B (2 docs, below min_docs=3): shared line must NOT be
+        # flagged even at 100%
+        (5, "b", "footer b\nbody 5"),
+        (6, "b", "footer b\nbody 6"),
+    ]
+    SCHEMA = "doc_id long, source string, text string"
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA)
+
+    def test_template_lines_flagged(self, spark):
+        bp = host_boilerplate_lines(
+            self._df(spark), min_frac=0.5, min_docs=3
+        ).collect()
+        got = {(r["source"], r["line"]): (r["n_docs"], r["host_docs"])
+               for r in bp}
+        # footer a: 4/4 docs (the in-doc repeat counts once); promo a: 2/4
+        assert got == {
+            ("a", "footer a"): (4, 4),
+            ("a", "promo a"): (2, 4),
+        }
+        fr = {r["line"]: r["doc_frac"] for r in bp}
+        assert fr["footer a"] == 1.0 and fr["promo a"] == 0.5
+
+    def test_min_docs_guards_tiny_hosts(self, spark):
+        bp = host_boilerplate_lines(
+            self._df(spark), min_frac=0.5, min_docs=3
+        ).collect()
+        assert not any(r["source"] == "b" for r in bp)
+
+    def test_strip_removes_all_occurrences_in_position_order(self, spark):
+        out = {
+            r["doc_id"]: (r["stripped_text"], r["n_boilerplate_removed"])
+            for r in strip_host_boilerplate(
+                self._df(spark), min_frac=0.6, min_docs=3
+            ).collect()
+        }
+        # min_frac=0.6: only "footer a" is boilerplate; both copies in
+        # doc 3 are removed, survivor order is preserved
+        assert out[1] == ("body 1", 1)
+        assert out[2] == ("body 2\npromo a", 1)
+        assert out[3] == ("body 3\npromo a", 2)
+        assert out[4] == ("body 4", 1)
+        assert out[5] == ("footer b\nbody 5", 0)
+        assert out[6] == ("footer b\nbody 6", 0)
+
+    def test_doc_losing_every_line_comes_back_empty(self, spark):
+        rows = [(i, "h", "only line") for i in range(1, 5)]
+        out = strip_host_boilerplate(
+            spark.createDataFrame(rows, self.SCHEMA), min_frac=0.9, min_docs=3
+        ).collect()
+        assert all(r["stripped_text"] == "" for r in out)
+        assert all(r["n_boilerplate_removed"] == 1 for r in out)
+
+    def test_precomputed_table_reused(self, spark):
+        df = self._df(spark)
+        bp = host_boilerplate_lines(df, min_frac=0.6, min_docs=3)
+        a = strip_host_boilerplate(df, boilerplate=bp).collect()
+        b = strip_host_boilerplate(df, min_frac=0.6, min_docs=3).collect()
+        key = lambda r: r["doc_id"]
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_partition_invariance(self, spark):
+        df = self._df(spark)
+        a = {r["doc_id"]: r["stripped_text"]
+             for r in strip_host_boilerplate(
+                 df.repartition(1), min_frac=0.5, min_docs=3).collect()}
+        b = {r["doc_id"]: r["stripped_text"]
+             for r in strip_host_boilerplate(
+                 df.repartition(7), min_frac=0.5, min_docs=3).collect()}
+        assert a == b
+
+    def test_plan_is_jvm_only(self, spark):
+        out = strip_host_boilerplate(self._df(spark), min_frac=0.5, min_docs=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
