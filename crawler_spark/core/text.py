@@ -90,6 +90,29 @@ def extract_link_rels(soup: MiniSoup, base_url: str) -> List[bool]:
     return flags
 
 
+def extract_canonical_url(soup: MiniSoup, base_url: str) -> Optional[str]:
+    """The page's declared canonical URL from ``<link rel="canonical"
+    href=...>``, or ``None``.
+
+    Beyond the reference (no link-element handling); semantics follow
+    production-crawler convention: the FIRST canonical link element in
+    document order decides (later ones are author mistakes every major
+    indexer ignores), ``rel`` is a case-insensitive space/comma-separated
+    token list (``rel="canonical alternate"`` still counts), the href
+    resolves relative to the page URL through the same
+    :func:`normalize_url` gate as extracted links — so fragments strip and
+    non-http(s) or malformed hrefs yield ``None`` rather than a bogus
+    alias edge."""
+    for link_tag in soup.find_all("link", href=True):
+        toks = {
+            t.strip().lower()
+            for t in _REL_SPLIT.split(link_tag.get("rel") or "")
+        }
+        if "canonical" in toks:
+            return normalize_url(base_url, link_tag["href"])
+    return None
+
+
 def extract_links(soup: MiniSoup, base_url: str) -> List[str]:
     """All <a href> in document order -> normalized, order-preserving dedup.
 

@@ -128,6 +128,34 @@ def redirect_url_rewriter(resolved: DataFrame):
     return rewriter
 
 
+def canonical_url_rewriter(pages: DataFrame):
+    """Adapt extraction output's ``canonical_url`` column (``<link
+    rel="canonical">``, `operators/extract.py`) into the crawl's
+    ``CrawlConfig.url_rewriter`` seam — the in-HTML, publisher-declared
+    twin of :func:`redirect_url_rewriter`'s observed redirect chains:
+    candidate URLs whose page declared a different canonical rewrite to it
+    BEFORE domain policy / dedup / the seen anti-join, so the seen set
+    stores one row per canonical page instead of one per alias.
+
+    One hop by convention (indexers ignore canonical-of-canonical chains;
+    a page is authoritative only about itself). If chain collapse is ever
+    wanted, feed the ``(url, canonical_url)`` edges through
+    :func:`resolve_redirects` first and use its rewriter instead.
+    """
+    resolved = (
+        pages.filter(
+            F.col("canonical_url").isNotNull()
+            & (F.col("canonical_url") != F.col("url"))
+        )
+        .select(
+            "url",
+            F.col("canonical_url").alias("final_url"),
+            F.lit(True).alias("resolved"),
+        )
+    )
+    return redirect_url_rewriter(resolved)
+
+
 def rewrite_to_terminal(
     frontier: DataFrame,
     resolved: DataFrame,

@@ -27,6 +27,7 @@ from crawler_spark.core.text import (
     basic_extraction,
     extract_link_rels,
     extract_page,
+    extract_canonical_url,
     extract_robots_directives,
     relevance,
 )
@@ -79,6 +80,10 @@ PAGE_RECORD_FIELDS = [
     T.StructField("robots_noindex", T.BooleanType()),
     T.StructField("robots_nofollow", T.BooleanType()),
     T.StructField("link_nofollow", T.ArrayType(T.BooleanType())),
+    # <link rel="canonical"> declared alias target (beyond the reference):
+    # null when absent/malformed; feeds redirects.canonical_url_rewriter
+    # (in-HTML alias collapse, the declarative twin of redirect chains)
+    T.StructField("canonical_url", T.StringType()),
 ]
 
 _CARRY_COLS = ["seq", "wave", "depth", "parent_seq", "link_pos", "host"]
@@ -164,6 +169,7 @@ def _extract_batch(
         "robots_noindex": [None] * n,
         "robots_nofollow": [None] * n,
         "link_nofollow": [None] * n,
+        "canonical_url": [None] * n,
     }
     htmls = pdf["html"].tolist()
     urls = pdf["url"].tolist()
@@ -203,6 +209,7 @@ def _extract_batch(
         out["robots_noindex"][i] = noindex
         out["robots_nofollow"][i] = nofollow
         out["link_nofollow"][i] = extract_link_rels(soup, url)[:20]
+        out["canonical_url"][i] = extract_canonical_url(soup, url)
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):

@@ -153,3 +153,99 @@ def test_crawl_respects_meta_robots(spark, tmp_path):
     assert got == sorted(
         ["http://h/", "http://h/open", "http://h/leaf", "http://h/island"]
     )
+
+
+# ---------------------------------------------------------------------------
+# <link rel="canonical">: parsing, extraction column, rewriter seam
+# ---------------------------------------------------------------------------
+
+from crawler_spark.core.text import extract_canonical_url
+
+
+@pytest.mark.parametrize(
+    "html, want",
+    [
+        ("<html><head></head><body>x</body></html>", None),
+        ('<link rel="canonical" href="http://h/x">', "http://h/x"),
+        # relative href resolves against the page URL
+        ('<link rel="canonical" href="/x">', "http://h/x"),
+        # fragment strips through normalize_url
+        ('<link rel="canonical" href="http://h/x#frag">', "http://h/x"),
+        # rel token list, case-insensitive
+        ('<link rel="Canonical alternate" href="/x">', "http://h/x"),
+        # first canonical in document order wins
+        (
+            '<link rel="canonical" href="/first">'
+            '<link rel="canonical" href="/second">',
+            "http://h/first",
+        ),
+        # non-canonical link elements are ignored
+        ('<link rel="stylesheet" href="/a.css">', None),
+        # malformed target -> None, not a bogus alias edge
+        ('<link rel="canonical" href="mailto:a@b">', None),
+    ],
+)
+def test_extract_canonical_url(html, want):
+    soup = parse_html(f"<html><head>{html}</head><body>b</body></html>")
+    assert extract_canonical_url(soup, "http://h/page") == want
+
+
+CANON_PAGES = {
+    "http://h/": (
+        '<html><head><title>root</title></head><body>'
+        '<a href="/alias">a</a><a href="/plain">p</a></body></html>'
+    ),
+    # /alias declares /real as canonical
+    "http://h/alias": (
+        '<html><head><title>alias</title>'
+        '<link rel="canonical" href="http://h/real"></head>'
+        "<body>dup</body></html>"
+    ),
+    "http://h/real": (
+        '<html><head><title>real</title>'
+        '<link rel="canonical" href="http://h/real"></head>'
+        "<body>canonical body</body></html>"
+    ),
+    "http://h/plain": "<html><head><title>plain</title></head><body>q</body></html>",
+}
+
+
+def test_extract_emits_canonical_column(spark):
+    from crawler_spark.operators.extract import extract_pages
+
+    ext = extract_pages(_corpus(spark, CANON_PAGES), carry=False)
+    rows = {r["url"]: r["canonical_url"] for r in ext.collect()}
+    assert rows["http://h/alias"] == "http://h/real"
+    assert rows["http://h/real"] == "http://h/real"  # self-canonical kept
+    assert rows["http://h/plain"] is None
+
+
+def test_canonical_rewriter_collapses_aliases_in_crawl(spark, tmp_path):
+    from crawler_spark.frontier.redirects import canonical_url_rewriter
+    from crawler_spark.operators.extract import extract_pages
+
+    pages = _corpus(spark, CANON_PAGES)
+    ext = extract_pages(pages, carry=False)
+    rewriter = canonical_url_rewriter(ext)
+
+    res = crawl(
+        spark,
+        pages,
+        ["http://h/"],
+        config=CrawlConfig(depth=2, url_rewriter=rewriter),
+        run_dir=str(tmp_path / "canon"),
+    )
+    urls = sorted(r["url"] for r in res.pages(spark).select("url").collect())
+    # the /alias link was rewritten to /real before the seen anti-join:
+    # the alias URL is never fetched, the canonical page is
+    assert "http://h/alias" not in urls
+    assert "http://h/real" in urls and "http://h/plain" in urls
+
+    # no rewriter: the alias IS fetched (exact reference behavior)
+    base = crawl(
+        spark, pages, ["http://h/"],
+        config=CrawlConfig(depth=2),
+        run_dir=str(tmp_path / "canon_base"),
+    )
+    burls = sorted(r["url"] for r in base.pages(spark).select("url").collect())
+    assert "http://h/alias" in burls
