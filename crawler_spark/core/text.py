@@ -113,6 +113,32 @@ def extract_canonical_url(soup: MiniSoup, base_url: str) -> Optional[str]:
     return None
 
 
+_FEED_TYPES = {"application/rss+xml", "application/atom+xml"}
+
+
+def extract_feed_links(soup: MiniSoup, base_url: str) -> List[str]:
+    """RSS/Atom feed URLs autodiscovered from ``<link rel="alternate"
+    type="application/rss+xml|atom+xml" href=...>`` elements, in document
+    order with first-wins dedup — the bootstrap half of
+    `frontier/feeds.py` (a crawl discovers its own feed list from the
+    pages it already fetched). Hrefs resolve through :func:`normalize_url`
+    like every other extracted link."""
+    out: List[str] = []
+    seen = set()
+    for link_tag in soup.find_all("link", href=True):
+        toks = {
+            t.strip().lower()
+            for t in _REL_SPLIT.split(link_tag.get("rel") or "")
+        }
+        mime = (link_tag.get("type") or "").strip().lower()
+        if "alternate" in toks and mime in _FEED_TYPES:
+            normalized = normalize_url(base_url, link_tag["href"])
+            if normalized and normalized not in seen:
+                seen.add(normalized)
+                out.append(normalized)
+    return out
+
+
 def extract_links(soup: MiniSoup, base_url: str) -> List[str]:
     """All <a href> in document order -> normalized, order-preserving dedup.
 
