@@ -462,3 +462,81 @@ def test_host_communities_end_to_end(spark):
     assert got["a.test"] != got["x.test"]
     assert got["a.test"] in {"a.test", "b.test", "c.test"}
     assert got["x.test"] in {"x.test", "y.test"}
+
+
+# ---------------------------------------------------------------------------
+# jobs/rank.py CLI (one graph build -> signal tables)
+# ---------------------------------------------------------------------------
+
+def test_rank_cli_writes_signal_tables(spark, tmp_path, monkeypatch, capsys):
+    import json as _json
+    import sys
+
+    import jobs.rank as jr
+
+    rows = [
+        ("hub.test", ["a.test", "b.test"]),
+        ("a.test", ["hub.test", "b.test"]),
+        ("b.test", ["hub.test", "a.test"]),
+        ("c.test", ["hub.test"]),
+        ("x.test", ["y.test"]),
+        ("y.test", ["x.test"]),
+    ]
+    pages = spark.createDataFrame(
+        rows, "host string, link_hosts array<string>"
+    )
+    inp, out = str(tmp_path / "pages"), str(tmp_path / "signals")
+    pages.write.parquet(inp)
+
+    monkeypatch.setattr(sys, "argv", [
+        "rank.py", "--pages", inp, "--out", out, "--iterations", "4",
+        "--hits", "--communities", "--reciprocity",
+        "--trust-seeds", "hub.test",
+    ])
+    jr.main()
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_hosts"] == 6
+
+    pr = {r["host"]: r["rank_q"]
+          for r in spark.read.parquet(f"{out}/pagerank").collect()}
+    assert pr == {r["host"]: r["rank_q"]
+                  for r in host_pagerank(pages, iterations=4).collect()}
+
+    tr = {r["host"]: r["rank_q"]
+          for r in spark.read.parquet(f"{out}/trustrank").collect()}
+    assert tr["hub.test"] > 0
+    # x/y island is unreachable from the trusted seed: exactly zero trust
+    assert tr["x.test"] == 0 and tr["y.test"] == 0
+
+    cm = {r["host"]: r["community"]
+          for r in spark.read.parquet(f"{out}/communities").collect()}
+    assert cm == {r["host"]: r["community"]
+                  for r in host_communities(pages, iterations=4).collect()}
+
+    rc = {r["host"]: r["reciprocity"]
+          for r in spark.read.parquet(f"{out}/reciprocity").collect()}
+    assert rc["x.test"] == 1.0 and rc["c.test"] == 0.0
+
+    hs = spark.read.parquet(f"{out}/hits")
+    assert set(hs.columns) == {"host", "auth_q", "hub_q", "auth", "hub"}
+    assert hs.count() == 6
+
+
+def test_rank_cli_unknown_trust_seed_fails_loudly(
+    spark, tmp_path, monkeypatch
+):
+    import sys
+
+    import jobs.rank as jr
+
+    pages = spark.createDataFrame(
+        [("a.test", ["b.test"])], "host string, link_hosts array<string>"
+    )
+    inp = str(tmp_path / "p2")
+    pages.write.parquet(inp)
+    monkeypatch.setattr(sys, "argv", [
+        "rank.py", "--pages", inp, "--out", str(tmp_path / "o2"),
+        "--trust-seeds", "nosuch.test",
+    ])
+    with pytest.raises(SystemExit):
+        jr.main()
