@@ -1726,6 +1726,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # %3=1 once, %3=2 never; fetch cadence varies per doc via %5 — so both
     # engines estimate change rates for the *same* lineage. Rates are
     # reported per-day (per-second rates would vanish at 6 decimals).
+    def snapshot_diff_docs(spark, sf_dir):
+        # line-level change magnitude between consecutive fetches: each
+        # doc gets 3 synthesized snapshots (drop the first i pseudo-lines,
+        # append a 'rev i' line); the oracle replays the construction, the
+        # distinct-line set arithmetic, and the jaccard/change rounding
+        from crawler_spark.frontier.recrawl import snapshot_diffs
+
+        hist = (
+            _t(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "text",
+                F.expr(
+                    "concat('https://', source, '.docs.test/doc/', "
+                    "cast(doc_id as string))"
+                ).alias("url"),
+                F.expr("explode(sequence(0, 2))").alias("i"),
+            )
+            .select(
+                "url",
+                F.expr(
+                    "timestampadd(SECOND, i * 3600, "
+                    "timestamp '2025-01-01 00:00:00')"
+                ).alias("warc_ts"),
+                F.expr(
+                    f"array_join(concat(slice({_PLINES}, i + 1, 1000000), "
+                    "array(concat('rev ', cast(i as string)))), chr(10))"
+                ).alias("text2"),
+            )
+        )
+        return snapshot_diffs(hist, text_col="text2").select(
+            "url",
+            F.unix_timestamp("ts").alias("ts_sec"),
+            "n_lines",
+            "n_prev_lines",
+            "n_common",
+            "n_added",
+            "n_removed",
+            "line_jaccard",
+            "change_frac",
+        )
+
     def recrawl_schedule_docs(spark, sf_dir):
         from crawler_spark.frontier.recrawl import recrawl_schedule
 
@@ -2454,6 +2496,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_key_docs": surt_key_docs,
         "trap_flags_docs": trap_flags_docs,
         "recrawl_schedule_docs": recrawl_schedule_docs,
+        "snapshot_diff_docs": snapshot_diff_docs,
         "latest_snapshot_docs": latest_snapshot_docs,
         "revisit_resolve_docs": revisit_resolve_docs,
         "pagerank_docs": pagerank_docs,
@@ -4126,6 +4169,53 @@ def _all_oracle_sql() -> dict[str, str]:
         # change marking, same Cho/Garcia-Molina estimator arithmetic with
         # the identical double-rounding (10 dp rate, 6 dp per-day report)
         # on both sides (frontier/recrawl.py)
+        # snapshot line diffs: replay the 3-snapshot construction (drop
+        # first i pseudo-lines, append 'rev i'), distinct-line set sizes,
+        # and the identical jaccard/change_frac rounding
+        "snapshot_diff_docs": f"""
+            WITH hist AS (
+              SELECT concat('https://', source, '.docs.test/doc/',
+                            cast(doc_id AS varchar)) AS url,
+                     i,
+                     cast(epoch_us(TIMESTAMPTZ '2025-01-01 00:00:00+00'
+                                   + to_seconds(i * 3600)) // 1000000
+                          AS bigint) AS ts_sec,
+                     list_append(({_D_PLINES})[(i + 1):],
+                                 'rev ' || cast(i AS varchar)) AS ls
+              FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+            sets AS (
+              SELECT url, ts_sec,
+                     list_distinct(list_filter(ls, l -> l <> '')) AS cur
+              FROM hist),
+            pairs AS (
+              SELECT url, ts_sec, cur,
+                     lag(cur) OVER (PARTITION BY url ORDER BY ts_sec) AS prev
+              FROM sets),
+            calc AS (
+              SELECT url, ts_sec,
+                     len(cur) AS n_lines,
+                     len(prev) AS n_prev_lines,
+                     CASE WHEN prev IS NULL THEN NULL
+                          ELSE len(list_intersect(cur, prev)) END AS n_common
+              FROM pairs)
+            SELECT url, ts_sec,
+                   cast(n_lines AS bigint) AS n_lines,
+                   cast(n_prev_lines AS bigint) AS n_prev_lines,
+                   cast(n_common AS bigint) AS n_common,
+                   cast(n_lines - n_common AS bigint) AS n_added,
+                   cast(n_prev_lines - n_common AS bigint) AS n_removed,
+                   CASE WHEN n_prev_lines IS NULL THEN NULL
+                        WHEN n_lines + n_prev_lines - n_common = 0 THEN 1.0
+                        ELSE round(n_common /
+                             (n_lines + n_prev_lines - n_common), 6)
+                   END AS line_jaccard,
+                   CASE WHEN n_prev_lines IS NULL THEN NULL
+                        WHEN n_lines + n_prev_lines - n_common = 0 THEN 0.0
+                        ELSE round(1.0 - n_common /
+                             (n_lines + n_prev_lines - n_common), 6)
+                   END AS change_frac
+            FROM calc
+        """,
         "recrawl_schedule_docs": """
             WITH h AS (
               SELECT concat('https://', source, '.docs.test/doc/',
@@ -5244,6 +5334,11 @@ _EXTENDED_GATE = [
     # unrolled vote/argmax oracle); parity held by check_entry --extended
     # + python replay / clique tests in test_graph
     "label_prop_docs",
+    # snapshot line-diff magnitude (one-window set arithmetic;
+    # recrawl_schedule_docs on board pins the shared lag-over-history
+    # shape); parity held by check_entry --extended + hand cases in
+    # test_recrawl
+    "snapshot_diff_docs",
     # per-host boilerplate line mining + strip (template cleanup;
     # line_dedup_docs on board pins the shared explode/rebuild idiom);
     # parity held by check_entry --extended + hand-built host cases in

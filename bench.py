@@ -576,6 +576,30 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("label")
         ).collect()
 
+    # ---- q_snapshot_diff: line-diff magnitude over a 3-snapshot history ---
+    # (frontier/recrawl.py — one url-keyed window, set arithmetic in HOFs)
+    with timed("q_snapshot_diff"):
+        from crawler_spark.frontier.recrawl import snapshot_diffs
+
+        hist = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.expr("explode(sequence(0, 2))").alias("i"),
+            "text",
+        ).select(
+            "url",
+            F.expr(
+                "timestampadd(SECOND, i * 3600, "
+                "timestamp '2025-01-01 00:00:00')"
+            ).alias("warc_ts"),
+            F.expr(
+                "concat(substring(text, i * 50 + 1, 4000), chr(10), "
+                "'rev ', cast(i as string))"
+            ).alias("text2"),
+        )
+        snapshot_diffs(hist, text_col="text2").select(
+            F.count("*"), F.sum("n_added"), F.sum("change_frac")
+        ).collect()
+
     # ---- q_funnel: strict-order view->click->purchase over events ---------
     with timed("q_funnel"):
         from crawler_spark.operators.sessions import funnel

@@ -179,3 +179,93 @@ def due_url_hashes(schedule: DataFrame, now_ts) -> DataFrame:
         schedule.filter(F.col("next_fetch_ts") <= F.lit(now_ts).cast("timestamp"))
         .select("url", F.xxhash64("url").alias("url_hash"))
     )
+
+
+def snapshot_diffs(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Line-level change magnitude between consecutive fetches of a URL —
+    the *how much* companion to :func:`change_stats`' boolean *whether*
+    (a news homepage rewriting its whole body and a page touching one
+    timestamp line both count as "changed"; a scheduler that wants to
+    separate them needs the diff size).
+
+    Per consecutive snapshot pair (ordered ``(ts, text)`` — the same
+    deterministic tie rule as ``change_stats``): distinct-line SET
+    comparison (diffing is about which lines exist, repeats are layout),
+    with empty lines ignored (the repo-wide line convention).
+
+    Returns one row per fetch: ``(url, ts, prev_ts, n_lines, n_prev_lines,
+    n_common, n_added, n_removed, line_jaccard, change_frac)`` — null
+    diff columns on each URL's first fetch; ``line_jaccard`` is
+    ``|old ∩ new| / |old ∪ new|`` (1.0 when both snapshots are empty — no
+    lines changed) and ``change_frac = 1 - line_jaccard``, both rounded to
+    6 decimals from exact integer set sizes.
+
+    Scale shape: ONE url-keyed window shuffle carries the previous
+    snapshot's text alongside the current row; everything after is
+    per-row JVM column math (``array_distinct`` / ``array_intersect``
+    higher-order expressions) — no explode, no self-join, no second
+    Exchange. The fat text column moves once, which any per-URL diff must
+    pay; nothing moves twice.
+    """
+    w = Window.partitionBy("url").orderBy("ts", "txt")
+    lines = (
+        f"array_distinct(filter(split(txt, '{line_delim}'), l -> l <> ''))"
+    )
+    prev_lines = (
+        f"array_distinct(filter(split(prev_txt, '{line_delim}'), l -> l <> ''))"
+    )
+    base = (
+        history.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("ts"),
+            F.col(text_col).alias("txt"),
+        )
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_txt", F.lag("txt").over(w))
+        .withColumn("_cur", F.expr(lines))
+        .withColumn(
+            "_prev",
+            F.when(F.col("prev_txt").isNotNull(), F.expr(prev_lines)),
+        )
+        .withColumn("n_lines", F.expr("size(_cur)"))
+        .withColumn(
+            "n_prev_lines",
+            F.when(F.col("_prev").isNotNull(), F.expr("size(_prev)")),
+        )
+        .withColumn(
+            "n_common",
+            F.when(
+                F.col("_prev").isNotNull(),
+                F.expr("size(array_intersect(_cur, _prev))"),
+            ),
+        )
+    )
+    union_sz = "n_lines + n_prev_lines - n_common"
+    return base.select(
+        "url",
+        "ts",
+        "prev_ts",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_prev_lines").cast("bigint").alias("n_prev_lines"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.expr("n_lines - n_common").cast("bigint").alias("n_added"),
+        F.expr("n_prev_lines - n_common").cast("bigint").alias("n_removed"),
+        F.when(
+            F.col("n_prev_lines").isNull(), F.lit(None).cast("double")
+        )
+        .when(F.expr(f"{union_sz} = 0"), F.lit(1.0))
+        .otherwise(F.expr(f"round(n_common / ({union_sz}), 6)"))
+        .alias("line_jaccard"),
+        F.when(
+            F.col("n_prev_lines").isNull(), F.lit(None).cast("double")
+        )
+        .when(F.expr(f"{union_sz} = 0"), F.lit(0.0))
+        .otherwise(F.expr(f"round(1.0 - n_common / ({union_sz}), 6)"))
+        .alias("change_frac"),
+    )

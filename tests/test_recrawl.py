@@ -240,3 +240,76 @@ def test_snapshot_stream_matches_batch_latest_snapshot(spark, tmp_path):
     store = spark.read.parquet(kw["store_dir"])
     assert store.count() == store.select("url", "batch_id").distinct().count()
     assert store.select("batch_id").distinct().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diffs: line-level change magnitude between consecutive fetches
+# ---------------------------------------------------------------------------
+
+from crawler_spark.frontier.recrawl import snapshot_diffs
+
+T0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+
+def _dt(h):
+    return T0 + timedelta(hours=h)
+
+
+def test_snapshot_diffs_hand_case(spark):
+    rows = [
+        # u1: three snapshots — drop a line, add two, then unchanged
+        ("u1", _dt(0), "a\nb\nc"),
+        ("u1", _dt(1), "b\nc\nd\ne"),
+        ("u1", _dt(2), "b\nc\nd\ne"),
+        # u2: single fetch -> null diff columns
+        ("u2", _dt(0), "x"),
+        # u3: repeats and empty lines are set-collapsed
+        ("u3", _dt(0), "a\n\na\nb"),
+        ("u3", _dt(1), "b\na"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = {(r["url"], r["ts"]): r for r in snapshot_diffs(df).collect()}
+
+    r = got[("u1", _dt(1).replace(tzinfo=None))]
+    assert (r["n_prev_lines"], r["n_lines"], r["n_common"]) == (3, 4, 2)
+    assert (r["n_added"], r["n_removed"]) == (2, 1)
+    assert r["line_jaccard"] == round(2 / 5, 6)
+    assert r["change_frac"] == round(1 - 2 / 5, 6)
+
+    r = got[("u1", _dt(2).replace(tzinfo=None))]
+    assert r["line_jaccard"] == 1.0 and r["change_frac"] == 0.0
+
+    r = got[("u2", _dt(0).replace(tzinfo=None))]
+    assert r["prev_ts"] is None and r["line_jaccard"] is None
+    assert r["n_lines"] == 1
+
+    r = got[("u3", _dt(1).replace(tzinfo=None))]
+    # {a,b} vs {b,a}: identical as sets
+    assert (r["n_prev_lines"], r["n_lines"], r["n_common"]) == (2, 2, 2)
+    assert r["change_frac"] == 0.0
+
+
+def test_snapshot_diffs_empty_pair_is_unchanged(spark):
+    rows = [("u", _dt(0), ""), ("u", _dt(1), "\n\n")]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    got = sorted(snapshot_diffs(df).collect(), key=lambda r: r["ts"])
+    r = got[1]
+    assert (r["n_lines"], r["n_prev_lines"], r["n_common"]) == (0, 0, 0)
+    assert r["line_jaccard"] == 1.0 and r["change_frac"] == 0.0
+
+
+def test_snapshot_diffs_partition_invariance_and_plan(spark):
+    rows = [
+        (f"u{i % 4}", _dt(i), "\n".join(f"l{j}" for j in range(i % 6 + 1)))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    a = sorted(map(tuple, snapshot_diffs(df.repartition(1)).collect()))
+    b = sorted(map(tuple, snapshot_diffs(df.repartition(9)).collect()))
+    assert a == b
+
+    out = snapshot_diffs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan  # one window, no self-join
+    assert plan.count("Exchange") <= 2  # url hash partitioning (+AQE read)
