@@ -1412,6 +1412,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_frac=0.6, min_docs=3,
         ).select("doc_id", "stripped_text", "n_boilerplate_removed")
 
+    def word_blocklist_docs(spark, sf_dir):
+        # C4 bad-words gate: the blocklist is corpus-derived by a rule
+        # both engines share (distinct tokens starting with 's'), the
+        # check is whole-token distinct-match counting
+        from crawler_spark.operators.filters import word_blocklist
+
+        d = _t(spark, sf_dir, "documents")
+        words = [
+            r["t"]
+            for r in d.select(
+                F.explode(
+                    F.expr(f"filter({_TOKS}, t -> t <> '')")
+                ).alias("t")
+            )
+            .filter("t like 's%'")
+            .distinct()
+            .orderBy("t")
+            .collect()
+        ]
+        return word_blocklist(d, words).select(
+            "doc_id", "n_bad_words", "blocklist_keep"
+        )
+
     # ---- benchmark decontamination + token-budget mixing ------------------
     def contamination_docs(spark, sf_dir):
         # eval split = every 20th doc (a stand-in benchmark suite); count
@@ -2456,6 +2479,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": blocklist_docs,
         "line_dedup_docs": line_dedup_docs,
         "host_boilerplate_docs": host_boilerplate_docs,
+        "word_blocklist_docs": word_blocklist_docs,
         "contamination_docs": contamination_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
@@ -3494,6 +3518,25 @@ def _all_oracle_sql() -> dict[str, str]:
                      AS n_boilerplate_removed
             FROM d2 LEFT JOIN rebuilt USING (doc_id)
                     LEFT JOIN removed USING (doc_id)
+        """,
+        # C4 word blocklist: corpus-derived list (tokens LIKE 's%'),
+        # whole-token distinct-match counts — identical token derivation
+        "word_blocklist_docs": f"""
+            WITH bl AS (
+              SELECT DISTINCT t FROM (
+                SELECT unnest(list_filter({_D_TOKS}, x -> x <> '')) AS t
+                FROM documents) WHERE t LIKE 's%'),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       list_filter({_D_TOKS}, x -> x <> ''))) AS t
+              FROM documents),
+            hits AS (SELECT doc_id, count(*) AS n
+                     FROM tok JOIN bl USING (t) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(hits.n, 0) AS BIGINT) AS n_bad_words,
+                   coalesce(hits.n, 0) = 0 AS blocklist_keep
+            FROM documents d LEFT JOIN hits USING (doc_id)
         """,
         "contamination_docs": f"""
             -- benchmark decontamination: distinct 8-gram hash overlap
@@ -5339,6 +5382,10 @@ _EXTENDED_GATE = [
     # shape); parity held by check_entry --extended + hand cases in
     # test_recrawl
     "snapshot_diff_docs",
+    # C4 word-blocklist gate (whole-token distinct-match, zero-shuffle
+    # literal path == broadcast-join path pinned in test_filters); parity
+    # held by check_entry --extended
+    "word_blocklist_docs",
     # per-host boilerplate line mining + strip (template cleanup;
     # line_dedup_docs on board pins the shared explode/rebuild idiom);
     # parity held by check_entry --extended + hand-built host cases in

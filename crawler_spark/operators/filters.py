@@ -462,3 +462,62 @@ def strip_host_boilerplate(
             ),
         )
     )
+
+
+def word_blocklist(
+    df: DataFrame,
+    words: Sequence[str],
+    text_col: str = "text",
+    max_literal_words: int = 1000,
+) -> DataFrame:
+    """C4's word-blocklist gate (the "bad words" filter): flag documents
+    containing any blocklisted WORD — whole-token match on lowercased
+    whitespace tokens, not substring (C4 drops on word membership;
+    substring matching is the classic Scunthorpe false-positive).
+
+    Adds ``n_bad_words`` (distinct blocklisted words present) and
+    ``blocklist_keep`` (none present). Distinct-word counting is
+    deliberate — the gate is membership, and distinct counts make the
+    column identical whichever execution path runs.
+
+    Two execution paths, same output:
+    - blocklists up to ``max_literal_words`` (the real-world case: the
+      canonical English list is ~400 entries) become a literal array and
+      the check is ``size(array_intersect(tokens, lit))`` — pure
+      per-row JVM codegen, ZERO shuffle, zero join;
+    - larger lists explode distinct document tokens and broadcast-join
+      the blocklist (blocklists are MBs at worst — the same stance as
+      ``domain_blocklist``), then re-join counts back by a generated
+      row key.
+    """
+    normalized = sorted({w.strip().lower() for w in words if w and w.strip()})
+    toks = f"array_distinct(filter({tokens_expr(text_col)}, t -> t <> ''))"
+    if len(normalized) <= int(max_literal_words):
+        lit = "array(" + ", ".join(
+            "'" + w.replace("'", "\\'") + "'" for w in normalized
+        ) + ")"
+        return df.withColumn(
+            "n_bad_words",
+            F.expr(f"size(array_intersect({toks}, {lit}))").cast("bigint"),
+        ).withColumn("blocklist_keep", F.expr("n_bad_words = 0"))
+
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(w,) for w in normalized], "bad string"
+    ).select(F.col("bad").alias("_bad"))
+    keyed = df.withColumn("_wb_key", F.monotonically_increasing_id())
+    hits = (
+        keyed.select("_wb_key", F.explode(F.expr(toks)).alias("_tok"))
+        .join(F.broadcast(bl), F.col("_tok") == F.col("_bad"))
+        .groupBy("_wb_key")
+        .agg(F.count("*").alias("n_bad_words"))
+    )
+    return (
+        keyed.join(hits, "_wb_key", "left")
+        .withColumn(
+            "n_bad_words",
+            F.coalesce("n_bad_words", F.lit(0)).cast("bigint"),
+        )
+        .withColumn("blocklist_keep", F.expr("n_bad_words = 0"))
+        .drop("_wb_key")
+    )

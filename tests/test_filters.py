@@ -270,3 +270,61 @@ class TestHostBoilerplate:
         out = strip_host_boilerplate(self._df(spark), min_frac=0.5, min_docs=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# word blocklist (C4 bad-words gate)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.filters import word_blocklist
+
+
+class TestWordBlocklist:
+    ROWS = [
+        (1, "the Quick brown fox"),          # 'quick' matches case-folded
+        (2, "quick quick quick"),            # repeats count once (distinct)
+        (3, "quicksand is not a bad word"),  # whole-token, not substring
+        (4, "clean text here"),
+        (5, ""),
+    ]
+    SCHEMA = "doc_id long, text string"
+    WORDS = ["quick", "BAD", "  word  "]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, self.SCHEMA)
+
+    def _expect(self):
+        return {1: (1, False), 2: (1, False), 3: (2, False),
+                4: (0, True), 5: (0, True)}
+
+    def test_literal_path(self, spark):
+        out = {r["doc_id"]: (r["n_bad_words"], r["blocklist_keep"])
+               for r in word_blocklist(self._df(spark), self.WORDS).collect()}
+        # doc 3 contains the blocklisted tokens 'bad' and 'word' -> 2;
+        # 'quicksand' itself never matches 'quick' (whole-token rule)
+        assert out == self._expect()
+
+    def test_join_path_matches_literal(self, spark):
+        df = self._df(spark)
+        a = {r["doc_id"]: (r["n_bad_words"], r["blocklist_keep"])
+             for r in word_blocklist(df, self.WORDS).collect()}
+        b = {r["doc_id"]: (r["n_bad_words"], r["blocklist_keep"])
+             for r in word_blocklist(
+                 df, self.WORDS, max_literal_words=0).collect()}
+        assert a == b == self._expect()
+
+    def test_literal_path_has_no_shuffle_or_python(self, spark):
+        out = word_blocklist(self._df(spark), self.WORDS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_join_path_broadcasts(self, spark):
+        out = word_blocklist(self._df(spark), self.WORDS, max_literal_words=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_quote_escaping(self, spark):
+        df = spark.createDataFrame([(1, "it's fine")], self.SCHEMA)
+        out = word_blocklist(df, ["it's"]).collect()[0]
+        assert out["n_bad_words"] == 1 and out["blocklist_keep"] is False
