@@ -1412,6 +1412,41 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_frac=0.6, min_docs=3,
         ).select("doc_id", "stripped_text", "n_boilerplate_removed")
 
+    def gopher_line_docs(spark, sf_dir):
+        # Gopher line/symbol flags over a decorated re-lining of the word
+        # soup: every 3rd pseudo-line gets a '- ' bullet, every 4th a
+        # trailing '...' — the oracle rebuilds text2 and recomputes every
+        # fraction from the same integer counts
+        from crawler_spark.operators.filters import gopher_line_flags
+
+        d2 = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                f"array_join(transform(sequence(1, {_NWIN}), i -> concat("
+                "CASE WHEN i % 3 = 0 THEN '- ' ELSE '' END, "
+                f"array_join(slice({_TOKS}, (i-1)*{_PLINE_W}+1, {_PLINE_W}), ' '), "
+                "CASE WHEN i % 4 = 0 THEN '...' ELSE '' END)), chr(10))"
+            ).alias("text2"),
+        )
+        return gopher_line_flags(d2, text_col="text2").select(
+            "doc_id",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+            "alpha_word_frac",
+            "symbol_word_ratio",
+            "mean_words_per_line",
+            "gopher_line_keep",
+        )
+
+    def token_entropy_docs(spark, sf_dir):
+        # unigram Shannon entropy: engine folds c*ln(c) over the
+        # token-sorted array in one HOF pass; the oracle folds the same
+        # token-sorted count list with list_reduce — identical addition
+        # order, identical rounding
+        from crawler_spark.operators.text_analysis import token_entropy
+
+        return token_entropy(_t(spark, sf_dir, "documents"))
+
     def word_blocklist_docs(spark, sf_dir):
         # C4 bad-words gate: the blocklist is corpus-derived by a rule
         # both engines share (distinct tokens starting with 's'), the
@@ -2480,6 +2515,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "host_boilerplate_docs": host_boilerplate_docs,
         "word_blocklist_docs": word_blocklist_docs,
+        "gopher_line_docs": gopher_line_docs,
+        "token_entropy_docs": token_entropy_docs,
         "contamination_docs": contamination_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
@@ -3518,6 +3555,74 @@ def _all_oracle_sql() -> dict[str, str]:
                      AS n_boilerplate_removed
             FROM d2 LEFT JOIN rebuilt USING (doc_id)
                     LEFT JOIN removed USING (doc_id)
+        """,
+        # Gopher line/symbol flags: rebuild the decorated pseudo-line text
+        # and recompute every fraction from the same integer counts
+        "gopher_line_docs": f"""
+            WITH d2 AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                       range(1, cast(ceil(len({_D_TOKS})/{_PLINE_W}.0) as int) + 1),
+                       i -> CASE WHEN i % 3 = 0 THEN '- ' ELSE '' END ||
+                            array_to_string(({_D_TOKS})[(i-1)*{_PLINE_W}+1:(i-1)*{_PLINE_W}+{_PLINE_W}], ' ') ||
+                            CASE WHEN i % 4 = 0 THEN '...' ELSE '' END),
+                       chr(10)) AS text2
+              FROM documents),
+            t AS (
+              SELECT doc_id, text2,
+                     list_filter(string_split_regex(lower(trim(text2)), '\\s+'),
+                                 x -> x <> '') AS toks,
+                     list_filter(string_split(text2, chr(10)),
+                                 l -> l <> '') AS ls
+              FROM d2),
+            f AS (
+              SELECT doc_id,
+                round(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+                      / greatest(len(ls), 1), 6) AS bullet_line_frac,
+                round(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                      / greatest(len(ls), 1), 6) AS ellipsis_line_frac,
+                round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                      / greatest(len(toks), 1), 6) AS alpha_word_frac,
+                round(((length(text2) - length(replace(text2, '#', '')))
+                       + (length(text2) - length(replace(text2, '...', ''))) // 3)
+                      / greatest(len(toks), 1), 6) AS symbol_word_ratio,
+                round(len(toks) / greatest(len(ls), 1), 6) AS mean_words_per_line,
+                len(toks) AS n_toks
+              FROM t)
+            SELECT doc_id, bullet_line_frac, ellipsis_line_frac,
+                   alpha_word_frac, symbol_word_ratio, mean_words_per_line,
+                   (n_toks = 0 OR (bullet_line_frac <= 0.9
+                                   AND ellipsis_line_frac <= 0.3
+                                   AND alpha_word_frac >= 0.8
+                                   AND symbol_word_ratio <= 0.1))
+                     AS gopher_line_keep
+            FROM f
+        """,
+        # unigram entropy: same token-sorted left-fold of c*ln(c)
+        "token_entropy_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter({_D_TOKS}, x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     list_transform(list_sort(list_distinct(toks)),
+                       w -> len(list_filter(toks, x -> x = w))) AS counts
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(toks) = 0 THEN NULL
+                        ELSE round(ln(cast(len(toks) AS double))
+                             - list_reduce(
+                                 list_prepend(cast(0.0 AS double),
+                                   list_transform(counts,
+                                     x -> cast(x AS double)
+                                          * ln(cast(x AS double)))),
+                                 (a, b) -> a + b)
+                               / cast(len(toks) AS double), 6)
+                   END AS entropy
+            FROM c
         """,
         # C4 word blocklist: corpus-derived list (tokens LIKE 's%'),
         # whole-token distinct-match counts — identical token derivation
@@ -5386,6 +5491,15 @@ _EXTENDED_GATE = [
     # literal path == broadcast-join path pinned in test_filters); parity
     # held by check_entry --extended
     "word_blocklist_docs",
+    # Gopher line/symbol flags (bullet/ellipsis/alpha/symbol fractions at
+    # the published thresholds; repetition_docs on board pins the sibling
+    # Gopher family); parity held by check_entry --extended + hand counts
+    # in test_filters
+    "gopher_line_docs",
+    # unigram Shannon entropy (token-sorted c*ln(c) left-fold, identical
+    # addition order both engines); parity held by check_entry --extended
+    # + pure-python replay in test_pipeline_ops
+    "token_entropy_docs",
     # per-host boilerplate line mining + strip (template cleanup;
     # line_dedup_docs on board pins the shared explode/rebuild idiom);
     # parity held by check_entry --extended + hand-built host cases in

@@ -521,3 +521,63 @@ def word_blocklist(
         .withColumn("blocklist_keep", F.expr("n_bad_words = 0"))
         .drop("_wb_key")
     )
+
+
+# Gopher's published line/symbol thresholds (Rae et al. 2021, Table A1):
+_GOPHER_MAX_BULLET = 0.90
+_GOPHER_MAX_ELLIPSIS = 0.30
+_GOPHER_MIN_ALPHA = 0.80
+_GOPHER_MAX_SYMBOL = 0.10
+
+
+def gopher_line_flags(
+    df: DataFrame, text_col: str = "text", line_delim: str = "\n"
+) -> DataFrame:
+    """The Gopher line/symbol heuristics `repetition_features` does not
+    cover (Rae et al. 2021, App. A1.1) — all pure per-document column
+    math, zero shuffle:
+
+    - ``bullet_line_frac``: lines starting with a bullet (``-``, ``*``,
+      ``•``); Gopher drops docs where > 90% of lines are bullets
+    - ``ellipsis_line_frac``: lines ending in ``...`` / ``…``; drop > 30%
+    - ``alpha_word_frac``: words containing at least one alphabetic
+      character; drop < 80%
+    - ``symbol_word_ratio``: (``#`` chars + ``...`` occurrences) / words;
+      drop > 10%
+    - ``mean_words_per_line`` (diagnostic, no Gopher threshold)
+    - ``gopher_line_keep``: the conjunction at the published thresholds
+
+    Fractions are ``round(int / int, 6)`` from exact integer counts (the
+    repo-wide parity contract). Empty documents keep (no evidence)."""
+    toks = _nonempty_tokens(text_col)
+    lines = f"filter(split({text_col}, '{line_delim}'), l -> l <> '')"
+    n_lines = f"size({lines})"
+    n_words = f"size({toks})"
+    bullet = f"size(filter({lines}, l -> l rlike '^\\\\s*[-*•]'))"
+    ellipsis = f"size(filter({lines}, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))"
+    alpha = f"size(filter({toks}, t -> t rlike '[a-zA-Z]'))"
+    hashes = f"(length({text_col}) - length(replace({text_col}, '#', '')))"
+    dots = (
+        f"((length({text_col}) - length(replace({text_col}, '...', ''))) div 3)"
+    )
+
+    def frac(num: str, den: str) -> Column:
+        return F.expr(f"round({num} / greatest({den}, 1), 6)")
+
+    return (
+        df.withColumn("bullet_line_frac", frac(bullet, n_lines))
+        .withColumn("ellipsis_line_frac", frac(ellipsis, n_lines))
+        .withColumn("alpha_word_frac", frac(alpha, n_words))
+        .withColumn("symbol_word_ratio", frac(f"({hashes} + {dots})", n_words))
+        .withColumn("mean_words_per_line", frac(n_words, n_lines))
+        .withColumn(
+            "gopher_line_keep",
+            F.expr(
+                f"{n_words} = 0 OR ("
+                f"bullet_line_frac <= {_GOPHER_MAX_BULLET} "
+                f"AND ellipsis_line_frac <= {_GOPHER_MAX_ELLIPSIS} "
+                f"AND alpha_word_frac >= {_GOPHER_MIN_ALPHA} "
+                f"AND symbol_word_ratio <= {_GOPHER_MAX_SYMBOL})"
+            ),
+        )
+    )

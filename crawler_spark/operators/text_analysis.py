@@ -469,3 +469,51 @@ def normalize_text(
         return s.map(one)
 
     return docs.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (Shannon) entropy over whitespace tokens —
+    the RedPajama-v2-style diversity signal: keyword-stuffed and
+    template pages have low entropy for their length, natural prose does
+    not; ranked with ``n_tokens`` it separates "short" from "degenerate".
+
+    ``entropy = ln(n) - (sum_c c*ln(c)) / n`` in nats over per-token
+    counts ``c``; null for empty documents. Adds ``n_tokens`` and
+    ``n_distinct`` (the exact integer inputs) and ``entropy`` rounded to
+    6 decimals.
+
+    Determinism: the ``c*ln(c)`` sum is accumulated by ONE left-fold over
+    the token-sorted array (equal-run counting inside a single
+    ``aggregate`` HOF — no explode, no shuffle, zero Python), so the
+    float addition order is data-defined and identical at any
+    parallelism; the DuckDB oracle folds the same token-sorted count list
+    with ``list_reduce``. O(L log L) per document, all codegen.
+    """
+    toks = f"filter({tokens_expr(text_col)}, t -> t <> '')"
+    # one pass over the sorted tokens: close each equal-run into s += c*ln(c)
+    fold = (
+        f"aggregate(array_sort({toks}), "
+        "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'s', cast(0.0 as double)), "
+        "(acc, t) -> named_struct("
+        "'prev', t, "
+        "'run', CASE WHEN acc.prev <=> t THEN acc.run + 1 ELSE cast(1 as bigint) END, "
+        "'s', acc.s + CASE WHEN acc.prev <=> t OR acc.run = 0 THEN cast(0.0 as double) "
+        "ELSE cast(acc.run as double) * ln(cast(acc.run as double)) END), "
+        "acc -> acc.s + CASE WHEN acc.run = 0 THEN cast(0.0 as double) "
+        "ELSE cast(acc.run as double) * ln(cast(acc.run as double)) END)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").cast("bigint").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN cast(null as double) "
+            f"ELSE round(ln(cast(size({toks}) as double)) "
+            f"- ({fold}) / cast(size({toks}) as double), 6) END"
+        ).alias("entropy"),
+    )

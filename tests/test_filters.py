@@ -328,3 +328,54 @@ class TestWordBlocklist:
         df = spark.createDataFrame([(1, "it's fine")], self.SCHEMA)
         out = word_blocklist(df, ["it's"]).collect()[0]
         assert out["n_bad_words"] == 1 and out["blocklist_keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# Gopher line/symbol flags
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.filters import gopher_line_flags
+
+
+class TestGopherLineFlags:
+    def test_hand_counts(self, spark):
+        rows = [
+            (1, "- one\n- two\nplain line ends...\ntext # with hash"),
+            (2, ""),
+            (3, "1234 5678 ++ --"),  # no alphabetic words
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in gopher_line_flags(df).collect()}
+
+        r = got[1]
+        assert r["bullet_line_frac"] == 0.5          # 2 of 4 lines
+        assert r["ellipsis_line_frac"] == 0.25       # 1 of 4 lines
+        # 11 tokens ('ends...' is one); '-','-','#' are non-alpha -> 8/11
+        assert r["alpha_word_frac"] == round(8 / 11, 6)
+        assert r["symbol_word_ratio"] == round(2 / 11, 6)  # one '#', one '...'
+        assert r["mean_words_per_line"] == round(11 / 4, 6)
+
+        r = got[2]  # empty: zero evidence, keep
+        assert r["gopher_line_keep"] is True
+        assert r["bullet_line_frac"] == 0.0
+
+        r = got[3]
+        assert r["alpha_word_frac"] == 0.0
+        assert r["gopher_line_keep"] is False
+
+    def test_thresholds(self, spark):
+        bullets = "\n".join(["- b"] * 95 + ["plain"] * 5)
+        ok = "\n".join(["regular prose line"] * 10)
+        df = spark.createDataFrame(
+            [(1, bullets), (2, ok)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["gopher_line_keep"]
+               for r in gopher_line_flags(df).collect()}
+        assert got == {1: False, 2: True}
+
+    def test_zero_shuffle_jvm_plan(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (gopher_line_flags(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1305,3 +1305,63 @@ def test_normalize_text_is_arrow_not_rowpython(spark):
         normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token entropy (unigram diversity signal)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.text_analysis import token_entropy
+
+
+class TestTokenEntropy:
+    def _replay(self, text):
+        import math
+        from collections import Counter
+
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            return None
+        n = len(toks)
+        s = 0.0
+        # token-sorted fold order, matching the engine and the oracle
+        for t in sorted(set(toks)):
+            c = toks.count(t)
+            s += float(c) * math.log(float(c))
+        return round(math.log(float(n)) - s / n, 6)
+
+    def test_matches_pure_python_replay(self, spark):
+        rows = [
+            (1, "a b c d"),                 # uniform: ln(4)
+            (2, "a a a a"),                 # degenerate: 0
+            (3, "a a b"),                   # mixed
+            (4, ""),                        # empty: null
+            (5, "The the THE tail"),        # case folding collapses
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy"])
+               for r in token_entropy(df).collect()}
+        import math
+        assert got[1] == (4, 4, round(math.log(4.0), 6))
+        assert got[2] == (4, 1, 0.0)
+        assert got[3] == (3, 2, self._replay("a a b"))
+        assert got[4] == (0, 0, None)
+        assert got[5] == (4, 2, self._replay("the the the tail"))
+
+    def test_partition_invariance(self, spark):
+        rows = [(i, " ".join(f"w{j % (i + 1)}" for j in range(30)))
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, token_entropy(df.repartition(1)).collect()))
+        b = sorted(map(tuple, token_entropy(df.repartition(7)).collect()))
+        assert a == b
+        for r in a:
+            assert r[3] == self._replay(
+                " ".join(f"w{j % (r[0] + 1)}" for j in range(30)))
+
+    def test_zero_shuffle_jvm_plan(self, spark):
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        plan = (token_entropy(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
