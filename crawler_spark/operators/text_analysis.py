@@ -517,3 +517,48 @@ def token_entropy(
             f"- ({fold}) / cast(size({toks}) as double), 6) END"
         ).alias("entropy"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed / raw UTF-8 bytes)
+    — the RedPajama-v2-style redundancy signal: templated or repetitive
+    text compresses far below natural prose, catching degeneracy that
+    token-level repetition fractions (``repetition_features``) miss when
+    the repeated unit is long or interleaved. Adds ``n_bytes`` (raw
+    UTF-8 length) and ``zlib_ratio`` (rounded to 6 decimals; 0.0 for
+    empty text — nothing to compress, no evidence).
+
+    This is one of the few legitimately Python-side operators in the
+    repo: there is no JVM/SQL expression for a compressor, so it runs as
+    an Arrow-batched pandas UDF (never row-at-a-time). Deterministic for
+    a fixed ``level`` within one zlib build (compressed SIZE is stable in
+    practice across zlib versions for these levels, but the contract is
+    pinned to the runtime's zlib — hence pytest-replay verification, not
+    a cross-engine SQL oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    # NB: no type hints (module-wide `from __future__ import annotations`
+    # stringifies them — same workaround as nfc_normalize above)
+    @pandas_udf("double")
+    def _ratio(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(
+                round(len(zlib.compress(raw, lvl)) / len(raw), 6)
+                if raw
+                else 0.0
+            )
+        return pd.Series(out, dtype="float64")
+
+    # the raw byte length is pure JVM (octet_length); only the compressor
+    # crosses into Python
+    return df.withColumn(
+        "n_bytes", F.octet_length(F.col(text_col)).cast("bigint")
+    ).withColumn("zlib_ratio", _ratio(F.col(text_col)))

@@ -1365,3 +1365,45 @@ class TestTokenEntropy:
                 .executedPlan().toString())
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCompressionRatio:
+    def test_matches_zlib_replay_and_ordering(self, spark):
+        from crawler_spark.operators.text_analysis import compression_ratio
+        import zlib
+
+        rows = [
+            (1, "natural prose with varied words and structure here"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, ""),
+            (4, "ünïcode bytes — emoji 🎉 compress too"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_bytes"], r["zlib_ratio"])
+               for r in compression_ratio(df).collect()}
+        for i, t in rows:
+            raw = t.encode("utf-8")
+            exp = (len(raw),
+                   round(len(zlib.compress(raw, 6)) / len(raw), 6)
+                   if raw else 0.0)
+            assert got[i] == exp
+        # the repetitive doc compresses harder than the varied one
+        assert got[2][1] < got[1][1]
+
+    def test_partition_invariance(self, spark):
+        from crawler_spark.operators.text_analysis import compression_ratio
+
+        rows = [(i, ("word%d " % (i % 7)) * (i + 1)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, compression_ratio(df.repartition(1)).collect()))
+        b = sorted(map(tuple, compression_ratio(df.repartition(9)).collect()))
+        assert a == b
+
+    def test_arrow_batched_not_row_python(self, spark):
+        from crawler_spark.operators.text_analysis import compression_ratio
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (compression_ratio(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "ArrowEvalPython" in plan        # vectorized pandas UDF
+        assert "BatchEvalPython" not in plan    # never row-at-a-time
