@@ -547,6 +547,8 @@ def compression_ratio(
     def _ratio(texts):
         import zlib
 
+        import pandas as pd
+
         out = []
         for t in texts:
             raw = (t or "").encode("utf-8")
