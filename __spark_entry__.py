@@ -5355,11 +5355,14 @@ _DRIVER_GATE = [
     "fingerprint_docs",
     "curate_docs",
     "media_features",
-    "repetition_docs",
-    "c4_flags_docs",
+    # repetition_docs / c4_flags_docs / line_dedup_docs rotated to
+    # extended (each driver-green in round 2) so the third-wave round-3
+    # operators of the SAME families get their first driver rows:
+    "gopher_line_docs",     # Gopher family (line/symbol flags)
+    "word_blocklist_docs",  # C4 family (bad-words gate)
     "pii_redact_docs",
     "blocklist_docs",
-    "line_dedup_docs",
+    "host_boilerplate_docs",  # line-level cleanup family (mine + strip)
     # contamination_docs -> contamination_pruned_docs is evidence-NEUTRAL:
     # the pruned gate's oracle IS the exact gate's SQL, so the driver
     # still value-hashes the same decontamination semantics — now through
@@ -5487,24 +5490,10 @@ _EXTENDED_GATE = [
     # shape); parity held by check_entry --extended + hand cases in
     # test_recrawl
     "snapshot_diff_docs",
-    # C4 word-blocklist gate (whole-token distinct-match, zero-shuffle
-    # literal path == broadcast-join path pinned in test_filters); parity
-    # held by check_entry --extended
-    "word_blocklist_docs",
-    # Gopher line/symbol flags (bullet/ellipsis/alpha/symbol fractions at
-    # the published thresholds; repetition_docs on board pins the sibling
-    # Gopher family); parity held by check_entry --extended + hand counts
-    # in test_filters
-    "gopher_line_docs",
     # unigram Shannon entropy (token-sorted c*ln(c) left-fold, identical
     # addition order both engines); parity held by check_entry --extended
     # + pure-python replay in test_pipeline_ops
     "token_entropy_docs",
-    # per-host boilerplate line mining + strip (template cleanup;
-    # line_dedup_docs on board pins the shared explode/rebuild idiom);
-    # parity held by check_entry --extended + hand-built host cases in
-    # test_filters
-    "host_boilerplate_docs",
     # strict-order event funnel (cascaded min-after-prev CTEs); parity
     # held by check_entry --extended + hand-built cases in
     # test_sketch_sessions
@@ -5578,6 +5567,12 @@ _EXTENDED_GATE = [
                            # curate_docs (both on board); n_tokens pinned
                            # by pack_sequences_docs; driver-green rounds 1
                            # and 2 — rotated for mirror_pairs_docs
+    # rotated out in the round-3 third wave (driver-green in round 2;
+    # their families keep driver rows via gopher_line_docs /
+    # word_blocklist_docs / host_boilerplate_docs on the board)
+    "repetition_docs",
+    "c4_flags_docs",
+    "line_dedup_docs",
 ]
 
 

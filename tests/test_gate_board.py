@@ -90,11 +90,19 @@ FAMILY_REPRESENTATIVES = {
     "hashed vector": "hashed_vector_docs",
     "curation": "curate_docs",
     "multimodal": "media_features",
-    "gopher filters": "repetition_docs",
-    "c4 filters": "c4_flags_docs",
+    # repetition_docs rotated to extended in the round-3 third wave
+    # (driver-green round 2): the Gopher family's driver row is now the
+    # line/symbol flags gate
+    "gopher filters": "gopher_line_docs",
+    # c4_flags_docs rotated likewise: the C4 family's driver row is the
+    # word-blocklist gate
+    "c4 filters": "word_blocklist_docs",
     "pii": "pii_redact_docs",
     "blocklist": "blocklist_docs",
-    "line dedup": "line_dedup_docs",
+    # line_dedup_docs rotated likewise: the line-level cleanup family's
+    # driver row is the per-host boilerplate mine+strip gate (same
+    # explode / threshold / position-ordered rebuild machinery)
+    "line dedup": "host_boilerplate_docs",
     # contamination_docs swapped for its Bloom-pruned twin in round 3 —
     # same oracle SQL, so the same semantics stay driver-checked
     "decontamination": "contamination_pruned_docs",
