@@ -98,6 +98,22 @@ def main() -> None:
                    help="shingle width for --containment-dedup")
     p.add_argument("--containment-max-df", type=int, default=1000,
                    help="hot-shingle cap for --containment-dedup")
+    p.add_argument("--strip-boilerplate", type=float, default=None,
+                   metavar="FRAC",
+                   help="strip per-host template lines appearing in >= FRAC "
+                        "of a host's docs (operators/filters."
+                        "strip_host_boilerplate) before any scoring — "
+                        "boilerplate is host evidence the per-doc gates "
+                        "cannot see")
+    p.add_argument("--boilerplate-min-docs", type=int, default=3,
+                   help="hosts with fewer docs never flag boilerplate")
+    p.add_argument("--gopher-line", action="store_true",
+                   help="drop docs failing the Gopher line/symbol "
+                        "thresholds (operators/filters.gopher_line_flags)")
+    p.add_argument("--word-blocklist", default=None, metavar="PATH",
+                   help="drop docs containing any word from this file "
+                        "(one word per line; whole-token match — "
+                        "operators/filters.word_blocklist)")
     p.add_argument("--temperature-mix", type=float, default=None,
                    metavar="ALPHA",
                    help="after curation, resample to --mix-budget tokens "
@@ -142,6 +158,46 @@ def main() -> None:
         ).withColumnRenamed("host", args.source_col)
         n_mirror_dropped = drop.count()  # host-count-sized, cheap
         docs = docs.join(F.broadcast(drop), args.source_col, "left_anti")
+    if args.strip_boilerplate is not None:
+        from crawler_spark.operators.filters import strip_host_boilerplate
+
+        docs = (
+            strip_host_boilerplate(
+                docs,
+                host_col=args.source_col,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                min_frac=args.strip_boilerplate,
+                min_docs=args.boilerplate_min_docs,
+            )
+            .drop(args.text_col, "n_boilerplate_removed")
+            .withColumnRenamed("stripped_text", args.text_col)
+        )
+    if args.gopher_line:
+        from crawler_spark.operators.filters import gopher_line_flags
+
+        docs = (
+            gopher_line_flags(docs, text_col=args.text_col)
+            .filter("gopher_line_keep")
+            .drop(
+                "bullet_line_frac",
+                "ellipsis_line_frac",
+                "alpha_word_frac",
+                "symbol_word_ratio",
+                "mean_words_per_line",
+                "gopher_line_keep",
+            )
+        )
+    if args.word_blocklist:
+        from crawler_spark.operators.filters import word_blocklist
+
+        with open(args.word_blocklist, encoding="utf-8") as fh:
+            bad = [w.strip() for w in fh if w.strip()]
+        docs = (
+            word_blocklist(docs, bad, text_col=args.text_col)
+            .filter("blocklist_keep")
+            .drop("n_bad_words", "blocklist_keep")
+        )
     if args.min_source_quality is not None or args.max_source_dup is not None:
         from crawler_spark.operators.curation import source_reputation_filter
 

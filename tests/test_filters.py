@@ -379,3 +379,49 @@ class TestGopherLineFlags:
                 .executedPlan().toString())
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# jobs/curate.py: --strip-boilerplate / --gopher-line / --word-blocklist
+# ---------------------------------------------------------------------------
+
+def test_curate_cli_new_filter_stages(spark, tmp_path, monkeypatch):
+    import sys
+
+    import jobs.curate as jc
+
+    prose = ("solid prose with many varied words that passes every "
+             "quality and language gate " * 4).strip()
+    rows = []
+    # host A: 4 docs sharing a footer line; doc 3 also contains a blocked
+    # word; doc 4 is all bullets (gopher kill)
+    for i in range(1, 5):
+        # distinct bodies: curate's exact-dedup stage must not collapse
+        # the survivors after the identical footer is stripped
+        body = prose + f" variant number {i}"
+        if i == 3:
+            body = body + " forbiddenword"
+        if i == 4:
+            body = "\n".join(["- bullet"] * 20)
+        rows.append((i, "a", body + "\nshared footer a"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    df.write.parquet(inp)
+    blfile = tmp_path / "bad.txt"
+    blfile.write_text("forbiddenword\n")
+
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", out,
+        "--min-quality", "0.0", "--langs", "en", "xx",
+        "--strip-boilerplate", "0.9", "--boilerplate-min-docs", "3",
+        "--gopher-line", "--word-blocklist", str(blfile),
+    ])
+    jc.main()
+    got = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    # doc 3 (blocked word) and doc 4 (bullet wall) die; 1 and 2 survive
+    assert ids == [1, 2]
+    # the shared footer was stripped from every survivor
+    texts = [r["text"] for r in got.collect()]
+    assert all("shared footer a" not in t for t in texts)
+    assert all(t.startswith("solid prose") for t in texts)
