@@ -494,7 +494,8 @@ def word_blocklist(
     toks = f"array_distinct(filter({tokens_expr(text_col)}, t -> t <> ''))"
     if len(normalized) <= int(max_literal_words):
         lit = "array(" + ", ".join(
-            "'" + w.replace("'", "\\'") + "'" for w in normalized
+            "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for w in normalized
         ) + ")"
         return df.withColumn(
             "n_bad_words",

@@ -425,3 +425,16 @@ def test_curate_cli_new_filter_stages(spark, tmp_path, monkeypatch):
     texts = [r["text"] for r in got.collect()]
     assert all("shared footer a" not in t for t in texts)
     assert all(t.startswith("solid prose") for t in texts)
+
+
+def test_word_blocklist_backslash_word_is_inert(spark):
+    # a hostile blocklist entry with a backslash must neither break the
+    # literal expression nor match anything it shouldn't
+    from crawler_spark.operators.filters import word_blocklist
+
+    df = spark.createDataFrame(
+        [(1, "path c:\\tmp here"), (2, "clean")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_bad_words"]
+           for r in word_blocklist(df, ["c:\\tmp"]).collect()}
+    assert out == {1: 1, 2: 0}
