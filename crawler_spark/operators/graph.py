@@ -603,3 +603,32 @@ def reciprocity_by_source(
             ).alias("reciprocity"),
         )
     )
+
+
+def community_diversity_signal(
+    communities: DataFrame,
+    host_col: str = "host",
+    community_col: str = "community",
+) -> DataFrame:
+    """Turn a :func:`host_communities` table into a ``(host, score)``
+    signal for `operators/priority.blend_host_signals`: hosts in SMALL
+    communities score high (``score = 1/|community|``, so a singleton is
+    1.0 and a large cluster approaches 0) — the exploration term of a
+    focused crawl. Authority signals (PageRank/HITS) concentrate the
+    frontier on one well-linked neighborhood; blending in this term keeps
+    budget flowing to under-explored pockets of the web, the classic
+    exploit/explore mix.
+
+    One map-side-combined count to the communities-sized table + one
+    join back — no collect, broadcastable output, same shapes as every
+    other host signal."""
+    sizes = communities.groupBy(community_col).agg(
+        F.count("*").alias("_csz")
+    )
+    return (
+        communities.join(sizes, community_col)
+        .select(
+            F.col(host_col).alias("host"),
+            F.round(F.lit(1.0) / F.col("_csz"), 6).alias("score"),
+        )
+    )

@@ -540,3 +540,31 @@ def test_rank_cli_unknown_trust_seed_fails_loudly(
     ])
     with pytest.raises(SystemExit):
         jr.main()
+
+
+def test_community_diversity_signal_blends_into_priority(spark):
+    from crawler_spark.operators.graph import community_diversity_signal
+    from crawler_spark.operators.priority import blend_host_signals
+
+    comm = spark.createDataFrame(
+        [("a.test", "a.test"), ("b.test", "a.test"), ("c.test", "a.test"),
+         ("solo.test", "solo.test")],
+        "host string, community string",
+    )
+    sig = {r["host"]: r["score"]
+           for r in community_diversity_signal(comm).collect()}
+    assert sig["solo.test"] == 1.0
+    assert sig["a.test"] == sig["b.test"] == round(1 / 3, 6)
+
+    # blends with an authority signal through the standard seam
+    pr = spark.createDataFrame(
+        [("a.test", 1.0), ("solo.test", 0.1)], "host string, score string"
+    ).selectExpr("host", "cast(score as double) as score")
+    blended = {r["host"]: r["score"] for r in blend_host_signals({
+        "diversity": (community_diversity_signal(comm), 1.0),
+        "pagerank": (pr, 1.0),
+    }).collect()}
+    # a.test: mean(1/3, 1.0); solo.test: mean(1.0, 0.1); c.test: diversity only
+    assert blended["a.test"] == pytest.approx((1 / 3 + 1.0) / 2, abs=1e-6)
+    assert blended["solo.test"] == pytest.approx(0.55, abs=1e-6)
+    assert blended["c.test"] == pytest.approx(1 / 3, abs=1e-6)
