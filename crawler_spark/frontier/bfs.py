@@ -211,7 +211,21 @@ def _seed_frontier(
 
 def _robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop disallowed URLs before they enter the frontier (J6): broadcast
-    join on host + vectorized prefix match."""
+    join on host + vectorized match. Dispatches on the robots table's
+    columns: a ``rules`` column (``robots.robots_rules_table``) gets the
+    full RFC-9309 semantics — Allow + Disallow, ``*``/``$`` wildcards,
+    longest-match precedence — while the legacy ``disallow_prefixes``
+    shape keeps the byte-compatible prefix-only path."""
+    if "rules" in robots.columns:
+        from crawler_spark.frontier.robots import robots_rules_allows_udf
+
+        allows = robots_rules_allows_udf()
+        r = F.broadcast(robots.select("host", "rules"))
+        joined = frontier.join(r, "host", "left")
+        return (
+            joined.filter(allows(url_path_of(F.col("url")), F.col("rules")))
+            .drop("rules")
+        )
     r = F.broadcast(robots.select("host", "disallow_prefixes"))
     joined = frontier.join(r, "host", "left")
     return (

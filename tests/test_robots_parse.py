@@ -118,3 +118,87 @@ def test_robots_table_feeds_crawl(spark, tmp_path):
         if urlparse(u).netloc == hosts[0] and urlparse(u).path.startswith("/p1")
     ]
     assert blocked == []
+
+
+# ---------------------------------------------------------------------------
+# full RFC-9309 rules: Allow + Disallow, * / $ wildcards, longest-match
+# ---------------------------------------------------------------------------
+
+from crawler_spark.frontier.robots import parse_robots_rules, rule_allows
+
+
+class TestRfc9309Rules:
+    def test_groups_and_order_preserved(self):
+        txt = ("User-agent: bot\nDisallow: /x\n"
+               "User-agent: *\nDisallow: /\nAllow: /p\n"
+               "Allow:\nDisallow:\nCrawl-delay: 2\n")
+        rules, delay = parse_robots_rules(txt)
+        # other-agent group ignored; empty-value directives are no-ops
+        assert rules == ["D:/", "A:/p"] and delay == 2.0
+
+    @pytest.mark.parametrize(
+        "rules, path, want",
+        [
+            # RFC/Googlebot precedence examples
+            (["D:/", "A:/p"], "/page", True),      # /p (2) beats / (1)
+            (["D:/", "A:/p"], "/else", False),
+            (["A:/folder", "D:/folder"], "/folder/page", True),  # tie -> allow
+            (["A:/page", "D:/*.htm"], "/page.htm", False),       # 6 > 5
+            (["A:/$", "D:/"], "/", True),           # exact root allowed
+            (["A:/$", "D:/"], "/page", False),      # $ restricts to root
+            # * spans path segments; unanchored patterns match any
+            # continuation (Google's /fish*.php example)
+            (["D:/fish*.php"], "/fishheads/catfish.php?x", False),
+            (["D:/fish*.php"], "/fishheads/catfish.php", False),
+            (["D:/fish*.php$"], "/fishheads/catfish.php?x", True),
+            # no matching rule -> allowed; empty/None -> allowed
+            (["D:/private"], "/public", True),
+            ([], "/anything", True),
+            (None, "/anything", True),
+            # mid-pattern $ is literal
+            (["D:/a$b"], "/a$b/c", False),
+            (["D:/a$b"], "/ab", True),
+        ],
+    )
+    def test_rule_allows(self, rules, path, want):
+        assert rule_allows(path, rules) is want
+
+
+def test_rules_table_feeds_crawl_with_wildcards(spark, tmp_path):
+    """Full-rules robots table drives the same crawl: a wildcard-disallowed
+    URL is never fetched, an Allow override survives a broad Disallow, and
+    the legacy prefix table still works unchanged."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+    from crawler_spark.frontier.robots import robots_rules_table
+
+    ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    def page(links):
+        body = "".join(f'<a href="{u}">l</a>' for u in links)
+        return f"<html><head><title>t</title></head><body>{body}</body></html>".encode()
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h/", ts, page(["/keep", "/tmp/x.html", "/p/ok"])),
+            ("http://h/keep", ts, page([])),
+            ("http://h/tmp/x.html", ts, page([])),
+            ("http://h/p/ok", ts, page([])),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    bodies = spark.createDataFrame(
+        [("h", "User-agent: *\nDisallow: /*.html\nDisallow: /p\nAllow: /p/ok$\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(bodies)
+    res = crawl(
+        spark, pages, ["http://h/"],
+        config=CrawlConfig(depth=2),
+        robots=rules,
+        run_dir=str(tmp_path / "rules"),
+    )
+    urls = sorted(r["url"] for r in res.pages(spark).select("url").collect())
+    # wildcard kills the .html page; Allow /p/ok$ overrides Disallow /p
+    assert urls == ["http://h/", "http://h/keep", "http://h/p/ok"]
