@@ -2203,6 +2203,59 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 6).alias("jaccard"),
         )
 
+    # ---- DUST rule mining (frontier/dust.py): planted URL-alias families
+    # on doc_id%8 — /index.html suffixes (m=1), an m. host prefix (m=2),
+    # a supported-but-REFUTED /b/<->/c/ rule (m=3..6: /c/x{g} rewrites to
+    # the existing different-content /b/x{g}), and unique noise (m=7).
+    # The oracle replays envelope decomposition (LCP via a prefix-equality
+    # list_filter), support, and the refutation lookup join in SQL.
+    def _dust_pages(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = F.col("doc_id") % 8
+        gs = F.floor(F.col("doc_id") / 8).cast("string")
+        url = (
+            F.when(m == 0, F.concat(F.lit("https://site.test/a/"), gs))
+            .when(m == 1, F.concat(F.lit("https://site.test/a/"), gs, F.lit("/index.html")))
+            .when(m == 2, F.concat(F.lit("https://m.site.test/a/"), gs))
+            .when(m == 3, F.concat(F.lit("https://site.test/b/"), gs))
+            .when(m == 4, F.concat(F.lit("https://site.test/c/"), gs))
+            .when(m == 5, F.concat(F.lit("https://site.test/c/x"), gs))
+            .when(m == 6, F.concat(F.lit("https://site.test/b/x"), gs))
+            .otherwise(
+                F.concat(F.lit("https://other.test/p/"), F.col("doc_id").cast("string"))
+            )
+        )
+        g = F.floor(F.col("doc_id") / 8)
+        key = (
+            F.when(m <= 2, g)
+            .when((m == 3) | (m == 4), g + 5000)
+            .when(m == 5, g + 6000)
+            .when(m == 6, g + 7000)
+            .otherwise(F.col("doc_id") + 10000)
+        ).cast("long")
+        return d.select(url.alias("url"), key.alias("content_key"))
+
+    def dust_rules_docs(spark, sf_dir):
+        from crawler_spark.frontier.dust import mine_dust_rules
+
+        return mine_dust_rules(
+            _dust_pages(spark, sf_dir), key_col="content_key", min_support=2
+        )
+
+    # ---- DUST apply pass: canonicalize every URL with its best valid
+    # mined rule (support desc, shortening desc, lexicographic) — the
+    # oracle reruns the miner then replays the pick as a window rank.
+    def dust_rewrite_docs(spark, sf_dir):
+        from crawler_spark.frontier.dust import apply_dust_rules, mine_dust_rules
+
+        pages = _dust_pages(spark, sf_dir)
+        rules = (
+            mine_dust_rules(pages, key_col="content_key", min_support=2)
+            .filter("valid")
+            .select("alpha", "beta", "support")
+        )
+        return apply_dust_rules(pages.select("url"), rules)
+
     # ---- positional inverted index + exact-phrase search
     # (operators/index.py): the phrase is the first two tokens of the
     # min-doc_id document — derived from the data identically in both
@@ -2568,6 +2621,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats_docs": anchor_stats_docs,
         "redirect_resolve_docs": redirect_resolve_docs,
         "mirror_pairs_docs": mirror_pairs_docs,
+        "dust_rules_docs": dust_rules_docs,
+        "dust_rewrite_docs": dust_rewrite_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5288,6 +5343,125 @@ def _all_oracle_sql() -> dict[str, str]:
     # operator bit-for-bit (the sketch prunes candidates, the exact join
     # decides), so its oracle IS the exact oracle
     sql["contamination_pruned_docs"] = sql["contamination_docs"]
+
+    # DUST rule mining: shared CTE pipeline — planted alias families on
+    # doc_id%8, envelope decomposition per content-duplicate pair (LCP =
+    # count of equal prefixes, downward-closed so count == max), rule
+    # orientation to the shorter/lexicographically-smaller target,
+    # support >= 2, then the refutation lookup join (rewrite lands on a
+    # known URL with a different content key).
+    _dust_ctes = """
+        WITH pages AS (
+          SELECT CASE doc_id % 8
+                   WHEN 0 THEN 'https://site.test/a/' || (doc_id // 8)
+                   WHEN 1 THEN 'https://site.test/a/' || (doc_id // 8)
+                               || '/index.html'
+                   WHEN 2 THEN 'https://m.site.test/a/' || (doc_id // 8)
+                   WHEN 3 THEN 'https://site.test/b/' || (doc_id // 8)
+                   WHEN 4 THEN 'https://site.test/c/' || (doc_id // 8)
+                   WHEN 5 THEN 'https://site.test/c/x' || (doc_id // 8)
+                   WHEN 6 THEN 'https://site.test/b/x' || (doc_id // 8)
+                   ELSE 'https://other.test/p/' || doc_id END AS url,
+                 CAST(CASE WHEN doc_id % 8 <= 2 THEN doc_id // 8
+                      WHEN doc_id % 8 IN (3, 4) THEN doc_id // 8 + 5000
+                      WHEN doc_id % 8 = 5 THEN doc_id // 8 + 6000
+                      WHEN doc_id % 8 = 6 THEN doc_id // 8 + 7000
+                      ELSE doc_id + 10000 END AS BIGINT) AS content_key
+          FROM documents
+        ),
+        uk AS (
+          SELECT url, min(content_key) AS content_key FROM pages GROUP BY url
+        ),
+        pairs AS (
+          SELECT a.url AS u1, b.url AS u2
+          FROM uk a JOIN uk b
+            ON a.content_key = b.content_key AND a.url < b.url
+        ),
+        env0 AS (
+          SELECT u1, u2,
+                 len(list_filter(range(1, least(length(u1), length(u2)) + 1),
+                     i -> substr(u1, 1, i) = substr(u2, 1, i))) AS p
+          FROM pairs
+        ),
+        env1 AS (
+          SELECT substr(u1, p + 1) AS r1, substr(u2, p + 1) AS r2 FROM env0
+        ),
+        env2 AS (
+          SELECT r1, r2,
+                 len(list_filter(range(1, least(length(r1), length(r2)) + 1),
+                     i -> substr(reverse(r1), 1, i)
+                          = substr(reverse(r2), 1, i))) AS s
+          FROM env1
+        ),
+        mids AS (
+          SELECT substr(r1, 1, length(r1) - s) AS m1,
+                 substr(r2, 1, length(r2) - s) AS m2
+          FROM env2
+        ),
+        cand AS (
+          SELECT CASE WHEN length(m2) > length(m1)
+                        OR (length(m2) = length(m1) AND m2 > m1)
+                      THEN m2 ELSE m1 END AS alpha,
+                 CASE WHEN length(m2) > length(m1)
+                        OR (length(m2) = length(m1) AND m2 > m1)
+                      THEN m1 ELSE m2 END AS beta
+          FROM mids
+        ),
+        rules AS (
+          SELECT alpha, beta, count(*) AS support
+          FROM cand GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        inst AS (
+          SELECT r.alpha, r.beta, u.content_key,
+                 replace(u.url, r.alpha, r.beta) AS rewritten
+          FROM rules r JOIN uk u ON strpos(u.url, r.alpha) > 0
+        ),
+        refs AS (
+          SELECT i.alpha, i.beta,
+                 sum(CASE WHEN t.content_key <> i.content_key
+                          THEN 1 ELSE 0 END) AS refutations
+          FROM inst i JOIN uk t ON t.url = i.rewritten
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT r.alpha, r.beta, CAST(r.support AS BIGINT) AS support,
+                 CAST(coalesce(f.refutations, 0) AS BIGINT) AS refutations
+          FROM rules r
+          LEFT JOIN refs f ON f.alpha = r.alpha AND f.beta = r.beta
+        )
+    """
+    sql["dust_rules_docs"] = (
+        _dust_ctes
+        + """
+        SELECT alpha, beta, support, refutations,
+               refutations = 0 AS valid
+        FROM scored
+    """
+    )
+    # apply pass: best valid rule per URL — support desc, shortening
+    # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    sql["dust_rewrite_docs"] = (
+        _dust_ctes
+        + """,
+        valid AS (SELECT * FROM scored WHERE refutations = 0),
+        app AS (
+          SELECT u.url, v.alpha, v.beta, v.support
+          FROM uk u JOIN valid v ON strpos(u.url, v.alpha) > 0
+        ),
+        best AS (
+          SELECT url, alpha, beta,
+                 row_number() OVER (
+                   PARTITION BY url
+                   ORDER BY support DESC,
+                            length(beta) - length(alpha) ASC,
+                            alpha, beta) AS rn
+          FROM app
+        )
+        SELECT u.url,
+               coalesce(replace(u.url, b.alpha, b.beta), u.url) AS canon_url
+        FROM uk u LEFT JOIN best b ON b.url = u.url AND b.rn = 1
+    """
+    )
     return sql
 
 
@@ -5573,6 +5747,12 @@ _EXTENDED_GATE = [
     "repetition_docs",
     "c4_flags_docs",
     "line_dedup_docs",
+    # DUST rule mining + apply pass (frontier/dust.py — learned duplicate-
+    # URL rewrite rules): new in the round-3 fourth wave; full envelope/
+    # support/refutation SQL replay oracles, python-replay + plan tests in
+    # test_dust; awaiting a round-4 driver slot
+    "dust_rules_docs",
+    "dust_rewrite_docs",
 ]
 
 

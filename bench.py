@@ -692,6 +692,29 @@ def run(spark, sf_dir: str):
             F.count("*"), F.countDistinct("canonical_host")
         ).collect()
 
+    # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
+    # (frontier/dust.py — planted constant-middle aliases give one
+    # high-support rule; per-url session ids generate support-1 noise the
+    # aggregate must filter; then the broadcast apply pass canonicalizes)
+    with timed("q_dust"):
+        from crawler_spark.frontier.dust import apply_dust_rules, mine_dust_rules
+
+        pages = corpus.select("url", "text")
+        aliased = pages.unionByName(
+            pages.select(F.concat("url", F.lit("?session=1")).alias("url"), "text")
+        ).unionByName(
+            pages.select(
+                F.concat(
+                    "url", F.lit("?sid="), F.abs(F.xxhash64("url")).cast("string")
+                ).alias("url"),
+                "text",
+            )
+        )
+        dr = mine_dust_rules(aliased, max_df=8).filter("valid")
+        apply_dust_rules(aliased.select("url"), dr).select(
+            F.countDistinct("canon_url")
+        ).collect()
+
     # ---- q_sb_lm: trigram Stupid Backoff scoring, train/score split --------
     # (operators/lm.py — count tables vocabulary-bounded, broadcast score
     # table when driver-known small; the Brants-et-al. web-scale LM shape)

@@ -1,0 +1,189 @@
+"""DUST rule mining (frontier/dust.py): pure-Python replay, planted
+refutation semantics, apply-pass tie-breaks, partition invariance, and
+plan-shape pins (JVM-only extraction, broadcast apply)."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.frontier.dust import (
+    apply_dust_rules,
+    candidate_rules,
+    dup_url_pairs,
+    mine_dust_rules,
+    url_content_keys,
+)
+
+
+def _lcp(a, b):
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+def py_mine(url_keys, min_support=2, max_df=50):
+    """Reference miner: envelope rules + support + refutation counts."""
+    buckets = {}
+    for u, k in url_keys:
+        buckets.setdefault(k, set()).add(u)
+    support = Counter()
+    for us in buckets.values():
+        if len(us) > max_df:
+            continue
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                u1, u2 = us[i], us[j]
+                p = _lcp(u1, u2)
+                r1, r2 = u1[p:], u2[p:]
+                s = _lcp(r1[::-1], r2[::-1])
+                a, b = r1[: len(r1) - s], r2[: len(r2) - s]
+                if (len(b), b) > (len(a), a):
+                    a, b = b, a
+                support[(a, b)] += 1
+    kept = {r: c for r, c in support.items() if c >= min_support}
+    key = dict(url_keys)
+    out = {}
+    for (a, b), c in kept.items():
+        ref = 0
+        for u, k in key.items():
+            if a in u:
+                rw = u.replace(a, b)
+                if rw in key and key[rw] != k:
+                    ref += 1
+        out[(a, b)] = (c, ref)
+    return out
+
+
+CORPUS = []
+for g in range(8):
+    CORPUS += [
+        (f"https://site.test/a/{g}", g),
+        (f"https://site.test/a/{g}/index.html", g),
+        (f"https://m.site.test/a/{g}", g),
+        (f"https://site.test/b/{g}", 5000 + g),
+        (f"https://site.test/c/{g}", 5000 + g),
+        (f"https://site.test/c/x{g}", 6000 + g),
+        (f"https://site.test/b/x{g}", 7000 + g),
+        (f"https://other.test/p/{g}?print=1", 8000 + g),
+        (f"https://other.test/p/{g}", 8000 + g),
+        (f"https://unique.test/q/{g}", 10000 + g),
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "url string, content_key long")
+
+
+def test_mine_matches_python_replay(spark, corpus_df):
+    got = {
+        (r["alpha"], r["beta"]): (r["support"], r["refutations"])
+        for r in mine_dust_rules(corpus_df, key_col="content_key").collect()
+    }
+    assert got == py_mine(CORPUS)
+
+
+def test_planted_rules_and_refutation(spark, corpus_df):
+    rules = {
+        (r["alpha"], r["beta"]): r
+        for r in mine_dust_rules(corpus_df, key_col="content_key").collect()
+    }
+    assert rules[("/index.html", "")]["valid"]
+    assert rules[("m.", "")]["valid"]
+    assert rules[("?print=1", "")]["valid"]
+    # /c/x{g} rewrites to the existing, different-content /b/x{g}
+    assert not rules[("c", "b")]["valid"]
+    assert rules[("c", "b")]["refutations"] == 8
+
+
+def test_apply_collapses_aliases(spark, corpus_df):
+    valid = mine_dust_rules(corpus_df, key_col="content_key").filter("valid")
+    out = apply_dust_rules(corpus_df.select("url"), valid)
+    rows = {r["url"]: r["canon_url"] for r in out.collect()}
+    assert rows["https://site.test/a/3/index.html"] == "https://site.test/a/3"
+    assert rows["https://m.site.test/a/3"] == "https://site.test/a/3"
+    assert rows["https://other.test/p/3?print=1"] == "https://other.test/p/3"
+    # refuted rule never applied
+    assert rows["https://site.test/c/x3"] == "https://site.test/c/x3"
+    assert rows["https://site.test/c/3"] == "https://site.test/c/3"
+    assert len(rows) == len(CORPUS)
+
+
+def test_apply_tie_breaks(spark):
+    urls = spark.createDataFrame([("xaay",)], "url string")
+
+    def best(rules):
+        df = spark.createDataFrame(rules, "alpha string, beta string, support long")
+        return apply_dust_rules(urls, df).collect()[0]["canon_url"]
+
+    # support dominates
+    assert best([("aa", "b", 9), ("aa", "", 5)]) == "xby"
+    # equal support: more shortening wins
+    assert best([("aa", "b", 5), ("aa", "", 5)]) == "xy"
+    # equal support + shortening: lexicographic (alpha, beta)
+    assert best([("aa", "b", 5), ("aa", "c", 5)]) == "xby"
+
+
+def test_apply_no_rules_passthrough(spark, corpus_df):
+    empty = spark.createDataFrame([], "alpha string, beta string, support long")
+    out = apply_dust_rules(corpus_df.select("url"), empty)
+    assert all(r["url"] == r["canon_url"] for r in out.collect())
+
+
+def test_max_df_drops_hot_buckets(spark):
+    rows = [(f"https://hot.test/{i}", 1) for i in range(12)]
+    rows += [("https://a.test/p", 2), ("https://a.test/p/index.html", 2)]
+    df = spark.createDataFrame(rows, "url string, content_key long")
+    uk = url_content_keys(df, key_col="content_key")
+    pairs = dup_url_pairs(uk, max_df=10)
+    # the 12-url bucket is dropped entirely; only the pair from bucket 2 remains
+    assert pairs.count() == 1
+
+
+def test_partition_invariance(spark, corpus_df):
+    base = sorted(
+        map(tuple, mine_dust_rules(corpus_df, key_col="content_key").collect())
+    )
+    for n in (1, 7):
+        got = sorted(
+            map(
+                tuple,
+                mine_dust_rules(
+                    corpus_df.repartition(n), key_col="content_key"
+                ).collect(),
+            )
+        )
+        assert got == base
+
+
+def test_plan_shapes(spark, corpus_df):
+    uk = url_content_keys(corpus_df, key_col="content_key")
+    plan = candidate_rules(dup_url_pairs(uk))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rules = spark.createDataFrame(
+        [("/index.html", "", 2)], "alpha string, beta string, support long"
+    )
+    aplan = (
+        apply_dust_rules(corpus_df.select("url"), rules)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in aplan
+    assert "BatchEvalPython" not in aplan and "ArrowEvalPython" not in aplan
+
+
+def test_url_content_keys_min_wins(spark):
+    df = spark.createDataFrame(
+        [("u", 5), ("u", 3), ("v", 9)], "url string, content_key long"
+    )
+    got = {
+        r["url"]: r["content_key"]
+        for r in url_content_keys(df, key_col="content_key").collect()
+    }
+    assert got == {"u": 3, "v": 9}
