@@ -2256,6 +2256,48 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_dust_rules(pages.select("url"), rules)
 
+    # ---- boilerpipe main-content extraction (operators/maincontent.py):
+    # synthesized pages with one-token words so block texts are exactly
+    # reconstructible — nav (3 linked words), three paragraphs whose word
+    # and linked-word counts sweep the classifier's 16/15/4/40/17
+    # thresholds via doc_id arithmetic, and a 1/3-link-density footer.
+    # The gate exercises parser + segmentation + the JVM decision tree;
+    # the oracle rebuilds the same five blocks per doc and replays the
+    # integer tree with lag/lead windows.
+    def main_content_docs(spark, sf_dir):
+        from crawler_spark.operators.maincontent import main_content
+
+        p = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            (F.lit(5) + F.col("doc_id") % 37).cast("int").alias("a"),
+            (F.lit(1) + F.col("doc_id") % 23).cast("int").alias("b"),
+            F.least(F.col("doc_id") % 5, F.lit(1) + F.col("doc_id") % 23)
+            .cast("int")
+            .alias("l"),
+            (F.lit(1) + F.col("doc_id") % 19).cast("int").alias("c"),
+        )
+        html = F.expr(
+            """concat(
+              '<html><body><div><a href="/">w</a> <a href="/a">w</a>',
+              ' <a href="/c">w</a></div>',
+              '<p>', repeat('w ', a), '</p>',
+              '<p>', repeat('<a href="/x">w</a> ', l), repeat('w ', b - l),
+              '</p>',
+              '<p>', repeat('w ', c), '</p>',
+              '<div><a href="/p">w</a> w w</div></body></html>')"""
+        )
+        pages = p.select(
+            F.col("doc_id").cast("string").alias("url"),
+            html.cast("binary").alias("html"),
+        )
+        return main_content(pages).select(
+            F.col("url").cast("long").alias("doc_id"),
+            "n_blocks",
+            "n_content_blocks",
+            "content_words",
+            "main_text",
+        )
+
     # ---- positional inverted index + exact-phrase search
     # (operators/index.py): the phrase is the first two tokens of the
     # min-doc_id document — derived from the data identically in both
@@ -2623,6 +2665,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_pairs_docs": mirror_pairs_docs,
         "dust_rules_docs": dust_rules_docs,
         "dust_rewrite_docs": dust_rewrite_docs,
+        "main_content_docs": main_content_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5440,6 +5483,56 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # boilerpipe main-content: rebuild the synthesized five-block page
+    # per doc (all words are the single token 'w', so each block's text
+    # is trim(repeat('w ', n))) and replay the NumWordsRulesClassifier
+    # tree with integer cross-multiplied link densities over lag/lead
+    # neighbor features.
+    sql["main_content_docs"] = """
+        WITH params AS (
+          SELECT doc_id,
+                 5 + doc_id % 37 AS a,
+                 1 + doc_id % 23 AS b,
+                 least(doc_id % 5, 1 + doc_id % 23) AS l,
+                 1 + doc_id % 19 AS c
+          FROM documents
+        ),
+        blocks AS (
+          SELECT doc_id, t.u.pos AS pos, t.u.nw AS nw, t.u.nl AS nl
+          FROM params, unnest([
+            {'pos': 1, 'nw': 3, 'nl': 3},
+            {'pos': 2, 'nw': a, 'nl': 0},
+            {'pos': 3, 'nw': b, 'nl': l},
+            {'pos': 4, 'nw': c, 'nl': 0},
+            {'pos': 5, 'nw': 3, 'nl': 1}
+          ]) AS t(u)
+        ),
+        feat AS (
+          SELECT doc_id, pos, nw, nl,
+                 coalesce(lag(nw) OVER w, 0) AS pw,
+                 coalesce(lag(nl) OVER w, 0) AS pl,
+                 coalesce(lead(nw) OVER w, 0) AS xw
+          FROM blocks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        cls AS (
+          SELECT doc_id, pos, nw,
+                 CASE WHEN nl * 1000000 > 333333 * nw THEN false
+                      WHEN pl * 1000000 > 555556 * pw
+                        THEN nw > 40 OR xw > 17
+                      ELSE nw > 16 OR xw > 15 OR pw > 4 END AS k
+          FROM feat
+        )
+        SELECT doc_id,
+               CAST(count(*) AS INT) AS n_blocks,
+               CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS INT)
+                 AS n_content_blocks,
+               CAST(sum(CASE WHEN k THEN nw ELSE 0 END) AS INT)
+                 AS content_words,
+               coalesce(string_agg(
+                 CASE WHEN k THEN trim(repeat('w ', CAST(nw AS INT))) END,
+                 chr(10) || chr(10) ORDER BY pos), '') AS main_text
+        FROM cls GROUP BY doc_id
+    """
     sql["dust_rewrite_docs"] = (
         _dust_ctes
         + """,
@@ -5753,6 +5846,12 @@ _EXTENDED_GATE = [
     # test_dust; awaiting a round-4 driver slot
     "dust_rules_docs",
     "dust_rewrite_docs",
+    # boilerpipe-style main-content extraction (operators/maincontent.py —
+    # block segmentation + the NumWordsRulesClassifier tree as a JVM HOF):
+    # new in the round-3 fourth wave; full block/classifier SQL replay
+    # oracle, replay + threshold-boundary pytest in test_maincontent;
+    # awaiting a round-4 driver slot
+    "main_content_docs",
 ]
 
 

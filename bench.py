@@ -692,6 +692,16 @@ def run(spark, sf_dir: str):
             F.count("*"), F.countDistinct("canonical_host")
         ).collect()
 
+    # ---- q_main_content: boilerpipe block segmentation + JVM classifier ----
+    # (operators/maincontent.py — one Arrow pass per page, decision tree
+    # as a transform HOF, row-local: no exchange in the whole query)
+    with timed("q_main_content"):
+        from crawler_spark.operators.maincontent import main_content
+
+        main_content(corpus).select(
+            F.sum("content_words"), F.sum("n_content_blocks"), F.sum("n_blocks")
+        ).collect()
+
     # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
     # (frontier/dust.py — planted constant-middle aliases give one
     # high-support rule; per-url session ids generate support-1 noise the

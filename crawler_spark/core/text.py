@@ -403,3 +403,76 @@ def chunk_text(text: str, chunk_size: int = 5000) -> List[str]:
         start = end
 
     return chunks
+
+
+# --- block segmentation (boilerpipe-style main-content extraction) --------
+
+# Block-level tags end the current text block; everything else (a, b, i,
+# em, span, code, ...) flows inline. Void separators (br, hr) split too.
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody tfoot tr "
+    "td th blockquote pre article section header footer nav aside main "
+    "figure figcaption form fieldset address center hr br".split()
+)
+# Subtrees that contribute no visible words at all.
+_NONTEXT_TAGS = frozenset("script style noscript template head title svg".split())
+
+
+def extract_text_blocks(soup) -> List[tuple]:
+    """Segment a parsed page into visible text blocks.
+
+    Returns ``[(text, n_words, n_linked_words), ...]`` in document order —
+    the shallow-feature input of boilerpipe-style boilerplate detection
+    (Kohlschuetter, Fankhauser, Nejdl — WSDM 2010). A *block* is the text
+    between block-level tag boundaries; inline markup (``<a>``, ``<b>``,
+    ``<span>``, ...) does not split. Words are whitespace tokens, joined
+    back with single spaces; a word is *linked* when its text node sits
+    inside an ``<a>`` subtree. Empty blocks are dropped, so ``n_words >= 1``
+    always.
+
+    One linear pass over the parser's flat pre-order node list — O(nodes),
+    no recursion, no re-reading of subtrees.
+    """
+    from crawler_spark.core.htmlparse import Element
+
+    doc = soup._doc
+    end = soup._end
+    blocks: List[tuple] = []
+    words: List[str] = []
+    linked = 0
+
+    def flush() -> None:
+        nonlocal linked
+        if words:
+            blocks.append((" ".join(words), len(words), linked))
+            words.clear()
+            linked = 0
+
+    end_stack: List[int] = []
+    link_until = -1
+    i = soup._pos + 1
+    while i < end:
+        while end_stack and end_stack[-1] <= i:
+            end_stack.pop()
+            flush()
+        node = doc[i]
+        if node.__class__ is str:
+            in_link = i < link_until
+            for w in node.split():
+                words.append(w)
+                if in_link:
+                    linked += 1
+            i += 1
+            continue
+        name = node.name
+        if name in _NONTEXT_TAGS:
+            i = node._end
+            continue
+        if name in _BLOCK_TAGS:
+            flush()
+            end_stack.append(node._end)
+        elif name == "a":
+            link_until = max(link_until, node._end)
+        i += 1
+    flush()
+    return blocks
