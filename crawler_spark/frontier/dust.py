@@ -207,6 +207,63 @@ def mine_dust_rules(
     return out.withColumn("valid", F.col("refutations") == 0)
 
 
+def dust_url_rewriter(rules: DataFrame, max_rules: int = 64):
+    """Adapt mined valid rules into the crawl's ``CrawlConfig.url_rewriter``
+    seam — the *learned* sibling of `redirects.redirect_url_rewriter`
+    (observed 3xx chains) and `redirects.canonical_url_rewriter`
+    (publisher-declared). Aliases collapse BEFORE domain policy / window
+    dedup / the seen anti-join, so the frontier stores one row per
+    canonical URL.
+
+    The rule table is vocabulary-sized by construction (support- and
+    refutation-filtered); the top ``max_rules`` in apply-preference order
+    (support desc, shortening desc, lexicographic) are collected once at
+    construction — a bounded, documented driver read, like the paper's
+    rule list — and compiled into one nested conditional expression. The
+    rewrite is then per-row, zero-join, zero-shuffle on the frontier hot
+    path, and picks exactly `apply_dust_rules`' best rule: the first
+    matching rule in preference order IS the best matching rule. Applied
+    once per candidate (no fixed-point), matching the apply pass.
+    """
+    from crawler_spark.operators.extract import domain_of
+
+    top = (
+        rules.select("alpha", "beta", "support")
+        .orderBy(
+            F.col("support").desc(),
+            (F.length("beta") - F.length("alpha")).asc(),
+            F.col("alpha"),
+            F.col("beta"),
+        )
+        .limit(max_rules)
+        .collect()
+    )
+
+    def rewriter(cand: DataFrame) -> DataFrame:
+        if not top:
+            return cand
+        new_url = F.col("url")
+        for r in reversed(top):
+            a, b = F.lit(r["alpha"]), F.lit(r["beta"])
+            new_url = F.when(
+                F.contains(F.col("url"), a), F.replace(F.col("url"), a, b)
+            ).otherwise(new_url)
+        return (
+            cand.withColumn("_dust_url", new_url)
+            .withColumn(
+                "host",
+                F.when(
+                    F.col("_dust_url") != F.col("url"),
+                    domain_of(F.col("_dust_url")),
+                ).otherwise(F.col("host")),
+            )
+            .withColumn("url", F.col("_dust_url"))
+            .drop("_dust_url")
+        )
+
+    return rewriter
+
+
 def apply_dust_rules(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
     """One canonicalization pass: best applicable rule per URL.
 

@@ -187,3 +187,119 @@ def test_url_content_keys_min_wins(spark):
         for r in url_content_keys(df, key_col="content_key").collect()
     }
     assert got == {"u": 3, "v": 9}
+
+
+class TestUrlRewriterSeam:
+    def _rules(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "alpha string, beta string, support long"
+        )
+
+    def test_rewrites_and_recomputes_host(self, spark, corpus_df):
+        from crawler_spark.frontier.dust import dust_url_rewriter, mine_dust_rules
+
+        valid = mine_dust_rules(corpus_df, key_col="content_key").filter("valid")
+        rw = dust_url_rewriter(valid)
+        cand = spark.createDataFrame(
+            [
+                ("https://m.site.test/a/3", "m.site.test"),
+                ("https://site.test/a/9/index.html", "site.test"),
+                ("https://site.test/c/x1", "site.test"),
+            ],
+            "url string, host string",
+        )
+        got = {r["url"]: r["host"] for r in rw(cand).collect()}
+        assert got == {
+            "https://site.test/a/3": "site.test",
+            "https://site.test/a/9": "site.test",
+            "https://site.test/c/x1": "site.test",  # refuted rule never compiled
+        }
+
+    def test_preference_matches_apply(self, spark):
+        from crawler_spark.frontier.dust import apply_dust_rules, dust_url_rewriter
+
+        rules = self._rules(
+            spark, [("aa", "b", 9), ("aa", "", 5), ("xa", "z", 9)]
+        )
+        urls = spark.createDataFrame(
+            [("https://h.test/xaay",), ("https://h.test/qaaq",)], "url string"
+        )
+        via_apply = {
+            r["url"]: r["canon_url"]
+            for r in apply_dust_rules(urls, rules).collect()
+        }
+        cand = urls.withColumn("host", F.lit("h.test"))
+        got = {r["url"] for r in dust_url_rewriter(rules)(cand).collect()}
+        assert got == set(via_apply.values())
+
+    def test_empty_rules_identity(self, spark, corpus_df):
+        from crawler_spark.frontier.dust import dust_url_rewriter
+
+        empty = self._rules(spark, [])
+        cand = corpus_df.select("url", F.lit("h").alias("host"))
+        assert dust_url_rewriter(empty)(cand) is cand
+
+    def test_max_rules_caps_compiled_set(self, spark):
+        from crawler_spark.frontier.dust import dust_url_rewriter
+
+        rules = self._rules(
+            spark, [("r1", "", 9), ("r2", "", 5)]
+        )
+        rw = dust_url_rewriter(rules, max_rules=1)
+        cand = spark.createDataFrame(
+            [("https://h.test/r1", "h.test"), ("https://h.test/r2", "h.test")],
+            "url string, host string",
+        )
+        got = {r["url"] for r in rw(cand).collect()}
+        # only the top-support rule survives the cap
+        assert got == {"https://h.test/", "https://h.test/r2"}
+
+
+def test_crawl_dust_rewriter_collapses_aliases(
+    spark, corpus_parquet, corpus_spec, tmp_path
+):
+    """End-to-end: mined-rule rewriter plugged into CrawlConfig.url_rewriter
+    makes the crawl fetch the canonical URL instead of the alias."""
+    from urllib.parse import urlparse
+
+    from crawler_spark.core import extract_links, parse_html
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+    from crawler_spark.frontier.dust import dust_url_rewriter
+
+    pages = spark.read.parquet(corpus_parquet)
+    seed = default_seeds(corpus_spec)[0]["url"]
+    seed_host = urlparse(seed).netloc
+    seed_row = pages.filter(pages["url"] == seed).first()
+    links = extract_links(parse_html(bytes(seed_row["html"])), seed)
+    same_host = [u for u in links if urlparse(u).netloc == seed_host and u != seed]
+    alias = same_host[0]
+    terminal = (
+        pages.filter(
+            pages["url"].startswith(f"https://{seed_host}/")
+            & ~pages["url"].isin(same_host + [seed])
+        )
+        .orderBy("url")
+        .first()["url"]
+    )
+    # envelope rule alias -> terminal, exactly as the miner would emit it
+    p = 0
+    while p < min(len(alias), len(terminal)) and alias[p] == terminal[p]:
+        p += 1
+    r1, r2 = alias[p:], terminal[p:]
+    s = 0
+    while s < min(len(r1), len(r2)) and r1[len(r1) - 1 - s] == r2[len(r2) - 1 - s]:
+        s += 1
+    rules = spark.createDataFrame(
+        [(r1[: len(r1) - s], r2[: len(r2) - s], 3)],
+        "alpha string, beta string, support long",
+    )
+    out = crawl(
+        spark,
+        pages,
+        [seed],
+        config=CrawlConfig(url_rewriter=dust_url_rewriter(rules), depth=1, max_pages=20),
+        run_dir=str(tmp_path / "dust_rw"),
+    ).pages(spark)
+    urls = {r["url"] for r in out.collect()}
+    assert alias not in urls and terminal in urls
