@@ -21,6 +21,7 @@ On a cluster:
                                       # prefix before a single WARC byte is
                                       # read
         [--extract s3a://bucket/extracted/] [--drop-traps] [--strict]
+        [--main-content s3a://bucket/main/]  # boilerpipe main-text records
         [--write-cdxj PATH]           # sorted CDX-J index of the ingest
         [--write-wet PATH]            # WET derivative (needs --extract)
         [--write-wat PATH]            # WAT derivative (needs --extract)
@@ -73,6 +74,11 @@ def main() -> None:
     p.add_argument("--write-wat", default=None, metavar="PATH",
                    help="write the WAT derivative (title/links metadata); "
                         "requires --extract")
+    p.add_argument("--main-content", default=None, metavar="PATH",
+                   help="also write boilerpipe-style main-content records "
+                        "(main_text + block stats, operators/maincontent.py) "
+                        "— the structural boilerplate strip, next to the "
+                        "reference-exact markdown of --extract")
     args = p.parse_args()
     if (args.write_wet or args.write_wat) and not args.extract:
         p.error("--write-wet/--write-wat require --extract")
@@ -119,6 +125,16 @@ def main() -> None:
     pages.write.mode("overwrite").parquet(args.output)
     out = {"output": args.output,
            "n_pages": spark.read.parquet(args.output).count()}
+
+    if args.main_content:
+        from crawler_spark.operators.maincontent import main_content
+
+        mc = main_content(
+            spark.read.parquet(args.output).select("url", "html")
+        )
+        mc.write.mode("overwrite").parquet(args.main_content)
+        out["main_content"] = args.main_content
+        out["n_main_content"] = spark.read.parquet(args.main_content).count()
 
     if args.extract:
         from crawler_spark.operators.extract import extract_pages

@@ -201,10 +201,12 @@ def test_ingest_warc_cli(spark, rows, tmp_path, monkeypatch):
     d = str(tmp_path / "shards")
     write_warc_files(d, rows, records_per_file=25)
     pages_p, ext_p = str(tmp_path / "pages"), str(tmp_path / "ext")
+    mc_p = str(tmp_path / "mc")
     monkeypatch.setattr(sys, "argv", [
         "ingest_warc.py", "--input", d + "/*.warc.gz",
         "--output", pages_p, "--extract", ext_p, "--strict",
         "--drop-traps", "--trap-min-urls", "1000",
+        "--main-content", mc_p,
     ])
     jiw.main()
     pages = spark.read.parquet(pages_p)
@@ -215,6 +217,11 @@ def test_ingest_warc_cli(spark, rows, tmp_path, monkeypatch):
         r["markdown"] == truth[r["url"]]
         for r in ext.select("url", "markdown").collect()
     )
+    mc = spark.read.parquet(mc_p)
+    assert mc.count() == pages.count()
+    assert set(mc.columns) == {
+        "url", "n_blocks", "n_content_blocks", "content_words", "main_text"
+    }
 
 
 def test_fractional_warc_date_parses(rows):
