@@ -2256,6 +2256,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_dust_rules(pages.select("url"), rules)
 
+    # ---- SQ8 scalar quantization ANN (operators/similarity.py): params
+    # from the corpus, every vector encoded to 8-bit codes, ADC top-10 for
+    # the min-vec_id query — all arithmetic exact BIGINT (fixed-point
+    # floor, integer-division codes, 255-scaled left-edge distances), so
+    # the oracle replays it bit-for-bit with an unnest + group pipeline.
+    def sq_topk_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import (
+            sq_encode,
+            sq_params,
+            sq_topk,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        params = sq_params(emb)
+        q = emb.orderBy("vec_id").first()["embedding"]
+        codes = sq_encode(emb, params)
+        return sq_topk(codes, [float(x) for x in q], params, k=10)
+
     # ---- boilerpipe main-content extraction (operators/maincontent.py):
     # synthesized pages with one-token words so block texts are exactly
     # reconstructible — nav (3 linked words), three paragraphs whose word
@@ -2666,6 +2684,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules_docs": dust_rules_docs,
         "dust_rewrite_docs": dust_rewrite_docs,
         "main_content_docs": main_content_docs,
+        "sq_topk_docs": sq_topk_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5483,6 +5502,37 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # SQ8 scalar quantization: exact-BIGINT replay — fixed-point floor,
+    # per-dimension min/max, integer-division codes with edge clamps, and
+    # the 255-scaled left-edge ADC distance; sum goes through HUGEINT so
+    # it is cast back to BIGINT to match Spark's long.
+    sql["sq_topk_docs"] = """
+        WITH ex AS (
+          SELECT e.vec_id, x.i AS i,
+                 CAST(floor(CAST(e.embedding[x.i] AS DOUBLE) * 16384)
+                      AS BIGINT) AS v
+          FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS x(i)
+        ),
+        mins AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i),
+        qv AS (
+          SELECT i, v AS qv FROM ex
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        ),
+        codes AS (
+          SELECT ex.vec_id, ex.i,
+                 least(255, greatest(0,
+                   ((ex.v - m.mn) * 255) // greatest(m.mx - m.mn, 1))) AS c,
+                 m.mn, greatest(m.mx - m.mn, 1) AS span
+          FROM ex JOIN mins m ON m.i = ex.i
+        ),
+        dd AS (
+          SELECT c.vec_id, 255 * (q.qv - c.mn) - c.c * c.span AS d
+          FROM codes c JOIN qv q ON q.i = c.i
+        )
+        SELECT vec_id, CAST(sum(d * d) AS BIGINT) AS sq_d2
+        FROM dd GROUP BY vec_id
+        ORDER BY sq_d2, vec_id LIMIT 10
+    """
     # boilerpipe main-content: rebuild the synthesized five-block page
     # per doc (all words are the single token 'w', so each block's text
     # is trim(repeat('w ', n))) and replay the NumWordsRulesClassifier
@@ -5852,6 +5902,12 @@ _EXTENDED_GATE = [
     # oracle, replay + threshold-boundary pytest in test_maincontent;
     # awaiting a round-4 driver slot
     "main_content_docs",
+    # SQ8 scalar-quantization ANN (operators/similarity.py sq_params/
+    # sq_encode/sq_topk — exact-BIGINT codes + ADC): new in the round-3
+    # fourth wave; full unnest/group SQL replay oracle, numpy-replay +
+    # clamp/rerank/plan pytest in test_pipeline_ops; awaiting a round-4
+    # driver slot
+    "sq_topk_docs",
 ]
 
 

@@ -332,6 +332,20 @@ def run(spark, sf_dir: str):
         books = pq_train(embs, m=4, k=16)
         pq_topk(pq_encode(embs, books), q, books, k=50).collect()
 
+    # ---- q_sq_topk: SQ8 scalar quantization (params + encode + ADC + rerank)
+    # (exact-BIGINT codes and distances; encode is a zero-shuffle scan)
+    with timed("q_sq_topk"):
+        from crawler_spark.operators.similarity import (
+            sq_encode,
+            sq_params,
+            sq_topk,
+        )
+
+        sqp = sq_params(embs)
+        sq_topk(
+            sq_encode(embs, sqp), q, sqp, k=50, rerank=embs, rerank_mult=4
+        ).collect()
+
     # ---- q_semantic_dedup: SemDedup cluster-bounded embedding dedup --------
     # (auto cluster count: expected cluster size stays constant as the
     # corpus grows — the within-cluster self-join never goes quadratic)

@@ -1407,3 +1407,156 @@ class TestCompressionRatio:
                 .executedPlan().toString())
         assert "ArrowEvalPython" in plan        # vectorized pandas UDF
         assert "BatchEvalPython" not in plan    # never row-at-a-time
+
+
+class TestScalarQuantization:
+    """SQ8 (operators/similarity.py sq_params/sq_encode/sq_topk): exact
+    numpy replay of codes and ADC ranking, reconstruction error bound,
+    clamping, rerank == brute force, partition invariance, JVM-only plan."""
+
+    SCALE = 1 << 14
+
+    @pytest.fixture(scope="class")
+    def vecs_sq(self, spark):
+        rng = np.random.RandomState(29)
+        data = rng.randn(150, 12).astype(np.float32)
+        data[149] = data[3]  # exact duplicate for rank sanity
+        rows = [(i, [float(x) for x in data[i]]) for i in range(150)]
+        return data, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def _np_params(self, data):
+        fx = np.floor(data.astype(np.float64) * self.SCALE).astype(np.int64)
+        return fx, fx.min(axis=0), fx.max(axis=0)
+
+    def test_codes_match_numpy_replay(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import sq_encode, sq_params
+
+        data, df = vecs_sq
+        params = sq_params(df)
+        fx, mn, mx = self._np_params(data)
+        assert params == list(zip(mn.tolist(), mx.tolist()))
+        span = np.maximum(mx - mn, 1)
+        exp = np.clip(((fx - mn) * 255) // span, 0, 255)
+        got = np.array(
+            [r["sq_code"] for r in
+             sq_encode(df, params).orderBy("vec_id").collect()]
+        )
+        assert (got == exp).all()
+        assert got.min() >= 0 and got.max() == 255
+
+    def test_reconstruction_error_bounded(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import sq_encode, sq_params
+
+        data, df = vecs_sq
+        params = sq_params(df)
+        mn = np.array([m for m, _ in params], dtype=np.float64)
+        span = np.array([max(x - m, 1) for m, x in params], dtype=np.float64)
+        got = np.array(
+            [r["sq_code"] for r in
+             sq_encode(df, params).orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        recon = (mn + got * span / 255.0) / self.SCALE
+        # left-edge decode: error < one cell + one fixed-point step
+        cell = span / 255.0 / self.SCALE
+        assert (np.abs(recon - data.astype(np.float64))
+                <= cell + 1.0 / self.SCALE + 1e-12).all()
+
+    def test_out_of_range_clamps(self, spark):
+        from crawler_spark.operators.similarity import sq_encode
+
+        df = spark.createDataFrame(
+            [(0, [5.0]), (1, [-5.0]), (2, [0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        params = [(0, 1 << 14)]  # trained on [0, 1] only
+        got = {
+            r["vec_id"]: r["sq_code"][0]
+            for r in sq_encode(df, params).collect()
+        }
+        assert got == {0: 255, 1: 0, 2: 127}
+
+    def test_adc_topk_matches_numpy_and_is_exact_integer(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import (
+            sq_encode,
+            sq_params,
+            sq_topk,
+        )
+
+        data, df = vecs_sq
+        params = sq_params(df)
+        codes = sq_encode(df, params)
+        q = [float(x) for x in data[3]]
+        got = [(r["vec_id"], r["sq_d2"]) for r in sq_topk(codes, q, params, k=6).collect()]
+        fx, mn, mx = self._np_params(data)
+        span = np.maximum(mx - mn, 1)
+        cexp = np.clip(((fx - mn) * 255) // span, 0, 255)
+        qfx = np.floor(np.array(q, dtype=np.float64) * self.SCALE).astype(np.int64)
+        dd = 255 * (qfx - mn) - cexp * span
+        d2 = (dd * dd).sum(axis=1)
+        order = np.lexsort((np.arange(len(d2)), d2))[:6]
+        assert [v for v, _ in got] == order.tolist()
+        assert got[0][1] == int(d2[order[0]])
+        # the duplicate pair (3, 149) leads with identical distances
+        assert {got[0][0], got[1][0]} == {3, 149}
+        assert got[0][1] == got[1][1]
+
+    def test_rerank_matches_brute_force(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import (
+            brute_force_topk,
+            sq_encode,
+            sq_params,
+            sq_topk,
+        )
+
+        data, df = vecs_sq
+        params = sq_params(df)
+        codes = sq_encode(df, params)
+        q = [float(x) for x in data[7]]
+        got = [
+            (r["vec_id"], r["cos"])
+            for r in sq_topk(
+                codes, q, params, k=5, rerank=df, rerank_mult=30
+            ).collect()
+        ]
+        exact = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(df, q, k=5).collect()
+        ]
+        assert got == exact
+
+    def test_partition_invariance(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import (
+            sq_encode,
+            sq_params,
+            sq_topk,
+        )
+
+        data, df = vecs_sq
+        q = [float(x) for x in data[11]]
+        base = None
+        for n in (1, 7):
+            d = df.repartition(n)
+            params = sq_params(d)
+            got = [
+                tuple(r)
+                for r in sq_topk(sq_encode(d, params), q, params, k=8).collect()
+            ]
+            if base is None:
+                base = got
+            assert got == base
+
+    def test_plan_jvm_only_zero_shuffle_encode(self, spark, vecs_sq):
+        from crawler_spark.operators.similarity import sq_encode, sq_params, sq_topk
+
+        data, df = vecs_sq
+        params = sq_params(df)
+        plan = sq_encode(df, params)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+        tplan = (
+            sq_topk(sq_encode(df, params), [0.0] * 12, params, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in tplan and "Python" not in tplan
