@@ -182,3 +182,27 @@ def rewrite_to_terminal(
         )
         .drop("_ru", "final_url", "_ok")
     )
+
+
+def compose_url_rewriters(*rewriters):
+    """Chain several ``CrawlConfig.url_rewriter`` adapters into one.
+
+    The engine now has three alias-collapse sources — observed redirect
+    chains (`redirect_url_rewriter`), publisher-declared canonicals
+    (`canonical_url_rewriter`), and mined DUST rules
+    (`frontier.dust.dust_url_rewriter`); a production frontier runs all
+    of them. Application order is left to right (redirects first is the
+    conventional order: resolve the fetch alias, then normalize the
+    name), each stage seeing the previous stage's output, all inside one
+    wave's candidate plan — no extra actions, no shuffles beyond what the
+    stages themselves add. ``None`` entries are skipped so callers can
+    pass optional stages unconditionally.
+    """
+    stages = [r for r in rewriters if r is not None]
+
+    def rewriter(cand):
+        for r in stages:
+            cand = r(cand)
+        return cand
+
+    return rewriter

@@ -175,3 +175,40 @@ def test_plan_is_jvm_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compose_url_rewriters(spark):
+    """Stages apply left to right; None stages skip; empty compose is
+    identity."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.frontier.dust import dust_url_rewriter
+    from crawler_spark.frontier.redirects import (
+        compose_url_rewriters,
+        redirect_url_rewriter,
+        resolve_redirects,
+    )
+
+    edges = spark.createDataFrame(
+        [("https://a.test/x", "https://b.test/y"), ("https://b.test/y", None)],
+        "url string, redirect_to string",
+    )
+    rules = spark.createDataFrame(
+        [("/y", "/z", 5)], "alpha string, beta string, support long"
+    )
+    rw = compose_url_rewriters(
+        redirect_url_rewriter(resolve_redirects(edges)),
+        None,
+        dust_url_rewriter(rules),
+    )
+    cand = spark.createDataFrame(
+        [("https://a.test/x", "a.test"), ("https://c.test/q", "c.test")],
+        "url string, host string",
+    )
+    got = {r["url"]: r["host"] for r in rw(cand).collect()}
+    # redirect a->b first, then the DUST rule rewrites /y -> /z
+    assert got == {"https://b.test/z": "b.test", "https://c.test/q": "c.test"}
+    ident = compose_url_rewriters()
+    assert {r["url"] for r in ident(cand).collect()} == {
+        "https://a.test/x", "https://c.test/q"
+    }
