@@ -2256,6 +2256,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return apply_dust_rules(pages.select("url"), rules)
 
+    # ---- <html lang> declared-language column (core/text.py
+    # extract_html_lang via the real extract kernel): doc_id%5 plants a
+    # clean tag, a case+region tag, a padded tag, an empty value, and an
+    # absent attribute; the oracle is the same CASE arithmetic.
+    def html_lang_docs(spark, sf_dir):
+        from crawler_spark.operators.extract import extract_pages
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = F.col("doc_id") % 5
+        lang = (
+            F.when(m == 0, F.lit("en"))
+            .when(m == 1, F.lit("EN-us"))
+            .when(m == 2, F.lit("fr "))
+            .otherwise(F.lit(""))
+        )
+        tail = F.lit('"><head><title>t</title></head><body>x</body></html>')
+        html = F.when(
+            m == 4,
+            F.lit("<html><head><title>t</title></head><body>x</body></html>"),
+        ).otherwise(F.concat(F.lit('<html lang="'), lang, tail))
+        pages = d.select(
+            F.concat(F.lit("https://l.test/"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            html.cast("binary").alias("html"),
+        )
+        return extract_pages(pages, carry=False).select(
+            F.expr("cast(substring(url, 16) as long)").alias("doc_id"),
+            "html_lang",
+        )
+
     # ---- SQ8 scalar quantization ANN (operators/similarity.py): params
     # from the corpus, every vector encoded to 8-bit codes, ADC top-10 for
     # the min-vec_id query — all arithmetic exact BIGINT (fixed-point
@@ -2685,6 +2716,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rewrite_docs": dust_rewrite_docs,
         "main_content_docs": main_content_docs,
         "sq_topk_docs": sq_topk_docs,
+        "html_lang_docs": html_lang_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5502,6 +5534,15 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # <html lang> declared language: the oracle is the planting arithmetic
+    # (clean / case+region folded / padded trimmed / empty and absent null)
+    sql["html_lang_docs"] = """
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN 'en' WHEN 1 THEN 'en-us' WHEN 2 THEN 'fr'
+                 ELSE NULL END AS html_lang
+        FROM documents
+    """
     # SQ8 scalar quantization: exact-BIGINT replay — fixed-point floor,
     # per-dimension min/max, integer-division codes with edge clamps, and
     # the 255-scaled left-edge ADC distance; sum goes through HUGEINT so
@@ -5908,6 +5949,11 @@ _EXTENDED_GATE = [
     # clamp/rerank/plan pytest in test_pipeline_ops; awaiting a round-4
     # driver slot
     "sq_topk_docs",
+    # <html lang> declared-language column through the real extract kernel
+    # (core/text.extract_html_lang): new in the round-3 fourth wave;
+    # planting-arithmetic oracle, unit + column pytest in test_robots_meta;
+    # awaiting a round-4 driver slot
+    "html_lang_docs",
 ]
 
 

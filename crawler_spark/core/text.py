@@ -113,6 +113,25 @@ def extract_canonical_url(soup: MiniSoup, base_url: str) -> Optional[str]:
     return None
 
 
+def extract_html_lang(soup: MiniSoup) -> Optional[str]:
+    """The page's declared language from ``<html lang>`` (fallback
+    ``xml:lang``), lowercased BCP-47 tag, or ``None``.
+
+    Beyond the reference (no language handling anywhere); the declared
+    tag is the cheap high-precision signal CC-style pipelines cross-check
+    against content language-ID (`operators/text_analysis.lang_id`) —
+    agreement boosts confidence, disagreement flags mislabeled or
+    template-translated pages. Empty/whitespace values are ``None``;
+    case folds because BCP-47 comparison is case-insensitive."""
+    el = soup.find("html")
+    if el is None:
+        return None
+    v = el.get("lang") or el.get("xml:lang")
+    if not v or not v.strip():
+        return None
+    return v.strip().lower()
+
+
 _FEED_TYPES = {"application/rss+xml", "application/atom+xml"}
 
 

@@ -28,6 +28,7 @@ from crawler_spark.core.text import (
     extract_link_rels,
     extract_page,
     extract_canonical_url,
+    extract_html_lang,
     extract_robots_directives,
     relevance,
 )
@@ -84,6 +85,9 @@ PAGE_RECORD_FIELDS = [
     # null when absent/malformed; feeds redirects.canonical_url_rewriter
     # (in-HTML alias collapse, the declarative twin of redirect chains)
     T.StructField("canonical_url", T.StringType()),
+    # <html lang> declared-language tag (beyond the reference): lowercased
+    # BCP-47 or null; the precision signal to cross-check lang_id against
+    T.StructField("html_lang", T.StringType()),
 ]
 
 _CARRY_COLS = ["seq", "wave", "depth", "parent_seq", "link_pos", "host"]
@@ -170,6 +174,7 @@ def _extract_batch(
         "robots_nofollow": [None] * n,
         "link_nofollow": [None] * n,
         "canonical_url": [None] * n,
+        "html_lang": [None] * n,
     }
     htmls = pdf["html"].tolist()
     urls = pdf["url"].tolist()
@@ -210,6 +215,7 @@ def _extract_batch(
         out["robots_nofollow"][i] = nofollow
         out["link_nofollow"][i] = extract_link_rels(soup, url)[:20]
         out["canonical_url"][i] = extract_canonical_url(soup, url)
+        out["html_lang"][i] = extract_html_lang(soup)
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):

@@ -249,3 +249,42 @@ def test_canonical_rewriter_collapses_aliases_in_crawl(spark, tmp_path):
     )
     burls = sorted(r["url"] for r in base.pages(spark).select("url").collect())
     assert "http://h/alias" in burls
+
+
+# --- <html lang> declared-language column -----------------------------------
+
+import pytest as _pytest
+
+from crawler_spark.core.text import extract_html_lang
+
+
+@_pytest.mark.parametrize(
+    "html, want",
+    [
+        ('<html lang="EN-us"><body>x</body></html>', "en-us"),
+        ('<html XML:LANG="fr"><body>x</body></html>', "fr"),
+        ('<html lang=" de "><body>x</body></html>', "de"),
+        ('<html lang=""><body>x</body></html>', None),
+        ('<html lang="   "><body>x</body></html>', None),
+        ("<html><body>x</body></html>", None),
+        ("<p>no html element</p>", None),
+        # first html element decides; lang beats xml:lang when both set
+        ('<html lang="ja" xml:lang="ko"><body>x</body></html>', "ja"),
+    ],
+)
+def test_extract_html_lang(html, want):
+    from crawler_spark.core.htmlparse import parse_html
+
+    assert extract_html_lang(parse_html(html)) == want
+
+
+def test_extract_emits_html_lang_column(spark):
+    from crawler_spark.operators.extract import extract_pages
+
+    pages = {
+        "http://h/en": '<html lang="en"><head><title>t</title></head><body>x</body></html>',
+        "http://h/none": "<html><head><title>t</title></head><body>x</body></html>",
+    }
+    ext = extract_pages(_corpus(spark, pages), carry=False)
+    rows = {r["url"]: r["html_lang"] for r in ext.collect()}
+    assert rows == {"http://h/en": "en", "http://h/none": None}
