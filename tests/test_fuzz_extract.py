@@ -75,3 +75,42 @@ def test_clean_text_idempotent(s):
 def test_normalize_url_total(base, href):
     out = normalize_url(base, href)
     assert out is None or isinstance(out, str)
+
+
+@given(html=_html_like)
+@settings(**_SETTINGS)
+def test_text_blocks_total_deterministic_and_consistent(html):
+    """extract_text_blocks never raises on hostile input, is deterministic,
+    and every block keeps its internal contract: non-empty single-spaced
+    text, n_words == len(text.split()), 0 <= n_linked <= n_words."""
+    from crawler_spark.core.text import extract_text_blocks
+
+    soup = parse_html(html)
+    b1 = extract_text_blocks(soup)
+    b2 = extract_text_blocks(parse_html(html))
+    assert b1 == b2
+    for text, nw, nl in b1:
+        assert text == " ".join(text.split()) and text
+        assert nw == len(text.split())
+        assert 0 <= nl <= nw
+
+
+@given(html=_html_like)
+@settings(**_SETTINGS)
+def test_classifier_total_on_fuzzed_blocks(html):
+    """The block classifier consumes whatever the segmenter emits."""
+    from crawler_spark.core.text import extract_text_blocks
+    from crawler_spark.operators.maincontent import classify_blocks_python
+
+    blocks = extract_text_blocks(parse_html(html))
+    keep = classify_blocks_python(blocks)
+    assert len(keep) == len(blocks) and all(isinstance(k, bool) for k in keep)
+
+
+@given(html=_html_like)
+@settings(**_SETTINGS)
+def test_html_lang_total_and_shaped(html):
+    from crawler_spark.core.text import extract_html_lang
+
+    v = extract_html_lang(parse_html(html))
+    assert v is None or (isinstance(v, str) and v == v.strip().lower() and v)
