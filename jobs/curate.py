@@ -12,6 +12,8 @@ On a cluster:
         [--min-source-quality 0.5 --max-source-dup 0.5]  # reputation pre-gate
         [--strip-dup-spans 8]   # Lee-et-al. duplicate n-gram span strip
         [--max-nll 4.0]         # CCNet-style corpus-LM perplexity cut
+        [--ppl-keep head middle [--ppl-by lang] [--ppl-bins 4096]]
+                                # CCNet head/middle/tail bucket gate
         [--nb-seed s3://bucket/seed/ --nb-buckets 4096]  # hashed-NB gate
         [--dsir-target s3://bucket/wiki/ --dsir-keep 1000000]  # DSIR top-k
         [--mirror-dedup 0.8]    # drop non-canonical mirror sources first
@@ -57,6 +59,17 @@ def main() -> None:
     p.add_argument("--max-nll", type=float, default=None,
                    help="CCNet-style cut: drop docs whose corpus-bigram-LM "
                         "mean NLL exceeds this (operators/lm.py)")
+    p.add_argument("--ppl-keep", nargs="+", default=None,
+                   metavar="BUCKET",
+                   help="CCNet head/middle/tail bucketing: keep only these "
+                        "ppl_bucket labels (e.g. --ppl-keep head middle); "
+                        "docs with no bigrams keep the 'unscored' label")
+    p.add_argument("--ppl-by", default=None, metavar="COL",
+                   help="bucket per this group column (CCNet buckets per "
+                        "language); default: one corpus-wide group")
+    p.add_argument("--ppl-bins", type=int, default=None, metavar="N",
+                   help="use the approx histogram path with N bins (the "
+                        "one-giant-group scale path) instead of exact ntile")
     p.add_argument("--strip-dup-spans", type=int, default=None, metavar="N",
                    help="strip tokens covered by corpus-duplicated N-grams "
                         "before curation (Lee et al.; operators/dedup.py). "
@@ -248,6 +261,27 @@ def main() -> None:
         docs = perplexity_filter(
             docs, args.max_nll, text_col=args.text_col, id_col=args.id_col
         ).drop("n_bigrams", "sum_logp_q", "avg_nll")
+    n_ppl = None
+    if args.ppl_keep:
+        from pyspark.sql import functions as F
+
+        from crawler_spark.operators.lm import perplexity_buckets
+
+        by = args.ppl_by
+        d = docs
+        if by is None:
+            d = d.withColumn("_ppl_g", F.lit("all"))
+            by = "_ppl_g"
+        b = perplexity_buckets(
+            d, by=by, n_buckets=3, text_col=args.text_col,
+            id_col=args.id_col, approx_bins=args.ppl_bins,
+        )
+        docs = (
+            b.filter(F.col("ppl_bucket").isin(list(args.ppl_keep)))
+            .drop("bucket", "ppl_bucket", "n_bigrams", "sum_logp_q",
+                  "avg_nll", "_ppl_g")
+        )
+        n_ppl = docs.count()
     curated = curate(
         docs,
         min_quality=args.min_quality,
@@ -324,6 +358,8 @@ def main() -> None:
         funnel["n_contained_dropped"] = n_contained_dropped
     if n_mixed is not None:
         funnel["n_mixed"] = n_mixed
+    if n_ppl is not None:
+        funnel["n_ppl_kept"] = n_ppl
     if n_nb is not None:
         funnel["n_nb_kept"] = n_nb
     if n_dsir is not None:

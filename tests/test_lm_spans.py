@@ -369,3 +369,47 @@ def test_ppl_buckets_approx_all_unscored(spark):
     )
     out = perplexity_buckets(df, approx_bins=128).collect()
     assert all(r["bucket"] is None and r["ppl_bucket"] == "unscored" for r in out)
+
+
+def test_curate_cli_ppl_keep(spark, tmp_path, monkeypatch):
+    """jobs/curate.py --ppl-keep: CCNet bucket gate keeps exactly the
+    head/middle ntiles, and the kept docs are the lowest-NLL ones."""
+    import sys
+
+    import jobs.curate as jc
+    from crawler_spark.operators.lm import lm_score
+
+    rows = []
+    for i in range(9):
+        # graded predictability: common filler repeated, plus i rare words
+        rare = " ".join(f"zq{i}x{j}" for j in range(i))
+        rows.append((i, ("the cat sat on the mat " * 4 + rare).strip(), "s"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    inp = str(tmp_path / "in")
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", out,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--ppl-keep", "head", "middle",
+    ])
+    jc.main()
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(kept) == 6
+    nll = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_score(docs, id_col="doc_id").collect()
+    }
+    dropped = set(nll) - kept
+    assert max(nll[i] for i in kept) <= min(nll[i] for i in dropped)
+
+    out2 = str(tmp_path / "out2")
+    monkeypatch.setattr(sys, "argv", [
+        "curate.py", "--input", inp, "--output", out2,
+        "--min-quality", "0.0", "--langs", "en", "unknown",
+        "--ppl-keep", "head", "--ppl-bins", "64",
+    ])
+    jc.main()
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert len(kept2) == 3 and kept2 <= kept
