@@ -111,6 +111,9 @@ class CrawlConfig:
     # pass the relevance gate. None = deterministic basic extraction
     # (byte-identical to the reference's no-API-key fallback).
     structured_extractor: Optional[object] = None
+    # compute the boilerpipe main_text column on the crawl's one parse
+    # (operators/maincontent.py semantics); False keeps the column null
+    extract_main_content: bool = False
     # URL-rewrite seam, applied to expanded candidate rows BEFORE the
     # domain policy / robots / window dedup / seen anti-join — alias urls
     # (redirect chains via frontier.redirects.redirect_url_rewriter,
@@ -468,7 +471,8 @@ def crawl(
             # enhanced_crawler.py:244-250), entirely JVM-side
             found = corpus.join(F.broadcast(taken), "url", "inner")
             parsed = extract_pages(found, instructions=cfg.instructions, carry=True,
-                                   structured_extractor=cfg.structured_extractor)
+                                   structured_extractor=cfg.structured_extractor,
+                                   main_content=cfg.extract_main_content)
             pages_path = ck.write_table(parsed, "pages", wave)
             # miss detection is free: the write's row count (parquet
             # footers locally, one job remotely) already equals taken_count
@@ -485,7 +489,8 @@ def crawl(
             # become error rows inside the extraction kernel
             fetched = taken.join(corpus, "url", "left")
             parsed = extract_pages(fetched, instructions=cfg.instructions, carry=True,
-                                   structured_extractor=cfg.structured_extractor)
+                                   structured_extractor=cfg.structured_extractor,
+                                   main_content=cfg.extract_main_content)
             pages_path = ck.write_table(parsed, "pages", wave)
             pages_lineage = ck.lineage_of(spark, pages_path)
         _mark("fetch_extract_write")

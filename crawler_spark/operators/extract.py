@@ -29,10 +29,12 @@ from crawler_spark.core.text import (
     extract_page,
     extract_canonical_url,
     extract_html_lang,
+    extract_text_blocks,
     extract_robots_directives,
     relevance,
 )
 from crawler_spark.core.urls import get_domain
+from crawler_spark.operators.maincontent import classify_blocks_python
 
 # Page-record schema: the reference's conditional dict keys become nullable
 # columns (SURVEY §1.2). `markdown`/`extracted` are null when gated (<0.3),
@@ -88,6 +90,10 @@ PAGE_RECORD_FIELDS = [
     # <html lang> declared-language tag (beyond the reference): lowercased
     # BCP-47 or null; the precision signal to cross-check lang_id against
     T.StructField("html_lang", T.StringType()),
+    # boilerpipe main text (operators/maincontent.py semantics, computed on
+    # the SAME parse when CrawlConfig.extract_main_content is set; null
+    # otherwise) — the structural boilerplate strip riding the crawl
+    T.StructField("main_text", T.StringType()),
 ]
 
 _CARRY_COLS = ["seq", "wave", "depth", "parent_seq", "link_pos", "host"]
@@ -157,7 +163,8 @@ def _apply_structured_extractor(
 
 
 def _extract_batch(
-    pdf: pd.DataFrame, instructions: Optional[str], structured_extractor=None
+    pdf: pd.DataFrame, instructions: Optional[str], structured_extractor=None,
+    main_content: bool = False,
 ) -> pd.DataFrame:
     """One Arrow batch of fetched frontier rows -> page-record rows."""
     n = len(pdf)
@@ -175,6 +182,7 @@ def _extract_batch(
         "link_nofollow": [None] * n,
         "canonical_url": [None] * n,
         "html_lang": [None] * n,
+        "main_text": [None] * n,
     }
     htmls = pdf["html"].tolist()
     urls = pdf["url"].tolist()
@@ -216,6 +224,13 @@ def _extract_batch(
         out["link_nofollow"][i] = extract_link_rels(soup, url)[:20]
         out["canonical_url"][i] = extract_canonical_url(soup, url)
         out["html_lang"][i] = extract_html_lang(soup)
+        if main_content:
+            # same parse, one linear block walk + the published tree
+            blocks = extract_text_blocks(soup)
+            keep = classify_blocks_python(blocks)
+            out["main_text"][i] = "\n\n".join(
+                b[0] for b, k in zip(blocks, keep) if k
+            )
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):
@@ -260,6 +275,7 @@ def extract_pages(
     instructions: Optional[str] = None,
     carry: bool = True,
     structured_extractor=None,
+    main_content: bool = False,
 ) -> DataFrame:
     """(url, html[, ts_iso, carry-cols]) -> page records via mapInPandas.
 
@@ -278,7 +294,9 @@ def extract_pages(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            res = _extract_batch(pdf, instructions, structured_extractor)
+            res = _extract_batch(
+                pdf, instructions, structured_extractor, main_content
+            )
             yield res[[c for c in names if c in res.columns]]
 
     return fetched.mapInPandas(run, schema=schema)

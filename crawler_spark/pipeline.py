@@ -24,16 +24,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def pages_to_documents(pages: DataFrame) -> DataFrame:
+def pages_to_documents(pages: DataFrame, text_col: str = "markdown") -> DataFrame:
     """Committed crawl pages -> the documents shape every corpus operator
-    consumes (see module docstring for the column mapping)."""
+    consumes (see module docstring for the column mapping).
+
+    ``text_col="main_text"`` trains on the boilerpipe main-content strip
+    instead of the reference-exact structured markdown — the crawl must
+    have run with ``CrawlConfig.extract_main_content=True`` so the column
+    is populated (all-boilerplate pages yield '' and are dropped here
+    with the same not-null gate as NULL-markdown sub-gate pages)."""
+    keep = F.col(text_col).isNotNull()
+    if text_col == "main_text":
+        keep = keep & (F.col(text_col) != "")
     return (
-        pages.filter(F.col("error").isNull() & F.col("markdown").isNotNull())
+        pages.filter(F.col("error").isNull() & keep)
         .select(
             F.xxhash64("url").alias("doc_id"),
-            F.col("markdown").alias("text"),
+            F.col(text_col).alias("text"),
             F.col("host").alias("source"),
-            F.length("markdown").cast("bigint").alias("n_chars"),
+            F.length(text_col).cast("bigint").alias("n_chars"),
         )
     )
 
@@ -50,6 +59,7 @@ def crawl_to_training_set(
     min_quality: float = 0.3,
     langs: Optional[Sequence[str]] = None,
     seq_len: Optional[int] = None,
+    text_source: str = "markdown",
     **assemble_kwargs,
 ) -> DataFrame:
     """Crawl ``corpus`` from ``seeds`` (checkpointed waves under
@@ -74,7 +84,7 @@ def crawl_to_training_set(
     from crawler_spark.operators.sampling import pack_sequences
 
     res = crawl(spark, corpus, list(seeds), crawl_config, run_dir=run_dir)
-    docs = pages_to_documents(res.pages(spark))
+    docs = pages_to_documents(res.pages(spark), text_col=text_source)
     if eval_docs is None:
         eval_docs = spark.createDataFrame([], "doc_id long, text string")
     out = assemble_training_set(

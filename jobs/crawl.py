@@ -67,6 +67,9 @@ def main() -> None:
                         "resolved (frontier/redirects.py) and candidate "
                         "urls rewrite to their terminals before dedup")
     p.add_argument("--redirect-max-hops", type=int, default=32)
+    p.add_argument("--main-content", action="store_true",
+                   help="also emit the boilerpipe main_text column "
+                        "(computed on the crawl's one parse)")
     p.add_argument("--seen-exact-urls", action="store_true",
                    help="key the seen anti-join by url string (collision-free) "
                         "instead of xxhash64 (default accepts ~2.7 expected "
@@ -107,6 +110,7 @@ def main() -> None:
         host_histogram_topk=args.host_histogram_topk,
         wave_target_sec=args.wave_target_sec or None,
         seen_exact_urls=args.seen_exact_urls,
+        extract_main_content=args.main_content,
     )
     if args.redirects:
         from crawler_spark.frontier.redirects import (

@@ -9,6 +9,7 @@ On a cluster:
         --token-budget 1000000 --min-quality 0.3 --langs en \
         [--eval s3://bucket/evaldocs/]   # benchmark decontamination
         [--seq-len 2048]                 # block-packed sequence bins
+        [--main-content]                 # train on boilerpipe main_text
         --output s3://bucket/training/
 
 Locally: ``python jobs/pipeline.py --corpus ... --seeds ... --run-dir ...
@@ -46,6 +47,9 @@ def main() -> None:
     p.add_argument("--eval", dest="eval_path", default=None,
                    help="documents-shaped parquet to decontaminate against")
     p.add_argument("--seq-len", type=int, default=None)
+    p.add_argument("--main-content", action="store_true",
+                   help="extract boilerpipe main_text during the crawl and "
+                        "train on it instead of the structured markdown")
     args = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -72,6 +76,7 @@ def main() -> None:
         CrawlConfig(
             depth=args.depth, max_pages=args.max_pages,
             host_budget=host_budget,
+            extract_main_content=args.main_content,
         ),
         run_dir=args.run_dir,
         token_budget=args.token_budget,
@@ -79,6 +84,7 @@ def main() -> None:
         min_quality=args.min_quality,
         langs=tuple(args.langs) if args.langs else None,
         seq_len=args.seq_len,
+        text_source="main_text" if args.main_content else "markdown",
     )
     out.write.mode("overwrite").parquet(args.output)
     done = spark.read.parquet(args.output)

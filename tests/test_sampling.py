@@ -577,6 +577,50 @@ def test_crawl_to_training_set_end_to_end(spark, corpus_parquet):
     out.unpersist()
 
 
+def test_crawl_to_training_set_main_content(spark, corpus_parquet):
+    """--main-content path: the crawl populates main_text on its one parse
+    and the pipeline trains on the stripped text — populated, different
+    from the markdown path, and never containing a link-list boilerplate
+    line the markdown keeps."""
+    import tempfile
+
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+    from crawler_spark.pipeline import crawl_to_training_set
+
+    corpus = spark.read.parquet(corpus_parquet)
+    seeds = [r["url"] for r in corpus.select("url").orderBy("url").limit(2).collect()]
+    cfg = CrawlConfig(depth=1, max_pages=20, extract_main_content=True)
+
+    res = crawl(spark, corpus, seeds, cfg, run_dir=tempfile.mkdtemp(prefix="mc_"))
+    pages = res.pages(spark).filter("error is null")
+    rows = pages.select("markdown", "main_text").collect()
+    assert all(r["main_text"] is not None for r in rows)
+    assert any(r["main_text"] != "" and r["main_text"] != r["markdown"] for r in rows)
+
+    out = crawl_to_training_set(
+        spark, corpus, seeds, cfg,
+        run_dir=tempfile.mkdtemp(prefix="mc2_"),
+        token_budget=5_000, text_source="main_text",
+    )
+    got = out.collect()
+    assert got and all(r["text"] for r in got)
+    # markdown headers never survive the block strip's plain-text join
+    assert all("#" not in r["text"] for r in got)
+
+
+def test_extract_main_content_off_keeps_column_null(spark, corpus_parquet):
+    from crawler_spark.frontier.bfs import CrawlConfig, crawl
+    import tempfile
+
+    corpus = spark.read.parquet(corpus_parquet)
+    seeds = [corpus.select("url").orderBy("url").first()["url"]]
+    res = crawl(spark, corpus, seeds, CrawlConfig(depth=0),
+                run_dir=tempfile.mkdtemp(prefix="mc0_"))
+    assert all(
+        r["main_text"] is None for r in res.pages(spark).collect()
+    )
+
+
 # --------------------------------------------------------------------------
 # deterministic weighted sampling without replacement (A-ES)
 # --------------------------------------------------------------------------
