@@ -5726,7 +5726,11 @@ _DRIVER_GATE = [
     # still value-hashes the same decontamination semantics — now through
     # the Bloom-sidecar probe path as well
     "contamination_pruned_docs",
-    "sample_budget_docs",
+    # sample_budget_docs rotated to extended (driver-green round 2; the
+    # exact per-source-window budget sampler is replayed stage-for-stage
+    # inside assemble_training_docs' pipeline CTE, on board above) so the
+    # round-3 fourth-wave DUST rule miner gets a driver row:
+    "dust_rules_docs",
 ]
 
 # Rotated out of the driver board (driver-green in BOTH round 1 and round 2,
@@ -5931,11 +5935,15 @@ _EXTENDED_GATE = [
     "repetition_docs",
     "c4_flags_docs",
     "line_dedup_docs",
-    # DUST rule mining + apply pass (frontier/dust.py — learned duplicate-
-    # URL rewrite rules): new in the round-3 fourth wave; full envelope/
-    # support/refutation SQL replay oracles, python-replay + plan tests in
+    # exact token-budget mixing: rotated off the driver board in the
+    # round-3 fourth wave (driver-green in round 2; the same exact
+    # sampler is replayed inside on-board assemble_training_docs) to give
+    # dust_rules_docs a driver row
+    "sample_budget_docs",
+    # DUST apply pass (frontier/dust.py — the miner itself is ON the
+    # driver board as dust_rules_docs): full envelope/support/refutation/
+    # best-rule SQL replay oracle, python-replay + plan tests in
     # test_dust; awaiting a round-4 driver slot
-    "dust_rules_docs",
     "dust_rewrite_docs",
     # boilerpipe-style main-content extraction (operators/maincontent.py —
     # block segmentation + the NumWordsRulesClassifier tree as a JVM HOF):

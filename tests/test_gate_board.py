@@ -106,7 +106,12 @@ FAMILY_REPRESENTATIVES = {
     # contamination_docs swapped for its Bloom-pruned twin in round 3 —
     # same oracle SQL, so the same semantics stay driver-checked
     "decontamination": "contamination_pruned_docs",
-    "budget mixing exact": "sample_budget_docs",
+    # sample_budget_docs rotated to extended in the round-3 fourth wave
+    # (driver-green round 2): assemble_training_docs replays the same
+    # exact per-source-window budget sampler stage-for-stage in its
+    # pipeline CTE, so exact-mixing semantics stay driver-checked
+    "budget mixing exact": "assemble_training_docs",
+    "dust rule mining": "dust_rules_docs",
     "budget mixing approx": "sample_budget_approx_docs",
     "connected components": "near_dup_clusters",
     "training-set assembly": "assemble_training_docs",
