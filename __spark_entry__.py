@@ -2287,6 +2287,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_lang",
         )
 
+    # ---- token P/R/F1 eval (operators/text_eval.py): pred = each doc's
+    # text, truth = the xor(doc_id,1)-paired doc's text (identical pairs
+    # exist when ids are dense; '' when the partner is absent) — exercises
+    # multiset tp, the empty-side conventions, and the 6dp ratio rounding.
+    def token_prf_docs(spark, sf_dir):
+        from crawler_spark.operators.text_eval import token_prf
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        pair = d.select(
+            F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+            F.col("text").alias("truth"),
+        )
+        j = d.join(pair, "doc_id", "left").select(
+            "doc_id",
+            F.col("text").alias("pred"),
+            F.coalesce("truth", F.lit("")).alias("truth"),
+        )
+        return token_prf(j, "pred", "truth")
+
     # ---- SQ8 scalar quantization ANN (operators/similarity.py): params
     # from the corpus, every vector encoded to 8-bit codes, ADC top-10 for
     # the min-vec_id query — all arithmetic exact BIGINT (fixed-point
@@ -2717,6 +2736,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_docs": main_content_docs,
         "sq_topk_docs": sq_topk_docs,
         "html_lang_docs": html_lang_docs,
+        "token_prf_docs": token_prf_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5534,6 +5554,52 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # token P/R/F1 eval: multiset-overlap replay — per-side token counts,
+    # min-join tp, the empty-side 1/0 conventions, f1 from UNROUNDED
+    # ratios with the same literal expression order, 6dp at the end
+    sql["token_prf_docs"] = r"""
+        WITH pairs AS (
+          SELECT d1.doc_id, d1.text AS pred, coalesce(d2.text, '') AS truth
+          FROM documents d1
+          LEFT JOIN documents d2 ON d2.doc_id = xor(d1.doc_id, 1)
+        ),
+        pt AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(pred)), '\s+') AS ptoks,
+                 string_split_regex(lower(trim(truth)), '\s+') AS ttoks
+          FROM pairs
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(len(ptoks) AS BIGINT) AS n_pred,
+                 CAST(len(ttoks) AS BIGINT) AS n_truth
+          FROM pt
+        ),
+        pc AS (SELECT doc_id, u AS token, count(*) AS c_pred
+               FROM pt, unnest(ptoks) AS t(u) GROUP BY 1, 2),
+        tc AS (SELECT doc_id, u AS token, count(*) AS c_truth
+               FROM pt, unnest(ttoks) AS t(u) GROUP BY 1, 2),
+        tpx AS (SELECT pc.doc_id, sum(least(c_pred, c_truth)) AS tp
+                FROM pc JOIN tc ON tc.doc_id = pc.doc_id
+                                AND tc.token = pc.token
+                GROUP BY 1),
+        pr AS (
+          SELECT s.doc_id, s.n_pred, s.n_truth,
+                 CAST(coalesce(x.tp, 0) AS BIGINT) AS tp,
+                 CASE WHEN s.n_pred = 0
+                      THEN CASE WHEN s.n_truth = 0 THEN 1.0 ELSE 0.0 END
+                      ELSE coalesce(x.tp, 0) / s.n_pred END AS p0,
+                 CASE WHEN s.n_truth = 0
+                      THEN CASE WHEN s.n_pred = 0 THEN 1.0 ELSE 0.0 END
+                      ELSE coalesce(x.tp, 0) / s.n_truth END AS r0
+          FROM sizes s LEFT JOIN tpx x ON x.doc_id = s.doc_id
+        )
+        SELECT doc_id, n_pred, n_truth, tp,
+               round(p0, 6) AS "precision",
+               round(r0, 6) AS recall,
+               round(CASE WHEN p0 + r0 = 0 THEN 0.0
+                          ELSE 2 * p0 * r0 / (p0 + r0) END, 6) AS f1
+        FROM pr
+    """
     # <html lang> declared language: the oracle is the planting arithmetic
     # (clean / case+region folded / padded trimmed / empty and absent null)
     sql["html_lang_docs"] = """
@@ -5962,6 +6028,11 @@ _EXTENDED_GATE = [
     # planting-arithmetic oracle, unit + column pytest in test_robots_meta;
     # awaiting a round-4 driver slot
     "html_lang_docs",
+    # token P/R/F1 eval (operators/text_eval.py — multiset-overlap scoring
+    # between text columns): new in the round-3 fourth wave; full SQL
+    # replay oracle, python-replay + convention pytest in test_text_eval;
+    # awaiting a round-4 driver slot
+    "token_prf_docs",
 ]
 
 

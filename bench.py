@@ -716,6 +716,19 @@ def run(spark, sf_dir: str):
             F.sum("content_words"), F.sum("n_content_blocks"), F.sum("n_blocks")
         ).collect()
 
+    # ---- q_token_prf: token P/R/F1 of the main-content strip vs the full
+    # extracted text (operators/text_eval.py — the eval primitive; one
+    # (id, token)-keyed exchange with map-side combine)
+    with timed("q_token_prf"):
+        from crawler_spark.operators.maincontent import main_content
+        from crawler_spark.operators.text_eval import prf_summary, token_prf
+
+        mc = main_content(corpus).select("url", F.col("main_text").alias("pred"))
+        truth = corpus.select("url", F.col("text").alias("truth"))
+        prf_summary(
+            token_prf(mc.join(truth, "url"), "pred", "truth", id_col="url")
+        ).collect()
+
     # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
     # (frontier/dust.py — planted constant-middle aliases give one
     # high-support rule; per-url session ids generate support-1 noise the

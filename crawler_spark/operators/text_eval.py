@@ -1,0 +1,122 @@
+"""Token-overlap evaluation: precision/recall/F1 between text columns.
+
+The eval primitive a training-data pipeline runs constantly: compare an
+extraction variant against a reference extraction (markdown vs
+main-content strip), a cleaned corpus against its raw source, generated
+summaries against gold text — at corpus scale, with exact arithmetic.
+This is the scoring half of what `sampling.contamination` does with
+membership: there the question is "does eval text LEAK into training
+data"; here it is "how much of the reference does a candidate recover,
+and how much of the candidate is noise".
+
+Semantics: token *multiset* overlap (standard token-level P/R/F1, the
+ROUGE-1/chrF-word family). ``tp`` per row is ``sum over distinct tokens
+of min(count_pred, count_truth)``; precision = tp/|pred|, recall =
+tp/|truth|, F1 the harmonic mean; empty sides define the usual zeros
+(both empty -> P=R=F1=1, one empty -> 0). Tokenization is the engine-wide
+``tokens_expr`` (lowercased whitespace split, empty-token filtered) so
+scores agree with every other operator's token counts.
+
+Scale shape: tokens explode to ``(id, token, side-count)`` rows that
+combine map-side before the one ``(id, token)``-keyed exchange — a hot
+document costs its *distinct-token vocabulary*, not its length; the
+per-id rollup rides the same shuffle's partitioning. No windows, no
+Python, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import tokens_expr
+
+
+def _token_counts(df: DataFrame, id_col: str, text_col: str, out: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias(out))
+    )
+
+
+def token_prf(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row token P/R/F1 of ``pred_col`` against ``truth_col``.
+
+    Returns ``(id, n_pred, n_truth, tp, precision, recall, f1)`` — counts
+    exact BIGINT, ratios rounded to 6dp. Every input row produces exactly
+    one output row (all-empty rows included).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({tokens_expr(pred_col)})").cast("bigint").alias("n_pred"),
+        F.expr(f"size({tokens_expr(truth_col)})").cast("bigint").alias("n_truth"),
+    )
+    p = _token_counts(df, id_col, pred_col, "c_pred")
+    t = _token_counts(df, id_col, truth_col, "c_truth")
+    tp = (
+        p.join(t, [id_col, "token"])
+        .groupBy(id_col)
+        .agg(F.sum(F.least("c_pred", "c_truth")).alias("tp"))
+    )
+    j = base.join(tp, id_col, "left").withColumn(
+        "tp", F.coalesce("tp", F.lit(0)).cast("bigint")
+    )
+    prec = F.when(F.col("n_pred") == 0, F.when(F.col("n_truth") == 0, 1.0).otherwise(0.0)).otherwise(
+        F.col("tp") / F.col("n_pred")
+    )
+    rec = F.when(F.col("n_truth") == 0, F.when(F.col("n_pred") == 0, 1.0).otherwise(0.0)).otherwise(
+        F.col("tp") / F.col("n_truth")
+    )
+    j = j.withColumn("_p", prec).withColumn("_r", rec)
+    f1 = F.when((F.col("_p") + F.col("_r")) == 0, 0.0).otherwise(
+        2 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r"))
+    )
+    return j.select(
+        id_col,
+        "n_pred",
+        "n_truth",
+        "tp",
+        F.round("_p", 6).alias("precision"),
+        F.round("_r", 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def prf_summary(scored: DataFrame) -> DataFrame:
+    """Corpus rollup of `token_prf` output: one row with micro scores
+    (token-mass-weighted: ratios of the exact global sums) and macro
+    scores (unweighted means of per-row ratios). Micro is the honest
+    headline for skewed document lengths; macro surfaces tail damage."""
+    a = scored.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("tp").alias("tp"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_truth").alias("n_truth"),
+        F.avg("precision").alias("mp"),
+        F.avg("recall").alias("mr"),
+        F.avg("f1").alias("mf"),
+    )
+    micro_p = F.when(F.col("n_pred") == 0, 0.0).otherwise(F.col("tp") / F.col("n_pred"))
+    micro_r = F.when(F.col("n_truth") == 0, 0.0).otherwise(F.col("tp") / F.col("n_truth"))
+    a = a.withColumn("_p", micro_p).withColumn("_r", micro_r)
+    micro_f = F.when((F.col("_p") + F.col("_r")) == 0, 0.0).otherwise(
+        2 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r"))
+    )
+    return a.select(
+        "n_rows",
+        "tp",
+        "n_pred",
+        "n_truth",
+        F.round("_p", 6).alias("micro_precision"),
+        F.round("_r", 6).alias("micro_recall"),
+        F.round(micro_f, 6).alias("micro_f1"),
+        F.round("mp", 6).alias("macro_precision"),
+        F.round("mr", 6).alias("macro_recall"),
+        F.round("mf", 6).alias("macro_f1"),
+    )
