@@ -2287,6 +2287,40 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_lang",
         )
 
+    # ---- OPIC cash arithmetic (frontier/opic.py): two unrolled waves
+    # over a planted doc_id%10 link structure — seeds (%10==0, 3 links
+    # each) crawl in wave 0, their first targets (%10==1, one link or
+    # dangling by %20) in wave 1. The two steps have a CLOSED FORM in the
+    # planting arithmetic (integer share/remainder per group), which is
+    # the oracle; state maps back to url strings for the value hash.
+    def opic_docs(spark, sf_dir):
+        from crawler_spark.frontier.opic import opic_init, opic_step
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        u = lambda c: F.concat(F.lit("https://o.test/"), c.cast("string"))
+        i = F.col("doc_id")
+        w0 = d.filter(i % 10 == 0).select(
+            u(i).alias("url"),
+            F.array(u(i + 1), u(i + 2), u(i + 3)).alias("links"),
+        )
+        w1 = d.filter(i % 10 == 1).select(
+            u(i).alias("url"),
+            F.when(i % 20 == 1, F.array(u(i + 1))).alias("links"),
+        )
+        seeds = [r["url"] for r in w0.select("url").orderBy("url").collect()]
+        state = opic_step(opic_step(opic_init(spark, seeds), w0), w1)
+        mentions = w0.select(
+            F.explode(F.concat(F.array("url"), "links")).alias("url")
+        ).unionByName(
+            w1.select(
+                F.explode(
+                    F.concat(F.array("url"), F.coalesce("links", F.array()))
+                ).alias("url")
+            )
+        ).distinct()
+        m = mentions.select("url", F.xxhash64("url").alias("url_hash"))
+        return state.join(m, "url_hash").select("url", "cash", "history")
+
     # ---- token P/R/F1 eval (operators/text_eval.py): pred = each doc's
     # text, truth = the xor(doc_id,1)-paired doc's text (identical pairs
     # exist when ids are dense; '' when the partner is absent) — exercises
@@ -2737,6 +2771,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk_docs": sq_topk_docs,
         "html_lang_docs": html_lang_docs,
         "token_prf_docs": token_prf_docs,
+        "opic_docs": opic_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5554,6 +5589,37 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # OPIC two-wave closed form: s0 = seed cash, sh = s0 div 3 (wave-0
+    # share), r0 = s0 mod 3 (kept by the seed). Wave 1 crawls u(d0+1)
+    # (cash sh -> history; its one link, present only when d0%20==0,
+    # sends sh on to u(d0+2)); u(d0+2)/u(d0+3) keep received cash.
+    sql["opic_docs"] = """
+        WITH n AS (SELECT count(*) AS n0 FROM documents WHERE doc_id % 10 = 0),
+        p AS (
+          SELECT (1073741824 // n0) AS s0,
+                 ((1073741824 // n0) // 3) AS sh,
+                 ((1073741824 // n0) % 3) AS r0
+          FROM n
+        ),
+        rows_ AS (
+          SELECT 'https://o.test/' || doc_id AS url,
+                 p.r0 AS cash, p.s0 AS history
+          FROM documents, p WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT 'https://o.test/' || (doc_id + 1), 0, p.sh
+          FROM documents, p WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT 'https://o.test/' || (doc_id + 2),
+                 p.sh + CASE WHEN doc_id % 20 = 0 THEN p.sh ELSE 0 END, 0
+          FROM documents, p WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT 'https://o.test/' || (doc_id + 3), p.sh, 0
+          FROM documents, p WHERE doc_id % 10 = 0
+        )
+        SELECT url, CAST(cash AS BIGINT) AS cash,
+               CAST(history AS BIGINT) AS history
+        FROM rows_ WHERE cash <> 0 OR history <> 0
+    """
     # token P/R/F1 eval: multiset-overlap replay — per-side token counts,
     # min-join tp, the empty-side 1/0 conventions, f1 from UNROUNDED
     # ratios with the same literal expression order, 6dp at the end
@@ -6033,6 +6099,12 @@ _EXTENDED_GATE = [
     # replay oracle, python-replay + convention pytest in test_text_eval;
     # awaiting a round-4 driver slot
     "token_prf_docs",
+    # OPIC online importance (frontier/opic.py — crawl-coupled cash
+    # diffusion via the wave_observer + priority_scorer seams): new in
+    # the round-3 fourth wave; closed-form two-wave SQL oracle,
+    # python-replay + crawl-coupled e2e pytest in test_opic; awaiting a
+    # round-4 driver slot
+    "opic_docs",
 ]
 
 

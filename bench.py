@@ -716,6 +716,27 @@ def run(spark, sf_dir: str):
             F.sum("content_words"), F.sum("n_content_blocks"), F.sum("n_blocks")
         ).collect()
 
+    # ---- q_opic: OPIC cash diffusion, three waves over the corpus URLs ----
+    # (frontier/opic.py — per wave: one wave-vs-state join, one exploded
+    # distribution, one union-aggregate; exact BIGINT cash)
+    with timed("q_opic"):
+        from crawler_spark.frontier.opic import opic_init, opic_step
+
+        urls = corpus.select("url")
+        seeds_df = urls.orderBy("url").limit(8)
+        wave = urls.select(
+            "url",
+            F.array(
+                F.concat("url", F.lit("/a")),
+                F.concat("url", F.lit("/b")),
+                F.concat("url", F.lit("/c")),
+            ).alias("links"),
+        )
+        st = opic_init(spark, [r["url"] for r in seeds_df.collect()])
+        for _ in range(3):
+            st = opic_step(st, wave).localCheckpoint(eager=True)
+        st.agg(F.sum("cash"), F.sum("history"), F.count("*")).collect()
+
     # ---- q_token_prf: token P/R/F1 of the main-content strip vs the full
     # extracted text (operators/text_eval.py — the eval primitive; one
     # (id, token)-keyed exchange with map-side combine)

@@ -114,6 +114,11 @@ class CrawlConfig:
     # compute the boilerpipe main_text column on the crawl's one parse
     # (operators/maincontent.py semantics); False keeps the column null
     extract_main_content: bool = False
+    # adaptive-signal seam: called once per wave as observer(wave_idx,
+    # committed_page_records) AFTER the wave's pages commit and BEFORE new
+    # frontier rows are scored — a stateful observer (e.g. frontier/opic.py)
+    # updates the state its priority_scorer reads. None = no observation.
+    wave_observer: Optional[object] = None
     # URL-rewrite seam, applied to expanded candidate rows BEFORE the
     # domain policy / robots / window dedup / seen anti-join — alias urls
     # (redirect chains via frontier.redirects.redirect_url_rewriter,
@@ -495,6 +500,11 @@ def crawl(
             pages_lineage = ck.lineage_of(spark, pages_path)
         _mark("fetch_extract_write")
         parsed_c = spark.read.parquet(pages_path)
+
+        if cfg.wave_observer is not None:
+            # the observer sees the committed records (stable parquet
+            # read-back), so its state updates replay identically on resume
+            cfg.wave_observer(wave, parsed_c)
 
         seen_wave = parsed_c.select(
             "url",
