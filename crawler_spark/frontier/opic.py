@@ -159,3 +159,31 @@ class Opic:
             .withColumn("priority", opic_priority_expr("_opic_c"))
             .drop("_opic_h", "_opic_c")
         )
+
+
+def opic_host_signal(state: DataFrame, seen: DataFrame) -> DataFrame:
+    """OPIC importance as a ``(host, score)`` signal for
+    `operators/priority.blend_host_signals` — the exploit term the next
+    crawl's composite scorer blends with PageRank/anchors/diversity.
+
+    ``seen`` is the crawl's committed seen table (``url_hash``, ``host``
+    columns — `WaveCommit` writes it per wave), which maps banked history
+    back to hosts without storing URL strings in the OPIC state. Score is
+    each host's share of total banked history, normalized to max 1.0
+    (``score = host_history / max_host_history``) so the top host scores
+    1 and everything else proportionally — same [0, 1] convention as the
+    other signals. Hosts with zero banked history drop out (unknown to
+    the blend, which treats missing as unknown, not zero).
+    """
+    per_host = (
+        state.join(seen.select("url_hash", "host").distinct(), "url_hash")
+        .groupBy("host")
+        .agg(F.sum("history").alias("_h"))
+        .filter(F.col("_h") > 0)
+    )
+    mx = per_host.agg(F.max("_h")).collect()[0][0]
+    if mx is None:
+        return per_host.select("host", F.lit(0.0).alias("score")).limit(0)
+    return per_host.select(
+        "host", (F.col("_h") / F.lit(float(mx))).alias("score")
+    )

@@ -143,3 +143,33 @@ def test_wave_observer_seam_counts_and_default_off(spark, corpus_parquet, corpus
     )
     assert [w for w, _ in calls] == sorted({w for w, _ in calls})
     assert all(n > 0 for _, n in calls) and len(calls) >= 2
+
+
+def test_opic_host_signal_feeds_composite_blend(spark, corpus_parquet, corpus_spec, tmp_path):
+    """OPIC history -> (host, score) signal -> blend_host_signals: the
+    exploit term of a two-signal composite, end to end."""
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+    from crawler_spark.frontier.opic import Opic, opic_host_signal
+    from crawler_spark.operators.priority import blend_host_signals
+
+    corpus = spark.read.parquet(corpus_parquet)
+    seeds = [default_seeds(corpus_spec)[0]["url"]]
+    opic = Opic(spark, seeds)
+    res = crawl(
+        spark, corpus, seeds,
+        CrawlConfig(depth=2, wave_observer=opic.observer,
+                    priority_scorer=opic.scorer),
+        run_dir=str(tmp_path / "hs"),
+    )
+    sig = opic_host_signal(opic.state, res.seen(spark))
+    rows = {r["host"]: r["score"] for r in sig.collect()}
+    assert rows and max(rows.values()) == 1.0
+    assert all(0 < v <= 1.0 for v in rows.values())
+    flat = spark.createDataFrame(
+        [(h, 0.5) for h in rows], "host string, score double"
+    )
+    blended = blend_host_signals({"opic": (sig, 2.0), "flat": (flat, 1.0)})
+    got = {r["host"]: r["score"] for r in blended.collect()}
+    for h, v in rows.items():
+        assert abs(got[h] - (2.0 * v + 0.5) / 3.0) < 1e-9
