@@ -2287,6 +2287,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_lang",
         )
 
+    # ---- duplication-aware exact dedup (operators/dedup.py
+    # exact_dedup_counts): texts truncated to 40 chars so real duplicate
+    # groups form; survivor = min doc_id, n_copies = group size.
+    def dedup_counts_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import exact_dedup_counts
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr("substring(text, 1, 40)").alias("text")
+        )
+        return exact_dedup_counts(d).select("doc_id", "text", "n_copies")
+
     # ---- OPIC cash arithmetic (frontier/opic.py): two unrolled waves
     # over a planted doc_id%10 link structure — seeds (%10==0, 3 links
     # each) crawl in wave 0, their first targets (%10==1, one link or
@@ -2772,6 +2783,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_lang_docs": html_lang_docs,
         "token_prf_docs": token_prf_docs,
         "opic_docs": opic_docs,
+        "dedup_counts_docs": dedup_counts_docs,
         "phrase_search_docs": phrase_search_docs,
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
@@ -5589,6 +5601,15 @@ def _all_oracle_sql() -> dict[str, str]:
     )
     # apply pass: best valid rule per URL — support desc, shortening
     # desc (length(beta) - length(alpha) asc), then (alpha, beta)
+    # duplication-aware exact dedup: plain SQL group-by replay
+    sql["dedup_counts_docs"] = """
+        WITH t AS (
+          SELECT doc_id, substring(text, 1, 40) AS text FROM documents
+        )
+        SELECT min(doc_id) AS doc_id, text,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM t GROUP BY text
+    """
     # OPIC two-wave closed form: s0 = seed cash, sh = s0 div 3 (wave-0
     # share), r0 = s0 mod 3 (kept by the seed). Wave 1 crawls u(d0+1)
     # (cash sh -> history; its one link, present only when d0%20==0,
@@ -6105,6 +6126,11 @@ _EXTENDED_GATE = [
     # python-replay + crawl-coupled e2e pytest in test_opic; awaiting a
     # round-4 driver slot
     "opic_docs",
+    # duplication-aware exact dedup (operators/dedup.exact_dedup_counts —
+    # survivor + n_copies repetition weight): new in the round-3 fourth
+    # wave; plain group-by oracle, weighted-sample feed pytest in
+    # test_dust; awaiting a round-4 driver slot
+    "dedup_counts_docs",
 ]
 
 

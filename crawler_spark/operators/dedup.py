@@ -72,6 +72,30 @@ def exact_dedup(
     )
 
 
+def exact_dedup_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """`exact_dedup` plus an ``n_copies`` column: how many identical
+    copies the surviving row stood for.
+
+    Duplication count is a *signal*, not just waste — pipelines that
+    dedup aggressively then reweight survivors by copy count (frequency
+    as a crude quality/prominence prior) feed ``n_copies`` straight into
+    `sampling.weighted_sample` / `sampling.temperature_budgets`. Same
+    single content-hash shuffle as `exact_dedup` (the count rides the
+    same aggregate), deterministic min-id survivor.
+    """
+    hashed = content_hash(df, text_col)
+    keep = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        hashed.join(keep, ["content_hash", id_col], "inner")
+        .drop("content_hash")
+    )
+
+
 def tokens_expr(text_col: str) -> str:
     """Whitespace tokenization, lowercased — shared by shingles/simhash.
 

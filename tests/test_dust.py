@@ -303,3 +303,42 @@ def test_crawl_dust_rewriter_collapses_aliases(
     ).pages(spark)
     urls = {r["url"] for r in out.collect()}
     assert alias not in urls and terminal in urls
+
+
+# --- duplication-aware dedup counts (operators/dedup.exact_dedup_counts) ---
+# (lives here rather than test_pipeline_ops to avoid re-collecting that
+# module's session fixtures for one small family)
+
+
+def test_exact_dedup_counts_survivor_and_weights(spark):
+    from crawler_spark.operators.dedup import exact_dedup, exact_dedup_counts
+    from crawler_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "popular page body") for i in range(5)]
+    rows += [(10, "rare page body"), (11, "another rare body")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["n_copies"] for r in exact_dedup_counts(df).collect()}
+    assert got == {0: 5, 10: 1, 11: 1}
+    # same survivors as the plain operator
+    plain = {r["doc_id"] for r in exact_dedup(df).collect()}
+    assert set(got) == plain
+    # copy count feeds the deterministic weighted sampler directly
+    surv = exact_dedup_counts(df).withColumn(
+        "w", F.col("n_copies").cast("double")
+    )
+    top1 = weighted_sample(surv, 1, "w").collect()
+    assert len(top1) == 1  # heavy weight dominates in expectation only —
+    # determinism (not distribution) is the contract being pinned here
+    rerun = weighted_sample(surv, 1, "w").collect()
+    assert [tuple(r) for r in top1] == [tuple(r) for r in rerun]
+
+
+def test_exact_dedup_counts_partition_invariance(spark):
+    from crawler_spark.operators.dedup import exact_dedup_counts
+
+    rows = [(i, f"body {i % 4}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = sorted(map(tuple, exact_dedup_counts(df.coalesce(1)).collect()))
+    alt = sorted(map(tuple, exact_dedup_counts(df.repartition(7)).collect()))
+    assert base == alt and len(base) == 4
+    assert all(r[-1] == 5 for r in base)
