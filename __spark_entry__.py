@@ -2310,7 +2310,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").select("doc_id")
         u = lambda c: F.concat(F.lit("https://o.test/"), c.cast("string"))
         i = F.col("doc_id")
-        w0 = d.filter(i % 10 == 0).select(
+        # seeds whose wave-1 crawlee (doc_id + 1) exists — keeps the
+        # closed-form oracle exact at the doc_id tail for any table size
+        mx = d.agg(F.max("doc_id")).collect()[0][0]
+        w0 = d.filter((i % 10 == 0) & (i + 1 <= mx)).select(
             u(i).alias("url"),
             F.array(u(i + 1), u(i + 2), u(i + 3)).alias("links"),
         )
@@ -5575,7 +5578,9 @@ def _all_oracle_sql() -> dict[str, str]:
         inst AS (
           SELECT r.alpha, r.beta, u.content_key,
                  replace(u.url, r.alpha, r.beta) AS rewritten
-          FROM rules r JOIN uk u ON strpos(u.url, r.alpha) > 0
+          FROM rules r JOIN uk u
+            ON length(u.url) - length(replace(u.url, r.alpha, ''))
+               = length(r.alpha)
         ),
         refs AS (
           SELECT i.alpha, i.beta,
@@ -5615,7 +5620,9 @@ def _all_oracle_sql() -> dict[str, str]:
     # (cash sh -> history; its one link, present only when d0%20==0,
     # sends sh on to u(d0+2)); u(d0+2)/u(d0+3) keep received cash.
     sql["opic_docs"] = """
-        WITH n AS (SELECT count(*) AS n0 FROM documents WHERE doc_id % 10 = 0),
+        WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        n AS (SELECT count(*) AS n0 FROM documents, mx
+              WHERE doc_id % 10 = 0 AND doc_id + 1 <= m),
         p AS (
           SELECT (1073741824 // n0) AS s0,
                  ((1073741824 // n0) // 3) AS sh,
@@ -5625,17 +5632,17 @@ def _all_oracle_sql() -> dict[str, str]:
         rows_ AS (
           SELECT 'https://o.test/' || doc_id AS url,
                  p.r0 AS cash, p.s0 AS history
-          FROM documents, p WHERE doc_id % 10 = 0
+          FROM documents, p, mx WHERE doc_id % 10 = 0 AND doc_id + 1 <= m
           UNION ALL
           SELECT 'https://o.test/' || (doc_id + 1), 0, p.sh
-          FROM documents, p WHERE doc_id % 10 = 0
+          FROM documents, p, mx WHERE doc_id % 10 = 0 AND doc_id + 1 <= m
           UNION ALL
           SELECT 'https://o.test/' || (doc_id + 2),
                  p.sh + CASE WHEN doc_id % 20 = 0 THEN p.sh ELSE 0 END, 0
-          FROM documents, p WHERE doc_id % 10 = 0
+          FROM documents, p, mx WHERE doc_id % 10 = 0 AND doc_id + 1 <= m
           UNION ALL
           SELECT 'https://o.test/' || (doc_id + 3), p.sh, 0
-          FROM documents, p WHERE doc_id % 10 = 0
+          FROM documents, p, mx WHERE doc_id % 10 = 0 AND doc_id + 1 <= m
         )
         SELECT url, CAST(cash AS BIGINT) AS cash,
                CAST(history AS BIGINT) AS history
@@ -5783,7 +5790,9 @@ def _all_oracle_sql() -> dict[str, str]:
         valid AS (SELECT * FROM scored WHERE refutations = 0),
         app AS (
           SELECT u.url, v.alpha, v.beta, v.support
-          FROM uk u JOIN valid v ON strpos(u.url, v.alpha) > 0
+          FROM uk u JOIN valid v
+            ON length(u.url) - length(replace(u.url, v.alpha, ''))
+               = length(v.alpha)
         ),
         best AS (
           SELECT url, alpha, beta,

@@ -30,9 +30,11 @@ substring-substitution rules):
    distinct pairs survive; everything else (middles that embed a page
    id, one-off noise) dies in a vocabulary-sized aggregate.
 4. **Refutation** — the paper's validity test: apply each surviving
-   rule to every corpus URL containing ``alpha``; if the rewritten URL
-   is a *known* URL serving *different* content, that instance refutes
-   the rule. Valid rules have zero refutations. The rules table is
+   rule to every corpus URL where ``alpha`` occurs EXACTLY ONCE (a rule
+   never fires on multi-occurrence URLs — substitution position would be
+   ambiguous and a blanket replace-all would corrupt them); if the
+   rewritten URL is a *known* URL serving *different* content, that
+   instance refutes the rule. Valid rules have zero refutations. The rules table is
    always tiny and broadcast; the only corpus-sized exchange is the
    lookup join of rewritten URLs against the url->key table.
 5. **Apply** — one rewrite pass per crawl cycle: each URL takes its
@@ -151,14 +153,18 @@ def candidate_rules(pairs: DataFrame, min_support: int = 2) -> DataFrame:
 def refutation_counts(rules: DataFrame, url_keys: DataFrame) -> DataFrame:
     """Validity test: count refuting instances per rule.
 
-    An *instance* is a corpus URL containing ``alpha``; rewriting it and
-    finding a known URL with a *different* content key refutes the rule
-    (rewrites landing on unknown URLs are neutral, per the paper). The
-    rules side is broadcast; the rewritten-lookup join is the single
-    corpus-sized exchange.
+    An *instance* is a corpus URL where ``alpha`` occurs exactly once
+    (the only case a rule ever applies to — see the module docstring);
+    rewriting it and finding a known URL with a *different* content key
+    refutes the rule (rewrites landing on unknown URLs are neutral, per
+    the paper). The rules side is broadcast; the rewritten-lookup join
+    is the single corpus-sized exchange.
     """
     inst = url_keys.join(
-        F.broadcast(rules), F.expr("instr(url, alpha) > 0")
+        F.broadcast(rules),
+        F.expr(
+            "length(url) - length(replace(url, alpha, '')) = length(alpha)"
+        ),
     ).select(
         "alpha",
         "beta",
@@ -245,9 +251,10 @@ def dust_url_rewriter(rules: DataFrame, max_rules: int = 64):
         new_url = F.col("url")
         for r in reversed(top):
             a, b = F.lit(r["alpha"]), F.lit(r["beta"])
-            new_url = F.when(
-                F.contains(F.col("url"), a), F.replace(F.col("url"), a, b)
-            ).otherwise(new_url)
+            once = (
+                F.length("url") - F.length(F.replace(F.col("url"), a, F.lit("")))
+            ) == F.lit(len(r["alpha"]))
+            new_url = F.when(once, F.replace(F.col("url"), a, b)).otherwise(new_url)
         return (
             cand.withColumn("_dust_url", new_url)
             .withColumn(
@@ -268,14 +275,19 @@ def apply_dust_rules(urls: DataFrame, rules: DataFrame, url_col: str = "url") ->
     """One canonicalization pass: best applicable rule per URL.
 
     Rule preference is (support desc, shortening desc, alpha, beta) — a
-    total order, so the output is deterministic. URLs matching no rule
+    total order, so the output is deterministic. A rule applies only
+    where its ``alpha`` occurs exactly once (matching the mining-side
+    instance definition; multi-occurrence URLs pass through rather than
+    risk a corrupting multi-site substitution). URLs matching no rule
     pass through unchanged. Single pass by design (run once per crawl
     cycle); the rules table is broadcast, and the only exchange is the
     per-URL min-aggregate.
     """
     picked = urls.select(F.col(url_col).alias("url")).join(
         F.broadcast(rules.select("alpha", "beta", "support")),
-        F.expr("instr(url, alpha) > 0"),
+        F.expr(
+            "length(url) - length(replace(url, alpha, '')) = length(alpha)"
+        ),
         "left",
     )
     pick = F.when(

@@ -135,14 +135,29 @@ class Opic:
         opic.state  # (url_hash, cash, history) — history IS the
                     # importance estimate; join host/url tables as needed
 
-    The observer runs on each wave's committed page records, so a
-    resumed crawl replays identical state; ``localCheckpoint`` keeps the
-    per-wave plan flat.
+    The crawl loop does NOT re-run committed waves on resume, so a
+    freshly constructed ``Opic`` would hold only seed state after a
+    restart — call :meth:`replay` against the run-dir first; it feeds
+    every committed wave's page records through the same ``opic_step``
+    in wave order, which reproduces the pre-crash state exactly (the
+    observer always sees the COMMITTED records, so replay and the
+    original observation are the same computation). ``localCheckpoint``
+    keeps the per-wave plan flat.
     """
 
     def __init__(self, spark: SparkSession, seeds: Sequence[str]):
         self.state = opic_init(spark, seeds).localCheckpoint(eager=True)
         self.waves_observed: List[int] = []
+
+    def replay(self, spark: SparkSession, run_dir: str) -> None:
+        """Rebuild state from a run-dir's committed waves (resume path)."""
+        from crawler_spark.frontier.checkpoint import WaveCommit
+
+        ck = WaveCommit(run_dir)
+        for w in sorted(ck.committed_waves()):
+            pages = ck.read_table(spark, "pages", waves=[w])
+            if pages is not None:
+                self.observer(w, pages)
 
     def observer(self, wave: int, pages: DataFrame) -> None:
         self.state = opic_step(self.state, pages).localCheckpoint(eager=True)
@@ -180,7 +195,8 @@ def opic_host_signal(state: DataFrame, seen: DataFrame) -> DataFrame:
         .groupBy("host")
         .agg(F.sum("history").alias("_h"))
         .filter(F.col("_h") > 0)
-    )
+    ).localCheckpoint(eager=False)  # the max() collect and the returned
+    # plan both read it — compute the join+aggregate once
     mx = per_host.agg(F.max("_h")).collect()[0][0]
     if mx is None:
         return per_host.select("host", F.lit(0.0).alias("score")).limit(0)

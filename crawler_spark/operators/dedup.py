@@ -62,14 +62,11 @@ def exact_dedup(
     """Exact dedup: keep the smallest id per identical content.
 
     Deterministic first-wins (min id), one shuffle on the content hash;
-    map-side partial aggregation comes free from groupBy+min.
+    map-side partial aggregation comes free from groupBy+min. Same plan
+    as `exact_dedup_counts` minus the count column (the count rides the
+    identical aggregate for free) — one implementation, two surfaces.
     """
-    hashed = content_hash(df, text_col)
-    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    return (
-        hashed.join(keep, ["content_hash", id_col], "inner")
-        .drop("content_hash")
-    )
+    return exact_dedup_counts(df, text_col, id_col).drop("n_copies")
 
 
 def exact_dedup_counts(

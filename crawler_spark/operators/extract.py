@@ -224,13 +224,6 @@ def _extract_batch(
         out["link_nofollow"][i] = extract_link_rels(soup, url)[:20]
         out["canonical_url"][i] = extract_canonical_url(soup, url)
         out["html_lang"][i] = extract_html_lang(soup)
-        if main_content:
-            # same parse, one linear block walk + the published tree
-            blocks = extract_text_blocks(soup)
-            keep = classify_blocks_python(blocks)
-            out["main_text"][i] = "\n\n".join(
-                b[0] for b, k in zip(blocks, keep) if k
-            )
         out["relevance"][i] = {"score": float(score), "reason": reason}
         ts = tss[i]
         if ts is None or pd.isna(ts):
@@ -243,6 +236,15 @@ def _extract_batch(
             out["timestamp"][i] = dt.isoformat()
         if score >= RELEVANCE_GATE:
             out["markdown"][i] = markdown
+            if main_content:
+                # same parse, one linear block walk + the published tree;
+                # gated WITH markdown so the main-text training path sees
+                # exactly the pages the reference-exact path admits
+                blocks = extract_text_blocks(soup)
+                keep = classify_blocks_python(blocks)
+                out["main_text"][i] = "\n\n".join(
+                    b[0] for b, k in zip(blocks, keep) if k
+                )
             if structured_extractor is not None:
                 out["extracted"][i] = _apply_structured_extractor(
                     structured_extractor, soup, title, url, instructions

@@ -95,32 +95,51 @@ def keep_blocks_expr(col: str = "blocks") -> str:
 
 
 def segment_blocks(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset_col: str = None,
 ) -> DataFrame:
     """pages(url, html) -> (url, blocks) — the Python-side segmentation.
 
     Arrow-batched, one ``parse_html`` + one linear node scan per page.
     NULL/unparseable html yields an empty block array (never a dropped
-    row — downstream joins must see every fetched URL).
+    row — downstream joins must see every fetched URL). ``charset_col``
+    names the transport charset hint (the WARC reader's ``charset``
+    column): bytes then decode through the same BOM/hint/meta-sniff
+    ladder as the extract path, so main-content records of a Shift_JIS
+    page match its extraction records instead of UTF-8 mojibake.
     """
-    src = pages.select(
-        F.col(url_col).alias("url"), F.col(html_col).cast("binary").alias("html")
-    )
+    cols = [
+        F.col(url_col).alias("url"),
+        F.col(html_col).cast("binary").alias("html"),
+    ]
+    if charset_col is not None:
+        cols.append(F.col(charset_col).alias("_charset"))
+    src = pages.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from crawler_spark.core.htmlparse import parse_html
         from crawler_spark.core.text import extract_text_blocks
 
         for pdf in batches:
+            charsets = (
+                [c if isinstance(c, str) else None
+                 for c in pdf["_charset"].tolist()]
+                if "_charset" in pdf.columns
+                else [None] * len(pdf)
+            )
             out = []
-            for html in pdf["html"].tolist():
+            for html, cs in zip(pdf["html"].tolist(), charsets):
                 if html is None:
                     out.append([])
                     continue
                 out.append(
                     [
                         {"text": t, "n_words": w, "n_linked": l}
-                        for t, w, l in extract_text_blocks(parse_html(html))
+                        for t, w, l in extract_text_blocks(
+                            parse_html(html, charset=cs)
+                        )
                     ]
                 )
             yield pd.DataFrame({"url": pdf["url"], "blocks": out})
@@ -137,7 +156,10 @@ def segment_blocks(
 
 
 def main_content(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    charset_col: str = None,
 ) -> DataFrame:
     """pages(url, html) -> per-page main text + block statistics.
 
@@ -146,7 +168,9 @@ def main_content(
     blank lines, document order). Pages that are all boilerplate (or
     empty) return ``main_text = ''`` — callers gate on ``content_words``.
     """
-    d = segment_blocks(pages, url_col=url_col, html_col=html_col)
+    d = segment_blocks(
+        pages, url_col=url_col, html_col=html_col, charset_col=charset_col
+    )
     d = d.withColumn("keep", F.expr(keep_blocks_expr("blocks")))
     return d.select(
         "url",

@@ -754,9 +754,17 @@ def sq_params(
     both engines floor identically), then one corpus pass computes
     per-dimension min/max — a posexplode + dimension-keyed aggregate, so
     the exchange carries #dims rows. Returns ``[(mn, mx), ...]`` fixed-
-    point BIGINTs, dimension order. The default ``scale`` (2^14) keeps the
-    ADC distance square sums within BIGINT for |x| <= ~100 at 4k dims
-    (|255 * span| <= 2^23 per term squared 2^46, headroom 2^17 terms).
+    point BIGINTs, dimension order.
+
+    Overflow envelope for `sq_topk`'s exact-BIGINT distances: each
+    squared term is ``(255 * span)^2`` with ``span = (mx - mn) * scale``
+    in fixed point, so the sum stays inside int64 while
+    ``dims * (255 * span)^2 < 2^63`` — at the default scale (2^14) that
+    is value ranges up to ~4.7 at 4k dims or ~30 at 128 dims
+    (``span <= sqrt(2^63 / dims) / 255``). For wider-range embeddings
+    pass a smaller ``scale`` (every operation here degrades gracefully in
+    resolution, never in determinism); normalized/unit embeddings — the
+    usual ANN input — are far inside the envelope.
     """
     d = df.select(F.posexplode(vec_col).alias("i", "x")).select(
         "i", F.expr(f"cast(floor(cast(x as double) * {scale}) as bigint)").alias("fx")

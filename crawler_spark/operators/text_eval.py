@@ -32,9 +32,16 @@ from pyspark.sql import functions as F
 from crawler_spark.operators.dedup import tokens_expr
 
 
+def _toks(text_col: str) -> str:
+    # NULL text follows the empty-text conventions (a relevance-gated
+    # page's NULL markdown/main_text is "nothing extracted", not "skip
+    # this row") — coalesce before tokenizing
+    return tokens_expr(f"coalesce({text_col}, '')")
+
+
 def _token_counts(df: DataFrame, id_col: str, text_col: str, out: str) -> DataFrame:
     return (
-        df.select(F.col(id_col), F.explode(F.expr(tokens_expr(text_col))).alias("token"))
+        df.select(F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias(out))
     )
@@ -50,12 +57,13 @@ def token_prf(
 
     Returns ``(id, n_pred, n_truth, tp, precision, recall, f1)`` — counts
     exact BIGINT, ratios rounded to 6dp. Every input row produces exactly
-    one output row (all-empty rows included).
+    one output row; NULL text counts as empty (the empty-side 1/0
+    conventions apply, never a NULL score).
     """
     base = df.select(
         F.col(id_col),
-        F.expr(f"size({tokens_expr(pred_col)})").cast("bigint").alias("n_pred"),
-        F.expr(f"size({tokens_expr(truth_col)})").cast("bigint").alias("n_truth"),
+        F.expr(f"size({_toks(pred_col)})").cast("bigint").alias("n_pred"),
+        F.expr(f"size({_toks(truth_col)})").cast("bigint").alias("n_truth"),
     )
     p = _token_counts(df, id_col, pred_col, "c_pred")
     t = _token_counts(df, id_col, truth_col, "c_truth")

@@ -30,9 +30,11 @@ def pages_to_documents(pages: DataFrame, text_col: str = "markdown") -> DataFram
 
     ``text_col="main_text"`` trains on the boilerpipe main-content strip
     instead of the reference-exact structured markdown — the crawl must
-    have run with ``CrawlConfig.extract_main_content=True`` so the column
-    is populated (all-boilerplate pages yield '' and are dropped here
-    with the same not-null gate as NULL-markdown sub-gate pages)."""
+    have run with ``CrawlConfig.extract_main_content=True``. ``main_text``
+    is populated ONLY for pages that pass the relevance gate (it is
+    gated together with ``markdown`` in the extraction kernel), so both
+    text sources admit the identical page population; all-boilerplate
+    survivors yield '' and are additionally dropped here."""
     keep = F.col(text_col).isNotNull()
     if text_col == "main_text":
         keep = keep & (F.col(text_col) != "")

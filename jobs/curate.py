@@ -68,8 +68,11 @@ def main() -> None:
                    help="bucket per this group column (CCNet buckets per "
                         "language); default: one corpus-wide group")
     p.add_argument("--ppl-bins", type=int, default=None, metavar="N",
-                   help="use the approx histogram path with N bins (the "
-                        "one-giant-group scale path) instead of exact ntile")
+                   help="use the approx histogram path with N bins instead "
+                        "of exact ntile (defaults to 4096 when --ppl-by is "
+                        "omitted — one corpus-wide group must never sort in "
+                        "a single window task; pass --ppl-by for the exact "
+                        "per-group path)")
     p.add_argument("--strip-dup-spans", type=int, default=None, metavar="N",
                    help="strip tokens covered by corpus-duplicated N-grams "
                         "before curation (Lee et al.; operators/dedup.py). "
@@ -269,12 +272,18 @@ def main() -> None:
 
         by = args.ppl_by
         d = docs
+        bins = args.ppl_bins
         if by is None:
+            # one corpus-wide group: the exact path would sort EVERYTHING
+            # in a single ntile window task — default to the bounded
+            # histogram path unless the caller explicitly sized it
             d = d.withColumn("_ppl_g", F.lit("all"))
             by = "_ppl_g"
+            if bins is None:
+                bins = 4096
         b = perplexity_buckets(
             d, by=by, n_buckets=3, text_col=args.text_col,
-            id_col=args.id_col, approx_bins=args.ppl_bins,
+            id_col=args.id_col, approx_bins=bins,
         )
         docs = (
             b.filter(F.col("ppl_bucket").isin(list(args.ppl_keep)))

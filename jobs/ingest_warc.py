@@ -129,8 +129,14 @@ def main() -> None:
     if args.main_content:
         from crawler_spark.operators.maincontent import main_content
 
+        pages_df = spark.read.parquet(args.output)
+        # route the WARC transport charset through the same decode ladder
+        # as --extract so both record families read the page identically
         mc = main_content(
-            spark.read.parquet(args.output).select("url", "html")
+            pages_df.select("url", "html", "charset"),
+            charset_col="charset",
+        ) if "charset" in pages_df.columns else main_content(
+            pages_df.select("url", "html")
         )
         mc.write.mode("overwrite").parquet(args.main_content)
         out["main_content"] = args.main_content

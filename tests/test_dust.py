@@ -51,7 +51,7 @@ def py_mine(url_keys, min_support=2, max_df=50):
     for (a, b), c in kept.items():
         ref = 0
         for u, k in key.items():
-            if a in u:
+            if u.count(a) == 1:
                 rw = u.replace(a, b)
                 if rw in key and key[rw] != k:
                     ref += 1
@@ -342,3 +342,44 @@ def test_exact_dedup_counts_partition_invariance(spark):
     alt = sorted(map(tuple, exact_dedup_counts(df.repartition(7)).collect()))
     assert base == alt and len(base) == 4
     assert all(r[-1] == 5 for r in base)
+
+
+def test_rules_never_fire_on_multi_occurrence_urls(spark):
+    """alpha occurring more than once: the rule does not apply (no
+    replace-all corruption), in the apply pass, the rewriter, AND the
+    refutation instance definition."""
+    from crawler_spark.frontier.dust import (
+        apply_dust_rules,
+        dust_url_rewriter,
+        refutation_counts,
+    )
+
+    rules = spark.createDataFrame(
+        [("m.", "", 5)], "alpha string, beta string, support long"
+    )
+    urls = spark.createDataFrame(
+        [("https://m.site.test/m.video.html",), ("https://m.site.test/a",)],
+        "url string",
+    )
+    got = {r["url"]: r["canon_url"] for r in apply_dust_rules(urls, rules).collect()}
+    assert got == {
+        "https://m.site.test/m.video.html": "https://m.site.test/m.video.html",
+        "https://m.site.test/a": "https://site.test/a",
+    }
+    rw = dust_url_rewriter(rules)
+    cand = urls.withColumn("host", F.lit("m.site.test"))
+    got2 = {r["url"] for r in rw(cand).collect()}
+    assert got2 == {"https://m.site.test/m.video.html", "https://site.test/a"}
+    # refutation: the double-m. url is not an instance, so a would-be
+    # refuting collision through replace-all never counts
+    uk = spark.createDataFrame(
+        [
+            ("https://m.site.test/m.video.html", 1),
+            ("https://site.test/video.html", 2),
+            ("https://m.site.test/a", 3),
+            ("https://site.test/a", 3),
+        ],
+        "url string, content_key long",
+    )
+    refs = refutation_counts(rules, uk).collect()[0]
+    assert refs["refutations"] == 0

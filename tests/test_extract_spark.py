@@ -132,3 +132,24 @@ def test_extracted_data_renders_in_markdown_export(spark):
     report = export_markdown_string(pages, meta={"url": "t", "depth": 0})
     # reference layout enhanced_crawler.py:474-478
     assert "### Extracted Data\n\n- **k1:** v1\n- **k2:** v2\n\n" in report
+
+
+def test_relevance_gate_also_nulls_main_text(spark, corpus_parquet):
+    """main_text is gated WITH markdown: a sub-gate page must not leak a
+    populated main_text into the --main-content training path."""
+    pages = spark.read.parquet(corpus_parquet)
+    parsed = extract_pages(
+        pages.select("url", "html", "warc_ts"),
+        instructions="zzzznonexistent relevance keyword qqqq",
+        carry=False,
+        main_content=True,
+    )
+    rows = parsed.collect()
+    gated = [r for r in rows if r["relevance"]["score"] < 0.3]
+    assert gated
+    assert all(r["main_text"] is None for r in gated)
+    # no instructions -> fixed 0.5 score, everything passes the gate
+    open_rows = extract_pages(
+        pages.select("url", "html", "warc_ts"), carry=False, main_content=True
+    ).collect()
+    assert open_rows and all(r["main_text"] is not None for r in open_rows)

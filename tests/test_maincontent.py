@@ -147,3 +147,19 @@ class TestEndToEnd:
         assert plan.count("MapInPandas") == 1
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_segment_blocks_charset_ladder(spark):
+    """A Shift_JIS page with a transport charset hint decodes through the
+    same ladder as the extract path; without the hint it mojibakes."""
+    jp = "これはテストです"
+    html = f"<p>{jp} words here</p>".encode("shift_jis")
+    df = spark.createDataFrame(
+        [("u", html, "shift_jis")], "url string, html binary, charset string"
+    )
+    from crawler_spark.operators.maincontent import segment_blocks
+
+    with_cs = segment_blocks(df, charset_col="charset").collect()[0]["blocks"]
+    assert jp in with_cs[0]["text"]
+    without = segment_blocks(df).collect()[0]["blocks"]
+    assert jp not in (without[0]["text"] if without else "")

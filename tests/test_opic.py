@@ -173,3 +173,27 @@ def test_opic_host_signal_feeds_composite_blend(spark, corpus_parquet, corpus_sp
     got = {r["host"]: r["score"] for r in blended.collect()}
     for h, v in rows.items():
         assert abs(got[h] - (2.0 * v + 0.5) / 3.0) < 1e-9
+
+
+def test_replay_rebuilds_state_for_resume(spark, corpus_parquet, corpus_spec, tmp_path):
+    """Opic.replay over a committed run-dir reproduces the live observer's
+    state bit-for-bit — the documented resume path."""
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+    from crawler_spark.frontier.opic import Opic
+
+    corpus = spark.read.parquet(corpus_parquet)
+    seeds = [default_seeds(corpus_spec)[0]["url"]]
+    live = Opic(spark, seeds)
+    crawl(
+        spark, corpus, seeds,
+        CrawlConfig(depth=2, wave_observer=live.observer,
+                    priority_scorer=live.scorer),
+        run_dir=str(tmp_path / "rp"),
+    )
+    rebuilt = Opic(spark, seeds)
+    rebuilt.replay(spark, str(tmp_path / "rp"))
+    a = sorted(map(tuple, live.state.collect()))
+    b = sorted(map(tuple, rebuilt.state.collect()))
+    assert a == b and len(a) > 0
+    assert rebuilt.waves_observed == live.waves_observed

@@ -93,3 +93,19 @@ def test_self_comparison_is_perfect(spark, corpus_parquet):
     )
     s = prf_summary(token_prf(pages, "a", "b")).collect()[0]
     assert s["micro_f1"] == 1.0 and s["macro_f1"] == 1.0
+
+
+def test_null_text_follows_empty_conventions(spark):
+    df = spark.createDataFrame(
+        [(0, None, "some truth"), (1, "some pred", None), (2, None, None)],
+        "doc_id int, pred string, truth string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pred"], r["n_truth"], r["precision"], r["recall"], r["f1"])
+        for r in token_prf(df, "pred", "truth").collect()
+    }
+    assert got[0] == (0, 2, 0.0, 0.0, 0.0)
+    assert got[1] == (2, 0, 0.0, 0.0, 0.0)
+    assert got[2] == (0, 0, 1.0, 1.0, 1.0)
+    s = prf_summary(token_prf(df, "pred", "truth")).collect()[0]
+    assert s["n_rows"] == 3 and s["macro_f1"] == round(1 / 3, 6)
