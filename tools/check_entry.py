@@ -106,6 +106,12 @@ def main():
         # the driver no longer records, so the full contract stays checkable
         qs.update(E.queries_extended())
         oracles.update(E.oracle_sql_extended())
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd (or imaginary-flag) filter must fail loudly — a filter
+        # matching nothing would otherwise "pass" without running a gate
+        print(f"unknown gate name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
 
     t0 = time.time()
