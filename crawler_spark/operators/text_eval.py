@@ -96,12 +96,15 @@ def token_prf(
     )
 
 
-def prf_summary(scored: DataFrame) -> DataFrame:
+def prf_summary(scored: DataFrame, by: str = None) -> DataFrame:
     """Corpus rollup of `token_prf` output: one row with micro scores
     (token-mass-weighted: ratios of the exact global sums) and macro
     scores (unweighted means of per-row ratios). Micro is the honest
-    headline for skewed document lengths; macro surfaces tail damage."""
-    a = scored.agg(
+    headline for skewed document lengths; macro surfaces tail damage.
+    ``by`` groups the rollup (e.g. per source host — the extraction-
+    quality report shape); one map-side-combined aggregate either way."""
+    g = scored.groupBy(by) if by else scored.groupBy()
+    a = g.agg(
         F.count("*").alias("n_rows"),
         F.sum("tp").alias("tp"),
         F.sum("n_pred").alias("n_pred"),
@@ -116,7 +119,9 @@ def prf_summary(scored: DataFrame) -> DataFrame:
     micro_f = F.when((F.col("_p") + F.col("_r")) == 0, 0.0).otherwise(
         2 * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r"))
     )
+    lead = [by] if by else []
     return a.select(
+        *lead,
         "n_rows",
         "tp",
         "n_pred",

@@ -109,3 +109,18 @@ def test_null_text_follows_empty_conventions(spark):
     assert got[2] == (0, 0, 1.0, 1.0, 1.0)
     s = prf_summary(token_prf(df, "pred", "truth")).collect()[0]
     assert s["n_rows"] == 3 and s["macro_f1"] == round(1 / 3, 6)
+
+
+def test_summary_grouped_by(spark):
+    rows = [(0, "s1", "a b", "a b"), (1, "s1", "a", "b"), (2, "s2", "x y", "x y")]
+    df = spark.createDataFrame(rows, "doc_id int, src string, pred string, truth string")
+    scored = token_prf(df, "pred", "truth").join(
+        df.select("doc_id", "src"), "doc_id"
+    )
+    got = {r["src"]: r for r in prf_summary(scored, by="src").collect()}
+    assert got["s2"]["micro_f1"] == 1.0 and got["s2"]["n_rows"] == 1
+    assert got["s1"]["n_rows"] == 2 and got["s1"]["tp"] == 2
+    assert got["s1"]["micro_precision"] == round(2 / 3, 6)
+    # grouped rows contain the same columns as the global rollup + key
+    glob = prf_summary(scored).collect()[0]
+    assert set(got["s1"].asDict()) == {"src", *glob.asDict().keys()}
