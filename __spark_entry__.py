@@ -2354,6 +2354,36 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return token_prf(j, "pred", "truth")
 
+    # ---- word-bigram P/R/F1 (operators/text_eval.ngram_prf, the ROUGE-2
+    # multiset form): same xor(doc_id,1) pairing as token_prf_docs, so the
+    # two gates differ only in the overlap unit — this one is order-
+    # sensitive and exercises the <n-token empty-bigram convention.
+    def ngram_prf_docs(spark, sf_dir):
+        from crawler_spark.operators.text_eval import ngram_prf
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        pair = d.select(
+            F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+            F.col("text").alias("truth"),
+        )
+        j = d.join(pair, "doc_id", "left").select(
+            "doc_id",
+            F.col("text").alias("pred"),
+            F.coalesce("truth", F.lit("")).alias("truth"),
+        )
+        return ngram_prf(j, "pred", "truth", n=2)
+
+    # ---- RAKE keyphrases (operators/text_analysis.rake_keywords): top-5
+    # phrases per document — delimiter split on the 26-word stopword set +
+    # punctuation-only tokens, fixed-point deg/freq word scores, exact
+    # integer phrase sums, (score desc, phrase) ranking. The oracle replays
+    # every stage (phrase grouping via pos - row_number gaps included).
+    def rake_keywords_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import rake_keywords
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return rake_keywords(d, k=5)
+
     # ---- SQ8 scalar quantization ANN (operators/similarity.py): params
     # from the corpus, every vector encoded to 8-bit codes, ADC top-10 for
     # the min-vec_id query — all arithmetic exact BIGINT (fixed-point
@@ -2785,6 +2815,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk_docs": sq_topk_docs,
         "html_lang_docs": html_lang_docs,
         "token_prf_docs": token_prf_docs,
+        "ngram_prf_docs": ngram_prf_docs,
+        "rake_keywords_docs": rake_keywords_docs,
         "opic_docs": opic_docs,
         "dedup_counts_docs": dedup_counts_docs,
         "phrase_search_docs": phrase_search_docs,
@@ -5694,6 +5726,127 @@ def _all_oracle_sql() -> dict[str, str]:
                           ELSE 2 * p0 * r0 / (p0 + r0) END, 6) AS f1
         FROM pr
     """
+    # word-bigram P/R/F1: token_prf's multiset replay with the overlap unit
+    # swapped for space-joined adjacent-token pairs (range(1, len) is empty
+    # below two tokens — the ROUGE-N "no n-grams" convention on both sides)
+    sql["ngram_prf_docs"] = r"""
+        WITH pairs AS (
+          SELECT d1.doc_id, d1.text AS pred, coalesce(d2.text, '') AS truth
+          FROM documents d1
+          LEFT JOIN documents d2 ON d2.doc_id = xor(d1.doc_id, 1)
+        ),
+        tk AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(pred)), '\s+') AS ptk,
+                 string_split_regex(lower(trim(truth)), '\s+') AS ttk
+          FROM pairs
+        ),
+        pt AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(ptk)),
+                                i -> ptk[i] || ' ' || ptk[i + 1]) AS ptoks,
+                 list_transform(range(1, len(ttk)),
+                                i -> ttk[i] || ' ' || ttk[i + 1]) AS ttoks
+          FROM tk
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(len(ptoks) AS BIGINT) AS n_pred,
+                 CAST(len(ttoks) AS BIGINT) AS n_truth
+          FROM pt
+        ),
+        pc AS (SELECT doc_id, u AS token, count(*) AS c_pred
+               FROM pt, unnest(ptoks) AS t(u) GROUP BY 1, 2),
+        tc AS (SELECT doc_id, u AS token, count(*) AS c_truth
+               FROM pt, unnest(ttoks) AS t(u) GROUP BY 1, 2),
+        tpx AS (SELECT pc.doc_id, sum(least(c_pred, c_truth)) AS tp
+                FROM pc JOIN tc ON tc.doc_id = pc.doc_id
+                                AND tc.token = pc.token
+                GROUP BY 1),
+        pr AS (
+          SELECT s.doc_id, s.n_pred, s.n_truth,
+                 CAST(coalesce(x.tp, 0) AS BIGINT) AS tp,
+                 CASE WHEN s.n_pred = 0
+                      THEN CASE WHEN s.n_truth = 0 THEN 1.0 ELSE 0.0 END
+                      ELSE coalesce(x.tp, 0) / s.n_pred END AS p0,
+                 CASE WHEN s.n_truth = 0
+                      THEN CASE WHEN s.n_pred = 0 THEN 1.0 ELSE 0.0 END
+                      ELSE coalesce(x.tp, 0) / s.n_truth END AS r0
+          FROM sizes s LEFT JOIN tpx x ON x.doc_id = s.doc_id
+        )
+        SELECT doc_id, n_pred, n_truth, tp,
+               round(p0, 6) AS "precision",
+               round(r0, 6) AS recall,
+               round(CASE WHEN p0 + r0 = 0 THEN 0.0
+                          ELSE 2 * p0 * r0 / (p0 + r0) END, 6) AS f1
+        FROM pr
+    """
+    # RAKE keyphrases: full stage replay — normalized tokens, stopword/
+    # punctuation delimiters, phrase grouping via pos - row_number gaps
+    # (DuckDB's 1-based positions shift grp by a constant, grouping is
+    # unchanged), fixed-point deg*2^20 // freq word scores, exact integer
+    # phrase sums, min-collapse of identical phrases, (score desc, phrase)
+    # row_number <= 5. regexp_replace needs the 'g' flag here (Spark
+    # replaces all matches by default; DuckDB only the first).
+    from crawler_spark.core.text import STOPWORDS as _SW
+
+    _rake_stop = ", ".join(f"'{w}'" for w in sorted(_SW))
+    sql["rake_keywords_docs"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, tk[i] AS tok, i AS pos
+          FROM (SELECT doc_id, {_D_TOKS} AS tk FROM documents) d,
+               unnest(range(1, len(tk) + 1)) AS x(i)
+        ),
+        normed AS (
+          SELECT doc_id, pos,
+                 regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS w
+          FROM toks
+        ),
+        members AS (
+          SELECT doc_id, pos, w,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM normed
+          WHERE w <> '' AND w NOT IN ({_rake_stop})
+        ),
+        plen AS (SELECT doc_id, grp, count(*) AS plen
+                 FROM members GROUP BY 1, 2),
+        wstats AS (
+          SELECT m.doc_id, m.w, count(*) AS freq,
+                 CAST(sum(p.plen) AS BIGINT) AS deg
+          FROM members m
+          JOIN plen p ON p.doc_id = m.doc_id AND p.grp = m.grp
+          GROUP BY 1, 2
+        ),
+        wsc AS (SELECT doc_id, w, (deg * 1048576) // freq AS wscore_fp
+                FROM wstats),
+        phrases AS (
+          SELECT doc_id, grp, string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 count(*) AS n_words
+          FROM members GROUP BY 1, 2
+        ),
+        pscore AS (
+          SELECT m.doc_id, m.grp, CAST(sum(s.wscore_fp) AS BIGINT) AS score_fp
+          FROM members m
+          JOIN wsc s ON s.doc_id = m.doc_id AND s.w = m.w
+          GROUP BY 1, 2
+        ),
+        dd AS (
+          SELECT p.doc_id, p.phrase,
+                 CAST(min(sc.score_fp) AS BIGINT) AS score_fp,
+                 CAST(min(p.n_words) AS BIGINT) AS n_words
+          FROM phrases p
+          JOIN pscore sc ON sc.doc_id = p.doc_id AND sc.grp = p.grp
+          GROUP BY 1, 2
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score_fp DESC, phrase) AS rank
+          FROM dd
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, phrase, n_words,
+               round(score_fp / 1048576.0, 6) AS score
+        FROM rk WHERE rank <= 5
+    """
     # <html lang> declared language: the oracle is the planting arithmetic
     # (clean / case+region folded / padded trimmed / empty and absent null)
     sql["html_lang_docs"] = """
@@ -6129,6 +6282,18 @@ _EXTENDED_GATE = [
     # replay oracle, python-replay + convention pytest in test_text_eval;
     # awaiting a round-4 driver slot
     "token_prf_docs",
+    # word-bigram P/R/F1 (operators/text_eval.ngram_prf — the ROUGE-N
+    # multiset family; token_prf_docs above pins the shared conventions at
+    # n=1): new in the round-3 fifth wave; full SQL replay oracle,
+    # python-replay + order-sensitivity pytest in test_keywords_eval;
+    # awaiting a round-4 driver slot
+    "ngram_prf_docs",
+    # RAKE keyphrase extraction (operators/text_analysis.rake_keywords —
+    # per-doc phrase mining on the same stopword contract as relevance):
+    # new in the round-3 fifth wave; full stage-replay SQL oracle,
+    # python-replay + convention pytest in test_keywords_eval; awaiting a
+    # round-4 driver slot
+    "rake_keywords_docs",
     # OPIC online importance (frontier/opic.py — crawl-coupled cash
     # diffusion via the wave_observer + priority_scorer seams): new in
     # the round-3 fourth wave; closed-form two-wave SQL oracle,

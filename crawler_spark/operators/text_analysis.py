@@ -223,6 +223,108 @@ def tfidf_keywords(
     )
 
 
+def rake_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` RAKE keyphrases per document (Rose et al. 2010).
+
+    The *phrase-level* complement of ``tfidf_keywords``: candidate
+    phrases are the maximal runs of content tokens between delimiter
+    tokens, scored by the sum of their member words' degree/frequency
+    ratios — multi-word domain terms outrank ubiquitous single words
+    without any corpus statistics, so the operator is embarrassingly
+    per-document (every shuffle below is keyed by the doc id).
+
+    Deterministic semantics (both engines replay them exactly):
+
+    - tokens are the engine-wide lowercased whitespace split; each token
+      is normalized by stripping leading/trailing non-``[a-z0-9]`` runs;
+    - a token is a *delimiter* iff its normalized form is empty (pure
+      punctuation) or in the reference's 26-word stopword set
+      (crawler/ai_processor.py:119-124 — reused as data, the same
+      contract ``keyword_relevance`` honors);
+    - per doc: ``freq(w)`` = occurrences of ``w`` across phrase members,
+      ``deg(w)`` = sum over those occurrences of the containing phrase's
+      length (the paper's deg, self-co-occurrence included);
+      ``score(w) = deg(w)/freq(w)`` quantized to fixed-point BIGINT
+      ``floor(deg * 2^20 / freq)`` so phrase scores are exact integer
+      sums — no float addition order anywhere;
+    - identical phrase strings within a doc collapse (their scores are
+      equal by construction); ranking is (score desc, phrase asc),
+      ``row_number`` ≤ k.
+
+    Returns ``(id, rank, phrase, n_words, score)`` with ``score`` the
+    6dp de-quantized float.
+    """
+    from pyspark.sql import Window
+
+    from crawler_spark.core.text import STOPWORDS
+    from crawler_spark.operators.dedup import tokens_expr
+
+    stop_lit = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    norm = "regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '')"
+    members = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.expr(tokens_expr(text_col))).alias("pos", "tok"),
+        )
+        .withColumn("w", F.expr(norm))
+        .filter(F.expr(f"w != '' AND w NOT IN ({stop_lit})"))
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy(id_col).orderBy("pos")
+            ),
+        )
+        .select(id_col, "grp", "pos", "w")
+    )
+    plen = members.groupBy(id_col, "grp").agg(F.count("*").alias("plen"))
+    wstats = (
+        members.join(plen, [id_col, "grp"])
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .withColumn("wscore_fp", F.expr("deg * 1048576 DIV freq"))
+    )
+    phrases = members.groupBy(id_col, "grp").agg(
+        F.expr(
+            "concat_ws(' ', transform(sort_array(collect_list(struct(pos, w))),"
+            " s -> s.w))"
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    pscore = (
+        members.join(wstats, [id_col, "w"])
+        .groupBy(id_col, "grp")
+        .agg(F.sum("wscore_fp").alias("score_fp"))
+    )
+    dedup = (
+        phrases.join(pscore, [id_col, "grp"])
+        .groupBy(id_col, "phrase")
+        .agg(
+            F.min("score_fp").alias("score_fp"),  # equal across copies
+            F.min("n_words").alias("n_words"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("phrase")
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "phrase",
+            "n_words",
+            F.round(F.col("score_fp") / F.lit(1048576.0), 6).alias("score"),
+        )
+    )
+
+
 def corpus_report(
     df: DataFrame,
     source_col: str = "source",

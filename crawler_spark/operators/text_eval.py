@@ -39,9 +39,30 @@ def _toks(text_col: str) -> str:
     return tokens_expr(f"coalesce({text_col}, '')")
 
 
-def _token_counts(df: DataFrame, id_col: str, text_col: str, out: str) -> DataFrame:
+def ngrams_expr(text_col: str, n: int) -> str:
+    """Word n-grams WITH multiplicity as an array<string> SQL expression.
+
+    Unlike ``dedup.shingles_expr`` (distinct shingles, and a whole-text
+    fallback when the doc is shorter than k — the MinHash conventions),
+    this keeps every occurrence and yields ``[]`` when the doc has fewer
+    than ``n`` tokens — the ROUGE-N multiset conventions. The token array
+    is bound once via ``transform(array(toks), ...)`` for the same
+    re-split reason documented on ``shingles_expr``.
+    """
+    toks = _toks(text_col)
+    if n == 1:
+        return toks
     return (
-        df.select(F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("token"))
+        f"flatten(transform(array({toks}), tk -> "
+        f"CASE WHEN size(tk) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(tk, i, {n}))) END))"
+    )
+
+
+def _unit_counts(df: DataFrame, id_col: str, arr_expr: str, out: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(arr_expr)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias(out))
     )
@@ -60,13 +81,35 @@ def token_prf(
     one output row; NULL text counts as empty (the empty-side 1/0
     conventions apply, never a NULL score).
     """
+    return ngram_prf(df, pred_col, truth_col, n=1, id_col=id_col)
+
+
+def ngram_prf(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row word-n-gram P/R/F1 — the ROUGE-N family (``n=1`` IS
+    ``token_prf``; ``n=2`` is ROUGE-2's multiset form).
+
+    The overlap unit is the space-joined n-gram string; a document with
+    fewer than ``n`` tokens has zero n-grams and follows the empty-side
+    conventions (both sides degenerate -> P=R=F1=1 — e.g. two one-token
+    docs under n=2 — one side only -> 0). Same scale shape as the token
+    scorer: units combine map-side before the one (id, unit) exchange, so
+    a hot document costs its distinct n-gram vocabulary.
+    """
+    parr = ngrams_expr(pred_col, n)
+    tarr = ngrams_expr(truth_col, n)
     base = df.select(
         F.col(id_col),
-        F.expr(f"size({_toks(pred_col)})").cast("bigint").alias("n_pred"),
-        F.expr(f"size({_toks(truth_col)})").cast("bigint").alias("n_truth"),
+        F.expr(f"size({parr})").cast("bigint").alias("n_pred"),
+        F.expr(f"size({tarr})").cast("bigint").alias("n_truth"),
     )
-    p = _token_counts(df, id_col, pred_col, "c_pred")
-    t = _token_counts(df, id_col, truth_col, "c_truth")
+    p = _unit_counts(df, id_col, parr, "c_pred")
+    t = _unit_counts(df, id_col, tarr, "c_truth")
     tp = (
         p.join(t, [id_col, "token"])
         .groupBy(id_col)

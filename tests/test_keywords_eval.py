@@ -1,0 +1,228 @@
+"""Fifth-wave operators: word-n-gram P/R/F (ROUGE-N family,
+operators/text_eval.ngram_prf) and RAKE keyphrase extraction
+(operators/text_analysis.rake_keywords): pure-Python replays,
+convention edges, determinism, JVM-only plans."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.core.text import STOPWORDS
+from crawler_spark.operators.text_analysis import rake_keywords
+from crawler_spark.operators.text_eval import ngram_prf, token_prf
+
+
+# ---------------------------------------------------------------- ngram_prf
+
+def py_ngrams(text, n):
+    toks = text.lower().split()
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def py_ngram_prf(pred, truth, n):
+    cp, ct = Counter(py_ngrams(pred, n)), Counter(py_ngrams(truth, n))
+    np_, nt = sum(cp.values()), sum(ct.values())
+    tp = sum(min(cp[g], ct[g]) for g in cp)
+    prec = (1.0 if nt == 0 else 0.0) if np_ == 0 else tp / np_
+    rec = (1.0 if np_ == 0 else 0.0) if nt == 0 else tp / nt
+    f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+    return np_, nt, tp, round(prec, 6), round(rec, 6), round(f1, 6)
+
+
+NGRAM_ROWS = [
+    (0, "the cat sat on the mat", "the cat sat on the mat"),  # perfect
+    (1, "a b a b a b", "a b"),                                # repeated bigram caps
+    (2, "alpha beta gamma", "beta gamma alpha"),              # order matters for n=2
+    (3, "single", "single"),                                  # < n tokens: both empty
+    (4, "one token", ""),                                     # one side empty
+    (5, "x y z w", "y z w q"),                                # partial overlap
+]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_matches_python_replay(spark, n):
+    df = spark.createDataFrame(NGRAM_ROWS, "doc_id int, pred string, truth string")
+    got = {
+        r["doc_id"]: (r["n_pred"], r["n_truth"], r["tp"],
+                      r["precision"], r["recall"], r["f1"])
+        for r in ngram_prf(df, "pred", "truth", n=n).collect()
+    }
+    assert len(got) == len(NGRAM_ROWS)
+    for i, p, t in NGRAM_ROWS:
+        assert got[i] == py_ngram_prf(p, t, n), (n, i, got[i])
+
+
+def test_n1_is_token_prf(spark):
+    df = spark.createDataFrame(NGRAM_ROWS, "doc_id int, pred string, truth string")
+    a = sorted(map(tuple, token_prf(df, "pred", "truth").collect()))
+    b = sorted(map(tuple, ngram_prf(df, "pred", "truth", n=1).collect()))
+    assert a == b
+
+
+def test_order_sensitivity_vs_tokens(spark):
+    # same token multiset, different order: token F1 perfect, bigram F1 not
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "beta gamma alpha")],
+        "doc_id int, pred string, truth string",
+    )
+    t = token_prf(df, "pred", "truth").collect()[0]
+    b = ngram_prf(df, "pred", "truth", n=2).collect()[0]
+    assert t["f1"] == 1.0
+    assert b["tp"] == 1 and b["f1"] == 0.5  # only "beta gamma" survives
+
+
+def test_short_doc_conventions(spark):
+    # both sides shorter than n -> degenerate-perfect; one side only -> 0
+    df = spark.createDataFrame(
+        [(0, "single", "single"), (1, "two tokens", "one")],
+        "doc_id int, pred string, truth string",
+    )
+    got = {r["doc_id"]: r for r in ngram_prf(df, "pred", "truth", n=2).collect()}
+    assert got[0]["n_pred"] == 0 and got[0]["f1"] == 1.0
+    assert got[1]["n_pred"] == 1 and got[1]["n_truth"] == 0 and got[1]["f1"] == 0.0
+
+
+def test_ngram_partition_invariance(spark):
+    df = spark.createDataFrame(NGRAM_ROWS, "doc_id int, pred string, truth string")
+    a = sorted(map(tuple, ngram_prf(df.coalesce(1), "pred", "truth", n=2).collect()))
+    b = sorted(map(tuple, ngram_prf(df.repartition(7), "pred", "truth", n=2).collect()))
+    assert a == b
+
+
+def test_ngram_plan_jvm_only(spark):
+    df = spark.createDataFrame(NGRAM_ROWS, "doc_id int, pred string, truth string")
+    plan = (
+        ngram_prf(df, "pred", "truth", n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_ngram_self_comparison_perfect(spark, corpus_parquet):
+    from crawler_spark.operators.text_eval import prf_summary
+
+    pages = spark.read.parquet(corpus_parquet).select(
+        F.xxhash64("url").alias("doc_id"),
+        F.col("text").alias("a"),
+        F.col("text").alias("b"),
+    )
+    s = prf_summary(ngram_prf(pages, "a", "b", n=2)).collect()[0]
+    assert s["micro_f1"] == 1.0 and s["macro_f1"] == 1.0
+
+
+# ------------------------------------------------------------ rake_keywords
+
+def py_rake(text, k=5):
+    """Direct single-node RAKE replay with the operator's exact
+    conventions (normalized tokens, 26-word reference stopword set,
+    fixed-point word scores)."""
+    import re
+
+    toks = text.lower().split()
+    norm = [re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", t) for t in toks]
+    phrases, cur = [], []
+    for w in norm:
+        if w == "" or w in STOPWORDS:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(w)
+    if cur:
+        phrases.append(cur)
+    freq, deg = Counter(), Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    wscore = {w: deg[w] * 1048576 // freq[w] for w in freq}
+    seen = {}
+    for p in phrases:
+        s = " ".join(p)
+        if s not in seen:
+            seen[s] = (sum(wscore[w] for w in p), len(p))
+    ranked = sorted(seen.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return [
+        (i + 1, ph, nw, round(fp / 1048576.0, 6))
+        for i, (ph, (fp, nw)) in enumerate(ranked)
+    ]
+
+
+RAKE_TEXTS = [
+    (0, "deep learning systems and deep learning models are deep"),
+    (1, "the quick brown fox is a fox, and the fox was quick!"),
+    (2, "alpha"),                          # one phrase, one word
+    (3, "the and or but"),                 # all stopwords -> no phrases
+    (4, ""),                               # empty doc -> no rows
+    (5, "Compound keyword extraction: rapid automatic keyword extraction "
+        "beats plain frequency when keyword extraction spans phrases"),
+]
+
+
+@pytest.fixture(scope="module")
+def rake_df(spark):
+    return spark.createDataFrame(RAKE_TEXTS, "doc_id int, text string")
+
+
+def test_rake_matches_python_replay(spark, rake_df):
+    got = {}
+    for r in rake_keywords(rake_df, k=5).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["phrase"], r["n_words"], r["score"])
+        )
+    for i, text in RAKE_TEXTS:
+        want = py_rake(text, 5)
+        have = sorted(got.get(i, []))
+        assert have == want, (i, have, want)
+
+
+def test_rake_phrases_beat_single_words(spark, rake_df):
+    # doc 0: "deep learning systems" must outrank the bare "deep"
+    rows = {r["rank"]: r for r in rake_keywords(rake_df, k=5).filter("doc_id = 0").collect()}
+    assert rows[1]["n_words"] >= 2
+    phrases = [rows[i]["phrase"] for i in sorted(rows)]
+    assert phrases.index("deep learning systems") < phrases.index("deep")
+
+
+def test_rake_stopword_and_empty_docs(spark, rake_df):
+    got = rake_keywords(rake_df, k=5).filter("doc_id IN (3, 4)").count()
+    assert got == 0
+
+
+def test_rake_punctuation_normalization(spark, rake_df):
+    # doc 1: "fox," and "fox" and "quick!" normalize together
+    rows = rake_keywords(rake_df, k=10).filter("doc_id = 1").collect()
+    words = {r["phrase"] for r in rows}
+    assert "fox" in words and not any("," in w or "!" in w for w in words)
+
+
+def test_rake_partition_invariance(spark, rake_df):
+    a = sorted(map(tuple, rake_keywords(rake_df.coalesce(1), k=5).collect()))
+    b = sorted(map(tuple, rake_keywords(rake_df.repartition(7), k=5).collect()))
+    assert a == b
+
+
+def test_rake_plan_jvm_only(spark, rake_df):
+    plan = (
+        rake_keywords(rake_df, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_rake_on_corpus_is_stable(spark, corpus_parquet):
+    pages = spark.read.parquet(corpus_parquet).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    out = rake_keywords(pages, k=3)
+    n = out.count()
+    assert n > 0
+    # rank is dense 1..k per doc
+    bad = out.groupBy("doc_id").agg(
+        F.count("*").alias("c"), F.max("rank").alias("m")
+    ).filter("c != m").count()
+    assert bad == 0
