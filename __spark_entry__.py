@@ -520,6 +520,31 @@ _D_PLINES_PUNCT = (
     "CASE WHEN i % 2 = 1 THEN '.' ELSE '' END)"
 )
 
+# planted suffixes for the fix_mojibake gate: clean phrases whose UTF-8
+# bytes re-read under sloppy-cp1252 stay printable (no byte hits cp1252's
+# five unmapped slots), garbled with the operator module's own helper so
+# gate and operator can never drift; every 4th doc gets a no-op suffix
+def _moji_gate_suffixes():
+    from crawler_spark.operators.text_analysis import _sloppy_cp1252
+
+    cleans = [
+        "café naïve élan",
+        "‘quoted’ – dash €9",
+        "œuvre “open und über",
+    ]
+    pairs = [
+        (
+            "".join(_sloppy_cp1252(b) for b in c.encode("utf-8")),
+            c,
+        )
+        for c in cleans
+    ]
+    pairs.append(("(clean)", "(clean)"))
+    return pairs
+
+
+_MOJI_GATE_SUFFIXES = _moji_gate_suffixes()
+
 # deterministic PII augmentation for the pii_redact gate (the word-soup
 # corpus carries no PII of its own); every 5th doc stays clean
 _PII_TEXT = (
@@ -2384,6 +2409,57 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents").select("doc_id", "text")
         return rake_keywords(d, k=5)
 
+    # ---- Flesch/FK readability (operators/text_analysis.readability):
+    # word/sentence/syllable counts + both published scores, replayed
+    # with identical literal float-expression order in DuckDB.
+    def readability_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import readability
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        return readability(d)
+
+    # ---- mojibake repair (operators/text_analysis.fix_mojibake): the
+    # corpus is clean ascii, so each doc gets a planted garbled suffix
+    # (UTF-8 re-read as sloppy-cp1252, precomputed literals below) by
+    # doc_id arithmetic; the oracle plants the already-clean suffix —
+    # an end-to-end inversion check, the html_lang_docs pattern.
+    def fix_mojibake_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import fix_mojibake
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        arms = " ".join(
+            f"WHEN {i} THEN '{g}'"
+            for i, (g, _) in enumerate(_MOJI_GATE_SUFFIXES)
+        )
+        planted = d.withColumn(
+            "text",
+            F.expr(
+                f"concat(text, ' ', CASE cast(doc_id % "
+                f"{len(_MOJI_GATE_SUFFIXES)} as int) {arms} END)"
+            ),
+        )
+        return fix_mojibake(planted).select("doc_id", "fixed_text")
+
+    # ---- within-doc line dedup (operators/filters.doc_line_dedup): the
+    # single-line word-soup docs are re-lined into 3-token pseudo-lines
+    # (the line-filter gates' construction), then the first line and a
+    # blank are appended twice — known within-page duplicates the
+    # operator must strip while keeping both blanks.
+    def doc_line_dedup_docs(spark, sf_dir):
+        from crawler_spark.operators.filters import doc_line_dedup
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        relined = d.withColumn(
+            "text",
+            F.expr(
+                f"array_join(concat({_PLINES}, array(element_at({_PLINES}, 1), "
+                f"'', element_at({_PLINES}, 1), '')), '\n')"
+            ),
+        )
+        return doc_line_dedup(relined).select(
+            "doc_id", "n_lines", "n_kept_lines", "deduped_text"
+        )
+
     # ---- SQ8 scalar quantization ANN (operators/similarity.py): params
     # from the corpus, every vector encoded to 8-bit codes, ADC top-10 for
     # the min-vec_id query — all arithmetic exact BIGINT (fixed-point
@@ -2817,6 +2893,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_prf_docs": token_prf_docs,
         "ngram_prf_docs": ngram_prf_docs,
         "rake_keywords_docs": rake_keywords_docs,
+        "readability_docs": readability_docs,
+        "fix_mojibake_docs": fix_mojibake_docs,
+        "doc_line_dedup_docs": doc_line_dedup_docs,
         "opic_docs": opic_docs,
         "dedup_counts_docs": dedup_counts_docs,
         "phrase_search_docs": phrase_search_docs,
@@ -5847,6 +5926,78 @@ def _all_oracle_sql() -> dict[str, str]:
                round(score_fp / 1048576.0, 6) AS score
         FROM rk WHERE rank <= 5
     """
+    # Flesch/FK readability: full replay — same token/sentence/syllable
+    # conventions, same literal float-expression order (the linear forms
+    # are IEEE-identical when evaluated left-to-right in both engines)
+    sql["readability_docs"] = rf"""
+        WITH base AS (
+          SELECT doc_id, {_D_TOKS} AS toks,
+                 greatest(len(list_filter(
+                   string_split_regex(coalesce(text, ''), '[.!?]+'),
+                   s -> trim(s) <> '')), 1) AS ns
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(ns AS BIGINT) AS n_sentences,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                   w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                                 1))), 0) AS BIGINT) AS n_syllables
+          FROM base
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE round(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                         - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE)), 6)
+               END AS flesch,
+               CASE WHEN n_words = 0 THEN NULL
+                    ELSE round(0.39 * (CAST(n_words AS DOUBLE)
+                                       / CAST(n_sentences AS DOUBLE))
+                         + 11.8 * (CAST(n_syllables AS DOUBLE)
+                                   / CAST(n_words AS DOUBLE)) - 15.59, 6)
+               END AS fk_grade
+        FROM c
+    """
+    # mojibake repair: planting oracle (the html_lang_docs pattern) — the
+    # gate plants each doc's garbled suffix by doc_id arithmetic, so the
+    # expected output is the text with the CLEAN suffix; the operator
+    # must invert sloppy-cp1252 garbling end-to-end to match
+    _moji_arms = " ".join(
+        f"WHEN {i} THEN '{c}'"
+        for i, (_, c) in enumerate(_MOJI_GATE_SUFFIXES)
+    )
+    sql["fix_mojibake_docs"] = f"""
+        SELECT doc_id,
+               text || ' ' || CASE CAST(doc_id % {len(_MOJI_GATE_SUFFIXES)}
+                                        AS INT) {_moji_arms} END AS fixed_text
+        FROM documents
+    """
+    # within-doc line dedup: same pseudo-line construction + appended
+    # duplicates, replayed with an indexed list_filter (DuckDB's lambda
+    # index and list_position are both 1-based; Spark's filter index is
+    # 0-based with 1-based array_position — the +1 cancels)
+    sql["doc_line_dedup_docs"] = f"""
+        WITH relined AS (
+          SELECT doc_id,
+                 list_concat({_D_PLINES},
+                   [({_D_PLINES})[1], '', ({_D_PLINES})[1], '']) AS lines
+          FROM documents
+        ),
+        k AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, (l, i) -> trim(l) = ''
+                   OR list_position(lines, l) = i) AS kept
+          FROM relined
+        )
+        SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               array_to_string(kept, chr(10)) AS deduped_text
+        FROM k
+    """
     # <html lang> declared language: the oracle is the planting arithmetic
     # (clean / case+region folded / padded trimmed / empty and absent null)
     sql["html_lang_docs"] = """
@@ -6294,6 +6445,23 @@ _EXTENDED_GATE = [
     # python-replay + convention pytest in test_keywords_eval; awaiting a
     # round-4 driver slot
     "rake_keywords_docs",
+    # Flesch/FK readability (operators/text_analysis.readability — the
+    # prose-difficulty quality signal): new in the round-3 sixth wave;
+    # full SQL replay oracle, python-replay + convention pytest in
+    # test_sixthwave; awaiting a round-4 driver slot
+    "readability_docs",
+    # sloppy-cp1252 mojibake repair (operators/text_analysis.fix_mojibake
+    # — the ftfy-style cleanup pass as a pure JVM replace fold): new in
+    # the round-3 sixth wave; planted-suffix inversion oracle,
+    # garble-roundtrip + idempotence pytest in test_sixthwave; awaiting a
+    # round-4 driver slot
+    "fix_mojibake_docs",
+    # within-doc line dedup (operators/filters.doc_line_dedup — the
+    # CCNet-style per-page pass before the global/host line passes;
+    # row-local, zero shuffle): new in the round-3 sixth wave; indexed
+    # list_filter replay oracle, python-replay + compose-with-global
+    # pytest in test_sixthwave; awaiting a round-4 driver slot
+    "doc_line_dedup_docs",
     # OPIC online importance (frontier/opic.py — crawl-coupled cash
     # diffusion via the wave_observer + priority_scorer seams): new in
     # the round-3 fourth wave; closed-form two-wave SQL oracle,

@@ -582,3 +582,39 @@ def gopher_line_flags(
             ),
         )
     )
+
+
+def doc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "deduped_text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Within-document first-occurrence line dedup — the CCNet-style
+    per-page cleanup that strips repeated nav/footer lines a template
+    stamps several times into ONE page, before any corpus-level pass
+    (``line_dedup_global`` / ``host_boilerplate_lines``) runs.
+
+    Unlike those two, this needs no information outside the row, so it
+    is a pure array rewrite: a line survives iff its index is the
+    line's first occurrence in the document (``array_position`` is
+    first-match by definition); blank lines are structural, not
+    content, and are always kept (paragraph breaks survive). Zero
+    shuffle, zero Python, whole-stage codegen — O(L²) string compares
+    per document, bounded by lines-per-page (~10²), not corpus size.
+
+    Adds ``n_lines`` / ``n_kept_lines`` counters and ``out_col`` (the
+    rebuilt text; NULL text stays NULL).
+    """
+    lines = f"split({text_col}, '{line_delim}')"
+    kept = (
+        f"filter({lines}, (l, i) -> trim(l) = '' "
+        f"OR array_position({lines}, l) = i + 1)"
+    )
+    return (
+        df.withColumn("n_lines", F.expr(f"cast(size({lines}) as bigint)"))
+        .withColumn("n_kept_lines", F.expr(f"cast(size({kept}) as bigint)"))
+        .withColumn(
+            out_col, F.expr(f"array_join({kept}, '{line_delim}')")
+        )
+    )

@@ -666,3 +666,155 @@ def compression_ratio(
     return df.withColumn(
         "n_bytes", F.octet_length(F.col(text_col)).cast("bigint")
     ).withColumn("zlib_ratio", _ratio(F.col(text_col)))
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document.
+
+    The classic prose-difficulty signal (Flesch 1948; Kincaid et al.
+    1975) — a cheap quality-pipeline complement to ``quality_score``:
+    SEO spam and machine-generated listicles sit far from the natural-
+    prose band, and curation recipes routinely window on grade level.
+
+    Deterministic conventions (both engines replay them exactly):
+
+    - *words* are the engine-wide lowercased whitespace tokens;
+    - *sentences* are the ``[.!?]+``-delimited segments with non-blank
+      content, floored at 1 so punctuation-free text is one sentence;
+    - *syllables* are approximated as ``[aeiouy]+`` vowel groups per
+      word, floored at 1 per word — the standard dictionary-free
+      heuristic (silent-e is deliberately NOT special-cased: the rule
+      must be expressible identically in Spark and ANSI SQL);
+    - scores are the published linear forms evaluated in this literal
+      order (IEEE-identical across engines), rounded to 6 decimals;
+      both are NULL when the document has no words;
+    - NULL text counts as empty (0 words, 1 sentence, NULL scores) —
+      the same convention as ``token_prf``.
+
+    Everything is per-row column arithmetic — zero shuffle, zero Python,
+    whole-stage codegen; at 100 TB this rides the same scan as every
+    other per-doc quality signal.
+    """
+    toks = tokens_expr(f"coalesce({text_col}, '')")
+    sents = (
+        f"greatest(size(filter(split(coalesce({text_col}, ''), '[.!?]+'), "
+        f"s -> trim(s) != '')), 1L)"
+    )
+    sylls = (
+        f"aggregate({toks}, 0L, (a, w) -> a + "
+        f"greatest(cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) "
+        f"as bigint), 1L))"
+    )
+    out = df.select(
+        F.col(id_col),
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_words"),
+        F.expr(f"cast({sents} as bigint)").alias("n_sentences"),
+        F.expr(sylls).alias("n_syllables"),
+    )
+    wps = "cast(n_words as double) / cast(n_sentences as double)"
+    spw = "cast(n_syllables as double) / cast(n_words as double)"
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            f"CASE WHEN n_words = 0 THEN cast(null as double) "
+            f"ELSE round(206.835 - 1.015 * ({wps}) - 84.6 * ({spw}), 6) "
+            f"END"
+        ).alias("flesch"),
+        F.expr(
+            f"CASE WHEN n_words = 0 THEN cast(null as double) "
+            f"ELSE round(0.39 * ({wps}) + 11.8 * ({spw}) - 15.59, 6) END"
+        ).alias("fk_grade"),
+    )
+
+
+def _sloppy_cp1252(b: int) -> str:
+    """One byte decoded the way a sloppy-windows-1252 reader would:
+    the cp1252 character when the byte is mapped, else the latin-1
+    character (cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined) —
+    ftfy's 'sloppy-windows-1252' convention, reimplemented from the
+    published codec tables."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _build_mojibake_pairs() -> list:
+    """(mojibake_sequence, intended_char) pairs for the common case of
+    UTF-8 text mis-decoded as windows-1252/latin-1 ONCE.
+
+    Targets: the Latin-1 Supplement printables (U+00A0-U+00FF), the
+    Latin-Extended-A letters cp1252 carries (Œ œ Š š Ž ž Ÿ ƒ), and the
+    General-Punctuation/currency set (dashes, curly quotes, ellipsis,
+    daggers, bullet, permille, guillemet-singles, euro, trademark).
+    Each target's UTF-8 bytes are re-read under sloppy-cp1252 to give
+    the exact garbled sequence; longer sequences sort first so 3-byte
+    repairs never get clipped by a 2-byte one.
+    """
+    targets = [chr(c) for c in range(0xA0, 0x100)]
+    targets += list("ŒœŠšŽžŸƒ")
+    targets += list("–—‘’‚“”„†‡•…‰‹›€™")
+    pairs = []
+    for ch in targets:
+        moji = "".join(_sloppy_cp1252(b) for b in ch.encode("utf-8"))
+        pairs.append((moji, ch))
+    pairs.sort(key=lambda p: (-len(p[0]), p[0]))
+    return pairs
+
+
+MOJIBAKE_PAIRS = _build_mojibake_pairs()
+
+# any once-garbled sequence starts with one of these lead characters
+# (UTF-8 lead bytes 0xC2-0xC3 / 0xC5 / 0xE2 under sloppy-cp1252)
+_MOJI_SIGNATURE = "ÂÃÅâ"
+
+
+def fix_mojibake(
+    df: DataFrame, text_col: str = "text", out_col: str = "fixed_text"
+) -> DataFrame:
+    """Repair UTF-8 text that was mis-decoded as windows-1252/latin-1
+    once ('Ã©' -> 'é', 'â€œ' -> '“') — the ftfy-style cleanup pass every
+    web-text pipeline runs before tokenization.
+
+    Implementation is a single JVM ``aggregate`` fold over the literal
+    ``MOJIBAKE_PAIRS`` table (longest-first ``replace`` chain): no
+    charset codec in the hot path — Spark 4's ``encode``/``decode`` are
+    strict and would abort the job on any document with a character
+    outside the target charset, so the repair is expressed as pure
+    string rewriting that cannot fail. A cheap signature prefilter
+    (``contains`` any of the four possible lead characters) keeps the
+    ~180-step fold off the overwhelmingly clean majority of documents;
+    everything stays whole-stage-codegen per-row work — zero shuffle,
+    zero Python, and the same contract is replayable in ANSI SQL.
+
+    The mapping is unconditional by design (deterministic contract): a
+    document legitimately containing e.g. the bigram 'Ã©' is rewritten
+    too. Real web text virtually never does; pipelines that must keep
+    such text should filter on the signature column first.
+    """
+    pair_lits = ", ".join(
+        "named_struct('f', '{}', 't', '{}')".format(
+            f.replace("\\", "\\\\").replace("'", "\\'"),
+            t.replace("\\", "\\\\").replace("'", "\\'"),
+        )
+        for f, t in MOJIBAKE_PAIRS
+    )
+    sig = " OR ".join(
+        f"contains({text_col}, '{c}')" for c in _MOJI_SIGNATURE
+    )
+    chain = (
+        f"aggregate(array({pair_lits}), {text_col}, "
+        f"(acc, p) -> replace(acc, p.f, p.t))"
+    )
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN {text_col} IS NULL THEN NULL "
+            f"WHEN {sig} THEN {chain} ELSE {text_col} END"
+        ),
+    )
