@@ -576,6 +576,11 @@ _DECON_K = 8
 _MIX_WEIGHTS = {f"src{i}": (2.0 if i % 2 else 1.0) for i in range(20)}
 _MIX_BUDGET = 10_000
 _MIX_BUCKETS = 64
+# epoch-aware mixing gate: per-source S ~1.3-1.5k tokens at sf0.01, so
+# weight-2 shares (6,666) hit the 3-epoch cap and weight-1 shares (3,333)
+# get 2 full epochs + a remainder prefix
+_REPEAT_BUDGET = 100_000
+_REPEAT_MAX_EPOCHS = 3
 
 # duplicate-span detection: 5-gram spans (sf0.01 has ~1.1k corpus-duplicated
 # 5-grams touching ~70 docs — a healthy gate size); source-reputation gate
@@ -628,6 +633,17 @@ def _mix_budget_case() -> str:
     from crawler_spark.operators.sampling import _source_budgets
 
     budgets = _source_budgets(_MIX_WEIGHTS, _MIX_BUDGET)
+    arms = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(budgets.items())
+    )
+    return f"(CASE source {arms} ELSE 0 END)"
+
+
+def _repeat_budget_case() -> str:
+    """Same construction for the epoch-aware gate's larger budget."""
+    from crawler_spark.operators.sampling import _source_budgets
+
+    budgets = _source_budgets(_MIX_WEIGHTS, _REPEAT_BUDGET)
     arms = " ".join(
         f"WHEN '{s}' THEN {b}" for s, b in sorted(budgets.items())
     )
@@ -1535,6 +1551,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_to_token_budget(d, _MIX_WEIGHTS, _MIX_BUDGET).select(
             "doc_id", "source", "n_tokens"
         )
+
+    # ---- epoch-aware mixing (sampling.sample_with_repeats): budget
+    # 100k over the 1/2 mixture weights puts weight-2 sources past the
+    # 3-epoch cap (fe capped, no remainder) and weight-1 sources at 2
+    # full epochs + a hash-priority remainder prefix — every branch of
+    # the data-constrained sampler fires on the same corpus.
+    def sample_repeats_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import sample_with_repeats
+
+        d = _t(spark, sf_dir, "documents")
+        return sample_with_repeats(
+            d, _MIX_WEIGHTS, _REPEAT_BUDGET, max_epochs=_REPEAT_MAX_EPOCHS
+        ).select("doc_id", "source", "n_tokens", "epoch")
 
     def sample_budget_approx_docs(spark, sf_dir):
         # scale-path mixing: bucket-histogram cutoffs, no windows
@@ -2837,6 +2866,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": contamination_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
+        "sample_repeats_docs": sample_repeats_docs,
         "sample_budget_approx_docs": sample_budget_approx_docs,
         "near_dup_clusters": near_dup_clusters,
         "near_dup_survivors": near_dup_survivors,
@@ -4008,6 +4038,45 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, cast(n_tokens as bigint) AS n_tokens
             FROM c WHERE cum <= budget
+        """,
+        "sample_repeats_docs": f"""
+            -- epoch-aware mixing: full-epoch fanout via range() while the
+            -- budget holds whole copies of the source (capped), then the
+            -- exact sampler's running-sum prefix fills the remainder
+            WITH t AS (
+              SELECT doc_id, source, len({_D_TOKS}) AS n_tokens,
+                     {_duck_hash60('cast(doc_id as varchar)')} AS pri
+              FROM documents
+            ),
+            s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st
+                  FROM t GROUP BY source),
+            je AS (
+              SELECT t.*, s.st, {_repeat_budget_case()} AS budget,
+                     least(CASE WHEN s.st <= 0 THEN 0
+                                ELSE {_repeat_budget_case()} // s.st END,
+                           {_REPEAT_MAX_EPOCHS}) AS fe
+              FROM t JOIN s USING (source)
+            ),
+            full_part AS (
+              SELECT doc_id, source, n_tokens, CAST(u.e AS INT) AS epoch
+              FROM je, unnest(range(1, fe + 1)) AS u(e)
+              WHERE fe >= 1
+            ),
+            remx AS (
+              SELECT *, budget - fe * st AS rem,
+                     sum(n_tokens) OVER (PARTITION BY source
+                         ORDER BY pri, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM je WHERE fe < {_REPEAT_MAX_EPOCHS}
+            ),
+            rem_part AS (
+              SELECT doc_id, source, n_tokens, CAST(fe + 1 AS INT) AS epoch
+              FROM remx WHERE cum <= rem
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   epoch
+            FROM (SELECT * FROM full_part
+                  UNION ALL SELECT * FROM rem_part)
         """,
         "sample_budget_approx_docs": f"""
             -- bucketed mixing: per-source prefix of priority buckets whose
@@ -6462,6 +6531,13 @@ _EXTENDED_GATE = [
     # list_filter replay oracle, python-replay + compose-with-global
     # pytest in test_sixthwave; awaiting a round-4 driver slot
     "doc_line_dedup_docs",
+    # epoch-aware budget mixing (sampling.sample_with_repeats — the
+    # data-constrained sampler, Muennighoff et al. 2023; sample_budget/
+    # assemble on board pin the shared running-sum prefix rule): new in
+    # the round-3 sixth wave; full-replay oracle (epoch fanout + window),
+    # python-replay + cap/conservation pytest in test_sampling; awaiting
+    # a round-4 driver slot
+    "sample_repeats_docs",
     # OPIC online importance (frontier/opic.py — crawl-coupled cash
     # diffusion via the wave_observer + priority_scorer seams): new in
     # the round-3 fourth wave; closed-form two-wave SQL oracle,

@@ -759,3 +759,92 @@ def sample_temperature(
         .drop("_pri", "_cum", "budget")
         .withColumn("n_tokens", F.col(tokens_col).cast("long"))
     )
+
+
+def sample_with_repeats(
+    docs: DataFrame,
+    weights: Optional[Dict[str, float]],
+    token_budget: int,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch-aware mixing for data-constrained budgets (Muennighoff et
+    al. 2023): when a source's budget share EXCEEDS its token count, the
+    plain sampler just takes everything once and silently under-delivers
+    the mixture — this variant repeats the whole source for as many full
+    epochs as fit (capped at ``max_epochs``, past which repeated data
+    stops helping) and fills the remainder with the hash-priority prefix
+    one more time.
+
+    Per source with total tokens ``S`` and budget ``B``:
+
+    - ``full_epochs = min(B div S, max_epochs)`` — every document of the
+      source appears once per full epoch (``epoch`` = 1..full_epochs);
+    - if ``full_epochs < max_epochs``, the remainder ``B - full_epochs*S``
+      is filled by the exact sampler's inclusive-running-sum prefix in
+      hash-priority order, tagged ``epoch = full_epochs + 1``;
+    - a source with ``S = 0`` contributes its (zero-token) docs once via
+      the remainder pass — the same keep-while-it-fits convention as
+      ``sample_to_token_budget``.
+
+    Output = ``docs`` rows + ``n_tokens`` + ``epoch`` (a document kept k
+    times appears as k rows differing only in ``epoch``). Token totals
+    never exceed ``B + 0`` per source; undershoot is at most one
+    document's tokens (or ``B mod S`` when the epoch cap binds).
+
+    Scale shape: one sources-sized aggregate joined back (AQE broadcasts
+    it), one ``sequence``-explode for the full epochs (no shuffle), and
+    the remainder window only over sources below the cap — the same
+    per-source window as the exact sampler (compose with the approx
+    histogram sampler upstream when a single source is shuffle-hot).
+    """
+    if tokens_col not in docs.columns:
+        docs = docs.withColumn(
+            tokens_col, F.expr(f"size({tokens_expr(text_col)})")
+        )
+    if weights is None:
+        n_sources = docs.select(source_col).distinct().count()
+        budget_col = F.lit(int(token_budget // max(n_sources, 1)))
+    else:
+        budgets = _source_budgets(weights, token_budget)
+        bmap = F.create_map(
+            *[x for s, b in sorted(budgets.items()) for x in (F.lit(s), F.lit(b))]
+        )
+        docs = docs.filter(F.col(source_col).isin(list(budgets)))
+        budget_col = bmap[F.col(source_col)]
+    me = int(max_epochs)
+    totals = docs.groupBy(source_col).agg(
+        F.sum(tokens_col).cast("long").alias("_S")
+    )
+    j = (
+        docs.join(totals, source_col)
+        .withColumn("_budget", budget_col.cast("long"))
+        .withColumn(
+            "_fe",
+            F.expr(
+                f"cast(least(CASE WHEN _S <= 0 THEN 0 "
+                f"ELSE _budget DIV _S END, {me}) as int)"
+            ),
+        )
+    )
+    out_cols = docs.columns
+    full = j.filter(F.col("_fe") >= 1).withColumn(
+        "epoch", F.explode(F.expr("sequence(1, _fe)"))
+    )
+    w = Window.partitionBy(source_col).orderBy("_pri", id_col)
+    rem = (
+        j.filter(F.col("_fe") < F.lit(me))
+        .withColumn("_rem", F.expr("_budget - _fe * _S"))
+        .withColumn("_pri", F.expr(_priority_expr(id_col)))
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= F.col("_rem"))
+        .withColumn("epoch", (F.col("_fe") + 1).cast("int"))
+    )
+    return (
+        full.select(*out_cols, "epoch")
+        .unionByName(rem.select(*out_cols, "epoch"))
+        .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+    )

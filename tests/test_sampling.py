@@ -835,3 +835,119 @@ def test_curate_cli_containment_and_temperature(spark, tmp_path, monkeypatch):
     assert {r["doc_id"] for r in kept} <= ids  # mixing only subsets
     assert sum(len(r["text"].split()) for r in kept) <= 120
     assert len({r["source"] for r in kept}) == 2  # tail source still present
+
+
+# ---------------------------------------------------------------------------
+# epoch-aware mixing (sample_with_repeats)
+# ---------------------------------------------------------------------------
+
+
+def _py_repeats(rows, budgets, max_epochs):
+    """Single-node replay: rows = [(doc_id, source, n_tokens, pri)]."""
+    out = []
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r[1], []).append(r)
+    for src, rs in by_src.items():
+        if src not in budgets:
+            continue
+        b = budgets[src]
+        s_total = sum(r[2] for r in rs)
+        fe = min(b // s_total, max_epochs) if s_total > 0 else 0
+        for e in range(1, fe + 1):
+            out += [(r[0], src, r[2], e) for r in rs]
+        if fe < max_epochs:
+            rem, cum = b - fe * s_total, 0
+            for r in sorted(rs, key=lambda r: (r[3], r[0])):
+                cum += r[2]
+                if cum <= rem:
+                    out.append((r[0], src, r[2], fe + 1))
+    return sorted(out)
+
+
+def test_repeats_matches_python_replay(spark):
+    from crawler_spark.operators.dedup import _hash60
+    from crawler_spark.operators.sampling import (
+        _source_budgets,
+        sample_with_repeats,
+    )
+
+    # tiny: 20 tokens/source, hot gets budget >> size (epochs), cold gets
+    # budget << size (prefix only), mid lands between
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", " ".join(["w"] * (4 + i % 3))) for i in range(12)],
+        "doc_id int, source string, text string",
+    )
+    weights = {"s0": 6.0, "s1": 1.0, "s2": 2.0}
+    budget, me = 300, 3
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["epoch"])
+        for r in sample_with_repeats(docs, weights, budget, max_epochs=me).collect()
+    )
+    pri = {
+        r["doc_id"]: r["p"]
+        for r in docs.select(
+            "doc_id", F.expr(_hash60("cast(doc_id as string)")).alias("p")
+        ).collect()
+    }
+    rows = [
+        (i, f"s{i % 3}", 4 + i % 3, pri[i]) for i in range(12)
+    ]
+    want = _py_repeats(rows, _source_budgets(weights, budget), me)
+    assert got == want
+    assert {e for *_, e in got} >= {1, 2}  # epochs actually exercised
+
+
+def test_repeats_budget_and_cap(spark):
+    from crawler_spark.operators.sampling import (
+        _source_budgets,
+        sample_with_repeats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "hot" if i < 3 else "cold", " ".join(["w"] * 10)) for i in range(23)],
+        "doc_id int, source string, text string",
+    )
+    weights = {"hot": 1.0, "cold": 1.0}
+    budget, me = 400, 4  # 200 each; hot has 30 tokens -> cap binds at 4
+    out = sample_with_repeats(docs, weights, budget, max_epochs=me)
+    per = {
+        r["source"]: (r["tok"], r["mx"])
+        for r in out.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("epoch").alias("mx"))
+        .collect()
+    }
+    budgets = _source_budgets(weights, budget)
+    # cap binds for hot: exactly 4 full epochs, nothing more
+    assert per["hot"] == (30 * me, me)
+    # cold: budget binds, never exceeded, epoch stays 1
+    assert per["cold"][0] <= budgets["cold"] and per["cold"][1] == 1
+
+
+def test_repeats_partition_invariance_and_uniform_default(spark):
+    from crawler_spark.operators.sampling import sample_with_repeats
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 4}", " ".join(["w"] * (3 + i % 5))) for i in range(40)],
+        "doc_id int, source string, text string",
+    )
+    a = sorted(
+        map(tuple, sample_with_repeats(docs.coalesce(1), None, 500, 3).collect())
+    )
+    b = sorted(
+        map(tuple, sample_with_repeats(docs.repartition(7), None, 500, 3).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_repeats_zero_token_source_keeps_docs_once(spark):
+    from crawler_spark.operators.sampling import sample_with_repeats
+
+    docs = spark.createDataFrame(
+        [(0, "z", ""), (1, "z", "  "), (2, "w", "a b c")],
+        "doc_id int, source string, text string",
+    )
+    out = sample_with_repeats(docs, {"z": 1.0, "w": 1.0}, 100, 3).collect()
+    z = [r for r in out if r["source"] == "z"]
+    assert sorted(r["doc_id"] for r in z) == [0, 1]
+    assert all(r["epoch"] == 1 and r["n_tokens"] == 0 for r in z)
