@@ -847,6 +847,34 @@ def run(spark, sf_dir: str):
         ).collect()
     extra["bpe_merges"] = len(merges)
 
+    # ---- q_text_cleanup: the per-row cleanup ladder in ONE scan -----------
+    # (fix_mojibake -> doc_line_dedup -> readability: all whole-stage
+    # codegen, zero shuffle — measures pure scan-bound text throughput)
+    with timed("q_text_cleanup"):
+        from crawler_spark.operators.filters import doc_line_dedup
+        from crawler_spark.operators.text_analysis import (
+            fix_mojibake,
+            readability,
+        )
+
+        cleaned = doc_line_dedup(
+            fix_mojibake(docs).withColumn("text", F.col("fixed_text"))
+        ).withColumn("text", F.col("deduped_text"))
+        readability(cleaned).agg(
+            F.count("*"), F.sum("n_syllables"), F.avg("flesch")
+        ).collect()
+
+    # ---- q_sample_repeats: epoch-aware data-constrained mixing ------------
+    # (sampling.sample_with_repeats — sources-sized aggregate + sequence
+    # fanout + remainder window)
+    with timed("q_sample_repeats"):
+        from crawler_spark.operators.sampling import sample_with_repeats
+
+        weights = {f"src{i}": (2.0 if i % 2 else 1.0) for i in range(20)}
+        sample_with_repeats(docs, weights, 2_000_000, max_epochs=3).agg(
+            F.count("*"), F.sum("n_tokens"), F.max("epoch")
+        ).collect()
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):
