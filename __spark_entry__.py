@@ -1651,6 +1651,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_trigrams", "sum_logsb_q", "avg_nll_sb"
         )
 
+    # ---- interpolated Kneser-Ney bigram scoring (lm.kn_score): same
+    # train/score split as sb_score_docs so the unseen-context backoff
+    # branch and the continuation-count interpolation both fire
+    def kn_score_docs(spark, sf_dir):
+        from crawler_spark.operators.lm import kn_score
+
+        docs = _t(spark, sf_dir, "documents")
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        return kn_score(docs, train_df=train).select(
+            "doc_id", "n_bigrams", "sum_logkn_q", "avg_nll_kn"
+        )
+
     # ---- exact heavy hitters: Misra-Gries candidate pre-pass + exact
     # verify over candidates only; `certified` self-reports whether the
     # MG superset guarantee proves the top-k exact
@@ -2875,6 +2887,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_bucket_docs": ppl_bucket_docs,
         "corpus_report_docs": corpus_report_docs,
         "sb_score_docs": sb_score_docs,
+        "kn_score_docs": kn_score_docs,
         "heavy_hitters_docs": heavy_hitters_docs,
         "shard_assign_docs": shard_assign_docs,
         "dup_span_docs": dup_span_docs,
@@ -4399,6 +4412,55 @@ def _all_oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(n_trigrams, 0) > 0
                         THEN round(-sum_logsb_q / cast(n_trigrams as double)
                                    / 1000000, 6) END AS avg_nll_sb
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # interpolated Kneser-Ney bigram scoring: the oracle replays the
+        # count tables (bigram types + continuation/context-diversity group
+        # counts) and the pinned-literal-order probability expression
+        # verbatim, so the IEEE doubles agree before fixed-point rounding
+        "kn_score_docs": rf"""
+            WITH toks AS (SELECT doc_id, {_D_TOKS} AS tk FROM documents),
+            tr AS (SELECT tk FROM toks WHERE doc_id % 2 = 0),
+            bg AS (SELECT tk[i] AS v, tk[i + 1] AS w, count(*) AS bg_n
+                   FROM tr, unnest(range(1, greatest(len(tk), 1))) AS u(i)
+                   GROUP BY 1, 2),
+            np AS (SELECT v, count(*) AS n1p,
+                          cast(sum(bg_n) as bigint) AS ctx_n
+                   FROM bg GROUP BY 1),
+            nc AS (SELECT w, count(*) AS n1c FROM bg GROUP BY 1),
+            voc AS (SELECT count(DISTINCT t) AS v_sz
+                    FROM (SELECT unnest(tk) AS t FROM tr)),
+            tot AS (SELECT count(*) AS bb,
+                           (SELECT v_sz FROM voc) AS v_sz FROM bg),
+            ex AS (SELECT doc_id, tk[i] AS v, tk[i + 1] AS w
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+            st AS (SELECT DISTINCT v, w FROM ex),
+            sc AS (SELECT st.v, st.w,
+                          cast(round(ln(CASE WHEN ctx_n IS NOT NULL THEN
+                               (greatest(cast(coalesce(bg_n, 0) as double)
+                                         - 0.75, 0.0)
+                                + 0.75 * n1p * ((coalesce(n1c, 0) + 1)
+                                  / cast(bb + v_sz as double)))
+                               / cast(ctx_n as double)
+                               ELSE (coalesce(n1c, 0) + 1)
+                                    / cast(bb + v_sz as double)
+                               END) * 1000000) as bigint) AS logkn_q
+                   FROM st
+                   LEFT JOIN bg ON st.v = bg.v AND st.w = bg.w
+                   LEFT JOIN np ON st.v = np.v
+                   LEFT JOIN nc ON st.w = nc.w
+                   CROSS JOIN tot),
+            pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                          cast(sum(logkn_q) as bigint) AS sum_logkn_q
+                   FROM ex JOIN sc ON ex.v = sc.v AND ex.w = sc.w
+                   GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(sum_logkn_q, 0) AS sum_logkn_q,
+                   CASE WHEN coalesce(n_bigrams, 0) > 0
+                        THEN round(-sum_logkn_q / cast(n_bigrams as double)
+                                   / 1000000, 6) END AS avg_nll_kn
             FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         # exact heavy hitters: the oracle computes the plain exact top-k;
@@ -6289,6 +6351,13 @@ _EXTENDED_GATE = [
     # exact heavy hitters (MG candidates + exact verify); parity held by
     # check_entry --extended + guarantee-edge tests in test_sketch_sessions
     "heavy_hitters_docs",
+    # interpolated Kneser-Ney bigram scoring (lm.kn_score — completes the
+    # add-one / Stupid-Backoff / KN n-gram family on the shared lm.py
+    # tokenizer + fixed-point contract; sb_score_docs pins the same
+    # train/score split): new in the round-3 seventh wave; full SQL
+    # replay oracle, hand-computed probability pytest in test_lm_spans;
+    # awaiting a round-4 driver slot
+    "kn_score_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

@@ -784,6 +784,17 @@ def run(spark, sf_dir: str):
             train_df=docs.filter(F.col("doc_id") % 2 == 0),
         ).select(F.count("*"), F.sum("sum_logsb_q"), F.sum("n_trigrams")).collect()
 
+    # ---- q_kn: interpolated Kneser-Ney bigram scoring, train/score split ---
+    # (operators/lm.py kn_score — continuation/diversity counts ride the
+    # bigram-type table; same vocabulary-bounded shape as q_sb_lm)
+    with timed("q_kn"):
+        from crawler_spark.operators.lm import kn_score
+
+        kn_score(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            train_df=docs.filter(F.col("doc_id") % 2 == 0),
+        ).select(F.count("*"), F.sum("sum_logkn_q"), F.sum("n_bigrams")).collect()
+
     # ---- q_heavy_hitters: exact top-k hosts via Misra-Gries candidates ----
     # (operators/sketch.py — two scan-shaped passes, distinct-key table
     # never shuffled; `certified` self-reports when top-k is provably exact)

@@ -448,3 +448,118 @@ def perplexity_buckets(
         .otherwise(F.col("bucket").cast("string"))
     )
     return out.withColumn("ppl_bucket", label)
+
+
+def kn_score(
+    df: DataFrame,
+    train_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_rows: int = 4_000_000,
+) -> DataFrame:
+    """Score documents under an interpolated Kneser-Ney bigram LM
+    (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form) trained
+    on ``train_df`` (or on ``df`` itself when ``train_df`` is None).
+
+    KN is the smoothing KenLM ships and CCNet's published filter actually
+    uses; next to :func:`lm_score`'s add-one and :func:`sb_score`'s Stupid
+    Backoff it completes the classic n-gram family. The difference that
+    matters for curation: the backoff distribution is the *continuation*
+    count (how many distinct contexts a word follows), so boilerplate
+    tokens that appear millions of times in ONE template (high frequency,
+    low continuation) stop looking probable — precisely the
+    templated-spam signal raw frequency misses.
+
+    Per bigram ``(v, w)`` with discount ``D = 0.75``:
+
+    - ``Pc(w)   = (N1c(w) + 1) / (B + V)``        (continuation prob;
+      ``N1c(w)`` = distinct contexts preceding ``w``, ``B`` = distinct
+      bigram types, ``V`` = vocabulary — add-one floored so unseen
+      continuations score finite, the same floor philosophy as
+      ``lm_score``/``sb_score``, noted because textbook KN gives 0),
+    - seen context: ``P = (max(c(vw) - D, 0) + D * N1p(v) * Pc(w)) / c(v)``
+      (``N1p(v)`` = distinct continuations of ``v``),
+    - unseen context (train/score split only): ``P = Pc(w)``.
+
+    Determinism: the probability expression is written with one pinned
+    literal order and mirrored verbatim in the DuckDB oracle, so the IEEE
+    doubles agree bit-for-bit before the fixed-point quantization
+    (``round(ln(P) * 1e6)`` summed as exact BIGINT — the lm.py contract).
+
+    Plan shape (100 TB): identical to :func:`sb_score` — count tables are
+    vocabulary-bounded aggregations of the train corpus with map-side
+    combine; ``N1p``/``N1c``/``B`` all derive from the bigram-TYPE table
+    (they are its group counts), never from a corpus re-pass; every model
+    join lands on the scored corpus's distinct-bigram table; the finished
+    score table broadcasts when driver-known small, so the corpus-sized
+    side never shuffles on the hot path.
+    """
+    train = train_df if train_df is not None else df
+    bg_types = (
+        train.select(F.explode(F.expr(bigrams_expr(text_col))).alias("bg"))
+        .groupBy(F.col("bg.prev").alias("v"), F.col("bg.cur").alias("w"))
+        .agg(F.count("*").alias("bg_n"))
+    )
+    # continuation / context-diversity tables: group counts of the TYPE
+    # table (vocabulary-sized), plus c(v) as the sum over its row group
+    n1p = bg_types.groupBy("v").agg(
+        F.count("*").alias("n1p"), F.sum("bg_n").alias("ctx_n")
+    )
+    n1c = bg_types.groupBy("w").agg(F.count("*").alias("n1c"))
+    vocab = (
+        train.select(F.explode(F.expr(tokens_expr(text_col))).alias("t"))
+        .agg(F.countDistinct("t").alias("v_sz"))
+    )
+    totals = bg_types.agg(F.count("*").alias("bb")).crossJoin(
+        F.broadcast(vocab)
+    )
+    ex = df.select(
+        F.col(id_col), F.explode(F.expr(bigrams_expr(text_col))).alias("bg")
+    ).select(
+        id_col, F.col("bg.prev").alias("v"), F.col("bg.cur").alias("w")
+    )
+    st = (
+        ex.select("v", "w").distinct()
+        .join(bg_types, ["v", "w"], "left")
+        .join(n1p, ["v"], "left")
+        .join(n1c, ["w"], "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logkn_q",
+            F.expr(
+                f"cast(round(ln(CASE WHEN ctx_n IS NOT NULL THEN "
+                f"(greatest(cast(coalesce(bg_n, 0) as double) - 0.75, 0.0) "
+                f"+ 0.75 * n1p * ((coalesce(n1c, 0) + 1) "
+                f"/ cast(bb + v_sz as double))) / cast(ctx_n as double) "
+                f"ELSE (coalesce(n1c, 0) + 1) / cast(bb + v_sz as double) "
+                f"END) * {_Q}) as bigint)"
+            ),
+        )
+        .select("v", "w", "logkn_q")
+        .persist()
+    )
+    if st.count() <= broadcast_rows:
+        st = F.broadcast(st)
+    per_doc = (
+        ex.join(st, ["v", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logkn_q").alias("sum_logkn_q"),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)))
+        .withColumn(
+            "sum_logkn_q", F.coalesce(F.col("sum_logkn_q"), F.lit(0))
+        )
+        .withColumn(
+            "avg_nll_kn",
+            F.expr(
+                f"CASE WHEN n_bigrams > 0 THEN "
+                f"round(-sum_logkn_q / cast(n_bigrams as double) / {_Q}, 6) "
+                f"END"
+            ),
+        )
+    )

@@ -18,6 +18,7 @@ from crawler_spark.operators.dedup import (
     strip_duplicate_spans,
 )
 from crawler_spark.operators.lm import (
+    kn_score,
     lm_score,
     perplexity_buckets,
     perplexity_filter,
@@ -413,3 +414,76 @@ def test_curate_cli_ppl_keep(spark, tmp_path, monkeypatch):
     jc.main()
     kept2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
     assert len(kept2) == 3 and kept2 <= kept
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kn_corpora(spark):
+    # train: bigram types (a,b)=2, (b,c)=2 -> B=2, V=3;
+    # N1p(a)=N1p(b)=1, ctx_n(a)=ctx_n(b)=2; N1c(b)=N1c(c)=1
+    train = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b c")], "doc_id int, text string"
+    ).cache()
+    score = spark.createDataFrame(
+        [
+            (0, "a b"),  # seen bigram:   (max(2-.75,0)+.75*1*Pc(b))/2
+            (1, "x b"),  # unseen ctx:    Pc(b) = (1+1)/(2+3)
+            (2, "x z"),  # unseen ctx + never-continuation: (0+1)/5
+            (3, "a c"),  # seen ctx, unseen bigram: (0+.75*1*Pc(c))/2
+            (4, "a"),    # < 2 tokens: no bigrams, NULL score
+        ],
+        "doc_id int, text string",
+    ).cache()
+    return train, score
+
+
+def test_kn_score_every_branch(kn_corpora):
+    train, score = kn_corpora
+    out = {r["doc_id"]: r for r in kn_score(score, train_df=train).collect()}
+    pc_b = (1 + 1) / (2 + 3)
+    pc_c = (1 + 1) / (2 + 3)
+    expected_q = {
+        0: _sbq((max(2 - 0.75, 0.0) + 0.75 * 1 * pc_b) / 2),
+        1: _sbq(pc_b),
+        2: _sbq((0 + 1) / (2 + 3)),
+        3: _sbq((0.0 + 0.75 * 1 * pc_c) / 2),
+    }
+    for d, q in expected_q.items():
+        assert out[d]["n_bigrams"] == 1
+        assert out[d]["sum_logkn_q"] == q
+        assert out[d]["avg_nll_kn"] == round(-q / 1_000_000, 6)
+    assert out[4]["n_bigrams"] == 0
+    assert out[4]["sum_logkn_q"] == 0
+    assert out[4]["avg_nll_kn"] is None
+
+
+def test_kn_discount_penalizes_template_tokens(spark):
+    # "t" appears 8 times but always after the SAME context (low
+    # continuation diversity); "v" appears twice after two different
+    # contexts. KN's continuation distribution must prefer v over t when
+    # the context is unseen, even though raw frequency says otherwise.
+    train = spark.createDataFrame(
+        [(0, "s t s t s t s t s t s t s t s t"), (1, "p v"), (2, "q v")],
+        "doc_id int, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, "unseen t"), (101, "unseen v")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r["avg_nll_kn"]
+        for r in kn_score(score, train_df=train).collect()
+    }
+    assert out[101] < out[100]  # lower NLL = more probable
+
+
+def test_kn_score_partition_invariant(kn_corpora):
+    train, score = kn_corpora
+    one = sorted(kn_score(score, train_df=train).collect())
+    many = sorted(
+        kn_score(score.repartition(7), train_df=train.repartition(5)).collect()
+    )
+    assert one == many
