@@ -2086,6 +2086,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, iterations=4).select("id", "rank_q")
 
+    # ---- exact truncated harmonic centrality (operators/graph.py) over
+    # the pagerank_docs edge set: the authority twin of the HyperBall
+    # scale path (hyperball_harmonic, pytest-bounded against this exact
+    # output); harmonic_q is an exact BIGINT sum of 1e6 div d terms
+    def harmonic_docs(spark, sf_dir):
+        from crawler_spark.operators.graph import harmonic_centrality
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        edges = d.select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> (doc_id * 31 + j * 17) % {m}))"
+            ).alias("dst"),
+        )
+        return harmonic_centrality(edges, max_dist=3).select(
+            "id", "harmonic_q"
+        )
+
     def trustrank_docs(spark, sf_dir):
         # TrustRank over the pagerank_docs edge set, trusted seeds
         # {0, 1, 2}: teleport mass only to seeds, integer fixed-point
@@ -2921,6 +2941,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot_docs": latest_snapshot_docs,
         "revisit_resolve_docs": revisit_resolve_docs,
         "pagerank_docs": pagerank_docs,
+        "harmonic_docs": harmonic_docs,
         "trustrank_docs": trustrank_docs,
         "reciprocity_docs": reciprocity_docs,
         "hits_docs": hits_docs,
@@ -5021,6 +5042,41 @@ def _all_oracle_sql() -> dict[str, str]:
         # the exact fixed-point power iteration unrolled 4 times — integer
         # division (//) and damping (85*s)//100 match Spark's `div`
         # arithmetic bit-for-bit (operators/graph.py)
+        # exact truncated harmonic centrality: unrolled min-distance
+        # propagation (pairs extend by the predecessor side), then the
+        # exact fixed-point 1e6 // d sum per destination
+        "harmonic_docs": """
+            WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
+            e AS (SELECT DISTINCT doc_id AS src,
+                         (doc_id * 31 + j * 17) % (SELECT n FROM m) AS dst
+                  FROM documents, (VALUES (1), (2), (3)) t(j)
+                  WHERE doc_id <> (doc_id * 31 + j * 17) % (SELECT n FROM m)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            p0 AS (SELECT id AS y, id AS x, 0 AS d FROM nodes),
+            p1 AS (SELECT y, x, MIN(d) AS d FROM (
+                     SELECT * FROM p0
+                     UNION ALL
+                     SELECT e.src AS y, p.x, p.d + 1 AS d
+                     FROM e JOIN p0 p ON e.dst = p.y
+                   ) GROUP BY y, x),
+            p2 AS (SELECT y, x, MIN(d) AS d FROM (
+                     SELECT * FROM p1
+                     UNION ALL
+                     SELECT e.src AS y, p.x, p.d + 1 AS d
+                     FROM e JOIN p1 p ON e.dst = p.y
+                   ) GROUP BY y, x),
+            p3 AS (SELECT y, x, MIN(d) AS d FROM (
+                     SELECT * FROM p2
+                     UNION ALL
+                     SELECT e.src AS y, p.x, p.d + 1 AS d
+                     FROM e JOIN p2 p ON e.dst = p.y
+                   ) GROUP BY y, x),
+            h AS (SELECT x AS id,
+                         cast(sum(1000000 // d) as bigint) AS harmonic_q
+                  FROM p3 WHERE d > 0 GROUP BY x)
+            SELECT nodes.id, coalesce(h.harmonic_q, 0) AS harmonic_q
+            FROM nodes LEFT JOIN h ON nodes.id = h.id
+        """,
         "pagerank_docs": """
             WITH m AS (SELECT max(doc_id) + 1 AS n FROM documents),
             e AS (SELECT DISTINCT doc_id AS src,
@@ -6358,6 +6414,13 @@ _EXTENDED_GATE = [
     # replay oracle, hand-computed probability pytest in test_lm_spans;
     # awaiting a round-4 driver slot
     "kn_score_docs",
+    # exact truncated harmonic centrality (graph.harmonic_centrality —
+    # the Common Crawl host-ranking metric; authority twin of the
+    # HyperBall register path, which pytest bounds against it): new in
+    # the round-3 seventh wave; unrolled min-distance SQL replay oracle,
+    # hand-graph + HyperBall-accuracy pytest in test_graph; awaiting a
+    # round-4 driver slot
+    "harmonic_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

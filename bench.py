@@ -562,6 +562,16 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("rank_q")
         ).collect()
 
+    # ---- q_harmonic: HyperBall harmonic centrality over the same graph ----
+    # (operators/graph.py — the 100 TB path: HLL registers per node, one
+    # edge join + (id, bucket) max per level; never a pairs table)
+    with timed("q_harmonic"):
+        from crawler_spark.operators.graph import hyperball_harmonic
+
+        hyperball_harmonic(edges, max_dist=3).select(
+            F.count("*"), F.sum("harmonic_est")
+        ).collect()
+
     # ---- q_hits: hubs/authorities over the same synthetic graph -----------
     # (operators/graph.py — division-only fixed-point half-rounds,
     # adjacency/transpose edge pair each partitioned once)

@@ -632,3 +632,188 @@ def community_diversity_signal(
             F.round(F.lit(1.0) / F.col("_csz"), 6).alias("score"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    max_dist: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Exact truncated harmonic centrality: for every node ``x``,
+    ``H(x) = sum over y != x with d(y, x) <= max_dist of 1 / d(y, x)``
+    (distances along the edge direction — ``y -> ... -> x`` — the
+    incoming-path form Common Crawl publishes as its host ranking;
+    Boldi & Vigna 2014, "Axioms for centrality", recommend exactly this
+    centrality for web graphs because it handles unreachable pairs by
+    contributing 0 instead of breaking like closeness).
+
+    This is the EXACT path and the gate's authority: it materializes the
+    ``(y, x, d)`` reachable-pairs table, which is only tractable while
+    ``n * |ball(max_dist)|`` pairs fit a shuffle — fine for host graphs
+    (10^6-10^7 hosts at small radius), NOT for 10^10 pages. The 100 TB
+    path is :func:`hyperball_harmonic`, which replaces the pairs table
+    with m HLL registers per node; this function is its oracle twin and
+    the small-scale truth.
+
+    Returns ``(id, harmonic_q bigint, harmonic double)`` for every node;
+    ``harmonic_q`` sums the exact fixed-point terms ``1e6 div d`` as
+    BIGINTs (partition-order independent, the repo contract), and
+    ``harmonic = harmonic_q / 1e6``.
+
+    Scale shape within its envelope: the edge list is hash-partitioned on
+    ``dst`` once and persisted (the per-round join key — pairs extend by
+    the PREDECESSOR side); each round is one join + one (y, x) min
+    aggregation with map-side combine; per-round frames are
+    ``localCheckpoint``-ed to cut lineage (the pagerank / label_propagation
+    pattern).
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "dst")
+        .persist()
+    )
+    e.count()  # materialize once; every round rescans this layout
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # pairs (y, x, d): y reaches x in exactly-first-seen distance d
+    pairs = nodes.select(
+        F.col("id").alias("y"), F.col("id").alias("x"), F.lit(0).alias("d")
+    )
+    for _ in range(int(max_dist)):
+        grown = (
+            e.join(pairs.withColumnRenamed("y", "dst"), "dst")
+            .select(F.col("src").alias("y"), "x", (F.col("d") + 1).alias("d"))
+        )
+        pairs = (
+            pairs.unionByName(grown)
+            .groupBy("y", "x")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    h = (
+        pairs.filter(F.col("d") > 0)
+        .groupBy(F.col("x").alias("id"))
+        .agg(F.sum(F.expr("1000000 div d")).alias("harmonic_q"))
+    )
+    return (
+        nodes.join(h, "id", "left")
+        .withColumn("harmonic_q", F.coalesce("harmonic_q", F.lit(0)))
+        .withColumn(
+            "harmonic", F.expr("round(harmonic_q / cast(1000000 as double), 6)")
+        )
+    )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    max_dist: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
+    Computation of Geometric Centralities with HyperBall") — the 100 TB
+    path for :func:`harmonic_centrality`.
+
+    Instead of the exact reachable-pairs table, every node carries an HLL
+    sketch of its incoming ball ``B_t(x) = {y : d(y, x) <= t}``, updated
+    by the recurrence ``B_t(x) = B_{t-1}(x) UNION B_{t-1}(w)`` over
+    in-neighbors ``w -> x`` — HLL registers make that union an elementwise
+    ``max``, so each round is one edge join + one (id, bucket) max
+    aggregation: state is ``n * m`` small ints, NEVER pairs. The harmonic
+    estimate accumulates ``(|B_t| - |B_{t-1}|) / t`` per round; register
+    growth makes the raw estimate monotone up to the linear-counting
+    switch, so increments are clamped at 0 (documented deviation, only at
+    the correction boundary).
+
+    Determinism: the register tables are the exact-integer HLL of
+    sketch.py (bit-identical across partitionings and engines); estimates
+    and increments derive from them with one pinned expression — the whole
+    output is bit-reproducible, asserted against repartitioned runs in
+    pytest. Accuracy is HLL accuracy (~1.04/sqrt(512) ≈ 4.6% per ball);
+    the exact twin is the truth at test scale.
+
+    Returns ``(id, reach_est double, harmonic_est double)`` — estimated
+    ball size at ``max_dist`` and estimated harmonic centrality.
+    """
+    from crawler_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # hash60 (the engine-wide md5 hash) takes a string expression
+    regs = hll_registers(nodes, ["id"], "cast(id as string)").localCheckpoint(
+        eager=True
+    )
+    acc = (
+        hll_estimate(regs, ["id"])
+        .select("id", F.col("hll_est").alias("prev_est"))
+        .withColumn("harmonic_est", F.lit(0.0))
+    )
+    for t in range(1, int(max_dist) + 1):
+        grown = (
+            e.join(regs.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "bucket", "rank")
+            .groupBy("id", "bucket")
+            .agg(F.max("rank").alias("rank"))
+        )
+        regs = hll_merge(regs, grown, ["id"]).localCheckpoint(eager=True)
+        est = hll_estimate(regs, ["id"]).select(
+            "id", F.col("hll_est").alias("est")
+        )
+        acc = (
+            acc.join(est, "id")
+            .withColumn(
+                "harmonic_est",
+                F.expr(
+                    f"harmonic_est + greatest(est - prev_est, 0.0) / {t}"
+                ),
+            )
+            .select(
+                "id",
+                F.col("est").alias("prev_est"),
+                "harmonic_est",
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return acc.select(
+        "id",
+        F.expr("round(prev_est, 6)").alias("reach_est"),
+        F.expr("round(harmonic_est, 6)").alias("harmonic_est"),
+    )
