@@ -1565,6 +1565,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, _MIX_WEIGHTS, _REPEAT_BUDGET, max_epochs=_REPEAT_MAX_EPOCHS
         ).select("doc_id", "source", "n_tokens", "epoch")
 
+    # ---- cluster-balanced sampling (sampling.cluster_balanced_sample):
+    # per-EMBEDDING-CLUSTER budgets instead of per-source — nearest
+    # centroid via the IVF literal-expression assignment (zero shuffle),
+    # then the exact sampler's hash-priority window per cluster. Budget
+    # 4000 over k=8 hash-seeded centroids exercises both the equal-share
+    # scalar and clusters that exhaust their share.
+    def cluster_sample_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import cluster_balanced_sample
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        e = _t(spark, sf_dir, "embeddings")
+        j = d.join(e, d.doc_id == e.vec_id).select(
+            "doc_id", "source", "text", "embedding"
+        )
+        return cluster_balanced_sample(j, token_budget=4000, k=8).select(
+            "doc_id", "centroid_id", "n_tokens"
+        )
+
     def sample_budget_approx_docs(spark, sf_dir):
         # scale-path mixing: bucket-histogram cutoffs, no windows
         from crawler_spark.operators.sampling import (
@@ -2898,6 +2916,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_docs": contamination_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
+        "cluster_sample_docs": cluster_sample_docs,
         "sample_repeats_docs": sample_repeats_docs,
         "sample_budget_approx_docs": sample_budget_approx_docs,
         "near_dup_clusters": near_dup_clusters,
@@ -4055,6 +4074,50 @@ def _all_oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 20 <> 0
+        """,
+        # cluster-balanced sampling: hash-seeded centroids (the IVF
+        # quantizer CTE), argmin assignment with the id tie-break, equal
+        # per-cluster budget share, hash-priority running-sum keep rule
+        "cluster_sample_docs": rf"""
+            WITH j AS (
+              SELECT d.doc_id, d.text, e.embedding
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ),
+            cents AS (
+              SELECT doc_id AS centroid_id, embedding AS c_emb FROM j
+              WHERE cast(concat('0x', substring(md5(cast(doc_id as varchar)),
+                         1, 15)) as bigint) % 15 = 0
+              ORDER BY doc_id LIMIT 8
+            ),
+            scored AS (
+              SELECT j.doc_id, j.text, c.centroid_id,
+                     row_number() OVER (PARTITION BY j.doc_id
+                       ORDER BY list_aggregate(list_transform(range(0, 64),
+                         i -> (cast(j.embedding[i + 1] as double)
+                               - cast(c.c_emb[i + 1] as double))
+                            * (cast(j.embedding[i + 1] as double)
+                               - cast(c.c_emb[i + 1] as double))), 'sum'),
+                         c.centroid_id) AS rn
+              FROM j CROSS JOIN cents c
+            ),
+            a AS (SELECT doc_id, text, centroid_id FROM scored WHERE rn = 1),
+            nk AS (SELECT count(DISTINCT centroid_id) AS nc FROM a),
+            t AS (
+              SELECT doc_id, centroid_id,
+                     len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS n_tokens,
+                     cast(concat('0x', substring(md5(cast(doc_id as varchar)),
+                          1, 15)) as bigint) AS pri
+              FROM a
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY centroid_id
+                          ORDER BY pri, doc_id ROWS UNBOUNDED PRECEDING)
+                        AS cum
+              FROM t
+            )
+            SELECT doc_id, centroid_id, cast(n_tokens as bigint) AS n_tokens
+            FROM c WHERE cum <= 4000 // (SELECT nc FROM nk)
         """,
         "sample_budget_docs": f"""
             -- exact token-budget mixing: hash-priority running sum per
@@ -6421,6 +6484,13 @@ _EXTENDED_GATE = [
     # hand-graph + HyperBall-accuracy pytest in test_graph; awaiting a
     # round-4 driver slot
     "harmonic_docs",
+    # cluster-balanced sampling (sampling.cluster_balanced_sample — D4-
+    # style per-embedding-cluster budgets; ivf_topk_docs on the driver
+    # board pins the shared centroid/assignment expressions and
+    # sample_budget's window rule is pinned via assemble): new in the
+    # round-3 seventh wave; full SQL replay oracle, balance/conservation
+    # pytest in test_sampling; awaiting a round-4 driver slot
+    "cluster_sample_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

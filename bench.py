@@ -649,6 +649,19 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_tokens")
         ).collect()
 
+    # ---- q_cluster_sample: D4-style per-embedding-cluster budgets ---------
+    # (literal-centroid assignment expression — zero shuffle — then the
+    # exact sampler's per-cluster hash-priority window)
+    with timed("q_cluster_sample"):
+        from crawler_spark.operators.sampling import cluster_balanced_sample
+
+        j = docs.select("doc_id", "source", "text").join(
+            embs, F.col("doc_id") == F.col("vec_id")
+        )
+        cluster_balanced_sample(j, token_budget=200_000, k=8).select(
+            F.count("*"), F.sum("n_tokens")
+        ).collect()
+
     # ---- q_anchor_stats: parse -> inbound anchor-text aggregation ---------
     # (one html parse per page, then the pure-JVM two-stage aggregate)
     with timed("q_anchor_stats"):

@@ -39,7 +39,7 @@ section mandates, sharing the cross-engine hash/shingle primitives of
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -847,4 +847,67 @@ def sample_with_repeats(
         full.select(*out_cols, "epoch")
         .unionByName(rem.select(*out_cols, "epoch"))
         .withColumn("n_tokens", F.col(tokens_col).cast("long"))
+    )
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    token_budget: int,
+    centroid_rows: Optional[Sequence] = None,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    tokens_col: str = "ws_tokens",
+    text_col: str = "text",
+    cluster_col: str = "centroid_id",
+) -> DataFrame:
+    """Diversity-balanced sampling over EMBEDDING clusters instead of
+    source labels (D4, Tirumala et al. 2023; the cluster-then-balance
+    step SemDeDup-style pipelines run after dedup): assign every document
+    to its nearest centroid, then give each cluster an equal share of the
+    token budget and keep documents per cluster in hash-priority order
+    while the running token sum fits.
+
+    Why this exists next to :func:`sample_to_token_budget`: source labels
+    encode *provenance*, clusters encode *content* — a crawl where one
+    topic dominates every host still collapses to that topic under
+    per-source mixing, while per-cluster budgets cap each content region
+    directly.
+
+    ``centroid_rows`` are driver-small ``(centroid_id, c_emb)`` rows; when
+    None the deterministic hash-sample-seeded quantizer
+    (``similarity.ivf_centroids``) is trained on ``docs`` itself.
+
+    Scale shape: assignment is ``similarity.nearest_centroid_expr`` — a
+    literal-centroid codegen'd column expression, zero shuffle at any
+    corpus size; the per-cluster budget is ONE scalar aggregation
+    (``token_budget div n_clusters_present``, never a collected cluster
+    list); the keep rule is the exact sampler's per-cluster window. k is
+    small by construction (a mixing knob, not an ANN index), so the
+    per-cluster windows parallelize across k reducers; for heavy skew the
+    same ``shards=`` escape hatch as packing applies upstream.
+
+    Returns surviving rows + ``centroid_id`` + ``n_tokens``.
+    """
+    from crawler_spark.operators.similarity import (
+        ivf_centroids,
+        nearest_centroid_expr,
+    )
+
+    if centroid_rows is None:
+        cents = ivf_centroids(docs, k=k, vec_col=vec_col, id_col=id_col)
+        centroid_rows = [
+            (r["centroid_id"], r["c_emb"]) for r in cents.collect()
+        ]
+    assigned = docs.withColumn(
+        cluster_col, F.expr(nearest_centroid_expr(centroid_rows, vec_col))
+    )
+    return sample_to_token_budget(
+        assigned,
+        None,
+        token_budget,
+        source_col=cluster_col,
+        id_col=id_col,
+        tokens_col=tokens_col,
+        text_col=text_col,
     )

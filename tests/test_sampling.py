@@ -951,3 +951,69 @@ def test_repeats_zero_token_source_keeps_docs_once(spark):
     z = [r for r in out if r["source"] == "z"]
     assert sorted(r["doc_id"] for r in z) == [0, 1]
     assert all(r["epoch"] == 1 and r["n_tokens"] == 0 for r in z)
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling (per-embedding-cluster budgets)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.sampling import cluster_balanced_sample
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    # two well-separated content regions in 4-d; source labels deliberately
+    # CROSS the content split (both sources contribute to both regions)
+    rows = []
+    for i in range(40):
+        region = i % 2
+        base = [10.0, 10.0, 0.0, 0.0] if region == 0 else [0.0, 0.0, 10.0, 10.0]
+        emb = [base[j] + ((i * 7 + j) % 5) * 0.1 for j in range(4)]
+        rows.append((i, f"src{i % 3}", "tok " * 10, emb))
+    return spark.createDataFrame(
+        rows, "doc_id int, source string, text string, embedding array<double>"
+    ).cache()
+
+
+def test_cluster_sample_respects_per_cluster_budget(clustered_corpus):
+    cents = [(0, [10.0, 10.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0, 10.0])]
+    out = cluster_balanced_sample(
+        clustered_corpus, token_budget=100, centroid_rows=cents
+    ).collect()
+    per = {}
+    for r in out:
+        per[r["centroid_id"]] = per.get(r["centroid_id"], 0) + r["n_tokens"]
+    # equal share: 100 // 2 = 50 tokens per cluster, never exceeded
+    assert set(per) == {0, 1}
+    assert all(v <= 50 for v in per.values())
+    # 10-token docs: each cluster fits exactly 5
+    assert all(v == 50 for v in per.values())
+
+
+def test_cluster_sample_caps_content_not_provenance(clustered_corpus):
+    # per-SOURCE mixing can't cap a topic that spans sources; per-cluster
+    # budgets must keep BOTH regions represented even under a tiny budget
+    cents = [(0, [10.0, 10.0, 0.0, 0.0]), (1, [0.0, 0.0, 10.0, 10.0])]
+    out = cluster_balanced_sample(
+        clustered_corpus, token_budget=40, centroid_rows=cents
+    ).collect()
+    regions = {r["centroid_id"] for r in out}
+    assert regions == {0, 1}
+    srcs = {r["doc_id"] % 2 for r in out}
+    assert srcs == {0, 1}
+
+
+def test_cluster_sample_trains_quantizer_and_is_deterministic(clustered_corpus):
+    one = sorted(
+        (r["doc_id"], r["centroid_id"])
+        for r in cluster_balanced_sample(
+            clustered_corpus, token_budget=200, k=2
+        ).collect()
+    )
+    many = sorted(
+        (r["doc_id"], r["centroid_id"])
+        for r in cluster_balanced_sample(
+            clustered_corpus.repartition(7), token_budget=200, k=2
+        ).collect()
+    )
+    assert one == many and len(one) > 0
