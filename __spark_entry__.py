@@ -1760,6 +1760,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_event_id", "max_event_id", "duration_sec",
         )
 
+    # ---- adaptive per-host politeness (frontier/adaptive.py): the events
+    # stream as a fetch log (value -> latency_ms, event_type='error' ->
+    # error flag, user_id % 40 -> host), percentile_disc base + integer
+    # error-backoff tiers + clamps — every branch fires on this corpus
+    def adaptive_delay_hosts(spark, sf_dir):
+        from crawler_spark.frontier.adaptive import adaptive_crawl_delay
+
+        log = _t(spark, sf_dir, "events").select(
+            F.expr("concat('h', cast(user_id % 40 as string))").alias("host"),
+            F.expr("cast(round(value * 100) as bigint)").alias("latency_ms"),
+            F.expr("event_type = 'error'").alias("is_error"),
+            F.col("event_id").alias("fetch_id"),
+        )
+        return adaptive_crawl_delay(log).select(
+            "host", "n_fetches", "n_errors", "base_ms", "delay_ms"
+        )
+
+    # ---- exact largest-remainder budget apportionment (frontier/
+    # adaptive.py): per-source char mass as the host signal; floor 2,
+    # total 997 (prime, so remainders actually decide slots); the oracle
+    # additionally proves sum(budget) == total by construction
+    def apportion_budget_docs(spark, sf_dir):
+        from crawler_spark.frontier.adaptive import apportion_budget
+
+        scores = (
+            _t(spark, sf_dir, "documents")
+            .groupBy(F.col("source").alias("host"))
+            .agg((F.sum("n_chars") / 1000.0).alias("score"))
+        )
+        return apportion_budget(scores, total_budget=997, floor=2).select(
+            "host", "score_q", "budget"
+        )
+
     def weighted_sample_docs(spark, sf_dir):
         # A-ES weighted sampling without replacement, n_chars as weight;
         # keys from the engine-wide id hash (no RNG), distributed top-k
@@ -2936,6 +2969,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_reputation_docs": source_reputation_docs,
         "hll_distinct_docs": hll_distinct_docs,
         "session_stats_events": session_stats_events,
+        "adaptive_delay_hosts": adaptive_delay_hosts,
+        "apportion_budget_docs": apportion_budget_docs,
         "funnel_steps_events": funnel_steps_events,
         "weighted_sample_docs": weighted_sample_docs,
         "asof_join_events": asof_join_events,
@@ -4742,6 +4777,65 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM t1 LEFT JOIN t2 USING (user_id)
                     LEFT JOIN t3 USING (user_id)
         """,
+        # adaptive politeness: percentile_disc rank pick, integer backoff
+        # tiers, clamps — replayed stage-for-stage
+        "adaptive_delay_hosts": """
+            WITH log AS (
+              SELECT concat('h', cast(user_id % 40 as varchar)) AS host,
+                     cast(round(value * 100) as bigint) AS lat,
+                     event_type = 'error' AS err,
+                     event_id AS fid
+              FROM events
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY host
+                              ORDER BY lat, fid) AS rn FROM log),
+            s AS (SELECT host, count(*) AS n_fetches,
+                         cast(sum(CASE WHEN err THEN 1 ELSE 0 END)
+                              as bigint) AS n_errors
+                  FROM log GROUP BY 1),
+            b AS (SELECT r.host, r.lat AS base_ms
+                  FROM r JOIN s ON r.host = s.host
+                  WHERE r.rn = (s.n_fetches - 1) * 1 // 2 + 1),
+            d AS (SELECT s.host, s.n_fetches, s.n_errors, b.base_ms,
+                         least(greatest(b.base_ms * 2, 100), 30000) AS d1
+                  FROM s JOIN b ON s.host = b.host)
+            SELECT host, n_fetches, n_errors, base_ms,
+                   cast(least(CASE WHEN n_errors * 4 >= n_fetches
+                                   THEN d1 * 4
+                                   WHEN n_errors * 10 >= n_fetches
+                                   THEN d1 * 2
+                                   ELSE d1 END, 30000) as bigint) AS delay_ms
+            FROM d
+        """,
+        # exact largest-remainder apportionment: floor + proportional base
+        # + one extra slot per largest remainder; budgets sum to 997 by
+        # construction (the gate's value-hash pins every per-host slot)
+        "apportion_budget_docs": """
+            WITH s AS (SELECT source AS host,
+                              cast(round((sum(n_chars) / 1000.0) * 1000000)
+                                   as bigint) AS score_q
+                       FROM documents GROUP BY 1),
+            t AS (SELECT cast(sum(score_q) as bigint) AS t,
+                         count(*) AS n FROM s),
+            j AS (SELECT s.host, s.score_q, t.t, t.n,
+                         997 - 2 * t.n AS r
+                  FROM s CROSS JOIN t),
+            k AS (SELECT *,
+                         CASE WHEN t > 0 THEN r * score_q // t
+                              ELSE r // n END AS base,
+                         CASE WHEN t > 0 THEN r * score_q % t
+                              ELSE 0 END AS rem
+                  FROM j),
+            l AS (SELECT cast(max(r) - sum(base) as bigint) AS leftover
+                  FROM k),
+            w AS (SELECT k.*, row_number() OVER (ORDER BY rem DESC, host)
+                              AS rk FROM k)
+            SELECT host, score_q,
+                   cast(2 + base + CASE WHEN rk <= (SELECT leftover FROM l)
+                                        THEN 1 ELSE 0 END as bigint)
+                     AS budget
+            FROM w
+        """,
         "session_stats_events": f"""
             WITH s AS (
               SELECT user_id, event_id, ts,
@@ -6491,6 +6585,18 @@ _EXTENDED_GATE = [
     # round-3 seventh wave; full SQL replay oracle, balance/conservation
     # pytest in test_sampling; awaiting a round-4 driver slot
     "cluster_sample_docs",
+    # adaptive per-host politeness from the fetch log (frontier/
+    # adaptive.py — percentile_disc latency base, integer error-backoff
+    # tiers; feeds the bfs host_budget seam): new in the round-3 seventh
+    # wave; full SQL replay oracle, branch + budget-adapter pytest in
+    # test_adaptive; awaiting a round-4 driver slot
+    "adaptive_delay_hosts",
+    # exact largest-remainder wave-budget apportionment (frontier/
+    # adaptive.py — floor + proportional + remainder rank, sums to the
+    # total exactly): new in the round-3 seventh wave; full SQL replay
+    # oracle, exact-sum/zero-scores/floor pytest in test_adaptive;
+    # awaiting a round-4 driver slot
+    "apportion_budget_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

@@ -264,6 +264,34 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_fetches"), F.sum("n_changes")
         ).collect()
 
+    # ---- q_adaptive: feedback-driven politeness + budget apportionment ----
+    # (frontier/adaptive.py — percentile_disc latency base + error backoff
+    # per host, then exact largest-remainder wave budgets from char mass)
+    with timed("q_adaptive"):
+        from crawler_spark.frontier.adaptive import (
+            adaptive_crawl_delay,
+            adaptive_host_budgets,
+            apportion_budget,
+        )
+
+        log = corpus.select(
+            F.expr("parse_url(url, 'HOST')").alias("host"),
+            F.expr("cast(xxhash64(url) % 2000 + 2000 as bigint)").alias(
+                "latency_ms"
+            ),
+            F.expr("xxhash64(url, 7L) % 12 = 0").alias("is_error"),
+            F.expr("xxhash64(url, 3L)").alias("fetch_id"),
+        )
+        adaptive_host_budgets(adaptive_crawl_delay(log)).select(
+            F.count("*"), F.sum("budget")
+        ).collect()
+        scores = docs.groupBy(F.col("source").alias("host")).agg(
+            (F.sum("n_chars") / 1000.0).alias("score")
+        )
+        apportion_budget(scores, total_budget=100_003, floor=2).select(
+            F.count("*"), F.sum("budget")
+        ).collect()
+
     # ---- pipeline operators over driver testdata --------------------------
     with timed("q_exact_dedup"):
         exact_dedup(docs).count()
