@@ -901,11 +901,15 @@ def run(spark, sf_dir: str):
     # ---- q_bpe: BPE tokenizer training on a hash sample + corpus encode ---
     # (operators/bpe.py — merge loop over the word-frequency table)
     with timed("q_bpe"):
-        from crawler_spark.operators.bpe import bpe_encode, bpe_train
+        from crawler_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+            tokenizer_stats,
+        )
 
         merges, _ = bpe_train(docs, n_merges=40, sample_frac=0.25)
-        bpe_encode(docs, merges).select(
-            F.count("*"), F.sum("n_bpe_tokens")
+        tokenizer_stats(bpe_encode(docs, merges)).select(
+            F.count("*"), F.sum("n_bpe_tokens"), F.sum("fertility")
         ).collect()
     extra["bpe_merges"] = len(merges)
 

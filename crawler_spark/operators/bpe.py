@@ -234,3 +234,77 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def tokenizer_stats(
+    encoded: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer-quality report over :func:`bpe_encode` output —
+    the numbers a pretraining team actually reads before freezing a
+    tokenizer (fertility and compression per source/language; e.g. the
+    tokenizer sections of the BLOOM and Llama reports): a tokenizer that
+    fragments one language into characters starves it of effective
+    context, and the fix (retrain, resize, re-mix) happens HERE, before
+    any GPU time is spent.
+
+    Per ``by`` group:
+
+    - ``n_docs``, ``n_words`` (whitespace tokens), ``n_bpe_tokens``,
+      ``n_bytes`` (UTF-8 octets of ``text_col``),
+    - ``fertility``       = bpe tokens per word (1.0 = every word in
+      vocabulary; 2x+ = heavy fragmentation),
+    - ``bytes_per_token`` = UTF-8 bytes compressed into each bpe token
+      (higher = better compression),
+    - ``pct_fragmented``  = share of words split into 2+ pieces
+      (``n_bpe_tokens - n_whole`` over words, where whole words are
+      single-piece encodings counted at encode time is unnecessary —
+      a word contributes exactly one piece iff it merged to one symbol,
+      so ``n_words - (n_bpe_tokens - n_words)`` underestimates under 3+
+      splits; instead the exact count rides a row-local comparison of
+      per-doc piece and word counts only when equal — see below).
+
+    Exactness note: per-doc ``n_bpe_tokens == n_words`` iff EVERY word
+    encoded to one piece, so the fragmented-docs share (``pct_frag_docs``)
+    is exact and row-local; a per-word fragmentation rate would need the
+    encoder to emit per-word piece counts (a second array) — deliberately
+    not done, the doc-level signal is what the reports above use.
+
+    All ratios are ``round(x, 6)`` doubles from exact BIGINT sums —
+    deterministic at any parallelism. One map-side-combined shuffle of
+    group-sized rows; the encoded corpus is scanned once.
+    """
+    from crawler_spark.operators.dedup import tokens_expr
+
+    per_doc = encoded.select(
+        F.col(by).alias("grp"),
+        F.expr(f"size({tokens_expr(text_col)})").cast("long").alias("w"),
+        F.col("n_bpe_tokens").cast("long").alias("b"),
+        F.expr(f"octet_length({text_col})").cast("long").alias("nb"),
+    )
+    agg = per_doc.groupBy(F.col("grp").alias(by)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("b").alias("n_bpe_tokens"),
+        F.sum("nb").alias("n_bytes"),
+        F.sum(F.expr("CASE WHEN b > w THEN 1 ELSE 0 END")).alias("_frag"),
+    )
+    return agg.select(
+        by,
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_bytes",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN "
+            "round(n_bpe_tokens / cast(n_words as double), 6) END"
+        ).alias("fertility"),
+        F.expr(
+            "CASE WHEN n_bpe_tokens > 0 THEN "
+            "round(n_bytes / cast(n_bpe_tokens as double), 6) END"
+        ).alias("bytes_per_token"),
+        F.expr(
+            "round(_frag / cast(n_docs as double), 6)"
+        ).alias("pct_frag_docs"),
+    )

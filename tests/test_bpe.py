@@ -195,3 +195,41 @@ def test_bpe_encode_whitespace_rule_matches_train(spark):
     toks = list(row["bpe_tokens"])
     exp = trained["aa bb"] * 2 + trained["cc"]
     assert toks == exp
+
+
+def test_tokenizer_stats_hand_computed(spark):
+    from crawler_spark.operators.bpe import tokenizer_stats
+
+    # no merges at all: every word of length L encodes to L+1 pieces
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "ab ab"),    # 2 words, 6 pieces, 5 bytes
+            (1, "en", "abc"),      # 1 word,  4 pieces, 3 bytes
+            (2, "de", "a"),        # 1 word,  2 pieces, 1 byte
+        ],
+        "doc_id int, source string, text string",
+    )
+    enc = bpe_encode(docs, merges=[])
+    out = {r["source"]: r for r in tokenizer_stats(enc).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_words"], en["n_bpe_tokens"], en["n_bytes"]) \
+        == (2, 3, 10, 8)
+    assert en["fertility"] == round(10 / 3, 6)
+    assert en["bytes_per_token"] == 0.8
+    assert en["pct_frag_docs"] == 1.0
+    de = out["de"]
+    assert de["fertility"] == 2.0 and de["pct_frag_docs"] == 1.0
+
+
+def test_tokenizer_stats_trained_vocab_lowers_fertility(docs, spark):
+    from crawler_spark.operators.bpe import tokenizer_stats
+
+    labeled = docs.withColumn("source", F.lit("all"))
+    raw = tokenizer_stats(bpe_encode(labeled, merges=[])).collect()[0]
+    merges, _ = bpe_train(docs, n_merges=12)
+    trained = tokenizer_stats(bpe_encode(labeled, merges)).collect()[0]
+    assert trained["fertility"] < raw["fertility"]
+    assert trained["bytes_per_token"] > raw["bytes_per_token"]
+    # fully-merged words exist after training -> some doc may still be
+    # fragmented, but never more than the raw encoding
+    assert trained["pct_frag_docs"] <= raw["pct_frag_docs"]
