@@ -1033,6 +1033,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf_dir, "documents"), min_quality=0.5, langs=("en", "es")
         )
 
+    # ---- corpus snapshot diff (curation.corpus_diff): old = documents;
+    # new = documents minus every 7th doc (removed), every 5th survivor's
+    # text revised (changed), every 11th doc re-added under a shifted id
+    # (added) — all four statuses fire deterministically
+    def corpus_diff_docs(spark, sf_dir):
+        from crawler_spark.operators.curation import corpus_diff
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        new = d.filter("doc_id % 7 != 0").withColumn(
+            "text",
+            F.expr(
+                "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' rev2') "
+                "ELSE text END"
+            ),
+        ).unionByName(
+            d.filter("doc_id % 11 = 0").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+            )
+        )
+        return corpus_diff(d, new)
+
     # ---- SimHash: signature column AND banded near-dup pairs, both oracled
     def simhash_docs(spark, sf_dir):
         return _t(spark, sf_dir, "documents").select(
@@ -2921,6 +2942,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": fingerprint_docs,
         "hashed_vector_docs": hashed_vector_docs,
         "curate_docs": curate_docs,
+        "corpus_diff_docs": corpus_diff_docs,
         "curation_funnel": curation_funnel,
         "simhash_docs": simhash_docs,
         "simhash_near_dups": simhash_near_dups,
@@ -3582,6 +3604,48 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(i as int) AS i,
                    round(embedding[i + 1], 6) AS v
             FROM emb, unnest(range(0, 16)) AS u(i)
+        """,
+        # corpus snapshot diff: the oracle compares text directly where
+        # the engine compares xxhash64(coalesce(text, '')) — identical
+        # statuses absent a 64-bit collision; token counts and status
+        # buckets replayed on the same synthetic revision
+        "corpus_diff_docs": r"""
+            WITH o AS (
+              SELECT doc_id AS id, source AS o_src, 1 AS o_present,
+                     coalesce(text, '') AS o_text,
+                     len(string_split_regex(lower(trim(coalesce(text, ''))),
+                         '\s+')) AS o_tok
+              FROM documents
+            ),
+            n0 AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 5 = 0 THEN concat(text, ' rev2')
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+            ),
+            n1 AS (
+              SELECT doc_id + 100000 AS doc_id, source, text
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            n AS (
+              SELECT doc_id AS id, source AS n_src, 1 AS n_present,
+                     coalesce(text, '') AS n_text,
+                     len(string_split_regex(lower(trim(coalesce(text, ''))),
+                         '\s+')) AS n_tok
+              FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1)
+            ),
+            j AS (
+              SELECT CASE WHEN o_present IS NULL THEN 'added'
+                          WHEN n_present IS NULL THEN 'removed'
+                          WHEN o_text <> n_text THEN 'changed'
+                          ELSE 'kept' END AS status,
+                     coalesce(n_src, o_src) AS source,
+                     coalesce(n_tok, o_tok) AS tok
+              FROM o FULL OUTER JOIN n USING (id)
+            )
+            SELECT source, status, count(*) AS n_docs,
+                   cast(sum(tok) as bigint) AS n_tokens
+            FROM j GROUP BY 1, 2
         """,
         "curate_docs": f"""
             WITH scored AS ({curation_scored}),
@@ -6597,6 +6661,12 @@ _EXTENDED_GATE = [
     # oracle, exact-sum/zero-scores/floor pytest in test_adaptive;
     # awaiting a round-4 driver slot
     "apportion_budget_docs",
+    # corpus snapshot diff (curation.corpus_diff — the promote-or-rollback
+    # drift report between two pipeline runs; one full-outer id join):
+    # new in the round-3 seventh wave; full SQL replay oracle with a
+    # synthetic add/remove/change revision, status/NULL-convention pytest
+    # in test_pipeline_ops; awaiting a round-4 driver slot
+    "corpus_diff_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

@@ -394,6 +394,21 @@ def run(spark, sf_dir: str):
 
         curate(docs, min_quality=0.5, langs=("en", "es")).count()
 
+    # ---- q_corpus_diff: snapshot drift report (one full-outer id join) ----
+    with timed("q_corpus_diff"):
+        from crawler_spark.operators.curation import corpus_diff
+
+        revised = docs.filter("doc_id % 7 != 0").withColumn(
+            "text",
+            F.expr(
+                "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' rev2') "
+                "ELSE text END"
+            ),
+        )
+        corpus_diff(docs, revised).select(
+            F.count("*"), F.sum("n_docs"), F.sum("n_tokens")
+        ).collect()
+
     # ---- q_filters: the webtext quality-filter pass (repetition + C4 +
     # PII redaction fused into one projection over one scan — zero shuffle)
     with timed("q_filters"):

@@ -1560,3 +1560,67 @@ class TestScalarQuantization:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "TakeOrderedAndProject" in tplan and "Python" not in tplan
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_statuses_hand_checked(spark):
+    from crawler_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "kept text"),
+            (2, "a", "will change"),
+            (3, "b", "will vanish three tokens"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "kept text"),
+            (2, "a", "did change"),
+            (4, "b", "brand new"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    out = {
+        (r["source"], r["status"]): (r["n_docs"], r["n_tokens"])
+        for r in corpus_diff(old, new).collect()
+    }
+    assert out == {
+        ("a", "kept"): (1, 2),
+        ("a", "changed"): (1, 2),
+        ("b", "removed"): (1, 4),
+        ("b", "added"): (1, 2),
+    }
+
+
+def test_corpus_diff_null_text_conventions(spark):
+    from crawler_spark.operators.curation import corpus_diff
+
+    # NULL text hashes as '' (never as a row-presence signal): NULL -> ''
+    # is 'kept'; NULL -> 'x' is 'changed'; token counts are 0 for NULL
+    old = spark.createDataFrame(
+        [(1, "s", None), (2, "s", None)], "doc_id int, source string, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "s", ""), (2, "s", "x")], "doc_id int, source string, text string"
+    )
+    out = {r["status"]: (r["n_docs"], r["n_tokens"])
+           for r in corpus_diff(old, new).collect()}
+    assert out == {"kept": (1, 0), "changed": (1, 1)}
+
+
+def test_corpus_diff_identical_snapshots_all_kept(spark):
+    from crawler_spark.operators.curation import corpus_diff
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"text {i} body") for i in range(30)],
+        "doc_id int, source string, text string",
+    )
+    out = corpus_diff(d, d).collect()
+    assert all(r["status"] == "kept" for r in out)
+    assert sum(r["n_docs"] for r in out) == 30
