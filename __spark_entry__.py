@@ -1017,6 +1017,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "i", F.round("v", 6).alias("v"))
         )
 
+    # ---- sign-random-projection JL reduction (similarity.srp_project):
+    # 64 -> 8 dims over the embeddings table; posexploded like
+    # hashed_vector_docs so the canonicalizer sees scalars
+    def srp_project_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import srp_project
+
+        return (
+            srp_project(
+                _t(spark, sf_dir, "embeddings"), dim=64, out_dim=8, seed=7
+            )
+            .select("vec_id", F.posexplode("rp_emb").alias("i", "v"))
+        )
+
     # ---- composed curation pipeline: quality -> language -> exact dedup,
     # one dataflow (single scan, single shuffle); plus its funnel counters
     def curate_docs(spark, sf_dir):
@@ -2941,6 +2954,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": token_count_docs,
         "fingerprint_docs": fingerprint_docs,
         "hashed_vector_docs": hashed_vector_docs,
+        "srp_project_docs": srp_project_docs,
         "curate_docs": curate_docs,
         "corpus_diff_docs": corpus_diff_docs,
         "curation_funnel": curation_funnel,
@@ -3048,6 +3062,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _srp_oracle() -> str:
+    from crawler_spark.operators.similarity import srp_matrix
+
+    mat = srp_matrix(64, 8, seed=7)
+    vals = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in row)}])"
+        for i, row in enumerate(mat)
+    )
+    return f"""
+        WITH m(i, s) AS (VALUES {vals})
+        SELECT e.vec_id, cast(m.i as int) AS i,
+               round(list_aggregate(list_transform(range(0, 64),
+                     j -> cast(e.embedding[j + 1] as double) * m.s[j + 1]),
+                     'sum'), 6) AS v
+        FROM embeddings e CROSS JOIN m
+    """
+
 
 def _all_oracle_sql() -> dict[str, str]:
     kws = _keywords()
@@ -3576,6 +3608,10 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT doc_id, list_aggregate({fp_pieces}, 'min') AS fingerprint
             FROM documents
         """,
+        # sign-random-projection JL reduction: the identical ±1 literal
+        # matrix (similarity.srp_matrix, seed 7) rides a VALUES CTE; the
+        # component sum replays Spark's ascending-j fold
+        "srp_project_docs": _srp_oracle(),
         "hashed_vector_docs": f"""
             WITH hv AS (
               SELECT doc_id,
@@ -6667,6 +6703,13 @@ _EXTENDED_GATE = [
     # synthetic add/remove/change revision, status/NULL-convention pytest
     # in test_pipeline_ops; awaiting a round-4 driver slot
     "corpus_diff_docs",
+    # sign-random-projection JL reduction (similarity.srp_project — the
+    # real-valued complement of hyperplane LSH / PQ / SQ8: coarse-search
+    # on out_dim doubles, exact rerank on the original): new in the
+    # round-3 seventh wave; identical ±1 literal matrix in both engines,
+    # full SQL replay oracle, JL-distortion + determinism pytest in
+    # test_pipeline_ops; awaiting a round-4 driver slot
+    "srp_project_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

@@ -360,6 +360,14 @@ def run(spark, sf_dir: str):
         books = pq_train(embs, m=4, k=16)
         pq_topk(pq_encode(embs, books), q, books, k=50).collect()
 
+    # ---- q_srp: JL sign-projection 64 -> 16 dims (row-local, no shuffle) --
+    with timed("q_srp"):
+        from crawler_spark.operators.similarity import srp_project
+
+        srp_project(embs, dim=64, out_dim=16).select(
+            F.count("*"), F.sum(F.expr("rp_emb[0] + rp_emb[15]"))
+        ).collect()
+
     # ---- q_sq_topk: SQ8 scalar quantization (params + encode + ADC + rerank)
     # (exact-BIGINT codes and distances; encode is a zero-shuffle scan)
     with timed("q_sq_topk"):

@@ -863,3 +863,53 @@ def sq_topk(
         .orderBy(F.col("cos").desc(), id_col)
         .limit(k)
     )
+
+
+def srp_matrix(dim: int, out_dim: int, seed: int = 42) -> List[List[int]]:
+    """Deterministic ±1 sign-projection matrix (out_dim x dim) from a
+    seeded PRNG — the same bake-literals-once pattern as
+    :func:`hyperplane_signature`'s planes, shared so the gate's oracle can
+    embed the identical matrix."""
+    rng = random.Random(seed)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def srp_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "rp_emb",
+) -> DataFrame:
+    """Sign-random-projection dimensionality reduction (Achlioptas 2003's
+    database-friendly Johnson-Lindenstrauss transform, ±1 entries): adds
+    ``out_col array<double>`` with ``out[i] = sum_j v[j] * s[i][j]``.
+
+    Where it sits in the ANN family: :func:`hyperplane_signature` keeps
+    only the SIGN of each projection (LSH bucketing); PQ/SQ8 quantize the
+    original space. SRP keeps the real-valued projections — a 4x-8x
+    narrower embedding whose dot products approximate the originals'
+    (JL guarantee), so downstream IVF/brute-force rerank runs on
+    ``out_dim`` doubles instead of ``dim``. The standard recipe is
+    coarse-search on the projection, exact rerank on the original.
+
+    Determinism: the matrix is baked as ±1 literals (Python-side PRNG,
+    one copy in the plan); each output component is one left-to-right
+    ``aggregate`` fold in pinned literal order, rounded to 6 decimals —
+    bit-identical across engines and partitionings. Zero shuffle: pure
+    row-local expression, whole-stage codegen.
+    """
+    mat = srp_matrix(dim, out_dim, seed)
+    comps = []
+    for row in mat:
+        slit = "array(" + ", ".join(f"{x}d" for x in row) + ")"
+        comps.append(
+            f"round(aggregate(zip_with({vec_col}, {slit}, "
+            f"(x, s) -> cast(x as double) * s), 0.0d, "
+            f"(acc, v) -> acc + v), 6)"
+        )
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))

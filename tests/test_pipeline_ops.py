@@ -1624,3 +1624,62 @@ def test_corpus_diff_identical_snapshots_all_kept(spark):
     out = corpus_diff(d, d).collect()
     assert all(r["status"] == "kept" for r in out)
     assert sum(r["n_docs"] for r in out) == 30
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection JL reduction
+# ---------------------------------------------------------------------------
+
+
+def test_srp_preserves_cosine_structure(spark):
+    import math
+    import random as _random
+
+    from crawler_spark.operators.similarity import srp_project
+
+    # three well-separated directions in 64-d, plus near-copies: the
+    # projection must keep near-copies nearer than cross-direction pairs
+    rng = _random.Random(3)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i * 10, b))
+        rows.append((i * 10 + 1, [x + rng.gauss(0, 0.05) for x in b]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: list(r["rp_emb"])
+           for r in srp_project(df, dim=64, out_dim=16).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    for i in range(3):
+        near = cos(out[i * 10], out[i * 10 + 1])
+        for j in range(3):
+            if j != i:
+                assert near > cos(out[i * 10], out[j * 10]) + 0.3
+
+
+def test_srp_deterministic_and_row_local(spark):
+    from crawler_spark.operators.similarity import srp_project
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 13 + j) % 7) for j in range(8)]) for i in range(20)],
+        "vec_id int, embedding array<double>",
+    )
+    one = sorted(srp_project(df, dim=8, out_dim=4).collect())
+    many = sorted(srp_project(df.repartition(9), dim=8, out_dim=4).collect())
+    assert one == many
+    # zero shuffle: the plan has no Exchange
+    plan = srp_project(df, dim=8, out_dim=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_srp_matrix_is_seed_stable(spark):
+    from crawler_spark.operators.similarity import srp_matrix
+
+    a = srp_matrix(16, 4, seed=7)
+    b = srp_matrix(16, 4, seed=7)
+    c = srp_matrix(16, 4, seed=8)
+    assert a == b and a != c
+    assert all(x in (1, -1) for row in a for x in row)
