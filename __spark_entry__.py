@@ -3649,8 +3649,9 @@ def _all_oracle_sql() -> dict[str, str]:
             WITH o AS (
               SELECT doc_id AS id, source AS o_src, 1 AS o_present,
                      coalesce(text, '') AS o_text,
-                     len(string_split_regex(lower(trim(coalesce(text, ''))),
-                         '\s+')) AS o_tok
+                     len(list_filter(string_split_regex(
+                         lower(trim(coalesce(text, ''))), '\s+'),
+                         x -> x <> '')) AS o_tok
               FROM documents
             ),
             n0 AS (
@@ -3666,8 +3667,9 @@ def _all_oracle_sql() -> dict[str, str]:
             n AS (
               SELECT doc_id AS id, source AS n_src, 1 AS n_present,
                      coalesce(text, '') AS n_text,
-                     len(string_split_regex(lower(trim(coalesce(text, ''))),
-                         '\s+')) AS n_tok
+                     len(list_filter(string_split_regex(
+                         lower(trim(coalesce(text, ''))), '\s+'),
+                         x -> x <> '')) AS n_tok
               FROM (SELECT * FROM n0 UNION ALL SELECT * FROM n1)
             ),
             j AS (

@@ -140,46 +140,77 @@ def apportion_budget(
     proportionally: ``base = R * s div T`` plus one extra slot to the
     hosts with the largest remainders (``R * s mod T``, ties by host), so
     the result sums to ``total_budget`` EXACTLY — integer arithmetic
-    end-to-end, no float shares that drift at 10^8 hosts. Requires
-    ``total_budget >= floor * n_hosts``; a corpus of all-zero scores
-    splits the remainder by host order (remainders all equal).
+    end-to-end, no float shares that drift at 10^8 hosts. Raises
+    ``ValueError`` when ``total_budget < floor * n_hosts`` (silently
+    violating the exact-sum contract would be worse); a corpus of
+    all-zero scores splits the remainder equally, ties by host order.
 
-    Returns ``(host, score_q, budget)``.
+    Overflow envelope: the per-host product ``R * score_q`` must fit
+    BIGINT. The driver knows ``max(score_q)`` from the same 1-row
+    aggregate that checks the precondition, and when ``R * max_q``
+    approaches 2^63 every score is pre-divided by a single integer
+    ``k`` (deterministic, same k everywhere — proportions shift by at
+    most one part in ``max_q/k``, the exact-sum property is untouched
+    because base/rem/leftover are recomputed from the rescaled total).
+    Without this, a 10^12-char source scored as char-mass with a 10^6
+    budget would wrap silently under non-ANSI arithmetic.
 
-    Scale shape: scores quantize row-locally; one scalar total; one
-    host-table window for the remainder rank. The host table is the ONLY
-    thing shuffled.
+    Returns ``(host, score_q, budget)`` (``score_q`` is the UNSCALED
+    fixed-point score).
+
+    Scale shape: scores quantize row-locally; one 1-row scalar collect
+    (the frontier's decide-from-a-count pattern) for the precondition /
+    rescale decision; one host-table window for the remainder rank. The
+    host table is the ONLY thing shuffled.
     """
     q = host_scores.select(
         F.col(host_col).alias("host"),
         F.expr(f"cast(round({score_col} * {_Q}) as bigint)").alias("score_q"),
     )
-    tot = q.agg(
-        F.sum("score_q").alias("t"), F.count("*").alias("n")
-    )
-    j = q.crossJoin(F.broadcast(tot)).withColumn(
-        "r", F.lit(int(total_budget)) - F.lit(int(floor)) * F.col("n")
-    )
-    # t == 0 (every score zero) falls back to an equal split — the
-    # largest-remainder invariant (leftover < n) only holds when t > 0
-    j = j.withColumn(
-        "base",
-        F.expr("CASE WHEN t > 0 THEN r * score_q div t ELSE r div n END"),
-    ).withColumn(
-        "rem",
-        F.expr("CASE WHEN t > 0 THEN r * score_q % t ELSE 0L END"),
-    )
+    trow = q.agg(
+        F.sum("score_q").alias("t"),
+        F.count("*").alias("n"),
+        F.max("score_q").alias("mx"),
+    ).collect()[0]
+    n = int(trow["n"] or 0)
+    t = int(trow["t"] or 0)
+    mx = int(trow["mx"] or 0)
+    if total_budget < floor * n:
+        raise ValueError(
+            f"total_budget={total_budget} cannot cover floor={floor} "
+            f"for {n} hosts (needs >= {floor * n})"
+        )
+    r = int(total_budget) - int(floor) * n
+    # rescale so r * max(score_q2) stays below 2^62 (Python ints are
+    # arbitrary precision, so k itself is computed exactly)
+    k = (mx * r) // (1 << 62) + 1 if (t > 0 and r > 0) else 1
+    if k > 1:
+        q = q.withColumn("score_q2", F.expr(f"score_q div {k}"))
+        t2 = int(
+            q.agg(F.sum("score_q2")).collect()[0][0] or 0
+        )
+    else:
+        q = q.withColumn("score_q2", F.col("score_q"))
+        t2 = t
+    # t2 == 0 (every score zero, or all rescaled to zero) falls back to
+    # an equal split — the largest-remainder invariant (leftover < n)
+    # only holds when t2 > 0
+    if t2 > 0:
+        base_e = f"{r} * score_q2 div {t2}"
+        rem_e = f"{r} * score_q2 % {t2}"
+    else:
+        base_e = f"{r} div {max(n, 1)}"
+        rem_e = "0L"
+    j = q.withColumn("base", F.expr(base_e)).withColumn("rem", F.expr(rem_e))
     w = Window.orderBy(F.desc("rem"), "host")
     # leftover = r - sum(base); the window rank hands out one extra slot
-    # to the largest remainders. sum(base) is a second scalar aggregate —
-    # both are 1-row frames, never a driver collect of hosts. The
-    # remainder rank is the one GLOBAL window here (single reducer over
-    # the host table); if the host table itself outgrows a reducer, swap
-    # in the two-level distributed prefix sum from sinks/shards.py — the
-    # rank only needs to be exact around the leftover cutoff.
-    left = j.agg(
-        (F.first("r") - F.sum("base")).alias("leftover")
-    )
+    # to the largest remainders. sum(base) is a 1-row aggregate — never a
+    # driver collect of hosts. The remainder rank is the one GLOBAL
+    # window here (single reducer over the host table); if the host
+    # table itself outgrows a reducer, swap in the two-level distributed
+    # prefix sum from sinks/shards.py — the rank only needs to be exact
+    # around the leftover cutoff.
+    left = j.agg((F.lit(r) - F.sum("base")).alias("leftover"))
     return (
         j.crossJoin(F.broadcast(left))
         .withColumn("rk", F.row_number().over(w))

@@ -217,7 +217,10 @@ def bpe_encode(
         cache: dict = {}
         for pdf in batches:
             toks, ns = [], []
-            for text in pdf[text_col].astype(str):
+            # fillna BEFORE astype: astype(str) renders a missing value as
+            # the literal string 'None', which would encode to phantom
+            # ('no'+'ne</w>'-ish) tokens for NULL-text documents
+            for text in pdf[text_col].fillna("").astype(str):
                 out: List[str] = []
                 for w in ws.split(text.lower()):
                     if not w:
@@ -257,19 +260,15 @@ def tokenizer_stats(
       vocabulary; 2x+ = heavy fragmentation),
     - ``bytes_per_token`` = UTF-8 bytes compressed into each bpe token
       (higher = better compression),
-    - ``pct_fragmented``  = share of words split into 2+ pieces
-      (``n_bpe_tokens - n_whole`` over words, where whole words are
-      single-piece encodings counted at encode time is unnecessary —
-      a word contributes exactly one piece iff it merged to one symbol,
-      so ``n_words - (n_bpe_tokens - n_words)`` underestimates under 3+
-      splits; instead the exact count rides a row-local comparison of
-      per-doc piece and word counts only when equal — see below).
+    - ``pct_frag_docs``   = share of DOCS containing at least one word
+      split into 2+ pieces.
 
-    Exactness note: per-doc ``n_bpe_tokens == n_words`` iff EVERY word
-    encoded to one piece, so the fragmented-docs share (``pct_frag_docs``)
-    is exact and row-local; a per-word fragmentation rate would need the
-    encoder to emit per-word piece counts (a second array) — deliberately
-    not done, the doc-level signal is what the reports above use.
+    ``pct_frag_docs`` is doc-level by design: per-doc
+    ``n_bpe_tokens == n_words`` iff EVERY word encoded to one piece, so
+    the flag is exact and row-local; a per-WORD fragmentation rate would
+    need the encoder to emit per-word piece counts (a second array) —
+    deliberately not done, the doc-level signal is what the tokenizer
+    reports above actually use.
 
     All ratios are ``round(x, 6)`` doubles from exact BIGINT sums —
     deterministic at any parallelism. One map-side-combined shuffle of
@@ -277,11 +276,14 @@ def tokenizer_stats(
     """
     from crawler_spark.operators.dedup import tokens_expr
 
+    # coalesce mirrors the encoder's fillna(''): a NULL-text doc counts 0
+    # words / 0 bytes, never a NULL that silently drops out of the sums
+    nn = f"coalesce({text_col}, '')"
     per_doc = encoded.select(
         F.col(by).alias("grp"),
-        F.expr(f"size({tokens_expr(text_col)})").cast("long").alias("w"),
+        F.expr(f"size({tokens_expr(nn)})").cast("long").alias("w"),
         F.col("n_bpe_tokens").cast("long").alias("b"),
-        F.expr(f"octet_length({text_col})").cast("long").alias("nb"),
+        F.expr(f"octet_length({nn})").cast("long").alias("nb"),
     )
     agg = per_doc.groupBy(F.col("grp").alias(by)).agg(
         F.count("*").alias("n_docs"),

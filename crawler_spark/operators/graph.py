@@ -709,6 +709,7 @@ def harmonic_centrality(
         .groupBy(F.col("x").alias("id"))
         .agg(F.sum(F.expr("1000000 div d")).alias("harmonic_q"))
     )
+    e.unpersist()  # pairs is eagerly checkpointed; the edge cache is done
     return (
         nodes.join(h, "id", "left")
         .withColumn("harmonic_q", F.coalesce("harmonic_q", F.lit(0)))

@@ -889,19 +889,16 @@ def cluster_balanced_sample(
 
     Returns surviving rows + ``centroid_id`` + ``n_tokens``.
     """
-    from crawler_spark.operators.similarity import (
-        ivf_centroids,
-        nearest_centroid_expr,
-    )
+    from crawler_spark.operators.similarity import ivf_assign, ivf_centroids
 
     if centroid_rows is None:
         cents = ivf_centroids(docs, k=k, vec_col=vec_col, id_col=id_col)
         centroid_rows = [
             (r["centroid_id"], r["c_emb"]) for r in cents.collect()
         ]
-    assigned = docs.withColumn(
-        cluster_col, F.expr(nearest_centroid_expr(centroid_rows, vec_col))
-    )
+    # ivf_assign IS the assignment rule — one definition shared with the
+    # index path, so a tie-break/distance change can never drift
+    assigned = ivf_assign(docs, centroid_rows, vec_col, out_col=cluster_col)
     return sample_to_token_budget(
         assigned,
         None,

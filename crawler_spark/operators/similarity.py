@@ -912,4 +912,12 @@ def srp_project(
             f"(x, s) -> cast(x as double) * s), 0.0d, "
             f"(acc, v) -> acc + v), 6)"
         )
-    return df.withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
+    # fail fast on a dim mismatch: zip_with would otherwise pad with
+    # NULLs and silently poison every component
+    arr = "array(" + ", ".join(comps) + ")"
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {int(dim)} THEN {arr} "
+        f"ELSE raise_error(concat('srp_project: expected dim {int(dim)}, "
+        f"got ', cast(size({vec_col}) as string))) END"
+    )
+    return df.withColumn(out_col, F.expr(guarded))

@@ -114,3 +114,26 @@ def test_apportion_partition_invariance(spark):
     )
     assert one == many
     assert sum(r["budget"] for r in one) == 1009
+
+
+def test_apportion_raises_when_floor_exceeds_total(spark):
+    scores = spark.createDataFrame(
+        [(f"h{i}", 1.0) for i in range(10)], "host string, score double"
+    )
+    with pytest.raises(ValueError, match="cannot cover floor"):
+        apportion_budget(scores, total_budget=10, floor=2).collect()
+
+
+def test_apportion_huge_scores_rescale_keeps_exact_sum(spark):
+    # char-mass-scale scores: score_q ~ 1e15 each; r * score_q would wrap
+    # int64 without the rescale, breaking the exact-sum contract
+    scores = spark.createDataFrame(
+        [("a", 3.0e9), ("b", 2.0e9), ("c", 1.0e9)],
+        "host string, score double",
+    )
+    out = {r["host"]: r["budget"] for r in
+           apportion_budget(scores, total_budget=1_000_003, floor=1).collect()}
+    assert sum(out.values()) == 1_000_003
+    assert out["a"] > out["b"] > out["c"] > 0
+    # proportions survive the rescale (within one slot of the exact share)
+    assert abs(out["a"] - 1_000_000 * 3 / 6) <= 2

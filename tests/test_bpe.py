@@ -233,3 +233,19 @@ def test_tokenizer_stats_trained_vocab_lowers_fertility(docs, spark):
     # fully-merged words exist after training -> some doc may still be
     # fragmented, but never more than the raw encoding
     assert trained["pct_frag_docs"] <= raw["pct_frag_docs"]
+
+
+def test_bpe_encode_and_stats_null_text(spark):
+    from crawler_spark.operators.bpe import tokenizer_stats
+
+    docs = spark.createDataFrame(
+        [(0, "s", None), (1, "s", "ab")],
+        "doc_id int, source string, text string",
+    )
+    enc = bpe_encode(docs, merges=[])
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    # NULL text encodes to NOTHING — never to pieces of the string 'None'
+    assert list(rows[0]["bpe_tokens"]) == [] and rows[0]["n_bpe_tokens"] == 0
+    st = tokenizer_stats(enc).collect()[0]
+    assert (st["n_docs"], st["n_words"], st["n_bpe_tokens"], st["n_bytes"]) \
+        == (2, 1, 3, 2)

@@ -1683,3 +1683,13 @@ def test_srp_matrix_is_seed_stable(spark):
     c = srp_matrix(16, 4, seed=8)
     assert a == b and a != c
     assert all(x in (1, -1) for row in a for x in row)
+
+
+def test_srp_dim_mismatch_raises(spark):
+    from crawler_spark.operators.similarity import srp_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="srp_project: expected dim 8"):
+        srp_project(df, dim=8, out_dim=4).collect()
