@@ -725,6 +725,7 @@ def hyperball_harmonic(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: Optional[int] = None,
+    p: int = 9,
 ) -> DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
     Computation of Geometric Centralities with HyperBall") — the 100 TB
@@ -750,6 +751,12 @@ def hyperball_harmonic(
 
     Returns ``(id, reach_est double, harmonic_est double)`` — estimated
     ball size at ``max_dist`` and estimated harmonic centrality.
+
+    ``p`` sizes the per-node sketch (m = 2^p registers). The default
+    (m=512, ~4.6% per-ball error) matches the module-wide HLL; for
+    10^9-10^10-node graphs pass p=5..6 (m=32-64, ~13-18% error) — the
+    HyperBall paper's own operating point for centrality RANKING, and an
+    8-16x cut in the n*m register state every round moves.
     """
     from crawler_spark.operators.sketch import (
         hll_estimate,
@@ -778,11 +785,11 @@ def hyperball_harmonic(
         .localCheckpoint(eager=False)
     )
     # hash60 (the engine-wide md5 hash) takes a string expression
-    regs = hll_registers(nodes, ["id"], "cast(id as string)").localCheckpoint(
-        eager=True
-    )
+    regs = hll_registers(
+        nodes, ["id"], "cast(id as string)", p=p
+    ).localCheckpoint(eager=True)
     acc = (
-        hll_estimate(regs, ["id"])
+        hll_estimate(regs, ["id"], p=p)
         .select("id", F.col("hll_est").alias("prev_est"))
         .withColumn("harmonic_est", F.lit(0.0))
     )
@@ -794,7 +801,7 @@ def hyperball_harmonic(
             .agg(F.max("rank").alias("rank"))
         )
         regs = hll_merge(regs, grown, ["id"]).localCheckpoint(eager=True)
-        est = hll_estimate(regs, ["id"]).select(
+        est = hll_estimate(regs, ["id"], p=p).select(
             "id", F.col("hll_est").alias("est")
         )
         acc = (

@@ -48,14 +48,28 @@ _RANK_MAX = 53
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def hll_rank_expr(hash_col: str) -> str:
+def alpha_for_m(m: int) -> float:
+    """Published bias constants (Flajolet et al. 2007, fig. 3): exact
+    values for the small register counts, the asymptotic formula above
+    128. Small m matters for HyperBall, where the per-NODE register
+    table is the dominant state and the paper itself runs m = 16-64."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rank_expr(hash_col: str, p: int = HLL_P) -> str:
     """Rank from a 60-bit hash column. ``shiftright`` keeps the remainder
     exact — ``h / m`` would round through a double and corrupt hashes
     above 2^53. (The DuckDB oracle mirrors this with ``h // m``.)"""
-    rest = f"shiftright({hash_col}, {HLL_P})"
+    rest = f"shiftright({hash_col}, {p})"
     return (
-        f"CASE WHEN {rest} = 0 THEN {60 - HLL_P + 1} "
-        f"ELSE {60 - HLL_P} - length(bin({rest})) + 1 END"
+        f"CASE WHEN {rest} = 0 THEN {60 - p + 1} "
+        f"ELSE {60 - p} - length(bin({rest})) + 1 END"
     )
 
 
@@ -63,6 +77,7 @@ def hll_registers(
     df: DataFrame,
     key_cols: list,
     value_expr: str,
+    p: int = HLL_P,
 ) -> DataFrame:
     """Sketch register table ``key_cols + (bucket, rank)`` for the values
     of ``value_expr`` (a SQL string expression) within each key group.
@@ -70,14 +85,16 @@ def hll_registers(
     One shuffle, map-side combined to <= m rows per group. Registers for
     empty buckets are implicit (rank 0) — ``hll_estimate`` accounts for
     them, and implicit-zero tables merge correctly (max with nothing is
-    the other side).
+    the other side). ``p`` (m = 2^p registers) defaults to the module
+    standard; pass a smaller p when the KEY cardinality is the scale
+    driver (HyperBall: one sketch per node) and ~10% error is fine.
     """
     h = _hash60(value_expr)
     return (
         df.select(
             *key_cols,
-            F.expr(f"pmod({h}, {HLL_M})").cast("int").alias("bucket"),
-            F.expr(hll_rank_expr(f"({h})")).cast("int").alias("rank"),
+            F.expr(f"pmod({h}, {1 << p})").cast("int").alias("bucket"),
+            F.expr(hll_rank_expr(f"({h})", p)).cast("int").alias("rank"),
         )
         .groupBy(*key_cols, "bucket")
         .agg(F.max("rank").alias("rank"))
@@ -95,30 +112,34 @@ def hll_merge(a: DataFrame, b: DataFrame, key_cols: list) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame, key_cols: list) -> DataFrame:
+def hll_estimate(
+    registers: DataFrame, key_cols: list, p: int = HLL_P
+) -> DataFrame:
     """Cardinality estimate per key from a register table.
 
     Output: ``key_cols + (hll_s bigint, hll_zero_buckets int, hll_est
     double)``. ``hll_s`` is the exact scaled indicator sum — the
     cross-engine anchor the oracle compares bit-for-bit; ``hll_est``
-    applies alpha bias correction and the small-range linear-counting
-    switch, rounded to 6 decimals.
+    applies alpha bias correction (``alpha_for_m``) and the small-range
+    linear-counting switch, rounded to 6 decimals. ``p`` must match the
+    build's.
     """
+    m = 1 << p
     per_key = registers.groupBy(*key_cols).agg(
         F.sum(F.expr(f"cast(pow(2, {_RANK_MAX} - rank) as bigint)")).alias("_s_used"),
         F.count("*").cast("int").alias("_used"),
     )
-    zeros = f"({HLL_M} - _used)"
+    zeros = f"({m} - _used)"
     s = f"(_s_used + cast({zeros} as bigint) * cast(pow(2, {_RANK_MAX}) as bigint))"
     # alpha is cast to double explicitly: both engines otherwise parse the
     # decimal literal as DECIMAL and run (or overflow) fixed-point math
     raw = (
-        f"(cast({HLL_ALPHA!r} as double) * {HLL_M} * {HLL_M} "
+        f"(cast({alpha_for_m(m)!r} as double) * {m} * {m} "
         f"* pow(2, {_RANK_MAX}) / {s})"
     )
     est = (
-        f"CASE WHEN {raw} <= 2.5 * {HLL_M} AND {zeros} > 0 "
-        f"THEN {HLL_M} * ln({HLL_M} / cast({zeros} as double)) "
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {zeros} > 0 "
+        f"THEN {m} * ln({m} / cast({zeros} as double)) "
         f"ELSE {raw} END"
     )
     return per_key.select(

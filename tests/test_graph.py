@@ -657,3 +657,25 @@ def test_hyperball_state_is_registers_not_pairs(spark):
     hub = {r["id"]: r for r in out.collect()}[0]
     # the hub's incoming ball is all 49 spokes at distance 1
     assert hub["harmonic_est"] == pytest.approx(49.0, rel=0.15)
+
+
+def test_hyperball_small_p_still_ranks(spark):
+    # p=6 (m=64) is the web-scale operating point: 8x less register state;
+    # estimates get noisier but the hub ordering must survive
+    edges = spark.createDataFrame(
+        [(i, (i * 31 + j * 17) % 60) for i in range(60) for j in (1, 2, 3)],
+        "src long, dst long",
+    ).cache()
+    exact = {r["id"]: r["harmonic"]
+             for r in harmonic_centrality(edges, max_dist=3).collect()}
+    hb = {r["id"]: r["harmonic_est"]
+          for r in hyperball_harmonic(edges, max_dist=3, p=6).collect()}
+    assert sum(hb.values()) == pytest.approx(sum(exact.values()), rel=0.2)
+    top_hb = sorted(hb, key=lambda i: -hb[i])[:5]
+    top_exact = set(sorted(exact, key=lambda i: -exact[i])[:30])
+    assert all(i in top_exact for i in top_hb)
+    # determinism holds at every p
+    hb2 = {r["id"]: r["harmonic_est"]
+           for r in hyperball_harmonic(
+               edges.repartition(7), max_dist=3, p=6).collect()}
+    assert hb == hb2
