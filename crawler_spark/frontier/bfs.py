@@ -99,6 +99,13 @@ class CrawlConfig:
     follow_external_links: bool = False
     max_pages: Optional[int] = None
     host_budget: Dict[str, int] = field(default_factory=dict)  # "*" = default
+    # table-valued budgets: a DataFrame of (host string, budget int) — the
+    # scale-correct seam for planner output (frontier/adaptive.py's
+    # adaptive_host_budgets / apportion_budget), where a driver dict would
+    # mean collecting 10^6-10^8 hosts. Joined per wave (AQE picks the
+    # strategy); composed with the dict and robots-delay budgets via min.
+    # Hosts absent from the table fall back to the dict / "*" default.
+    host_budget_df: Optional[object] = None
     # W3 priority queue: a pluggable scorer df -> df that sets/overwrites the
     # ``priority`` double column (higher = crawled earlier within a host's
     # budget) on candidate frontier rows (url, host, depth, parent_seq,
@@ -178,7 +185,7 @@ class CrawlConfig:
         return self.host_budget.get("*")
 
     def has_politeness(self) -> bool:
-        return bool(self.host_budget)
+        return bool(self.host_budget) or self.host_budget_df is not None
 
 
 @dataclass
@@ -294,6 +301,11 @@ def crawl(
     # --- budget lookup plan (broadcast map; empty -> politeness disabled) ---
     budget_rows = [(h, b) for h, b in cfg.host_budget.items() if h != "*"]
     default_budget = cfg.budget_default()
+    budget_tbl = None
+    if cfg.host_budget_df is not None:
+        budget_tbl = cfg.host_budget_df.select(
+            "host", F.col("budget").cast("int").alias("_tbl_budget")
+        )
 
     # --- resume or init -------------------------------------------------------
     last = ck.last_committed() if resume else None
@@ -408,6 +420,14 @@ def crawl(
                 budget_col = F.least(
                     budget_col,
                     F.coalesce(F.col("_delay_budget"), F.lit(2_147_483_647)),
+                )
+            if budget_tbl is not None:
+                # no forced broadcast: a planner table can be 10^8 hosts —
+                # AQE picks broadcast vs shuffle from actual size
+                wave_in = wave_in.join(budget_tbl, "host", "left")
+                budget_col = F.least(
+                    budget_col,
+                    F.coalesce(F.col("_tbl_budget"), F.lit(2_147_483_647)),
                 )
             fcols = [f.name for f in FRONTIER_SCHEMA.fields]
             if cfg.politeness_salt > 1:

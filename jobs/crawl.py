@@ -48,6 +48,9 @@ def main() -> None:
     p.add_argument("--max-pages", type=int, default=None)
     p.add_argument("--instructions", default=None)
     p.add_argument("--follow-external-links", action="store_true")
+    p.add_argument("--budget-table", default=None,
+                   help="parquet of (host, budget) per-wave budgets — e.g. "
+                        "jobs/plan.py output; composed with --budget via min")
     p.add_argument("--budget", action="append", default=[],
                    help="host=N per-wave fetch budget; '*'=default. Repeatable.")
     p.add_argument("--politeness-salt", type=int, default=1)
@@ -112,6 +115,8 @@ def main() -> None:
         seen_exact_urls=args.seen_exact_urls,
         extract_main_content=args.main_content,
     )
+    if args.budget_table:
+        cfg.host_budget_df = spark.read.parquet(args.budget_table)
     if args.redirects:
         from crawler_spark.frontier.redirects import (
             redirect_url_rewriter,

@@ -137,3 +137,94 @@ def test_apportion_huge_scores_rescale_keeps_exact_sum(spark):
     assert out["a"] > out["b"] > out["c"] > 0
     # proportions survive the rescale (within one slot of the exact share)
     assert abs(out["a"] - 1_000_000 * 3 / 6) <= 2
+
+
+# ---------------------------------------------------------------------------
+# table-valued budgets through the crawl (CrawlConfig.host_budget_df)
+# ---------------------------------------------------------------------------
+
+
+def test_budget_table_matches_dict_budgets(spark, corpus_parquet, corpus_spec, tmp_path):
+    """A (host, budget) DataFrame must produce the BIT-identical crawl a
+    driver dict of the same budgets does — the planner seam cannot change
+    semantics, only where the numbers come from."""
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+
+    seeds = [s["url"] for s in default_seeds(corpus_spec)]
+    pages = spark.read.parquet(corpus_parquet)
+    budgets = {f"h{i}.example.test": 2 + i % 3 for i in range(3)}
+
+    via_dict = crawl(
+        spark, pages, seeds,
+        config=CrawlConfig(depth=2, host_budget=dict(budgets)),
+        run_dir=str(tmp_path / "dict"),
+    )
+    tbl = spark.createDataFrame(
+        list(budgets.items()), "host string, budget int"
+    )
+    via_table = crawl(
+        spark, pages, seeds,
+        config=CrawlConfig(depth=2, host_budget_df=tbl),
+        run_dir=str(tmp_path / "table"),
+    )
+    a = [(r["seq"], r["url"]) for r in via_dict.pages(spark).orderBy("seq").collect()]
+    b = [(r["seq"], r["url"]) for r in via_table.pages(spark).orderBy("seq").collect()]
+    assert a == b and len(a) > 0
+
+
+def test_budget_table_composes_with_dict_via_min(spark, corpus_parquet, corpus_spec, tmp_path):
+    from crawler_spark.datagen import default_seeds
+    from crawler_spark.frontier import CrawlConfig, crawl
+
+    seeds = [s["url"] for s in default_seeds(corpus_spec)]
+    pages = spark.read.parquet(corpus_parquet)
+    # dict says 6 everywhere; the table caps one host at 1 — the table's
+    # tighter cap must win for that host only
+    tbl = spark.createDataFrame(
+        [("h0.example.test", 1)], "host string, budget int"
+    )
+    res = crawl(
+        spark, pages, seeds,
+        config=CrawlConfig(depth=2, host_budget={"*": 6}, host_budget_df=tbl),
+        run_dir=str(tmp_path / "mix"),
+    )
+    rows = res.pages(spark).collect()
+    per_wave_h0 = {}
+    for r in rows:
+        if r["host"] == "h0.example.test":
+            per_wave_h0[r["wave"]] = per_wave_h0.get(r["wave"], 0) + 1
+    assert per_wave_h0 and all(v <= 1 for v in per_wave_h0.values())
+    # deferred, not dropped: h0 pages still arrive across later waves
+    assert sum(per_wave_h0.values()) > 1
+
+
+def test_plan_cli_end_to_end(spark, tmp_path, monkeypatch):
+    import sys
+
+    from jobs import plan as plan_job
+
+    log = spark.createDataFrame(
+        [("a", 200, False, 1), ("a", 400, False, 2), ("b", 50, False, 3)],
+        "host string, latency_ms long, is_error boolean, fetch_id long",
+    )
+    sig = spark.createDataFrame(
+        [("a", 1.0), ("b", 3.0)], "host string, score double"
+    )
+    log_p, sig_p = str(tmp_path / "log"), str(tmp_path / "sig")
+    out_p = str(tmp_path / "budgets")
+    log.write.parquet(log_p)
+    sig.write.parquet(sig_p)
+    monkeypatch.setattr(sys, "argv", [
+        "plan.py", "--fetch-log", log_p, "--signals", sig_p,
+        "--total-budget", "100", "--floor", "1",
+        "--wave-target-sec", "60", "--out", out_p,
+    ])
+    plan_job.main()
+    got = {r["host"]: r["budget"]
+           for r in spark.read.parquet(out_p).collect()}
+    # caps: a -> median 200*2=400ms -> 150/wave; b -> clamp 100ms -> 600
+    # shares: floor 1 + r=98 split 1:3 -> base 24/73, leftover 1 to 'a'
+    # (remainder tie, host order) -> a=26, b=74
+    # plan = min(cap, share)
+    assert got["a"] == 26 and got["b"] == 74
