@@ -1617,6 +1617,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "centroid_id", "n_tokens"
         )
 
+    # ---- exact-count stratified split (sampling.stratified_split): 90/5/5
+    # per source; quotas by largest remainder, rows fill splits in
+    # hash-priority rank order — every per-stratum count is exact
+    def stratified_split_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import stratified_split
+
+        return stratified_split(
+            _t(spark, sf_dir, "documents").select("doc_id", "source"),
+            weights={"train": 0.9, "validation": 0.05, "test": 0.05},
+        ).select("doc_id", "source", "split")
+
     def sample_budget_approx_docs(spark, sf_dir):
         # scale-path mixing: bucket-histogram cutoffs, no windows
         from crawler_spark.operators.sampling import (
@@ -2986,6 +2997,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
         "cluster_sample_docs": cluster_sample_docs,
+        "stratified_split_docs": stratified_split_docs,
         "sample_repeats_docs": sample_repeats_docs,
         "sample_budget_approx_docs": sample_budget_approx_docs,
         "near_dup_clusters": near_dup_clusters,
@@ -4211,6 +4223,44 @@ def _all_oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) >= 1 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 20 <> 0
+        """,
+        # exact-count stratified split: per-stratum largest-remainder
+        # quotas, cumulative boundaries in sorted-split order, hash-
+        # priority rank fill — the whole apportionment replayed
+        "stratified_split_docs": rf"""
+            WITH c AS (SELECT source AS st, count(*) AS n
+                       FROM documents GROUP BY 1),
+            sp AS (SELECT st, n, s.name AS sp,
+                          n * s.wq // 10000 AS base,
+                          n * s.wq % 10000 AS rem
+                   FROM c CROSS JOIN (VALUES ('test', 500),
+                                             ('train', 9000),
+                                             ('validation', 500))
+                        s(name, wq)),
+            b AS (SELECT *,
+                         n - sum(base) OVER (PARTITION BY st) AS leftv,
+                         row_number() OVER (PARTITION BY st
+                             ORDER BY rem DESC, sp) AS lr
+                  FROM sp),
+            q AS (SELECT st, sp,
+                         base + CASE WHEN lr <= leftv THEN 1 ELSE 0 END
+                           AS quota
+                  FROM b),
+            bd AS (SELECT st, sp,
+                          sum(quota) OVER (PARTITION BY st ORDER BY sp
+                              ROWS UNBOUNDED PRECEDING) AS hi,
+                          sum(quota) OVER (PARTITION BY st ORDER BY sp
+                              ROWS UNBOUNDED PRECEDING) - quota AS lo
+                   FROM q),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY cast(concat('0x',
+                                 substring(md5(cast(doc_id as varchar)),
+                                 1, 15)) as bigint), doc_id) AS rk
+                  FROM documents)
+            SELECT r.doc_id, r.source, bd.sp AS split
+            FROM r JOIN bd ON r.source = bd.st
+                          AND r.rk > bd.lo AND r.rk <= bd.hi
         """,
         # cluster-balanced sampling: hash-seeded centroids (the IVF
         # quantizer CTE), argmin assignment with the id tie-break, equal
@@ -6712,6 +6762,13 @@ _EXTENDED_GATE = [
     # full SQL replay oracle, JL-distortion + determinism pytest in
     # test_pipeline_ops; awaiting a round-4 driver slot
     "srp_project_docs",
+    # exact-count stratified split (sampling.stratified_split — per-
+    # stratum largest-remainder quotas + hash-priority rank fill; the
+    # exact-proportions complement of on-board split_assign_docs' growth-
+    # stable hash intervals): new in the round-3 seventh wave; full SQL
+    # replay oracle, exact-count/tiny-strata pytest in test_sampling;
+    # awaiting a round-4 driver slot
+    "stratified_split_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

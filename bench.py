@@ -713,6 +713,16 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_tokens")
         ).collect()
 
+    # ---- q_stratified: exact-count 90/5/5 split per source ----------------
+    # (one per-stratum window + a strata-sized boundaries join)
+    with timed("q_stratified"):
+        from crawler_spark.operators.sampling import stratified_split
+
+        stratified_split(
+            docs.select("doc_id", "source"),
+            weights={"train": 0.9, "validation": 0.05, "test": 0.05},
+        ).groupBy("split").count().collect()
+
     # ---- q_anchor_stats: parse -> inbound anchor-text aggregation ---------
     # (one html parse per page, then the pure-JVM two-stage aggregate)
     with timed("q_anchor_stats"):

@@ -794,11 +794,11 @@ def hyperball_harmonic(
         .withColumn("harmonic_est", F.lit(0.0))
     )
     for t in range(1, int(max_dist) + 1):
-        grown = (
-            e.join(regs.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "bucket", "rank")
-            .groupBy("id", "bucket")
-            .agg(F.max("rank").alias("rank"))
+        # no pre-aggregation on the joined side: hll_merge's groupBy-max
+        # (with map-side partial combine) absorbs it — a second Exchange
+        # per round bought nothing (measured in tools/graph_scaling.py)
+        grown = e.join(regs.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "bucket", "rank"
         )
         regs = hll_merge(regs, grown, ["id"]).localCheckpoint(eager=True)
         est = hll_estimate(regs, ["id"], p=p).select(

@@ -908,3 +908,91 @@ def cluster_balanced_sample(
         tokens_col=tokens_col,
         text_col=text_col,
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    weights: Optional[Dict[str, float]] = None,
+    strata_col: str = "source",
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT-count stratified train/validation/test split: within every
+    stratum (source/language/domain), each split receives its
+    largest-remainder share of the stratum's rows — a 50-doc stratum at
+    1% validation gets EXACTLY its apportioned row, not binomial noise.
+
+    The complement of :func:`split_assign`: hash intervals give
+    growth-stable membership (a doc's split never changes as the corpus
+    grows) but only expected proportions per stratum; this gives exact
+    per-stratum proportions but membership that can shift when the
+    stratum's population changes (documented trade-off — use
+    ``split_assign`` for frozen eval sets, this for balanced ablation
+    splits over a fixed corpus snapshot).
+
+    Mechanics (all integer, bit-stable): per stratum ``n`` rows; split
+    ``j`` with quantized weight ``wq_j`` gets ``base_j = n * wq_j div W``
+    plus one of the ``n - sum(base)`` leftover rows by largest remainder
+    (ties by split name) — the same apportionment rule as
+    ``frontier.adaptive.apportion_budget``; rows rank within the stratum
+    by the engine-wide id hash and fill the splits in sorted-name
+    cumulative order.
+
+    Scale shape: one per-stratum window (the rank), one group-sized
+    aggregate (stratum counts), a strata*|splits| boundaries table joined
+    back on the stratum key the window already partitioned by. Nothing
+    corpus-sized moves twice.
+    """
+    weights = weights or {"train": 0.98, "validation": 0.01, "test": 0.01}
+    items = sorted(weights.items())
+    wq = {name: int(round(frac * 10_000)) for name, frac in items}
+    wtot = sum(wq.values())
+
+    counts = docs.groupBy(F.col(strata_col).alias("_st")).agg(
+        F.count("*").alias("_n")
+    )
+    # per (stratum, split): base + largest-remainder extra, then the
+    # cumulative upper boundary in sorted-split order — all on the
+    # strata-sized table
+    splits = None
+    for name in wq:
+        row = counts.select(
+            "_st",
+            "_n",
+            F.lit(name).alias("_sp"),
+            F.expr(f"_n * {wq[name]} div {wtot}").alias("_base"),
+            F.expr(f"_n * {wq[name]} % {wtot}").alias("_rem"),
+        )
+        splits = row if splits is None else splits.unionByName(row)
+    w_lr = Window.partitionBy("_st").orderBy(F.desc("_rem"), "_sp")
+    w_cum = Window.partitionBy("_st").orderBy("_sp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bounds = (
+        splits.withColumn(
+            "_left", F.col("_n") - F.sum("_base").over(Window.partitionBy("_st"))
+        )
+        .withColumn("_lr", F.row_number().over(w_lr))
+        .withColumn(
+            "_quota",
+            F.col("_base")
+            + F.expr("CASE WHEN _lr <= _left THEN 1 ELSE 0 END"),
+        )
+        .withColumn("_hi", F.sum("_quota").over(w_cum))
+        .select("_st", "_sp", (F.col("_hi") - F.col("_quota")).alias("_lo"), "_hi")
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.expr(_priority_expr(id_col)), id_col
+    )
+    ranked = docs.withColumn("_rk", F.row_number().over(w_rank))
+    return (
+        ranked.join(
+            bounds,
+            (ranked[strata_col] == bounds["_st"])
+            & (F.col("_rk") > F.col("_lo"))
+            & (F.col("_rk") <= F.col("_hi")),
+        )
+        .withColumn(out_col, F.col("_sp"))
+        .drop("_st", "_sp", "_lo", "_hi", "_rk")
+    )

@@ -1017,3 +1017,54 @@ def test_cluster_sample_trains_quantizer_and_is_deterministic(clustered_corpus):
         ).collect()
     )
     assert one == many and len(one) > 0
+
+
+# ---------------------------------------------------------------------------
+# exact-count stratified split
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.sampling import stratified_split
+
+
+def test_stratified_split_exact_counts(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    out = stratified_split(
+        docs, weights={"train": 0.9, "validation": 0.05, "test": 0.05}
+    ).collect()
+    assert len(out) == 300  # a partition of the corpus: every row, once
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], {}).setdefault(r["split"], 0)
+        per[r["source"]][r["split"]] += 1
+    # 100 rows per stratum: EXACTLY 90/5/5, no binomial noise
+    for st in ("s0", "s1", "s2"):
+        assert per[st] == {"train": 90, "validation": 5, "test": 5}
+
+
+def test_stratified_split_tiny_stratum_largest_remainder(spark):
+    # 7 rows at 90/5/5: base quotas 6/0/0 (6.3/0.35/0.35), leftover 1 goes
+    # to the largest remainder — 'test' and 'validation' tie at 0.35,
+    # split-name order gives it to 'test'
+    docs = spark.createDataFrame(
+        [(i, "tiny") for i in range(7)], "doc_id int, source string"
+    )
+    out = stratified_split(
+        docs, weights={"train": 0.9, "validation": 0.05, "test": 0.05}
+    ).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert counts == {"train": 6, "test": 1}
+
+
+def test_stratified_split_partition_invariant(spark):
+    rows = [(i, f"s{i % 5}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id int, source string")
+    w = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    one = sorted((r["doc_id"], r["split"])
+                 for r in stratified_split(docs, weights=w).collect())
+    many = sorted((r["doc_id"], r["split"])
+                  for r in stratified_split(
+                      docs.repartition(13), weights=w).collect())
+    assert one == many
