@@ -2536,6 +2536,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return token_prf(j, "pred", "truth")
 
+    # ---- ROUGE-L over the token_prf_docs pairing: the token-LCS DP is
+    # genuinely non-SQL (a per-row dynamic program), so this is a
+    # rows-only gate — the value contract is held by the exponential-
+    # reference + convention pytest in test_keywords_eval
+    def rouge_l_docs(spark, sf_dir):
+        from crawler_spark.operators.text_eval import rouge_l
+
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        pair = d.select(
+            F.col("doc_id").bitwiseXOR(F.lit(1)).alias("doc_id"),
+            F.col("text").alias("truth"),
+        )
+        j = d.join(pair, "doc_id", "left").select(
+            "doc_id",
+            F.col("text").alias("pred"),
+            F.coalesce("truth", F.lit("")).alias("truth"),
+        )
+        return rouge_l(j, "pred", "truth").select(
+            "doc_id", "n_pred", "n_truth", "lcs", "precision", "recall", "f1"
+        )
+
     # ---- word-bigram P/R/F1 (operators/text_eval.ngram_prf, the ROUGE-2
     # multiset form): same xor(doc_id,1) pairing as token_prf_docs, so the
     # two gates differ only in the overlap unit — this one is order-
@@ -3057,6 +3078,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk_docs": sq_topk_docs,
         "html_lang_docs": html_lang_docs,
         "token_prf_docs": token_prf_docs,
+        "rouge_l_docs": rouge_l_docs,
         "ngram_prf_docs": ngram_prf_docs,
         "rake_keywords_docs": rake_keywords_docs,
         "readability_docs": readability_docs,
@@ -6769,6 +6791,13 @@ _EXTENDED_GATE = [
     # replay oracle, exact-count/tiny-strata pytest in test_sampling;
     # awaiting a round-4 driver slot
     "stratified_split_docs",
+    # ROUGE-L token-LCS P/R/F1 (text_eval.rouge_l — the in-order-coverage
+    # complement of ngram_prf; the eval family's one Arrow-batched
+    # mapInPandas operator because the LCS DP is genuinely non-SQL):
+    # new in the round-3 seventh wave; ROWS-ONLY gate by design — values
+    # pinned by an exponential-reference replay + order/NULL-convention
+    # pytest in test_keywords_eval
+    "rouge_l_docs",
     # BM25 ranked retrieval over the positional index (phrase_search_docs,
     # on board, pins the same postings); parity held by check_entry
     # --extended + python-replay tests in test_index

@@ -176,3 +176,91 @@ def prf_summary(scored: DataFrame, by: str = None) -> DataFrame:
         F.round("mr", 6).alias("macro_recall"),
         F.round("mf", 6).alias("macro_f1"),
     )
+
+
+def rouge_l(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row ROUGE-L (Lin 2004): P/R/F1 from the token-level Longest
+    Common Subsequence — credits in-order coverage without the fixed
+    window of :func:`ngram_prf`, so a candidate that preserves the
+    reference's sentence order scores above one that shuffles it even
+    when their n-gram multisets tie.
+
+    Returns ``(id, n_pred, n_truth, lcs, precision, recall, f1)`` —
+    ``lcs`` exact, ratios rounded to 6dp; empty-side conventions match
+    :func:`token_prf` (both empty -> 1, one empty -> 0). Tokenization is
+    the engine-wide rule (lowercased whitespace, NULL = empty).
+
+    The LCS recurrence is a genuinely row-local dynamic program — not
+    expressible as Spark column algebra — so this is the eval family's
+    one Arrow-batched ``mapInPandas`` operator (the documented slow
+    path; acceptable because eval pairs are sampled sets, not the 100 TB
+    corpus). O(|pred| * |truth|) per row: cap inputs upstream (e.g. the
+    F8 chunker) for pathological documents. Deterministic: pure
+    function of the two strings, no state across rows or batches.
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ws = _re.compile(r"\s+")
+
+    def lcs_len(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        if not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(
+                    prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                )
+            prev = cur
+        return prev[-1]
+
+    fields = df.schema.fields + [
+        T.StructField("n_pred", T.LongType()),
+        T.StructField("n_truth", T.LongType()),
+        T.StructField("lcs", T.LongType()),
+        T.StructField("precision", T.DoubleType()),
+        T.StructField("recall", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            np_, nt_, lc_, pr_, rc_, f1_ = [], [], [], [], [], []
+            for p_txt, t_txt in zip(
+                pdf[pred_col].fillna(""), pdf[truth_col].fillna("")
+            ):
+                p = [t for t in ws.split(p_txt.strip().lower()) if t]
+                t = [t for t in ws.split(t_txt.strip().lower()) if t]
+                l = lcs_len(p, t)
+                if not p and not t:
+                    prec = rec = f1 = 1.0
+                elif not p or not t:
+                    prec = rec = f1 = 0.0
+                else:
+                    prec, rec = l / len(p), l / len(t)
+                    f1 = (
+                        2 * prec * rec / (prec + rec)
+                        if prec + rec > 0
+                        else 0.0
+                    )
+                np_.append(len(p)); nt_.append(len(t)); lc_.append(l)
+                pr_.append(round(prec, 6)); rc_.append(round(rec, 6))
+                f1_.append(round(f1, 6))
+            out = pdf[cols].copy()
+            out["n_pred"], out["n_truth"], out["lcs"] = np_, nt_, lc_
+            out["precision"], out["recall"], out["f1"] = pr_, rc_, f1_
+            yield out
+
+    return df.mapInPandas(run, schema)

@@ -226,3 +226,72 @@ def test_rake_on_corpus_is_stable(spark, corpus_parquet):
         F.count("*").alias("c"), F.max("rank").alias("m")
     ).filter("c != m").count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (token-LCS P/R/F1)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.text_eval import rouge_l
+
+
+def _py_lcs(a, b):
+    import itertools
+    # exponential reference implementation for tiny cases only
+    best = 0
+    for k in range(len(a), 0, -1):
+        for comb in itertools.combinations(range(len(a)), k):
+            sub = [a[i] for i in comb]
+            it = iter(b)
+            if all(x in it for x in sub):
+                return k
+    return best
+
+
+def test_rouge_l_matches_exponential_reference(spark):
+    rows = [
+        (0, "a b c d e", "a x b y e"),
+        (1, "the quick brown fox", "quick fox the brown"),
+        (2, "w w w", "w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, pred string, truth string")
+    out = {r["doc_id"]: r for r in rouge_l(df, "pred", "truth").collect()}
+    for did, p_txt, t_txt in rows:
+        p, t = p_txt.split(), t_txt.split()
+        l = _py_lcs(p, t)
+        r = out[did]
+        assert r["lcs"] == l
+        assert r["precision"] == round(l / len(p), 6)
+        assert r["recall"] == round(l / len(t), 6)
+
+
+def test_rouge_l_order_beats_shuffle(spark):
+    # same token multiset, different order: LCS must prefer the in-order
+    # candidate while ROUGE-1/token_prf cannot tell them apart
+    df = spark.createDataFrame(
+        [(0, "a b c d", "a b c d"), (1, "d c b a", "a b c d")],
+        "doc_id int, pred string, truth string",
+    )
+    out = {r["doc_id"]: r["f1"] for r in rouge_l(df, "pred", "truth").collect()}
+    assert out[0] == 1.0 and out[1] < out[0]
+    tok = {r["doc_id"]: r["f1"]
+           for r in token_prf(df, "pred", "truth").collect()}
+    assert tok[0] == tok[1] == 1.0
+
+
+def test_rouge_l_empty_and_null_conventions(spark):
+    df = spark.createDataFrame(
+        [(0, "", ""), (1, None, "x"), (2, "x", None), (3, None, None)],
+        "doc_id int, pred string, truth string",
+    )
+    out = {r["doc_id"]: r for r in rouge_l(df, "pred", "truth").collect()}
+    assert out[0]["f1"] == 1.0 and out[3]["f1"] == 1.0
+    assert out[1]["f1"] == 0.0 and out[2]["f1"] == 0.0
+
+
+def test_rouge_l_partition_invariant(spark):
+    rows = [(i, f"tok{i} a b c", "a b c") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, pred string, truth string")
+    one = sorted(rouge_l(df, "pred", "truth").collect())
+    many = sorted(rouge_l(df.repartition(7), "pred", "truth").collect())
+    assert one == many

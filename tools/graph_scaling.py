@@ -85,22 +85,25 @@ def worker(args) -> None:
     n_edges = edges.count()
 
     t0 = time.perf_counter()
-    pr = pagerank(edges, iterations=4)
-    pr_agg = pr.agg(
-        F.count("*").alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(concat(cast(id as string), ':', "
-            "cast(rank_q as string))))"
-        ).alias("h"),
-    ).collect()[0]
-    hb = hyperball_harmonic(edges, max_dist=3, p=6)
-    hb_agg = hb.agg(
-        F.count("*").alias("n"),
-        F.expr(
-            "bit_xor(xxhash64(concat(cast(id as string), ':', "
-            "cast(harmonic_est as string))))"
-        ).alias("h"),
-    ).collect()[0]
+    pr_agg = hb_agg = {"n": 0, "h": 0}
+    if args.ops in ("both", "pagerank"):
+        pr = pagerank(edges, iterations=4)
+        pr_agg = pr.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(concat(cast(id as string), ':', "
+                "cast(rank_q as string))))"
+            ).alias("h"),
+        ).collect()[0]
+    if args.ops in ("both", "hyperball"):
+        hb = hyperball_harmonic(edges, max_dist=3, p=6)
+        hb_agg = hb.agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "bit_xor(xxhash64(concat(cast(id as string), ':', "
+                "cast(harmonic_est as string))))"
+            ).alias("h"),
+        ).collect()[0]
     wall = time.perf_counter() - t0
 
     out = {
@@ -129,6 +132,8 @@ def main() -> None:
     p.add_argument("--nodes", type=int, default=300_000)
     p.add_argument("--cpus", default="2,8")
     p.add_argument("--repeat", type=int, default=2)
+    p.add_argument("--ops", default="both",
+                   choices=("both", "pagerank", "hyperball"))
     p.add_argument("--worker", action="store_true")
     args = p.parse_args()
     if args.worker:
@@ -144,6 +149,7 @@ def main() -> None:
             inner = [
                 sys.executable, os.path.abspath(__file__), "--worker",
                 "--cpus", str(c), "--nodes", str(args.nodes),
+                "--ops", args.ops,
             ]
             env = dict(os.environ)
             env["JAVA_TOOL_OPTIONS"] = (
