@@ -834,6 +834,21 @@ def run(spark, sf_dir: str):
             token_prf(mc.join(truth, "url"), "pred", "truth", id_col="url")
         ).collect()
 
+    # ---- q_rouge_l: token-LCS in-order coverage over truncated pairs ------
+    # (the mapInPandas slow path by design — eval pairs are sampled sets;
+    # 600-char truncation bounds the O(|p|*|t|) DP)
+    with timed("q_rouge_l"):
+        from crawler_spark.operators.text_eval import rouge_l
+
+        pairs = mc.join(truth, "url").select(
+            "url",
+            F.expr("substring(pred, 1, 600)").alias("pred"),
+            F.expr("substring(truth, 1, 600)").alias("truth"),
+        )
+        rouge_l(pairs, "pred", "truth", id_col="url").select(
+            F.count("*"), F.sum("lcs"), F.sum("f1")
+        ).collect()
+
     # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
     # (frontier/dust.py — planted constant-middle aliases give one
     # high-support rule; per-url session ids generate support-1 noise the
