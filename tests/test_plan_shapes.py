@@ -232,3 +232,72 @@ def test_source_reputation_join_back_is_broadcast(spark):
     plan = plan_of(source_reputation_filter(docs))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kn_score_stays_jvm_side(spark):
+    """Kneser-Ney shares lm_score's shape contract: hash aggregations +
+    a broadcast scoring join; continuation/diversity counts derive from
+    the bigram-TYPE table (group-bys over it), never a third corpus
+    explode — so the Generate budget is the two corpus bigram explodes
+    plus the vocab token explode."""
+    from crawler_spark.operators.lm import kn_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id int, text string"
+    )
+    plan = plan_of(kn_score(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Generate explode") <= 3
+
+
+def test_cluster_sample_assignment_has_no_join(spark):
+    """Centroid assignment is a literal-expression argmin — the plan up
+    to the per-cluster window must contain NO join for the assignment
+    (only the window's one Exchange on the cluster key)."""
+    from crawler_spark.operators.sampling import cluster_balanced_sample
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 5, [float(i % 3), 1.0]) for i in range(30)],
+        "doc_id int, text string, embedding array<double>",
+    )
+    cents = [(0, [0.0, 1.0]), (1, [2.0, 1.0])]
+    plan = plan_of(
+        cluster_balanced_sample(docs, token_budget=50, centroid_rows=cents)
+    )
+    assert "Join" not in plan  # assignment is pure projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_diff_is_one_join(spark):
+    """The drift report is ONE full-outer join + a group-sized aggregate;
+    token counts are row-local expressions on each side."""
+    import re
+
+    from crawler_spark.operators.curation import corpus_diff
+
+    d = spark.createDataFrame(
+        [(i, "s", f"text {i}") for i in range(20)],
+        "doc_id int, source string, text string",
+    )
+    plan = plan_of(corpus_diff(d, d))
+    # formatted explain lists each node once in the detail section —
+    # count join NODES, not string mentions (the tree repeats them)
+    joins = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan, re.M,
+    )
+    assert len(joins) == 1
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_srp_project_is_pure_projection(spark):
+    from crawler_spark.operators.similarity import srp_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id int, embedding array<double>"
+    )
+    plan = plan_of(srp_project(df, dim=4, out_dim=2))
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
