@@ -1793,6 +1793,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "hll_s", "hll_zero_buckets", "hll_est"
         )
 
+    # ---- log-histogram quantile sketch (sketch.qsk_*): per-source
+    # n_chars percentiles from DDSketch-style power-of-two buckets —
+    # at most 53*k+1 counter rows per key, mergeable across waves; the
+    # reported value is the bucket LOWER BOUND (one-sided relative error
+    # <= 1/k = 12.5% at the default k=8), never a float interpolation
+    def quantile_sketch_docs(spark, sf_dir):
+        from crawler_spark.operators.sketch import qsk_build, qsk_quantiles
+
+        d = _t(spark, sf_dir, "documents")
+        return qsk_quantiles(
+            qsk_build(d, ["source"], "n_chars"), ["source"]
+        ).select("source", "n", "p50", "p90", "p99")
+
+    # ---- sketch-thresholded per-source filter (sketch.
+    # qsk_threshold_filter): keep docs at or above their source's
+    # sketched median n_chars — the zero-corpus-shuffle scale path for
+    # "top fraction per host" curation gates (sketch + broadcast
+    # threshold + scan filter; the exact twin is a per-host rank window)
+    def quantile_filter_docs(spark, sf_dir):
+        from crawler_spark.operators.sketch import qsk_threshold_filter
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return qsk_threshold_filter(d, ["source"], "n_chars", 1, 2)
+
     # ---- gap sessionization over the events stream (12h gap => real
     # multi-event sessions on this corpus; 30min would be all singletons)
     def session_stats_events(spark, sf_dir):
@@ -3037,6 +3063,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sa_repeat_spans_docs": sa_repeat_spans_docs,
         "source_reputation_docs": source_reputation_docs,
         "hll_distinct_docs": hll_distinct_docs,
+        "quantile_sketch_docs": quantile_sketch_docs,
+        "quantile_filter_docs": quantile_filter_docs,
         "session_stats_events": session_stats_events,
         "adaptive_delay_hosts": adaptive_delay_hosts,
         "apportion_budget_docs": apportion_budget_docs,
@@ -4915,6 +4943,78 @@ def _all_oracle_sql() -> dict[str, str]:
                               THEN {_HLL_M} * ln({_HLL_M} / cast(hll_zero_buckets as double))
                               ELSE raw END, 6) AS hll_est
             FROM fin
+        """,
+        # log-histogram quantile sketch: power-of-two octave + shift
+        # sub-bucket (all BIGINT), rank pick by integer cross-multiply,
+        # bucket lower bound as the only double — replayed stage-for-stage
+        "quantile_sketch_docs": """
+            WITH v AS (SELECT source,
+                              least(greatest(cast(n_chars as bigint), 0),
+                                    9007199254740991) AS v
+                       FROM documents WHERE n_chars IS NOT NULL),
+            b AS (SELECT source,
+                         CASE WHEN v <= 0 THEN 0
+                              ELSE (length(bin(v)) - 1) * 8
+                                   + (v * 8 >> (length(bin(v)) - 1)) - 8 + 1
+                         END AS qbucket
+                  FROM v),
+            sk AS (SELECT source, qbucket, count(*) AS cnt
+                   FROM b GROUP BY 1, 2),
+            c AS (SELECT source, qbucket, cnt,
+                         cast(sum(cnt) OVER (PARTITION BY source
+                                             ORDER BY qbucket) as bigint)
+                           AS cum,
+                         cast(sum(cnt) OVER (PARTITION BY source) as bigint)
+                           AS n
+                  FROM sk),
+            val AS (SELECT *,
+                           CASE WHEN qbucket = 0 THEN cast(0.0 as double)
+                                ELSE (8 + (qbucket - 1) % 8)::double
+                                     * pow(2.0, ((qbucket - 1) // 8)::double)
+                                     / 8
+                           END AS lo
+                    FROM c)
+            SELECT source, max(n) AS n,
+                   min(CASE WHEN cum * 2 >= n THEN lo END) AS p50,
+                   min(CASE WHEN cum * 10 >= n * 9 THEN lo END) AS p90,
+                   min(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p99
+            FROM val GROUP BY 1
+        """,
+        # sketch-thresholded filter: the same bucket/rank CTE yields the
+        # per-source p50 lower bound; survivors are a broadcast-join +
+        # scan filter against it
+        "quantile_filter_docs": """
+            WITH v AS (SELECT source,
+                              least(greatest(cast(n_chars as bigint), 0),
+                                    9007199254740991) AS v
+                       FROM documents WHERE n_chars IS NOT NULL),
+            b AS (SELECT source,
+                         CASE WHEN v <= 0 THEN 0
+                              ELSE (length(bin(v)) - 1) * 8
+                                   + (v * 8 >> (length(bin(v)) - 1)) - 8 + 1
+                         END AS qbucket
+                  FROM v),
+            sk AS (SELECT source, qbucket, count(*) AS cnt
+                   FROM b GROUP BY 1, 2),
+            c AS (SELECT source, qbucket,
+                         cast(sum(cnt) OVER (PARTITION BY source
+                                             ORDER BY qbucket) as bigint)
+                           AS cum,
+                         cast(sum(cnt) OVER (PARTITION BY source) as bigint)
+                           AS n
+                  FROM sk),
+            th AS (SELECT source,
+                          min(CASE WHEN cum * 2 >= n THEN
+                              CASE WHEN qbucket = 0 THEN cast(0.0 as double)
+                                   ELSE (8 + (qbucket - 1) % 8)::double
+                                        * pow(2.0,
+                                              ((qbucket - 1) // 8)::double)
+                                        / 8
+                              END END) AS th
+                   FROM c GROUP BY 1)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d LEFT JOIN th USING (source)
+            WHERE cast(d.n_chars as double) >= coalesce(th, 0.0)
         """,
         # gap sessionization: lag + running-sum session numbering, floor
         # epoch seconds on both sides (sessions.py)
@@ -7058,6 +7158,18 @@ _EXTENDED_GATE = [
     # wave; plain group-by oracle, weighted-sample feed pytest in
     # test_dust; awaiting a round-4 driver slot
     "dedup_counts_docs",
+    # log-histogram quantile sketch (sketch.qsk_* — DDSketch-style
+    # power-of-two buckets, exact-integer rank pick; completes the sketch
+    # family next to HLL / CMS / MG): new in the round-3 eighth wave;
+    # full bucket/cumsum SQL replay oracle, band/merge/partition pytest
+    # in test_sketch_sessions; awaiting a round-4 driver slot
+    "quantile_sketch_docs",
+    # sketch-thresholded per-source filter (sketch.qsk_threshold_filter —
+    # the zero-corpus-shuffle "top fraction per host" curation path):
+    # new in the round-3 eighth wave; same CTE + broadcast-join filter
+    # oracle, superset-of-exact-cut pytest in test_sketch_sessions;
+    # awaiting a round-4 driver slot
+    "quantile_filter_docs",
 ]
 
 

@@ -542,6 +542,24 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("cms_count")
         ).collect()
 
+    # ---- q_quantile: per-source n_chars percentile sketch + the
+    # sketch-thresholded median filter (order-statistics twin of q_hll:
+    # bounded counter rows per key, no per-key corpus sort) -----------------
+    with timed("q_quantile"):
+        from crawler_spark.operators.sketch import (
+            qsk_build,
+            qsk_quantiles,
+            qsk_threshold_filter,
+        )
+
+        qsk_quantiles(qsk_build(docs, ["source"], "n_chars"), ["source"]).select(
+            F.count("*"), F.sum("p50"), F.sum("p99")
+        ).collect()
+        qsk_threshold_filter(
+            docs.select("doc_id", "source", "n_chars"),
+            ["source"], "n_chars", 1, 2,
+        ).select(F.count("*")).collect()
+
     # ---- q_sessions: gap sessionization over the events stream ------------
     with timed("q_sessions"):
         from crawler_spark.operators.sessions import session_stats

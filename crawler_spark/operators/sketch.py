@@ -383,3 +383,174 @@ def cms_estimate(
             .alias("cms_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch (DDSketch-style buckets, exact-integer math)
+# ---------------------------------------------------------------------------
+# The order-statistics counterpart of the HLL / CMS / MG trio above: "what
+# is the p50/p90/p99 of THIS per-document measure, per source" — document
+# length, token count, quality-score-as-micros — without a per-key global
+# sort. At 10^10 documents an exact percentile is a full shuffle + sort of
+# the measure column per key; this sketch's state is at most
+# 53 * QSK_SUBBUCKETS + 1 counter rows per key, mergeable across waves with
+# a plain counter sum (the same commutative-monoid contract as the other
+# sketches, so per-wave sketches compose without rescanning history).
+#
+# Bucketing (Masson et al. 2019's DDSketch idea, re-based to powers of two
+# so every boundary is EXACT in both engines): a value v >= 1 lands in
+# octave L = length(bin(v)) (v in [2^(L-1), 2^L)) and sub-bucket
+# sub = floor(v * k / 2^(L-1)) - k in [0, k-1] — all BIGINT shifts, no
+# float log. Bucket 0 holds v = 0 exactly. The reported quantile is the
+# LOWER BOUND of the bucket containing the target rank:
+#   lo = (k + sub) * 2^(L-1) / k
+# which for power-of-two k is an exact double, and satisfies
+#   lo <= true_quantile < lo * (1 + 1/k)
+# i.e. a one-sided relative error of at most 1/k (12.5% at the default
+# k = 8; callers needing 6% pass k = 16). Values are clamped to
+# [0, 2^53) — the envelope where v * k stays a safe BIGINT and doubles
+# are exact; per-document char/token/byte measures sit far inside it.
+#
+# Determinism: bucket indices, counters, cumulative ranks and the
+# rank-selection rule (cum * den >= n * num, an integer cross-multiply —
+# never a float ceil) are all integer; the only doubles are the final
+# bucket lower bounds, computed from identical integers in both engines.
+
+QSK_SUBBUCKETS = 8
+QSK_VALUE_CAP = (1 << 53) - 1
+#: default quantile set: (output column, numerator, denominator) — kept
+#: rational so the target rank ceil(q * n) is the exact integer test
+#: cum * den >= n * num.
+QSK_DEFAULT_QS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def qsk_bucket_expr(value_col: str, k: int = QSK_SUBBUCKETS) -> str:
+    """Bucket index of a non-negative BIGINT column. 0 for v <= 0, else
+    ``(L-1)*k + sub + 1``. ``shiftright`` keeps the sub-bucket exact —
+    dividing through a double would corrupt values above 2^53 (the same
+    trap hll_rank_expr documents); the cap keeps ``v * k`` in BIGINT."""
+    v = f"least(greatest(cast({value_col} as bigint), 0), {QSK_VALUE_CAP})"
+    octave = f"length(bin({v}))"
+    sub = f"shiftright({v} * {k}, {octave} - 1) - {k}"
+    return (
+        f"CASE WHEN {v} <= 0 THEN 0 "
+        f"ELSE ({octave} - 1) * {k} + {sub} + 1 END"
+    )
+
+
+def qsk_value_expr(bucket_col: str, k: int = QSK_SUBBUCKETS) -> str:
+    """Lower bound of bucket ``bucket_col`` as an exact double:
+    ``(k + sub) * 2^(L-1) / k`` — (k + sub) <= 2k - 1 is exact, 2^(L-1)
+    is exact for L <= 53, and dividing by a power-of-two k is exact."""
+    octm1 = f"(({bucket_col} - 1) div {k})"
+    sub = f"(({bucket_col} - 1) % {k})"
+    return (
+        f"CASE WHEN {bucket_col} = 0 THEN cast(0.0 as double) "
+        f"ELSE cast({k} + {sub} as double) "
+        f"* power(cast(2.0 as double), cast({octm1} as double)) / {k} END"
+    )
+
+
+def qsk_build(
+    df: DataFrame,
+    key_cols: list,
+    value_expr: str,
+    k: int = QSK_SUBBUCKETS,
+) -> DataFrame:
+    """Build the sketch: ``(key..., qbucket, cnt)``. One groupBy with
+    map-side combine — the shuffle carries at most
+    ``groups * (53 * k + 1)`` counter rows regardless of input size.
+    NULL measures are dropped (same contract as the other sketches);
+    negative measures clamp into bucket 0 with the zeros."""
+    base = df.select(
+        *key_cols, F.expr(value_expr).cast("bigint").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    return (
+        base.select(
+            *key_cols,
+            F.expr(qsk_bucket_expr("_v", k)).cast("int").alias("qbucket"),
+        )
+        .groupBy(*key_cols, "qbucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def qsk_merge(a: DataFrame, b: DataFrame, key_cols: list) -> DataFrame:
+    """Counter-sum merge: build(X) ⊎ build(Y) == build(X ∪ Y) exactly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*key_cols, "qbucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def qsk_quantiles(
+    sketch: DataFrame,
+    key_cols: list,
+    qs=QSK_DEFAULT_QS,
+    k: int = QSK_SUBBUCKETS,
+) -> DataFrame:
+    """Per-key quantile estimates: ``(key..., n, <label>...)`` with one
+    double column per requested quantile (the bucket lower bound — an
+    under-estimate by at most a factor 1 + 1/k).
+
+    The rank scan windows over PER-KEY BUCKET ROWS (<= 53k + 1 of them),
+    never corpus rows, so the "window per key" shape that is a skew trap
+    on documents is safe here by construction. Quantile q = num/den picks
+    the bucket holding the ceil(q * n)-th smallest value via the integer
+    cross-multiply ``cum * den >= n * num``."""
+    wp = Window.partitionBy(*key_cols)
+    wc = wp.orderBy("qbucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = sketch.withColumn("_cum", F.sum("cnt").over(wc)).withColumn(
+        "_n", F.sum("cnt").over(wp)
+    )
+    val = F.expr(qsk_value_expr("qbucket", k))
+    return cum.groupBy(*key_cols).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(den) >= F.col("_n") * F.lit(num),
+                    val,
+                )
+            ).alias(label)
+            for label, num, den in qs
+        ],
+    )
+
+
+def qsk_threshold_filter(
+    df: DataFrame,
+    key_cols: list,
+    value_expr: str,
+    num: int,
+    den: int,
+    k: int = QSK_SUBBUCKETS,
+) -> DataFrame:
+    """Keep rows whose measure is >= their key's sketched q = num/den
+    quantile — the scale path for "top (1-q) fraction per source" gates
+    (e.g. drop the shortest half per host). The exact counterpart is a
+    per-key rank window over the CORPUS (one reducer per hot key); this
+    path is sketch (bounded shuffle) + threshold broadcast join + scan
+    filter, so no corpus-sized shuffle at all.
+
+    The threshold is the sketch's bucket lower bound, so the kept set is
+    a superset of the exact top-(1-q) cut by at most one bucket's worth
+    of relative slack (1/k). Deterministic: same input -> same threshold
+    -> same survivors, regardless of partitioning."""
+    th = qsk_quantiles(
+        qsk_build(df, key_cols, value_expr, k),
+        key_cols,
+        qs=(("_qsk_th", num, den),),
+        k=k,
+    ).select(*key_cols, "_qsk_th")
+    return (
+        df.join(F.broadcast(th), key_cols, "left")
+        .where(
+            F.expr(value_expr).cast("double")
+            >= F.coalesce(F.col("_qsk_th"), F.lit(0.0))
+        )
+        .drop("_qsk_th")
+    )

@@ -565,3 +565,134 @@ def test_interval_join_is_hash_join_not_nested_loop(spark, pts_and_ivs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.sketch import (  # noqa: E402
+    QSK_SUBBUCKETS,
+    qsk_build,
+    qsk_merge,
+    qsk_quantiles,
+    qsk_threshold_filter,
+)
+
+
+def _qsk_bucket_py(v: int, k: int = QSK_SUBBUCKETS) -> int:
+    v = min(max(v, 0), (1 << 53) - 1)
+    if v <= 0:
+        return 0
+    L = v.bit_length()
+    return (L - 1) * k + ((v * k) >> (L - 1)) - k + 1
+
+
+def _qsk_corpus(spark, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = (
+        [("a", rng.randint(0, 100_000)) for _ in range(4000)]
+        + [("b", rng.randint(1, 60)) for _ in range(800)]
+        + [("b", 0), ("b", 0), ("c", 1)]
+    )
+    return rows, spark.createDataFrame(rows, "key string, v long")
+
+
+def test_qsk_bucket_matches_python_replay(spark):
+    probe = [0, 1, 2, 3, 4, 7, 8, 9, 15, 16, 100, 1000, (1 << 53) - 1,
+             (1 << 53), -5]
+    df = spark.createDataFrame([(v,) for v in probe], "v long")
+    got = dict(
+        qsk_build(df, [], "v")
+        .select("qbucket", "cnt")
+        .collect()
+    )
+    import collections
+
+    want = collections.Counter(_qsk_bucket_py(v) for v in probe)
+    assert got == dict(want)
+
+
+def test_qsk_quantile_one_sided_band(spark):
+    rows, df = _qsk_corpus(spark)
+    q = {
+        r["key"]: r
+        for r in qsk_quantiles(qsk_build(df, ["key"], "v"), ["key"]).collect()
+    }
+    for key in ("a", "b", "c"):
+        vs = sorted(v for kk, v in rows if kk == key)
+        n = len(vs)
+        assert q[key]["n"] == n
+        for lbl, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+            target = -(-n * num // den)  # ceil
+            exact = vs[target - 1]
+            est = q[key][lbl]
+            # lower bound of the bucket holding the target rank:
+            # est <= exact < est * (1 + 1/k), with bucket 0 exact at 0
+            assert est <= exact, (key, lbl, est, exact)
+            if exact > 0:
+                assert exact < est * (1.0 + 1.0 / QSK_SUBBUCKETS), (
+                    key, lbl, est, exact,
+                )
+            else:
+                assert est == 0.0
+
+
+def test_qsk_merge_equals_build_of_union_and_partition_invariance(spark):
+    _, df = _qsk_corpus(spark)
+    a = df.where("v % 2 = 0")
+    b = df.where("v % 2 = 1")
+    merged = qsk_merge(
+        qsk_build(a, ["key"], "v"), qsk_build(b, ["key"], "v"), ["key"]
+    )
+    direct = qsk_build(df, ["key"], "v")
+    assert sorted(merged.collect()) == sorted(direct.collect())
+    repart = qsk_build(df.repartition(7, "v"), ["key"], "v")
+    assert sorted(repart.collect()) == sorted(direct.collect())
+
+
+def test_qsk_null_and_negative_contract(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("a", -3), ("a", 0), ("a", 5)], "key string, v long"
+    )
+    sk = {r["qbucket"]: r["cnt"] for r in qsk_build(df, ["key"], "v").collect()}
+    # NULL dropped; -3 and 0 both clamp into bucket 0; 5 in its own bucket
+    assert sk == {0: 2, _qsk_bucket_py(5): 1}
+    q = qsk_quantiles(qsk_build(df, ["key"], "v"), ["key"]).collect()[0]
+    assert q["n"] == 3 and q["p50"] == 0.0
+
+
+def test_qsk_threshold_filter_superset_of_exact_cut(spark):
+    rows, df = _qsk_corpus(spark)
+    kept = qsk_threshold_filter(df, ["key"], "v", 1, 2)
+    got = sorted((r["key"], r["v"]) for r in kept.collect())
+    # deterministic under repartitioning
+    got2 = sorted(
+        (r["key"], r["v"])
+        for r in qsk_threshold_filter(
+            df.repartition(5, "v"), ["key"], "v", 1, 2
+        ).collect()
+    )
+    assert got == got2
+    # per key: every row >= the exact p50 survives (threshold is a lower
+    # bound of the bucket holding the true p50), and every survivor is
+    # >= threshold > exact_p50 / (1 + 1/k)
+    import collections
+
+    by_key = collections.defaultdict(list)
+    for kk, v in rows:
+        by_key[kk].append(v)
+    kept_by_key = collections.defaultdict(list)
+    for kk, v in got:
+        kept_by_key[kk].append(v)
+    for kk, vs in by_key.items():
+        vs = sorted(vs)
+        n = len(vs)
+        exact_p50 = vs[-(-n // 2) - 1]
+        for v in vs:
+            if v >= exact_p50:
+                assert v in kept_by_key[kk]
+        lo = exact_p50 / (1.0 + 1.0 / QSK_SUBBUCKETS)
+        assert all(v >= lo or v == 0 for v in kept_by_key[kk]), kk
