@@ -2228,6 +2228,44 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "harmonic_q"
         )
 
+    # ---- Broder bowtie decomposition (graph.bowtie): deterministic
+    # four-class graph over doc_ids — a 3-out modular expander on the
+    # id%4==0 slice (short-diameter SCC, multi-round BFS), in-tendrils
+    # id%4==1 -> id-1, out-tendrils id-2 -> id for id%4==2, id%4==3
+    # isolated — classified by forward/backward closures from pivot 0;
+    # all four classes fire (125 each at sf0.01)
+    def bowtie_docs(spark, sf_dir):
+        from crawler_spark.operators.graph import bowtie
+
+        d = _t(spark, sf_dir, "documents").select("doc_id")
+        m = d.agg(F.max("doc_id")).collect()[0][0] + 1
+        nc = (m + 3) // 4
+        core = d.where("doc_id % 4 = 0").select(
+            F.col("doc_id").alias("src"),
+            F.expr(
+                f"explode(transform(array(1, 2, 3), "
+                f"j -> 4 * (((doc_id div 4) * 31 + j * 17) % {nc})))"
+            ).alias("dst"),
+        )
+        tendrils = (
+            d.where("doc_id % 4 = 1")
+            .select(
+                F.col("doc_id").alias("src"),
+                (F.col("doc_id") - 1).alias("dst"),
+            )
+            .unionByName(
+                d.where("doc_id % 4 = 2").select(
+                    (F.col("doc_id") - 2).alias("src"),
+                    F.col("doc_id").alias("dst"),
+                )
+            )
+        )
+        return bowtie(
+            core.unionByName(tendrils),
+            d.select(F.col("doc_id").alias("id")),
+            pivot=0,
+        )
+
     def trustrank_docs(spark, sf_dir):
         # TrustRank over the pagerank_docs edge set, trusted seeds
         # {0, 1, 2}: teleport mass only to seeds, integer fixed-point
@@ -3093,6 +3131,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_resolve_docs": revisit_resolve_docs,
         "pagerank_docs": pagerank_docs,
         "harmonic_docs": harmonic_docs,
+        "bowtie_docs": bowtie_docs,
         "trustrank_docs": trustrank_docs,
         "reciprocity_docs": reciprocity_docs,
         "hits_docs": hits_docs,
@@ -5473,6 +5512,41 @@ def _all_oracle_sql() -> dict[str, str]:
         # the exact fixed-point power iteration unrolled 4 times — integer
         # division (//) and damping (85*s)//100 match Spark's `div`
         # arithmetic bit-for-bit (operators/graph.py)
+        # Broder bowtie decomposition: identical synthetic edge
+        # construction, then forward/backward reachability from pivot 0
+        # as recursive CTEs (UNION dedup terminates the cycles) and the
+        # same four-way CASE classification
+        "bowtie_docs": """
+            WITH RECURSIVE
+            m AS (SELECT max(doc_id) + 1 AS m,
+                         ((max(doc_id) + 1) + 3) // 4 AS nc
+                  FROM documents),
+            e AS (
+              SELECT d.doc_id AS src,
+                     4 * (((d.doc_id // 4) * 31 + j.j * 17) % m.nc) AS dst
+              FROM documents d, m, (VALUES (1), (2), (3)) j(j)
+              WHERE d.doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 4 = 1
+              UNION ALL
+              SELECT doc_id - 2, doc_id FROM documents WHERE doc_id % 4 = 2
+            ),
+            fwd(id) AS (SELECT cast(0 AS bigint)
+                        UNION
+                        SELECT e.dst FROM e JOIN fwd ON e.src = fwd.id),
+            bwd(id) AS (SELECT cast(0 AS bigint)
+                        UNION
+                        SELECT e.src FROM e JOIN bwd ON e.dst = bwd.id)
+            SELECT d.doc_id AS id,
+                   CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL
+                             THEN 'core'
+                        WHEN f.id IS NOT NULL THEN 'out'
+                        WHEN b.id IS NOT NULL THEN 'in'
+                        ELSE 'other' END AS component
+            FROM documents d
+            LEFT JOIN fwd f ON d.doc_id = f.id
+            LEFT JOIN bwd b ON d.doc_id = b.id
+        """,
         # exact truncated harmonic centrality: unrolled min-distance
         # propagation (pairs extend by the predecessor side), then the
         # exact fixed-point 1e6 // d sum per destination
@@ -7170,6 +7244,13 @@ _EXTENDED_GATE = [
     # oracle, superset-of-exact-cut pytest in test_sketch_sessions;
     # awaiting a round-4 driver slot
     "quantile_filter_docs",
+    # Broder bowtie decomposition (graph.bowtie — giant-SCC core/in/out/
+    # other macro-structure via two BFS closures; the classic web-graph
+    # analysis for seed-list placement): new in the round-3 eighth wave;
+    # recursive-CTE reachability oracle over a four-class synthetic
+    # graph, python-replay + hand-graph + loud-cap pytest in test_graph;
+    # awaiting a round-4 driver slot
+    "bowtie_docs",
 ]
 
 

@@ -641,6 +641,15 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("harmonic_est")
         ).collect()
 
+    # ---- q_bowtie: Broder macro-structure split over the same graph -------
+    # (graph.bowtie — two BFS closures from the min-id pivot + a
+    # node-sized classify join; rounds = graph eccentricity, ~log n on
+    # this expander)
+    with timed("q_bowtie"):
+        from crawler_spark.operators.graph import bowtie
+
+        bowtie(edges).groupBy("component").agg(F.count("*")).collect()
+
     # ---- q_hits: hubs/authorities over the same synthetic graph -----------
     # (operators/graph.py — division-only fixed-point half-rounds,
     # adjacency/transpose edge pair each partitioned once)

@@ -679,3 +679,102 @@ def test_hyperball_small_p_still_ranks(spark):
            for r in hyperball_harmonic(
                edges.repartition(7), max_dist=3, p=6).collect()}
     assert hb == hb2
+
+
+# ---------------------------------------------------------------------------
+# bowtie decomposition (Broder et al. 2000)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.graph import (  # noqa: E402
+    bowtie,
+    reachability_closure,
+)
+
+
+def test_bowtie_hand_graph(spark):
+    # core cycle 0->4->8->0; 1 -> core (in); core -> 2 (out);
+    # 3 isolated and the 5->6 tendril pair never touch the core (other)
+    edges = spark.createDataFrame(
+        [(0, 4), (4, 8), (8, 0), (1, 0), (8, 2), (5, 6)],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 4, 5, 6, 8)], "id long"
+    )
+    got = {r["id"]: r["component"] for r in bowtie(edges, nodes).collect()}
+    assert got == {
+        0: "core", 4: "core", 8: "core",
+        1: "in", 2: "out",
+        3: "other", 5: "other", 6: "other",
+    }
+
+
+def test_bowtie_matches_python_replay_and_partition_invariance(spark):
+    import random
+
+    rng = random.Random(3)
+    n = 60
+    es = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(110)})
+    edf = spark.createDataFrame(es, "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["component"] for r in bowtie(edf, ndf, pivot=0).collect()
+    }
+    adj, radj = {}, {}
+    for s, d in es:
+        adj.setdefault(s, []).append(d)
+        radj.setdefault(d, []).append(s)
+
+    def close(a, start):
+        seen, st = {start}, [start]
+        while st:
+            x = st.pop()
+            for y in a.get(x, []):
+                if y not in seen:
+                    seen.add(y)
+                    st.append(y)
+        return seen
+
+    fw, bw = close(adj, 0), close(radj, 0)
+    want = {
+        i: (
+            "core" if i in fw and i in bw
+            else "out" if i in fw
+            else "in" if i in bw
+            else "other"
+        )
+        for i in range(n)
+    }
+    assert got == want
+    got2 = {
+        r["id"]: r["component"]
+        for r in bowtie(edf.repartition(7, "dst"), ndf, pivot=0).collect()
+    }
+    assert got2 == got
+
+
+def test_bowtie_default_pivot_is_min_node(spark):
+    edges = spark.createDataFrame([(10, 20), (20, 10)], "src long, dst long")
+    got = {r["id"]: r["component"] for r in bowtie(edges).collect()}
+    # pivot = 10; both nodes in the 10<->20 SCC
+    assert got == {10: "core", 20: "core"}
+
+
+def test_reachability_closure_cap_raises_loudly(spark):
+    # a 12-node path needs 11 rounds; cap at 3 must raise, never truncate
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds|frontier"):
+        reachability_closure(edges, [0], max_rounds=3)
+
+
+def test_reachability_closure_completing_exactly_at_cap_is_fine(spark):
+    # a 4-node path completes in exactly 3 rounds; cap 3 must NOT raise
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = sorted(
+        r["id"] for r in reachability_closure(edges, [0], max_rounds=3).collect()
+    )
+    assert got == [0, 1, 2, 3]
