@@ -1522,6 +1522,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return token_entropy(_t(spark, sf_dir, "documents"))
 
+    # ---- RefinedWeb-style URL word scoring (filters.url_word_score,
+    # Penedo et al. 2023 App. G.1): URLs synthesized from source + the
+    # doc's two leading text tokens, so the weighted token list fires on
+    # both host and path tokens ('class' can never fire 'ass' — token
+    # match, not substring) while the severe-term substring list scores
+    # the raw scheme-stripped URL; exact BIGINT weights throughout
+    def url_score_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.filters import url_word_score
+
+        toks = tokens_expr("text")
+        url = (
+            f"concat('https://', source, '.example.com/', "
+            f"coalesce(element_at({toks}, 1), 'x'), '-', "
+            f"coalesce(element_at({toks}, 2), 'y'), "
+            f"'/p', cast(doc_id % 97 as string))"
+        )
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(url).alias("url")
+        )
+        return url_word_score(
+            d,
+            [("join", 2), ("hash", 1), ("scan", 3), ("src3", 4)],
+            [("rc1", 2), ("p1", 1)],
+        ).select(
+            "doc_id", "url", "url_token_score", "url_substr_score",
+            "url_score",
+        )
+
     def word_blocklist_docs(spark, sf_dir):
         # C4 bad-words gate: the blocklist is corpus-derived by a rule
         # both engines share (distinct tokens starting with 's'), the
@@ -3075,6 +3104,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_docs": blocklist_docs,
         "line_dedup_docs": line_dedup_docs,
         "host_boilerplate_docs": host_boilerplate_docs,
+        "url_score_docs": url_score_docs,
         "word_blocklist_docs": word_blocklist_docs,
         "gopher_line_docs": gopher_line_docs,
         "token_entropy_docs": token_entropy_docs,
@@ -4274,6 +4304,45 @@ def _all_oracle_sql() -> dict[str, str]:
                                / cast(len(toks) AS double), 6)
                    END AS entropy
             FROM c
+        """,
+        # RefinedWeb URL word scoring: identical URL synthesis, then
+        # distinct-token explode + weighted join (token score) and a
+        # per-term CASE sum (substring score) — all BIGINT, no floats
+        "url_score_docs": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/'
+                     || coalesce(list_extract(
+                          list_filter({_D_TOKS}, t -> t <> ''), 1), 'x')
+                     || '-'
+                     || coalesce(list_extract(
+                          list_filter({_D_TOKS}, t -> t <> ''), 2), 'y')
+                     || '/p' || cast(doc_id % 97 as varchar) AS url
+              FROM documents
+            ),
+            norm AS (SELECT doc_id, url,
+                            regexp_replace(lower(url),
+                              '^[a-z][a-z0-9+.\-]*://', '') AS nu
+                     FROM d),
+            tok AS (SELECT doc_id,
+                           unnest(list_distinct(list_filter(
+                             string_split_regex(nu, '[^a-z0-9]+'),
+                             t -> t <> ''))) AS t
+                    FROM norm),
+            w(word, wt) AS (VALUES ('join', 2), ('hash', 1),
+                                   ('scan', 3), ('src3', 4)),
+            ts AS (SELECT doc_id, cast(sum(wt) as bigint) AS ts
+                   FROM tok JOIN w ON tok.t = w.word GROUP BY 1)
+            SELECT n.doc_id, n.url,
+                   cast(coalesce(ts.ts, 0) as bigint) AS url_token_score,
+                   cast((CASE WHEN contains(n.nu, 'rc1') THEN 2 ELSE 0 END)
+                        + (CASE WHEN contains(n.nu, 'p1') THEN 1 ELSE 0 END)
+                     as bigint) AS url_substr_score,
+                   cast(coalesce(ts.ts, 0)
+                        + (CASE WHEN contains(n.nu, 'rc1') THEN 2 ELSE 0 END)
+                        + (CASE WHEN contains(n.nu, 'p1') THEN 1 ELSE 0 END)
+                     as bigint) AS url_score
+            FROM norm n LEFT JOIN ts USING (doc_id)
         """,
         # C4 word blocklist: corpus-derived list (tokens LIKE 's%'),
         # whole-token distinct-match counts — identical token derivation
@@ -7251,6 +7320,14 @@ _EXTENDED_GATE = [
     # graph, python-replay + hand-graph + loud-cap pytest in test_graph;
     # awaiting a round-4 driver slot
     "bowtie_docs",
+    # RefinedWeb URL word scoring (filters.url_word_score /
+    # url_blocklist_filter — weighted token-match broadcast join + small
+    # severe-term substring fold, exact BIGINT weights; the URL-filter
+    # half the domain blocklist alone cannot express): new in the
+    # round-3 eighth wave; full explode/join/CASE SQL replay oracle,
+    # token-vs-substring + null-url + threshold pytest in test_filters;
+    # awaiting a round-4 driver slot
+    "url_score_docs",
 ]
 
 

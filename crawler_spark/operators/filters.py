@@ -618,3 +618,131 @@ def doc_line_dedup(
             out_col, F.expr(f"array_join({kept}, '{line_delim}')")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL word scoring (RefinedWeb, Penedo et al. 2023, Appendix G.1)
+# ---------------------------------------------------------------------------
+
+#: scheme prefix stripped before any URL word matching
+_URL_SCHEME_RE = r"^[a-z][a-z0-9+.\-]*://"
+
+
+def _url_norm_expr(url_col: str) -> str:
+    return f"regexp_replace(lower({url_col}), '{_URL_SCHEME_RE}', '')"
+
+
+def _url_tokens_expr(url_col: str) -> str:
+    """Distinct lowercase alphanumeric tokens of the scheme-stripped URL."""
+    return (
+        f"array_distinct(filter(split({_url_norm_expr(url_col)}, "
+        f"'[^a-z0-9]+'), t -> t <> ''))"
+    )
+
+
+def url_word_score(
+    df: DataFrame,
+    token_words,
+    substr_words: Sequence = (),
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Soft URL word scoring — the RefinedWeb URL filter's scoring half
+    (Penedo et al. 2023, App. G.1: beyond the hard domain blocklist,
+    URLs are scored against weighted word lists and rejected above a
+    threshold). Adds three columns: ``url_token_score`` (sum of weights
+    of list words that equal a distinct URL token — token matching so
+    'ass' never fires inside 'class'), ``url_substr_score`` (sum of
+    weights of high-severity terms appearing ANYWHERE in the
+    scheme-stripped lowercased URL), and their sum ``url_score``.
+
+    Weights are INTEGERS and scores exact BIGINT sums — no float
+    accumulation order anywhere, so partitioning cannot change a score.
+
+    Scale shape: ``token_words`` may be corpus-scale-large (UT1-style
+    category lists run to thousands); it is a DataFrame (or list) joined
+    BROADCAST against the exploded distinct-token rows (~tens per URL),
+    then one groupBy(id) sum — never a per-row scan of the whole list.
+    ``substr_words`` is a driver-held literal folded row-locally (zero
+    shuffle) and is meant to stay small (tens of severe terms); it is
+    deliberately NOT a join because substring match cannot be
+    equi-joined without an n-gram explosion.
+    """
+    spark = df.sparkSession
+    if not isinstance(token_words, DataFrame):
+        token_words = spark.createDataFrame(
+            [(str(w), int(wt)) for w, wt in token_words],
+            "word string, weight int",
+        )
+    words = (
+        token_words.select(
+            F.lower("word").alias("_uw_word"),
+            F.col("weight").cast("bigint").alias("_uw_wt"),
+        )
+        .groupBy("_uw_word")
+        .agg(F.max("_uw_wt").alias("_uw_wt"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("_uid"),
+        F.explode(F.expr(_url_tokens_expr(url_col))).alias("_uw_word"),
+    )
+    tok_scores = (
+        toks.join(F.broadcast(words), "_uw_word")
+        .groupBy("_uid")
+        .agg(F.sum("_uw_wt").alias("_uw_tok_score"))
+    )
+    sub = sorted((str(w).lower(), int(wt)) for w, wt in substr_words)
+    if sub:
+        lit = ", ".join(
+            f"named_struct('w', {quote_sql(w)}, 'wt', {wt}L)" for w, wt in sub
+        )
+        sub_expr = (
+            f"aggregate(array({lit}), 0L, (acc, s) -> acc + "
+            f"IF(contains({_url_norm_expr(url_col)}, s.w), s.wt, 0L))"
+        )
+    else:
+        sub_expr = "0L"
+    out = (
+        df.join(
+            tok_scores, df[id_col] == tok_scores["_uid"], "left"
+        )
+        .drop("_uid")
+        .withColumn(
+            "url_token_score",
+            F.coalesce(F.col("_uw_tok_score"), F.lit(0)).cast("bigint"),
+        )
+        .drop("_uw_tok_score")
+        .withColumn("url_substr_score", F.expr(sub_expr).cast("bigint"))
+        .withColumn(
+            "url_score",
+            (F.col("url_token_score") + F.col("url_substr_score")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out
+
+
+def quote_sql(s: str) -> str:
+    """Single-quote a literal for an inline SQL expression."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    token_words,
+    substr_words: Sequence = (),
+    threshold: int = 2,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Reject rows whose :func:`url_word_score` total reaches
+    ``threshold`` (RefinedWeb's rule); ``keep_blocked=True`` returns
+    the rejects instead, for audit sampling. Original columns only."""
+    scored = url_word_score(
+        df, token_words, substr_words, id_col=id_col, url_col=url_col
+    )
+    cond = F.col("url_score") >= F.lit(int(threshold))
+    kept = scored.where(cond if keep_blocked else ~cond)
+    return kept.select(*df.columns)

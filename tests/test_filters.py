@@ -438,3 +438,86 @@ def test_word_blocklist_backslash_word_is_inert(spark):
     out = {r["doc_id"]: r["n_bad_words"]
            for r in word_blocklist(df, ["c:\\tmp"]).collect()}
     assert out == {1: 1, 2: 0}
+
+
+# ---------------------------------------------------------------------------
+# URL word scoring (RefinedWeb App. G.1)
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.filters import (  # noqa: E402
+    url_blocklist_filter,
+    url_word_score,
+)
+
+_UW_ROWS = [
+    (1, "https://www.example.com/free-casino-poker/page1"),
+    (2, "HTTP://Spam.xxx/CLASS-notes"),
+    (3, "https://news.site.org/articles/2024"),
+    (4, None),
+    (5, "ftp://files.host/casino/casino"),  # repeated word counts once
+]
+_UW_TOKENS = [("casino", 2), ("poker", 1), ("ass", 3)]
+_UW_SUBSTR = [("xxx", 5)]
+
+
+def _uw_df(spark):
+    return spark.createDataFrame(_UW_ROWS, "doc_id long, url string")
+
+
+def test_url_word_score_token_vs_substring_semantics(spark):
+    got = {
+        r["doc_id"]: (
+            r["url_token_score"], r["url_substr_score"], r["url_score"]
+        )
+        for r in url_word_score(
+            _uw_df(spark), _UW_TOKENS, _UW_SUBSTR
+        ).collect()
+    }
+    assert got == {
+        1: (3, 0, 3),   # casino(2) + poker(1)
+        2: (0, 5, 5),   # 'class' token must NOT fire 'ass'; xxx substring
+        3: (0, 0, 0),
+        4: (0, 0, 0),   # NULL url scores 0, row survives scoring
+        5: (2, 0, 2),   # distinct tokens: 'casino' counts once
+    }
+
+
+def test_url_word_score_weight_dedup_and_case(spark):
+    # duplicate word rows keep the max weight; matching is case-folded
+    df = spark.createDataFrame(
+        [(1, "https://A.B/CASINO")], "doc_id long, url string"
+    )
+    got = url_word_score(
+        df, [("casino", 1), ("CASINO", 7)], []
+    ).collect()[0]
+    assert got["url_token_score"] == 7
+
+
+def test_url_blocklist_filter_threshold_and_audit(spark):
+    kept = url_blocklist_filter(
+        _uw_df(spark), _UW_TOKENS, _UW_SUBSTR, threshold=2
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4]
+    assert kept.columns == ["doc_id", "url"]  # original columns only
+    blocked = url_blocklist_filter(
+        _uw_df(spark), _UW_TOKENS, _UW_SUBSTR, threshold=2,
+        keep_blocked=True,
+    )
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [1, 2, 5]
+
+
+def test_url_word_score_partition_invariance_and_broadcast_plan(spark):
+    df = _uw_df(spark)
+    a = sorted(map(tuple, url_word_score(df, _UW_TOKENS, _UW_SUBSTR).collect()))
+    b = sorted(
+        map(
+            tuple,
+            url_word_score(
+                df.repartition(5, "url"), _UW_TOKENS, _UW_SUBSTR
+            ).collect(),
+        )
+    )
+    assert a == b
+    plan = url_word_score(df, _UW_TOKENS, _UW_SUBSTR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # word table never shuffles the corpus
