@@ -984,6 +984,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id_docs(spark, sf_dir):
         return lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
 
+    # ---- per-paragraph language profile + CCNet-style foreign-paragraph
+    # strip (text_analysis.paragraph_lang_profile / strip_foreign_
+    # paragraphs, Wenzek et al. 2020 §3): pseudo-paragraph corpus with
+    # planted mixing — doc_id%5 docs get Spanish markers on odd lines,
+    # every 3rd line is Spanish everywhere, other odd lines English,
+    # doc_id%7 docs open with a CJK paragraph; langs_joined pins every
+    # per-paragraph decision, kept_text the majority-language rebuild
+    def para_lang_docs(spark, sf_dir):
+        from crawler_spark.operators.text_analysis import (
+            lang_expr,
+            paragraph_lang_profile,
+            strip_foreign_paragraphs,
+        )
+
+        mix = (
+            "CASE WHEN doc_id % 5 = 0 AND i % 2 = 1 THEN ' de la en con' "
+            "WHEN i % 3 = 0 THEN ' de la en con' "
+            "WHEN i % 2 = 1 THEN ' the of and' ELSE '' END"
+        )
+        mixed = (
+            f"transform(sequence(1, {_NWIN}), "
+            f"i -> concat(array_join(slice({_TOKS}, "
+            f"(i-1)*{_PLINE_W}+1, {_PLINE_W}), ' '), {mix}))"
+        )
+        text2 = (
+            "concat(CASE WHEN doc_id % 7 = 0 THEN "
+            "concat('一二', chr(10)) ELSE '' END, "
+            f"array_join({mixed}, chr(10)))"
+        )
+        d2 = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.expr(text2).alias("text2")
+        )
+        prof = paragraph_lang_profile(d2, text_col="text2")
+        paras = "filter(split(text2, '\\n'), p -> trim(p) <> '')"
+        langs_joined = (
+            f"array_join(transform({paras}, p -> {lang_expr('p')}), ',')"
+        )
+        kept = strip_foreign_paragraphs(d2, text_col="text2").select(
+            "doc_id", "kept_text"
+        )
+        return (
+            prof.withColumn("langs_joined", F.expr(langs_joined))
+            .join(kept, "doc_id")
+            .select(
+                "doc_id", "n_paras", "majority_lang", "majority_frac",
+                "langs_joined", "kept_text",
+            )
+        )
+
     def quality_score_docs(spark, sf_dir):
         return quality_score(_t(spark, sf_dir, "documents")).select(
             "doc_id",
@@ -3075,6 +3124,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_docs": ivf_topk_docs,
         "pq_topk_docs": pq_topk_docs,
         "lang_id_docs": lang_id_docs,
+        "para_lang_docs": para_lang_docs,
         "quality_score_docs": quality_score_docs,
         "token_count_docs": token_count_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -3710,6 +3760,88 @@ def _all_oracle_sql() -> dict[str, str]:
                         WHEN {en} > 0 THEN 'en'
                         ELSE 'unknown' END AS lang_pred
             FROM documents
+        """,
+        # per-paragraph language profile + CCNet strip: identical text2
+        # synthesis, per-paragraph lang CASE, majority by (count desc,
+        # lang asc), ordered string_aggs for the langs/kept rebuilds
+        "para_lang_docs": rf"""
+            WITH base AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 7 = 0 THEN '一二' || chr(10)
+                           ELSE '' END) ||
+                     array_to_string(list_transform(
+                       range(1, cast(ceil(len({_D_TOKS})/{_PLINE_W}.0)
+                                     as int) + 1),
+                       i -> array_to_string(({_D_TOKS})
+                              [(i-1)*{_PLINE_W}+1:(i-1)*{_PLINE_W}+{_PLINE_W}],
+                              ' ')
+                            || (CASE WHEN doc_id % 5 = 0 AND i % 2 = 1
+                                     THEN ' de la en con'
+                                     WHEN i % 3 = 0 THEN ' de la en con'
+                                     WHEN i % 2 = 1 THEN ' the of and'
+                                     ELSE '' END)),
+                       chr(10)) AS text2
+              FROM documents
+            ),
+            pp AS (SELECT doc_id,
+                          list_filter(string_split(text2, chr(10)),
+                                      p -> trim(p) <> '') AS paras
+                   FROM base),
+            lx0 AS (SELECT doc_id,
+                           unnest(list_transform(range(1, len(paras) + 1),
+                                  i -> struct_pack(pos := i,
+                                                   p := paras[i]))) AS s
+                    FROM pp),
+            lx AS (SELECT doc_id, s.pos AS pos, s.p AS p FROM lx0),
+            lg AS (SELECT doc_id, pos, p,
+                          CASE WHEN regexp_matches(p, '[一-鿿]') THEN 'zh'
+                               WHEN len(list_filter(list_filter(
+                                      string_split_regex(lower(trim(p)),
+                                        '\s+'), t -> t <> ''),
+                                      t -> list_contains(['de','la','en',
+                                        'con','para','una','el','las'], t)))
+                                  > len(list_filter(list_filter(
+                                      string_split_regex(lower(trim(p)),
+                                        '\s+'), t -> t <> ''),
+                                      t -> list_contains(['the','and','of',
+                                        'to','with','for','is','a'], t)))
+                                    THEN 'es'
+                               WHEN len(list_filter(list_filter(
+                                      string_split_regex(lower(trim(p)),
+                                        '\s+'), t -> t <> ''),
+                                      t -> list_contains(['the','and','of',
+                                        'to','with','for','is','a'], t)))
+                                    > 0 THEN 'en'
+                               ELSE 'unknown' END AS lang
+                   FROM lx),
+            cnt AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+            maj AS (SELECT doc_id, lang AS majority_lang, c,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, lang ASC) AS rn
+                    FROM cnt),
+            m1 AS (SELECT doc_id, majority_lang, c FROM maj WHERE rn = 1),
+            agg AS (SELECT doc_id, cast(count(*) as int) AS n_paras,
+                           string_agg(lang, ',' ORDER BY pos)
+                             AS langs_joined
+                    FROM lg GROUP BY 1),
+            keep AS (SELECT lg.doc_id,
+                            string_agg(lg.p, chr(10) ORDER BY lg.pos)
+                              AS kept_text
+                     FROM lg JOIN m1 ON lg.doc_id = m1.doc_id
+                                    AND lg.lang = m1.majority_lang
+                     GROUP BY 1)
+            SELECT b.doc_id,
+                   coalesce(a.n_paras, 0) AS n_paras,
+                   coalesce(m1.majority_lang, 'unknown') AS majority_lang,
+                   CASE WHEN coalesce(a.n_paras, 0) = 0
+                        THEN cast(0.0 as double)
+                        ELSE round(m1.c / a.n_paras, 6) END AS majority_frac,
+                   coalesce(a.langs_joined, '') AS langs_joined,
+                   coalesce(k.kept_text, '') AS kept_text
+            FROM base b
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN m1 USING (doc_id)
+            LEFT JOIN keep k USING (doc_id)
         """,
         "quality_score_docs": rf"""
             SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
@@ -7328,6 +7460,15 @@ _EXTENDED_GATE = [
     # token-vs-substring + null-url + threshold pytest in test_filters;
     # awaiting a round-4 driver slot
     "url_score_docs",
+    # per-paragraph language profile + CCNet-style foreign-paragraph
+    # strip (text_analysis.paragraph_lang_profile /
+    # strip_foreign_paragraphs, Wenzek et al. 2020 §3 — language
+    # decisions on segments, row-local transform, zero shuffle): new in
+    # the round-3 eighth wave; full per-paragraph SQL replay oracle
+    # incl. langs_joined pinning every segment decision, mixed-doc +
+    # tie-break + empty-doc pytest in test_pipeline_ops; awaiting a
+    # round-4 driver slot
+    "para_lang_docs",
 ]
 
 

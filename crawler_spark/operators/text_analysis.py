@@ -26,6 +26,21 @@ def _marker_hits(tokens_col: str, markers: list) -> str:
     )
 
 
+def lang_expr(src: str) -> str:
+    """The language-ID decision for ONE string-valued SQL expression —
+    usable on a column ref or a lambda variable (the per-paragraph
+    profile below applies it inside ``transform``)."""
+    toks = tokens_expr(src)
+    en = _marker_hits(toks, _EN_MARKERS)
+    es = _marker_hits(toks, _ES_MARKERS)
+    has_cjk = f"({src} rlike '[\\\\u4e00-\\\\u9fff]')"
+    return (
+        f"CASE WHEN {has_cjk} THEN 'zh' "
+        f"WHEN {es} > {en} THEN 'es' "
+        f"WHEN {en} > 0 THEN 'en' ELSE 'unknown' END"
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: marker-word hit counts + a CJK-codepoint test.
 
@@ -33,18 +48,7 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     (the corpus ``lang`` column stays the ground truth; this operator tags
     raw text when that column is absent).
     """
-    toks = tokens_expr(text_col)
-    en = _marker_hits(toks, _EN_MARKERS)
-    es = _marker_hits(toks, _ES_MARKERS)
-    has_cjk = f"({text_col} rlike '[\\\\u4e00-\\\\u9fff]')"
-    return df.withColumn(
-        out_col,
-        F.expr(
-            f"CASE WHEN {has_cjk} THEN 'zh' "
-            f"WHEN {es} > {en} THEN 'es' "
-            f"WHEN {en} > 0 THEN 'en' ELSE 'unknown' END"
-        ),
-    )
+    return df.withColumn(out_col, F.expr(lang_expr(text_col)))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -818,4 +822,106 @@ def fix_mojibake(
             f"CASE WHEN {text_col} IS NULL THEN NULL "
             f"WHEN {sig} THEN {chain} ELSE {text_col} END"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-paragraph language profile (CCNet-style segmentation, Wenzek et al.
+# 2020 §3: language decisions are made on segments, not whole pages —
+# mixed-language pages get CLEANED to their majority language, not dropped)
+# ---------------------------------------------------------------------------
+
+
+def _para_arr(text_col: str, line_delim: str) -> str:
+    return f"filter(split({text_col}, '{line_delim}'), p -> trim(p) <> '')"
+
+
+def _majority_expr(langs_arr: str) -> str:
+    """Most frequent element of a string array with a deterministic
+    (count desc, value asc) tie-break: one aggregate pass over the
+    SORTED array — runs are contiguous, and because the scan is in
+    ascending value order, a strictly-greater test means ties keep the
+    alphabetically smallest value (exactly the SQL oracle's
+    ``ORDER BY cnt DESC, lang ASC LIMIT 1``)."""
+    step_run = "CASE WHEN acc.prev <=> x THEN acc.run + 1 ELSE 1 END"
+    return (
+        f"aggregate(array_sort({langs_arr}), "
+        "named_struct('prev', cast(null as string), 'run', 0, "
+        "'best', 0, 'best_lang', cast(null as string)), "
+        f"(acc, x) -> named_struct('prev', x, 'run', {step_run}, "
+        f"'best', greatest(acc.best, {step_run}), "
+        f"'best_lang', CASE WHEN {step_run} > acc.best THEN x "
+        "ELSE acc.best_lang END), "
+        "acc -> acc.best_lang)"
+    )
+
+
+def paragraph_lang_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Per-paragraph language ID rolled up per document — all row-local
+    column math (the language decision runs INSIDE ``transform`` over the
+    paragraph array), so the corpus never shuffles and nothing leaves
+    whole-stage codegen. Adds:
+
+    - ``n_paras``: non-blank paragraph count
+    - ``majority_lang``: most frequent per-paragraph language
+      (count desc, lang asc tie-break; 'unknown' for empty documents)
+    - ``majority_frac``: fraction of paragraphs in the majority language
+      (0.0 for empty documents)
+
+    This is the signal CCNet acts on: a page that is 80% English with a
+    French nav bar should be kept (and cleaned — see
+    :func:`strip_foreign_paragraphs`), where a whole-page language gate
+    would either keep the French boilerplate or drop the page.
+    """
+    paras = _para_arr(text_col, line_delim)
+    langs = f"transform({paras}, p -> {lang_expr('p')})"
+    return (
+        df.withColumn("_pl_langs", F.expr(langs))
+        .withColumn("n_paras", F.expr("size(_pl_langs)"))
+        .withColumn(
+            "majority_lang",
+            F.expr(
+                f"coalesce({_majority_expr('_pl_langs')}, 'unknown')"
+            ),
+        )
+        .withColumn(
+            "majority_frac",
+            F.expr(
+                "CASE WHEN n_paras = 0 THEN cast(0.0 as double) "
+                "ELSE round(size(filter(_pl_langs, "
+                "x -> x = majority_lang)) / n_paras, 6) END"
+            ),
+        )
+        .drop("_pl_langs")
+    )
+
+
+def strip_foreign_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "kept_text",
+    target_lang: str = None,
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Rebuild each document from only the paragraphs in its majority
+    language (or in ``target_lang`` if given) — the CCNet cleanup for
+    mixed-language pages. Row-local like the profile; paragraphs keep
+    their original text and order, the delimiter is preserved between
+    survivors, and documents with no surviving paragraph come back as
+    ''. Output columns: input + ``majority_lang`` + ``out_col``."""
+    paras = _para_arr(text_col, line_delim)
+    out = paragraph_lang_profile(df, text_col, line_delim)
+    want = (
+        f"'{target_lang}'" if target_lang is not None else "majority_lang"
+    )
+    kept = (
+        f"array_join(filter({paras}, p -> {lang_expr('p')} = {want}), "
+        f"'{line_delim}')"
+    )
+    return out.withColumn(out_col, F.expr(kept)).drop(
+        "n_paras", "majority_frac"
     )

@@ -1693,3 +1693,73 @@ def test_srp_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="srp_project: expected dim 8"):
         srp_project(df, dim=8, out_dim=4).collect()
+
+
+# ---------------------------------------------------------------------------
+# per-paragraph language profile + CCNet-style strip
+# ---------------------------------------------------------------------------
+
+from crawler_spark.operators.text_analysis import (  # noqa: E402
+    paragraph_lang_profile,
+    strip_foreign_paragraphs,
+)
+
+_PLP_ROWS = [
+    (1, "the cat and the dog is a pet\nde la casa en la montana\n"
+        "the end of the story"),
+    (2, "de la en con para\nuna de las casas"),
+    (3, ""),
+    (4, "zzz qqq xxx\nthe of and to"),   # unknown vs en 1:1 -> 'en' (asc)
+    (5, "一二三\nthe and of"),  # zh vs en 1:1 -> 'en' (asc)
+]
+
+
+def _plp_df(spark):
+    return spark.createDataFrame(_PLP_ROWS, "doc_id long, text string")
+
+
+def test_paragraph_lang_profile_majority_and_ties(spark):
+    got = {
+        r["doc_id"]: (r["n_paras"], r["majority_lang"], r["majority_frac"])
+        for r in paragraph_lang_profile(_plp_df(spark)).collect()
+    }
+    assert got == {
+        1: (3, "en", 0.666667),
+        2: (2, "es", 1.0),
+        3: (0, "unknown", 0.0),   # empty doc: no paragraphs
+        4: (2, "en", 0.5),        # count tie resolved lang-ascending
+        5: (2, "en", 0.5),
+    }
+
+
+def test_strip_foreign_paragraphs_majority_and_target(spark):
+    got = {
+        r["doc_id"]: r["kept_text"]
+        for r in strip_foreign_paragraphs(_plp_df(spark)).collect()
+    }
+    assert got[1] == (
+        "the cat and the dog is a pet\nthe end of the story"
+    )  # Spanish middle paragraph removed, order/delim preserved
+    assert got[2] == "de la en con para\nuna de las casas"
+    assert got[3] == ""
+    es_only = {
+        r["doc_id"]: r["kept_text"]
+        for r in strip_foreign_paragraphs(
+            _plp_df(spark), target_lang="es"
+        ).collect()
+    }
+    assert es_only[1] == "de la casa en la montana"
+    assert es_only[4] == ""  # no Spanish paragraph anywhere
+
+
+def test_paragraph_lang_profile_partition_invariance_and_no_shuffle(spark):
+    df = _plp_df(spark)
+    a = sorted(map(tuple, paragraph_lang_profile(df).collect()))
+    b = sorted(
+        map(tuple, paragraph_lang_profile(df.repartition(5, "text")).collect())
+    )
+    assert a == b
+    # row-local: the profile must add no Exchange beyond the repartition
+    plan = paragraph_lang_profile(df)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "Exchange" not in plan
