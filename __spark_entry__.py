@@ -2699,6 +2699,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "n_pred", "n_truth", "lcs", "precision", "recall", "f1"
         )
 
+    # ---- corpus-level BLEU (operators/text_eval.bleu_corpus, Papineni
+    # et al. 2002): pred = each doc with its middle fifth of tokens cut
+    # out, truth = the doc — high-order n-grams survive, the seam mints
+    # pred-only n-grams (so modified precision < 1 and clipping
+    # genuinely fires; 1-token docs even duplicate their token), and the
+    # ~4/5 length makes the brevity penalty bite; grouped per source,
+    # exact BIGINT m/h counts anchor the value hash, bleu/bp/pn derive
+    # from identical integers
+    def bleu_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.text_eval import bleu_corpus
+
+        toks = tokens_expr("text")
+        pred = (
+            f"array_join(flatten(transform(array({toks}), tk -> "
+            f"concat(slice(tk, 1, greatest((size(tk) * 2) div 5, 1)), "
+            f"slice(tk, (size(tk) * 3) div 5 + 1, "
+            f"size(tk) - (size(tk) * 3) div 5)))), ' ')"
+        )
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.expr(pred).alias("pred"),
+            F.col("text").alias("truth"),
+        )
+        return bleu_corpus(d, "pred", "truth", group_cols=["source"])
+
     # ---- word-bigram P/R/F1 (operators/text_eval.ngram_prf, the ROUGE-2
     # multiset form): same xor(doc_id,1) pairing as token_prf_docs, so the
     # two gates differ only in the overlap unit — this one is order-
@@ -3227,6 +3254,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_prf_docs": token_prf_docs,
         "rouge_l_docs": rouge_l_docs,
         "ngram_prf_docs": ngram_prf_docs,
+        "bleu_docs": bleu_docs,
         "rake_keywords_docs": rake_keywords_docs,
         "readability_docs": readability_docs,
         "fix_mojibake_docs": fix_mojibake_docs,
@@ -6752,6 +6780,94 @@ def _all_oracle_sql() -> dict[str, str]:
                           ELSE 2 * p0 * r0 / (p0 + r0) END, 6) AS f1
         FROM pr
     """
+    # corpus-level BLEU: full replay — pred tokens = doc tokens with the
+    # middle fifth cut out (list_slice is inclusive-end, Spark's slice is
+    # (start, length); both reduce to the same index windows), tagged
+    # 1..4-gram clipped matches per doc, per-source rollup of exact
+    # BIGINT m/h/r_len, then the identical p/bp/bleu double arithmetic
+    def _d_ng(tk: str, n: int) -> str:
+        if n == 1:
+            return tk
+        return (
+            f"list_transform(range(1, len({tk}) - {n - 2}), "
+            f"i -> array_to_string(list_slice({tk}, i, i + {n - 1}), ' '))"
+        )
+
+    def _d_tagged(tk: str) -> str:
+        parts = ", ".join(
+            f"list_transform({_d_ng(tk, n)}, g -> {{'n': {n}, 'g': g}})"
+            for n in range(1, 5)
+        )
+        return f"flatten([{parts}])"
+
+    _bleu_m = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN mv END), 0) AS BIGINT) AS m{n}"
+        for n in range(1, 5)
+    )
+    _bleu_h = ", ".join(
+        f"CAST(sum(greatest(len(ptk) - {n - 1}, 0)) AS BIGINT) AS h{n}"
+        for n in range(1, 5)
+    )
+    _bleu_p = ", ".join(
+        f"round(CASE WHEN h{n} = 0 THEN 0.0 ELSE m{n} / h{n} END, 6) AS p{n}"
+        for n in range(1, 5)
+    )
+    _bleu_bp = (
+        "CASE WHEN h1 >= r_len THEN 1.0 ELSE exp(1.0 - r_len / h1) END"
+    )
+    _bleu_zero = " OR ".join([f"m{n} = 0" for n in range(1, 5)] + ["h1 = 0"])
+    _bleu_lnm = "(" + " + ".join(f"ln(m{n} / h{n})" for n in range(1, 5)) + ") / 4"
+    sql["bleu_docs"] = rf"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ttk
+          FROM documents
+        ),
+        pt AS (
+          SELECT doc_id, source, ttk,
+                 list_concat(
+                   list_slice(ttk, 1, greatest((len(ttk) * 2) // 5, 1)),
+                   list_slice(ttk, (len(ttk) * 3) // 5 + 1, len(ttk))) AS ptk
+          FROM base
+        ),
+        pu AS (
+          SELECT source, doc_id,
+                 struct_extract(u, 'n') AS n, struct_extract(u, 'g') AS g
+          FROM pt, unnest({_d_tagged('ptk')}) AS t(u)
+        ),
+        tu AS (
+          SELECT source, doc_id,
+                 struct_extract(u, 'n') AS n, struct_extract(u, 'g') AS g
+          FROM pt, unnest({_d_tagged('ttk')}) AS t(u)
+        ),
+        pc AS (SELECT source, doc_id, n, g, count(*) AS c_pred
+               FROM pu GROUP BY 1, 2, 3, 4),
+        tc AS (SELECT source, doc_id, n, g, count(*) AS c_truth
+               FROM tu GROUP BY 1, 2, 3, 4),
+        mrows AS (
+          SELECT pc.source, pc.n, sum(least(c_pred, c_truth)) AS mv
+          FROM pc JOIN tc ON tc.doc_id = pc.doc_id AND tc.n = pc.n
+                          AND tc.g = pc.g
+          GROUP BY 1, 2
+        ),
+        mm AS (SELECT source, {_bleu_m} FROM mrows GROUP BY source),
+        h AS (
+          SELECT source, {_bleu_h},
+                 CAST(sum(len(ttk)) AS BIGINT) AS r_len
+          FROM pt GROUP BY source
+        ),
+        j AS (
+          SELECT h.source, r_len,
+                 coalesce(m1, 0) AS m1, h1, coalesce(m2, 0) AS m2, h2,
+                 coalesce(m3, 0) AS m3, h3, coalesce(m4, 0) AS m4, h4
+          FROM h LEFT JOIN mm ON mm.source = h.source
+        )
+        SELECT source, r_len, m1, h1, m2, h2, m3, h3, m4, h4, {_bleu_p},
+               round(CASE WHEN h1 = 0 THEN 0.0 ELSE {_bleu_bp} END, 6) AS bp,
+               round(CASE WHEN {_bleu_zero} THEN 0.0
+                     ELSE ({_bleu_bp}) * exp({_bleu_lnm}) END, 6) AS bleu
+        FROM j
+    """
     # RAKE keyphrases: full stage replay — normalized tokens, stopword/
     # punctuation delimiters, phrase grouping via pos - row_number gaps
     # (DuckDB's 1-based positions shift grp by a constant, grouping is
@@ -7469,6 +7585,14 @@ _EXTENDED_GATE = [
     # tie-break + empty-doc pytest in test_pipeline_ops; awaiting a
     # round-4 driver slot
     "para_lang_docs",
+    # corpus-level BLEU (operators/text_eval.bleu_corpus, Papineni et
+    # al. 2002 — exact-BIGINT clipped matches via ONE tagged n-gram
+    # explode, per-group brevity penalty + geometric-mean precision;
+    # completes the eval family next to token/ROUGE-N/ROUGE-L): new in
+    # the round-3 eighth wave; full tagged-unnest SQL replay oracle,
+    # python-replay + convention + partition pytest in
+    # test_keywords_eval; awaiting a round-4 driver slot
+    "bleu_docs",
 ]
 
 

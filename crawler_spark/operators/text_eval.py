@@ -264,3 +264,139 @@ def rouge_l(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level BLEU (Papineni et al. 2002)
+# ---------------------------------------------------------------------------
+
+
+def _tagged_grams(text_col: str, max_n: int) -> str:
+    """All 1..max_n word n-grams of a text column as one array of
+    ``struct(n int, g string)`` — one explode carries every order, so
+    the clipped-match join is a single exchange instead of one per n."""
+    arrs = [
+        f"transform({ngrams_expr(text_col, n)}, "
+        f"g -> named_struct('n', {n}, 'g', g))"
+        for n in range(1, max_n + 1)
+    ]
+    return "concat(" + ", ".join(arrs) + ")"
+
+
+def bleu_corpus(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    group_cols=(),
+    id_col: str = "doc_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU of ``pred_col`` against ``truth_col`` (one
+    reference per row), optionally grouped — the standard
+    extraction-variant / cleanup-pass quality number next to the ROUGE
+    family above. Per group: exact BIGINT clipped matches ``m1..m4`` and
+    candidate totals ``h1..h4`` (``h1`` is the candidate length),
+    reference length ``r_len``, modified precisions ``p1..p4``, brevity
+    penalty ``bp``, and ``bleu`` = ``bp * exp(mean(ln pn))`` — zero when
+    any order has no match or the candidate is empty (the standard
+    unsmoothed convention). The doubles are derived from identical
+    integers in both engines; ln/exp parity is already load-bearing in
+    the LM gates.
+
+    Scale shape: every n-gram order rides ONE tagged explode, counts
+    combine map-side before the one ``(id, n, gram)`` exchange (clipping
+    is per row pair, so the join is row-keyed and uniform), and the
+    group rollup is a bounded conditional aggregate. No windows, no
+    Python, nothing driver-side.
+    """
+    gc = list(group_cols)
+    cols = [id_col] + gc
+    punits = (
+        df.select(
+            *cols, F.explode(F.expr(_tagged_grams(pred_col, max_n))).alias("u")
+        )
+        .groupBy(*cols, "u")
+        .agg(F.count("*").alias("c_pred"))
+    )
+    tunits = (
+        df.select(
+            *cols,
+            F.explode(F.expr(_tagged_grams(truth_col, max_n))).alias("u"),
+        )
+        .groupBy(*cols, "u")
+        .agg(F.count("*").alias("c_truth"))
+    )
+    matches = (
+        punits.join(tunits, cols + ["u"])
+        .groupBy(*gc, F.col("u.n").alias("_n"))
+        .agg(F.sum(F.least("c_pred", "c_truth")).alias("_m"))
+        .groupBy(*gc)
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") == n, F.col("_m"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"m{n}")
+                for n in range(1, max_n + 1)
+            ]
+        )
+    )
+    totals = (
+        df.select(
+            *gc,
+            *[
+                F.expr(f"size({ngrams_expr(pred_col, n)})")
+                .cast("bigint")
+                .alias(f"_h{n}")
+                for n in range(1, max_n + 1)
+            ],
+            F.expr(f"size({_toks(truth_col)})").cast("bigint").alias("_r"),
+        )
+        .groupBy(*gc)
+        .agg(
+            *[
+                F.sum(f"_h{n}").cast("bigint").alias(f"h{n}")
+                for n in range(1, max_n + 1)
+            ],
+            F.sum("_r").cast("bigint").alias("r_len"),
+        )
+    )
+    j = (
+        totals.join(matches, gc, "left")
+        if gc
+        else totals.crossJoin(matches)
+    )
+    for n in range(1, max_n + 1):
+        j = j.withColumn(f"m{n}", F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("bigint"))
+        j = j.withColumn(
+            f"p{n}",
+            F.expr(
+                f"round(CASE WHEN h{n} = 0 THEN cast(0.0 as double) "
+                f"ELSE m{n} / h{n} END, 6)"
+            ),
+        )
+    zero = " OR ".join(
+        [f"m{n} = 0" for n in range(1, max_n + 1)] + ["h1 = 0"]
+    )
+    mean_ln = "(" + " + ".join(
+        f"ln(m{n} / h{n})" for n in range(1, max_n + 1)
+    ) + f") / {max_n}"
+    bp = (
+        "CASE WHEN h1 >= r_len THEN cast(1.0 as double) "
+        "ELSE exp(1.0 - r_len / h1) END"
+    )
+    j = j.withColumn(
+        "bp",
+        F.expr(f"round(CASE WHEN h1 = 0 THEN cast(0.0 as double) ELSE {bp} END, 6)"),
+    ).withColumn(
+        "bleu",
+        F.expr(
+            f"round(CASE WHEN {zero} THEN cast(0.0 as double) "
+            f"ELSE ({bp}) * exp({mean_ln}) END, 6)"
+        ),
+    )
+    ordered = gc + ["r_len"] + [
+        c for n in range(1, max_n + 1) for c in (f"m{n}", f"h{n}")
+    ] + [f"p{n}" for n in range(1, max_n + 1)] + ["bp", "bleu"]
+    return j.select(*ordered)

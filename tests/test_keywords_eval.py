@@ -295,3 +295,127 @@ def test_rouge_l_partition_invariant(spark):
     one = sorted(rouge_l(df, "pred", "truth").collect())
     many = sorted(rouge_l(df.repartition(7), "pred", "truth").collect())
     assert one == many
+
+
+# --------------------------------------------------------------- bleu_corpus
+
+from crawler_spark.operators.text_eval import bleu_corpus  # noqa: E402
+
+
+def py_bleu(rows, max_n=4):
+    """Reference corpus BLEU (Papineni et al. 2002, unsmoothed) over
+    (pred, truth) string pairs — mirrors bleu_corpus's conventions."""
+    import math
+
+    m = [0] * (max_n + 1)
+    h = [0] * (max_n + 1)
+    r_len = 0
+    for pred, truth in rows:
+        r_len += len((truth or "").lower().split())
+        for n in range(1, max_n + 1):
+            cp = Counter(py_ngrams(pred or "", n))
+            ct = Counter(py_ngrams(truth or "", n))
+            h[n] += sum(cp.values())
+            m[n] += sum(min(cp[g], ct[g]) for g in cp)
+    p = [None] + [
+        round(0.0 if h[n] == 0 else m[n] / h[n], 6)
+        for n in range(1, max_n + 1)
+    ]
+    bp_raw = 1.0 if h[1] >= r_len else math.exp(1.0 - r_len / h[1]) if h[1] else 0.0
+    bp = round(0.0 if h[1] == 0 else bp_raw, 6)
+    if h[1] == 0 or any(m[n] == 0 for n in range(1, max_n + 1)):
+        bleu = 0.0
+    else:
+        mean_ln = sum(math.log(m[n] / h[n]) for n in range(1, max_n + 1)) / max_n
+        bleu = round(bp_raw * math.exp(mean_ln), 6)
+    out = {"r_len": r_len, "bp": bp, "bleu": bleu}
+    for n in range(1, max_n + 1):
+        out[f"m{n}"] = m[n]
+        out[f"h{n}"] = h[n]
+        out[f"p{n}"] = p[n]
+    return out
+
+
+BLEU_ROWS = [
+    # (source, pred, truth)
+    ("a", "the cat sat on the mat today", "the cat sat on the mat today"),
+    ("a", "the cat sat the mat today", "the cat sat on the mat today"),
+    ("a", "a a a a a", "a b a c a d"),              # clipping binds m1 to 3
+    ("b", "one two three four five six", "one two three four five six seven"),
+    ("b", "", "something here"),                    # empty pred contributes r_len
+    ("b", "x", None),                               # NULL truth = empty reference
+    ("c", "alpha beta", "gamma delta"),             # no overlap: group bleu 0
+]
+
+
+def _bleu_got(spark, rows, group):
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    return bleu_corpus(df, "pred", "truth",
+                       group_cols=["source"] if group else [])
+
+
+def test_bleu_matches_python_replay_per_group(spark):
+    got = {r["source"]: r.asDict() for r in
+           _bleu_got(spark, BLEU_ROWS, True).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for src in got:
+        exp = py_bleu([(p, t) for s, p, t in BLEU_ROWS if s == src])
+        for k, v in exp.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
+
+
+def test_bleu_ungrouped_single_row(spark):
+    out = _bleu_got(spark, BLEU_ROWS, False).collect()
+    assert len(out) == 1
+    exp = py_bleu([(p, t) for _, p, t in BLEU_ROWS])
+    for k, v in exp.items():
+        assert out[0][k] == v, (k, out[0][k], v)
+
+
+def test_bleu_identity_is_one(spark):
+    rows = [("s", "the quick brown fox jumps", "the quick brown fox jumps")]
+    r = _bleu_got(spark, rows, True).collect()[0]
+    assert r["bleu"] == 1.0 and r["bp"] == 1.0
+    assert all(r[f"p{n}"] == 1.0 for n in range(1, 5))
+
+
+def test_bleu_brevity_penalty_fires(spark):
+    # perfect prefix: every pred n-gram matches, bleu == bp < 1
+    import math
+
+    rows = [("s", "a b c d e f g h", "a b c d e f g h i j")]
+    r = _bleu_got(spark, rows, True).collect()[0]
+    assert all(r[f"p{n}"] == 1.0 for n in range(1, 5))
+    assert r["bleu"] == r["bp"] == round(math.exp(1.0 - 10 / 8), 6)
+
+
+def test_bleu_zero_when_any_order_dry(spark):
+    # unigrams overlap but no shared 4-gram -> unsmoothed bleu is 0
+    rows = [("s", "a x b y c z d w", "a b c d e f g h")]
+    r = _bleu_got(spark, rows, True).collect()[0]
+    assert r["m1"] > 0 and r["m4"] == 0 and r["bleu"] == 0.0
+
+
+def test_bleu_partition_invariant(spark):
+    rows = [("s%d" % (i % 3), f"tok{i} a b c d", f"a b c d tok{i}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.xxhash64("pred"))
+    one = sorted(map(tuple, bleu_corpus(df.coalesce(1), "pred", "truth",
+                                        group_cols=["source"]).collect()))
+    many = sorted(map(tuple, bleu_corpus(df.repartition(11), "pred", "truth",
+                                         group_cols=["source"]).collect()))
+    assert one == many
+
+
+def test_bleu_plan_jvm_only(spark):
+    df = spark.createDataFrame(BLEU_ROWS, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    plan = (
+        bleu_corpus(df, "pred", "truth", group_cols=["source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
