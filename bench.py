@@ -876,6 +876,21 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("lcs"), F.sum("f1")
         ).collect()
 
+    # ---- q_bleu: corpus-level BLEU of the main-content strip vs the full
+    # extracted text, per host (operators/text_eval.bleu_corpus — all four
+    # n-gram orders ride ONE tagged explode into one (id, n, gram)-keyed
+    # exchange; group rollup is a bounded conditional aggregate)
+    with timed("q_bleu"):
+        from crawler_spark.operators.text_eval import bleu_corpus
+
+        bleu_pairs = mc.join(truth, "url").select(
+            "url", F.expr("parse_url(url, 'HOST')").alias("host"),
+            "pred", "truth",
+        )
+        bleu_corpus(
+            bleu_pairs, "pred", "truth", group_cols=["host"], id_col="url"
+        ).select(F.count("*"), F.sum("m4"), F.sum("bleu")).collect()
+
     # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
     # (frontier/dust.py — planted constant-middle aliases give one
     # high-support rule; per-url session ids generate support-1 noise the
