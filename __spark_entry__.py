@@ -2726,6 +2726,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bleu_corpus(d, "pred", "truth", group_cols=["source"])
 
+    # ---- corpus-level chrF2 (operators/text_eval.chrf_corpus, Popović
+    # 2015): same middle-fifth-cut pred pairing as bleu_docs — the two
+    # gates share the candidate construction so they differ only in the
+    # overlap unit (clipped word n-grams + BP vs char-n-gram F-β); the
+    # seam damages partial words, which is exactly what chrF sees and
+    # BLEU's whole-token orders miss
+    def chrf_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.text_eval import chrf_corpus
+
+        toks = tokens_expr("text")
+        pred = (
+            f"array_join(flatten(transform(array({toks}), tk -> "
+            f"concat(slice(tk, 1, greatest((size(tk) * 2) div 5, 1)), "
+            f"slice(tk, (size(tk) * 3) div 5 + 1, "
+            f"size(tk) - (size(tk) * 3) div 5)))), ' ')"
+        )
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.expr(pred).alias("pred"),
+            F.col("text").alias("truth"),
+        )
+        return chrf_corpus(d, "pred", "truth", group_cols=["source"])
+
     # ---- word-bigram P/R/F1 (operators/text_eval.ngram_prf, the ROUGE-2
     # multiset form): same xor(doc_id,1) pairing as token_prf_docs, so the
     # two gates differ only in the overlap unit — this one is order-
@@ -3255,6 +3280,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge_l_docs": rouge_l_docs,
         "ngram_prf_docs": ngram_prf_docs,
         "bleu_docs": bleu_docs,
+        "chrf_docs": chrf_docs,
         "rake_keywords_docs": rake_keywords_docs,
         "readability_docs": readability_docs,
         "fix_mojibake_docs": fix_mojibake_docs,
@@ -6868,6 +6894,102 @@ def _all_oracle_sql() -> dict[str, str]:
                      ELSE ({_bleu_bp}) * exp({_bleu_lnm}) END, 6) AS bleu
         FROM j
     """
+    # corpus-level chrF2: full replay — same middle-fifth pred windows as
+    # bleu_docs, but the overlap unit is character n-grams of the
+    # whitespace-stripped lowercased string (token concat == the stripped
+    # string, since tokens ARE the \s+-split pieces); tagged 1..6-gram
+    # clipped matches, exact BIGINT m/h/r per order, fixed-denominator
+    # macro P/R, F-beta(2) from the identical integers
+    def _d_cg(s: str, n: int) -> str:
+        if n == 1:
+            return (
+                f"list_transform(range(1, length({s}) + 1), "
+                f"i -> substr({s}, CAST(i AS INT), 1))"
+            )
+        return (
+            f"list_transform(range(1, length({s}) - {n - 2}), "
+            f"i -> substr({s}, CAST(i AS INT), {n}))"
+        )
+
+    def _d_ctagged(s: str) -> str:
+        parts = ", ".join(
+            f"list_transform({_d_cg(s, n)}, g -> {{'n': {n}, 'g': g}})"
+            for n in range(1, 7)
+        )
+        return f"flatten([{parts}])"
+
+    _chrf_m = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN mv END), 0) AS BIGINT) AS m{n}"
+        for n in range(1, 7)
+    )
+    _chrf_h = ", ".join(
+        f"CAST(sum(greatest(length(ps) - {n - 1}, 0)) AS BIGINT) AS h{n}, "
+        f"CAST(sum(greatest(length(ts) - {n - 1}, 0)) AS BIGINT) AS r{n}"
+        for n in range(1, 7)
+    )
+    _chrf_mcols = ", ".join(
+        f"coalesce(m{n}, 0) AS m{n}, h{n}, r{n}" for n in range(1, 7)
+    )
+    _chrf_p = "(" + " + ".join(
+        f"(CASE WHEN h{n} = 0 THEN 0.0 ELSE m{n} / h{n} END)"
+        for n in range(1, 7)
+    ) + ") / 6"
+    _chrf_r = "(" + " + ".join(
+        f"(CASE WHEN r{n} = 0 THEN 0.0 ELSE m{n} / r{n} END)"
+        for n in range(1, 7)
+    ) + ") / 6"
+    _chrf_out = ", ".join(f"m{n}, h{n}, r{n}" for n in range(1, 7))
+    sql["chrf_docs"] = rf"""
+        WITH base AS (
+          SELECT doc_id, source,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ttk
+          FROM documents
+        ),
+        pt AS (
+          SELECT doc_id, source,
+                 array_to_string(ttk, '') AS ts,
+                 array_to_string(list_concat(
+                   list_slice(ttk, 1, greatest((len(ttk) * 2) // 5, 1)),
+                   list_slice(ttk, (len(ttk) * 3) // 5 + 1, len(ttk))), '') AS ps
+          FROM base
+        ),
+        pu AS (
+          SELECT source, doc_id,
+                 struct_extract(u, 'n') AS n, struct_extract(u, 'g') AS g
+          FROM pt, unnest({_d_ctagged('ps')}) AS t(u)
+        ),
+        tu AS (
+          SELECT source, doc_id,
+                 struct_extract(u, 'n') AS n, struct_extract(u, 'g') AS g
+          FROM pt, unnest({_d_ctagged('ts')}) AS t(u)
+        ),
+        pc AS (SELECT source, doc_id, n, g, count(*) AS c_pred
+               FROM pu GROUP BY 1, 2, 3, 4),
+        tc AS (SELECT source, doc_id, n, g, count(*) AS c_truth
+               FROM tu GROUP BY 1, 2, 3, 4),
+        mrows AS (
+          SELECT pc.source, pc.n, sum(least(c_pred, c_truth)) AS mv
+          FROM pc JOIN tc ON tc.doc_id = pc.doc_id AND tc.n = pc.n
+                          AND tc.g = pc.g
+          GROUP BY 1, 2
+        ),
+        mm AS (SELECT source, {_chrf_m} FROM mrows GROUP BY source),
+        h AS (SELECT source, {_chrf_h} FROM pt GROUP BY source),
+        j AS (
+          SELECT h.source, {_chrf_mcols}
+          FROM h LEFT JOIN mm ON mm.source = h.source
+        ),
+        pr AS (
+          SELECT source, {_chrf_out},
+                 {_chrf_p} AS p0, {_chrf_r} AS r0
+          FROM j
+        )
+        SELECT source, {_chrf_out},
+               round(p0, 6) AS chrp, round(r0, 6) AS chrr,
+               round(CASE WHEN p0 + r0 = 0 THEN 0.0
+                     ELSE 5.0 * p0 * r0 / (4.0 * p0 + r0) END, 6) AS chrf
+        FROM pr
+    """
     # RAKE keyphrases: full stage replay — normalized tokens, stopword/
     # punctuation delimiters, phrase grouping via pos - row_number gaps
     # (DuckDB's 1-based positions shift grp by a constant, grouping is
@@ -7593,6 +7715,14 @@ _EXTENDED_GATE = [
     # python-replay + convention + partition pytest in
     # test_keywords_eval; awaiting a round-4 driver slot
     "bleu_docs",
+    # corpus-level chrF2 (operators/text_eval.chrf_corpus, Popović 2015
+    # — character-n-gram F-β over the whitespace-stripped string, the
+    # tokenization-free eval that sees partial-word damage; same tagged
+    # one-explode scale shape as bleu_docs): new in the round-3 ninth
+    # wave; full tagged-unnest SQL replay oracle, python-replay +
+    # convention + partition pytest in test_keywords_eval; awaiting a
+    # round-4 driver slot
+    "chrf_docs",
 ]
 
 

@@ -891,6 +891,16 @@ def run(spark, sf_dir: str):
             bleu_pairs, "pred", "truth", group_cols=["host"], id_col="url"
         ).select(F.count("*"), F.sum("m4"), F.sum("bleu")).collect()
 
+    # ---- q_chrf: corpus chrF2 over the same pairs (text_eval.chrf_corpus
+    # — char 1..6-grams of the whitespace-stripped string on one tagged
+    # explode; the heaviest eval exchange: ~6 units per char)
+    with timed("q_chrf"):
+        from crawler_spark.operators.text_eval import chrf_corpus
+
+        chrf_corpus(
+            bleu_pairs, "pred", "truth", group_cols=["host"], id_col="url"
+        ).select(F.count("*"), F.sum("m6"), F.sum("chrf")).collect()
+
     # ---- q_dust: DUST duplicate-URL rule mining + apply --------------------
     # (frontier/dust.py — planted constant-middle aliases give one
     # high-support rule; per-url session ids generate support-1 noise the

@@ -400,3 +400,165 @@ def bleu_corpus(
         c for n in range(1, max_n + 1) for c in (f"m{n}", f"h{n}")
     ] + [f"p{n}" for n in range(1, max_n + 1)] + ["bp", "bleu"]
     return j.select(*ordered)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level chrF (Popović 2015)
+# ---------------------------------------------------------------------------
+
+
+def _tagged_char_grams(text_col: str, max_n: int) -> str:
+    """All 1..max_n *character* n-grams (whitespace removed, lowercased)
+    as one array of ``struct(n int, g string)`` — the normalized string
+    binds ONCE via ``transform(array(s), cs -> ...)`` and every order
+    rides the same explode. ``filter(sequence(...))`` yields a typed
+    empty array below ``n`` chars (Spark's ``sequence(1, 0)`` counts
+    DOWN, so the upper bound is clamped and over-positions filtered)."""
+    s = f"regexp_replace(lower(coalesce({text_col}, '')), '\\\\s+', '')"
+    per_n = ", ".join(
+        f"transform(filter(sequence(1, greatest(length(cs) - {n - 1}, 1)), "
+        f"i -> i + {n - 1} <= length(cs)), "
+        f"i -> named_struct('n', {n}, 'g', substring(cs, i, {n})))"
+        for n in range(1, max_n + 1)
+    )
+    return f"flatten(transform(array({s}), cs -> concat({per_n})))"
+
+
+def chrf_corpus(
+    df: DataFrame,
+    pred_col: str,
+    truth_col: str,
+    group_cols=(),
+    id_col: str = "doc_id",
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """Corpus-level chrF of ``pred_col`` against ``truth_col`` (Popović
+    2015; chrF2 at the default ``beta``) — the character-level member of
+    the eval family (token P/R/F1, ROUGE-N, ROUGE-L, BLEU above). Robust
+    where token metrics are brittle: tokenization-free, so it sees
+    partial-word damage (mojibake repair, PII masking, boilerplate seams)
+    that whole-token overlap scores miss.
+
+    Conventions, pinned for the oracle: text is lowercased and ALL
+    whitespace is removed before char n-grams are taken (the standard
+    chrF space-insensitive form); per group and order ``n`` in
+    ``1..max_n``, ``m{n}`` = clipped matches, ``h{n}`` / ``r{n}`` =
+    candidate / reference totals (exact BIGINTs); ``chrp`` / ``chrr`` =
+    fixed-denominator macro averages over ALL ``max_n`` orders (an order
+    with an empty side contributes 0 — no sacrebleu "effective order"
+    shrinking, so the number is comparable across groups); ``chrf`` =
+    ``(1+β²)·P·R / (β²·P+R)``, 0 when both are 0.
+
+    Scale shape: identical to :func:`bleu_corpus` — all orders ride ONE
+    tagged explode, counts combine map-side before the one
+    ``(id, n, gram)`` exchange, group rollup is a bounded conditional
+    aggregate. A hot document costs its distinct char-n-gram vocabulary
+    (≤ ~6× its length), never a cross-document join. No windows, no
+    Python, nothing driver-side.
+    """
+    gc = list(group_cols)
+    cols = [id_col] + gc
+    punits = (
+        df.select(
+            *cols,
+            F.explode(F.expr(_tagged_char_grams(pred_col, max_n))).alias("u"),
+        )
+        .groupBy(*cols, "u")
+        .agg(F.count("*").alias("c_pred"))
+    )
+    tunits = (
+        df.select(
+            *cols,
+            F.explode(F.expr(_tagged_char_grams(truth_col, max_n))).alias("u"),
+        )
+        .groupBy(*cols, "u")
+        .agg(F.count("*").alias("c_truth"))
+    )
+    matches = (
+        punits.join(tunits, cols + ["u"])
+        .groupBy(*gc, F.col("u.n").alias("_n"))
+        .agg(F.sum(F.least("c_pred", "c_truth")).alias("_m"))
+        .groupBy(*gc)
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("_n") == n, F.col("_m"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias(f"m{n}")
+                for n in range(1, max_n + 1)
+            ]
+        )
+    )
+    _plen = (
+        f"length(regexp_replace(lower(coalesce({pred_col}, '')), '\\\\s+', ''))"
+    )
+    _tlen = (
+        f"length(regexp_replace(lower(coalesce({truth_col}, '')), '\\\\s+', ''))"
+    )
+    totals = (
+        df.select(
+            *gc,
+            *[
+                F.expr(f"greatest({_plen} - {n - 1}, 0)")
+                .cast("bigint")
+                .alias(f"_h{n}")
+                for n in range(1, max_n + 1)
+            ],
+            *[
+                F.expr(f"greatest({_tlen} - {n - 1}, 0)")
+                .cast("bigint")
+                .alias(f"_r{n}")
+                for n in range(1, max_n + 1)
+            ],
+        )
+        .groupBy(*gc)
+        .agg(
+            *[
+                F.sum(f"_h{n}").cast("bigint").alias(f"h{n}")
+                for n in range(1, max_n + 1)
+            ],
+            *[
+                F.sum(f"_r{n}").cast("bigint").alias(f"r{n}")
+                for n in range(1, max_n + 1)
+            ],
+        )
+    )
+    j = (
+        totals.join(matches, gc, "left")
+        if gc
+        else totals.crossJoin(matches)
+    )
+    for n in range(1, max_n + 1):
+        j = j.withColumn(
+            f"m{n}", F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("bigint")
+        )
+    p_terms = " + ".join(
+        f"(CASE WHEN h{n} = 0 THEN 0.0 ELSE m{n} / h{n} END)"
+        for n in range(1, max_n + 1)
+    )
+    r_terms = " + ".join(
+        f"(CASE WHEN r{n} = 0 THEN 0.0 ELSE m{n} / r{n} END)"
+        for n in range(1, max_n + 1)
+    )
+    b2 = beta * beta
+    j = (
+        j.withColumn("_p", F.expr(f"({p_terms}) / {max_n}"))
+        .withColumn("_r", F.expr(f"({r_terms}) / {max_n}"))
+        .withColumn(
+            "chrf",
+            F.expr(
+                f"round(CASE WHEN _p + _r = 0 THEN 0.0 "
+                f"ELSE (1.0 + {b2}) * _p * _r / ({b2} * _p + _r) END, 6)"
+            ),
+        )
+        .withColumn("chrp", F.expr("round(_p, 6)"))
+        .withColumn("chrr", F.expr("round(_r, 6)"))
+    )
+    ordered = gc + [
+        c
+        for n in range(1, max_n + 1)
+        for c in (f"m{n}", f"h{n}", f"r{n}")
+    ] + ["chrp", "chrr", "chrf"]
+    return j.select(*ordered)

@@ -419,3 +419,120 @@ def test_bleu_plan_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# --------------------------------------------------------------- chrf_corpus
+
+from crawler_spark.operators.text_eval import chrf_corpus  # noqa: E402
+
+
+def py_chrf(rows, max_n=6, beta=2.0):
+    """Reference corpus chrF (Popović 2015) over (pred, truth) string
+    pairs — mirrors chrf_corpus's fixed-denominator conventions."""
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", "", (s or "").lower())
+
+    def grams(s, n):
+        return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+    m = [0] * (max_n + 1)
+    h = [0] * (max_n + 1)
+    r = [0] * (max_n + 1)
+    for pred, truth in rows:
+        ps, ts = norm(pred), norm(truth)
+        for n in range(1, max_n + 1):
+            cp, ct = Counter(grams(ps, n)), Counter(grams(ts, n))
+            h[n] += sum(cp.values())
+            r[n] += sum(ct.values())
+            m[n] += sum(min(cp[g], ct[g]) for g in cp)
+    p0 = sum(0.0 if h[n] == 0 else m[n] / h[n] for n in range(1, max_n + 1)) / max_n
+    r0 = sum(0.0 if r[n] == 0 else m[n] / r[n] for n in range(1, max_n + 1)) / max_n
+    b2 = beta * beta
+    chrf = 0.0 if p0 + r0 == 0 else (1 + b2) * p0 * r0 / (b2 * p0 + r0)
+    out = {"chrp": round(p0, 6), "chrr": round(r0, 6), "chrf": round(chrf, 6)}
+    for n in range(1, max_n + 1):
+        out[f"m{n}"], out[f"h{n}"], out[f"r{n}"] = m[n], h[n], r[n]
+    return out
+
+
+CHRF_ROWS = [
+    ("a", "the cat sat on the mat", "the cat sat on the mat"),
+    ("a", "teh cat sat on the mat", "the cat sat on the mat"),  # transposition
+    ("a", "a a a a a", "a b a c a d"),
+    ("b", "Hello World", "hello  world"),   # case + whitespace insensitive
+    ("b", "", "something here"),
+    ("b", "x", None),
+    ("c", "ab", "cd"),                      # zero overlap
+]
+
+
+def _chrf_got(spark, rows, group):
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    return chrf_corpus(df, "pred", "truth",
+                       group_cols=["source"] if group else [])
+
+
+def test_chrf_matches_python_replay_per_group(spark):
+    got = {r["source"]: r.asDict() for r in
+           _chrf_got(spark, CHRF_ROWS, True).collect()}
+    assert set(got) == {"a", "b", "c"}
+    for src in got:
+        exp = py_chrf([(p, t) for s, p, t in CHRF_ROWS if s == src])
+        for k, v in exp.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
+
+
+def test_chrf_ungrouped_and_identity(spark):
+    out = _chrf_got(spark, CHRF_ROWS, False).collect()
+    assert len(out) == 1
+    exp = py_chrf([(p, t) for _, p, t in CHRF_ROWS])
+    for k, v in exp.items():
+        assert out[0][k] == v, (k, out[0][k], v)
+    ident = _chrf_got(
+        spark, [("s", "same text here", "same  TEXT here")], True
+    ).collect()[0]
+    assert ident["chrf"] == 1.0 and ident["chrp"] == 1.0 and ident["chrr"] == 1.0
+
+
+def test_chrf_sees_subword_damage_tokens_miss(spark):
+    # one flipped char inside one token: token P/R/F1 scores the damaged
+    # token as a total miss; chrF keeps most of the char-gram credit
+    rows = [("s", "internatxonal trade agreement", "international trade agreement")]
+    c = _chrf_got(spark, rows, True).collect()[0]
+    df = spark.createDataFrame(rows, "source string, pred string, truth string") \
+        .withColumn("doc_id", F.lit(0))
+    t = token_prf(df, "pred", "truth").collect()[0]
+    assert t["f1"] < 0.7 < c["chrf"]
+
+
+def test_chrf_empty_conventions(spark):
+    # both sides empty -> all-zero counts, chrf 0 (fixed-denominator form)
+    r = _chrf_got(spark, [("s", "", None)], True).collect()[0]
+    assert r["chrf"] == 0.0 and r["h1"] == 0 and r["r1"] == 0
+
+
+def test_chrf_partition_invariant(spark):
+    rows = [("s%d" % (i % 3), f"tok{i} alpha beta", f"alpha beta tok{i}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.xxhash64("pred"))
+    one = sorted(map(tuple, chrf_corpus(df.coalesce(1), "pred", "truth",
+                                        group_cols=["source"]).collect()))
+    many = sorted(map(tuple, chrf_corpus(df.repartition(11), "pred", "truth",
+                                         group_cols=["source"]).collect()))
+    assert one == many
+
+
+def test_chrf_plan_jvm_only(spark):
+    df = spark.createDataFrame(CHRF_ROWS, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    plan = (
+        chrf_corpus(df, "pred", "truth", group_cols=["source"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "BatchEval" not in plan
