@@ -1639,6 +1639,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "contaminated",
         )
 
+    # ---- semantic decontamination (operators/sampling.py
+    # semantic_contamination — the embedding-space complement of the
+    # n-gram gate above: max cosine of every corpus vector to an 8-vector
+    # "benchmark" set compiled into ONE zero-shuffle codegen'd
+    # expression, the nearest_centroid_expr pattern). The 8 eval vectors
+    # are drawn FROM the corpus, so self-matches pin cosine 1.0 rows and
+    # the rest exercise the max/tie-break arithmetic
+    def semantic_decon_docs(spark, sf_dir):
+        from crawler_spark.operators.sampling import semantic_contamination
+
+        emb = _t(spark, sf_dir, "embeddings")
+        evals = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter("vec_id < 8").orderBy("vec_id").collect()
+        ]
+        return semantic_contamination(emb, evals, threshold=0.9).select(
+            "vec_id",
+            F.expr("round(max_eval_cosine, 6)").alias("max_cos"),
+            "nearest_eval_id",
+            "contaminated",
+        )
+
     def contamination_pruned_docs(spark, sf_dir):
         # Bloom-pruned decontamination: fixed-size sidecar broadcast +
         # map-side probe + exact verify of survivors — must reproduce the
@@ -3211,6 +3233,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_line_docs": gopher_line_docs,
         "token_entropy_docs": token_entropy_docs,
         "contamination_docs": contamination_docs,
+        "semantic_decon_docs": semantic_decon_docs,
         "contamination_pruned_docs": contamination_pruned_docs,
         "sample_budget_docs": sample_budget_docs,
         "cluster_sample_docs": cluster_sample_docs,
@@ -6990,6 +7013,45 @@ def _all_oracle_sql() -> dict[str, str]:
                      ELSE 5.0 * p0 * r0 / (4.0 * p0 + r0) END, 6) AS chrf
         FROM pr
     """
+    # semantic decontamination: full replay — both engines fold the dot
+    # product and both norms in index order over the same doubles (the
+    # Spark side embeds the eval vectors / Python-computed norms as
+    # literals; Python's sequential sum equals DuckDB's list_aggregate
+    # fold bit-for-bit), division grouped identically as dot/(nv*ne);
+    # struct-max tie-break (max cosine, then smallest eval id) replays as
+    # row_number ORDER BY cosv DESC, eid ASC
+    _sd_norm = (
+        "sqrt(list_aggregate(list_transform(embedding, "
+        "v -> cast(v as double) * cast(v as double)), 'sum'))"
+    )
+    sql["semantic_decon_docs"] = f"""
+        WITH ev AS (
+          SELECT vec_id AS eid, embedding AS e, {_sd_norm} AS ne
+          FROM embeddings WHERE vec_id < 8
+        ),
+        c AS (
+          SELECT vec_id, embedding, {_sd_norm} AS nv FROM embeddings
+        ),
+        cos AS (
+          SELECT c.vec_id, ev.eid,
+                 CASE WHEN nv = 0.0 THEN 0.0
+                      ELSE list_aggregate(list_transform(range(0, {_EMB_DIM}),
+                             i -> cast(c.embedding[i + 1] as double)
+                                * cast(ev.e[i + 1] as double)), 'sum')
+                           / (nv * ne) END AS cosv
+          FROM c CROSS JOIN ev
+        ),
+        best AS (
+          SELECT vec_id, cosv, eid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosv DESC, eid ASC) AS rn
+          FROM cos
+        )
+        SELECT vec_id, round(cosv, 6) AS max_cos,
+               CAST(eid AS BIGINT) AS nearest_eval_id,
+               cosv >= 0.9 AS contaminated
+        FROM best WHERE rn = 1
+    """
     # RAKE keyphrases: full stage replay — normalized tokens, stopword/
     # punctuation delimiters, phrase grouping via pos - row_number gaps
     # (DuckDB's 1-based positions shift grp by a constant, grouping is
@@ -7723,6 +7785,15 @@ _EXTENDED_GATE = [
     # convention + partition pytest in test_keywords_eval; awaiting a
     # round-4 driver slot
     "chrf_docs",
+    # semantic decontamination (operators/sampling.py
+    # semantic_contamination / decontaminate_semantic — max cosine of
+    # every corpus embedding to a small eval set as ONE zero-shuffle
+    # codegen'd expression, the paraphrase-leakage complement of the
+    # n-gram contamination gate): new in the round-3 ninth wave; full
+    # cross-join/row_number SQL replay oracle, python-replay +
+    # zero-norm/tie-break/cap pytest in test_sampling; awaiting a
+    # round-4 driver slot
+    "semantic_decon_docs",
 ]
 
 

@@ -243,6 +243,89 @@ def decontaminate(
     )
 
 
+def semantic_contamination(
+    df: DataFrame,
+    eval_rows: Sequence,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_eval: int = 1024,
+) -> DataFrame:
+    """Per-vector max cosine to ANY eval-set embedding — the
+    embedding-space complement of :func:`contamination`: n-gram overlap
+    catches verbatim benchmark leakage, this catches paraphrased /
+    re-rendered leakage that shares no 13-gram.
+
+    ``eval_rows`` are ``(eval_id, embedding)`` pairs collected from the
+    (small-by-contract) eval set. Output = ``df`` + ``max_eval_cosine``
+    (double), ``nearest_eval_id`` (bigint; cosine ties break to the
+    SMALLEST eval id), ``contaminated`` (``max_eval_cosine >=
+    threshold``). Zero-norm corpus vectors define cosine 0.0 (never a
+    NaN into the max — Spark orders NaN above every double).
+
+    Plan shape at scale: the eval set is compiled into ONE codegen'd
+    column expression (the ``nearest_centroid_expr`` pattern) — the
+    corpus is scanned once, never shuffled, never joined; cost is
+    ``|corpus| * |eval|`` fused multiply-adds map-side. ``max_eval``
+    (default 1024) bounds the expression so codegen stays sane; for
+    benchmark suites beyond that, go through the ANN path instead
+    (``ivf_topk`` with eval vectors as queries) and anti-join the hits.
+    Raises ``ValueError`` (loudly, never silently truncates) on an
+    empty / oversized eval set or a zero-norm eval vector.
+    """
+    import math
+
+    evals = list(eval_rows)
+    if not evals or len(evals) > max_eval:
+        raise ValueError(
+            f"eval set must have 1..{max_eval} vectors, got {len(evals)}; "
+            "for larger suites use the ANN path (ivf_topk) + anti-join"
+        )
+    from crawler_spark.operators.similarity import _dot_expr, _norm_expr
+
+    terms = []
+    for eid, emb in evals:
+        norm_e = math.sqrt(sum(float(x) * float(x) for x in emb))
+        if norm_e == 0.0:
+            raise ValueError(f"eval vector {eid!r} has zero norm")
+        elit = "array(" + ", ".join(f"{float(x)!r}d" for x in emb) + ")"
+        cos = (
+            f"CASE WHEN _nv = 0.0d THEN 0.0d "
+            f"ELSE ({_dot_expr(vec_col, elit)}) / (_nv * {norm_e!r}d) END"
+        )
+        terms.append(f"named_struct('c', {cos}, 'ne', {-int(eid)}L)")
+    best = f"array_max(array({', '.join(terms)}))"
+    return (
+        df.withColumn("_nv", F.expr(_norm_expr(vec_col)))
+        .withColumn("_best", F.expr(best))
+        .withColumn("max_eval_cosine", F.col("_best.c"))
+        .withColumn("nearest_eval_id", (-F.col("_best.ne")).cast("bigint"))
+        .withColumn(
+            "contaminated", F.col("max_eval_cosine") >= F.lit(threshold)
+        )
+        .drop("_nv", "_best")
+    )
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    eval_rows: Sequence,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    max_eval: int = 1024,
+) -> DataFrame:
+    """Rows of ``df`` whose nearest eval-set embedding is below
+    ``threshold`` cosine (schema unchanged — the flag columns are
+    internal), mirroring :func:`decontaminate` for the embedding path."""
+    flagged = semantic_contamination(
+        df, eval_rows, vec_col, id_col, threshold, max_eval
+    )
+    return flagged.filter(~F.col("contaminated")).drop(
+        "max_eval_cosine", "nearest_eval_id", "contaminated"
+    )
+
+
 # --------------------------------------------------------------------------
 # token-budget mixing
 # --------------------------------------------------------------------------

@@ -1068,3 +1068,98 @@ def test_stratified_split_partition_invariant(spark):
                   for r in stratified_split(
                       docs.repartition(13), weights=w).collect())
     assert one == many
+
+
+# ------------------------------------------------------- semantic decon
+
+def _sem_df(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.8, 0.6, 0.0]),      # cos 0.8 to ev0, 0.6 to ev1
+        (3, [-1.0, 0.0, 0.0]),     # cos -1 to ev0
+        (4, [0.0, 0.0, 0.0]),      # zero norm -> cosine 0 convention
+        (5, [2.0, 0.0, 0.0]),      # parallel to ev0, bigger norm: cos 1
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_semantic_contamination_python_replay(spark):
+    import math
+
+    from crawler_spark.operators.sampling import semantic_contamination
+
+    df = _sem_df(spark)
+    evals = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    got = {r["vec_id"]: r for r in
+           semantic_contamination(df, evals, threshold=0.9).collect()}
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for vid, emb in rows.items():
+        nv = math.sqrt(sum(x * x for x in emb))
+        best = (0.0, evals[0][0])
+        if nv:
+            cands = []
+            for eid, e in evals:
+                ne = math.sqrt(sum(x * x for x in e))
+                dot = sum(a * b for a, b in zip(emb, e))
+                cands.append((dot / (nv * ne), -eid))
+            c, neg = max(cands)
+            best = (c, -neg)
+        assert got[vid]["max_eval_cosine"] == pytest.approx(best[0], abs=1e-12)
+        assert got[vid]["nearest_eval_id"] == best[1]
+        assert got[vid]["contaminated"] == (got[vid]["max_eval_cosine"] >= 0.9)
+    # the interesting pins: self-match 1.0, scaled-parallel 1.0, zero-norm 0
+    assert got[0]["max_eval_cosine"] == 1.0 and got[0]["contaminated"]
+    assert got[5]["max_eval_cosine"] == 1.0
+    assert got[4]["max_eval_cosine"] == 0.0 and got[4]["nearest_eval_id"] == 0
+
+
+def test_semantic_tie_breaks_to_smallest_eval_id(spark):
+    from crawler_spark.operators.sampling import semantic_contamination
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # both evals at identical cosine to the row: tie -> eval id 3, not 7
+    evals = [(7, [1.0, 1.0]), (3, [2.0, 2.0])]
+    r = semantic_contamination(df, evals).collect()[0]
+    assert r["nearest_eval_id"] == 3
+
+
+def test_decontaminate_semantic_filters_schema_stable(spark):
+    from crawler_spark.operators.sampling import decontaminate_semantic
+
+    df = _sem_df(spark)
+    out = decontaminate_semantic(df, [(0, [1.0, 0.0, 0.0])], threshold=0.95)
+    assert out.columns == df.columns
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {1, 2, 3, 4}  # 0 and 5 are cosine-1 to the eval vector
+
+
+def test_semantic_contamination_loud_failures(spark):
+    from crawler_spark.operators.sampling import semantic_contamination
+
+    df = _sem_df(spark)
+    with pytest.raises(ValueError, match="1..4"):
+        semantic_contamination(df, [(i, [1.0, 0.0, 0.0]) for i in range(5)],
+                               max_eval=4)
+    with pytest.raises(ValueError, match="zero norm"):
+        semantic_contamination(df, [(0, [0.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="1..1024"):
+        semantic_contamination(df, [])
+
+
+def test_semantic_contamination_plan_zero_shuffle(spark):
+    from crawler_spark.operators.sampling import semantic_contamination
+
+    df = _sem_df(spark)
+    plan = (
+        semantic_contamination(df, [(0, [1.0, 0.0, 0.0])])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan
