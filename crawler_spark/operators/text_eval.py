@@ -60,11 +60,31 @@ def ngrams_expr(text_col: str, n: int) -> str:
     )
 
 
-def _unit_counts(df: DataFrame, id_col: str, arr_expr: str, out: str) -> DataFrame:
+def _pair_unit_counts(
+    df: DataFrame, id_col: str, parr: str, tarr: str
+) -> DataFrame:
+    """Per ``(id, unit)`` pred/truth occurrence counts via ONE
+    side-tagged explode — both sides of a row ride the same exchange and
+    the per-unit clip downstream is a ``least()`` on the two conditional
+    counts, instead of one explode per side plus a sort-merge join
+    (the fusion measured on the corpus eval benches; see
+    ``_clipped_matches``)."""
     return (
-        df.select(F.col(id_col), F.explode(F.expr(arr_expr)).alias("token"))
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias(out))
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"concat("
+                    f"transform({parr}, u -> named_struct('s', 0, 'u', u)), "
+                    f"transform({tarr}, u -> named_struct('s', 1, 'u', u)))"
+                )
+            ).alias("su"),
+        )
+        .groupBy(id_col, F.col("su.u").alias("token"))
+        .agg(
+            F.count(F.when(F.col("su.s") == 0, True)).alias("c_pred"),
+            F.count(F.when(F.col("su.s") == 1, True)).alias("c_truth"),
+        )
     )
 
 
@@ -108,10 +128,8 @@ def ngram_prf(
         F.expr(f"size({parr})").cast("bigint").alias("n_pred"),
         F.expr(f"size({tarr})").cast("bigint").alias("n_truth"),
     )
-    p = _unit_counts(df, id_col, parr, "c_pred")
-    t = _unit_counts(df, id_col, tarr, "c_truth")
     tp = (
-        p.join(t, [id_col, "token"])
+        _pair_unit_counts(df, id_col, parr, tarr)
         .groupBy(id_col)
         .agg(F.sum(F.least("c_pred", "c_truth")).alias("tp"))
     )
