@@ -536,3 +536,58 @@ def test_chrf_plan_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+# ------------------------------------------------- seeded fuzz: bleu + chrf
+
+def _fuzz_pairs(n=200, seed=77):
+    """Deterministic word-soup pairs spanning the convention space:
+    shared vocab (forces partial n-gram overlap), repeats (forces
+    clipping), length skew (forces BP), empties and single tokens."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:
+            p, t = "", rng.choice(["", "w0", "w0 w1 w2"])
+        elif kind == 1:
+            t = " ".join(rng.choices(vocab, k=rng.randrange(1, 30)))
+            p = t  # identity
+        elif kind == 2:
+            toks = rng.choices(vocab, k=rng.randrange(4, 40))
+            cut = rng.randrange(1, len(toks))
+            p, t = " ".join(toks[:cut]), " ".join(toks)  # prefix: BP fires
+        else:
+            p = " ".join(rng.choices(vocab, k=rng.randrange(0, 35)))
+            t = " ".join(rng.choices(vocab, k=rng.randrange(0, 35)))
+        rows.append((f"g{i % 5}", p, t))
+    return rows
+
+
+def test_bleu_fuzz_matches_python_replay(spark):
+    rows = _fuzz_pairs()
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    got = {r["source"]: r.asDict() for r in
+           bleu_corpus(df, "pred", "truth", group_cols=["source"]).collect()}
+    assert len(got) == 5
+    for src in got:
+        exp = py_bleu([(p, t) for s, p, t in rows if s == src])
+        for k, v in exp.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
+
+
+def test_chrf_fuzz_matches_python_replay(spark):
+    rows = _fuzz_pairs(seed=78)
+    df = spark.createDataFrame(rows, "source string, pred string, truth string")
+    df = df.withColumn("doc_id", F.monotonically_increasing_id())
+    got = {r["source"]: r.asDict() for r in
+           chrf_corpus(df, "pred", "truth", group_cols=["source"]).collect()}
+    assert len(got) == 5
+    for src in got:
+        exp = py_chrf([(p, t) for s, p, t in rows if s == src])
+        for k, v in exp.items():
+            assert got[src][k] == v, (src, k, got[src][k], v)
