@@ -908,18 +908,28 @@ def run(spark, sf_dir: str):
     with timed("q_dust"):
         from crawler_spark.frontier.dust import apply_dust_rules, mine_dust_rules
 
-        pages = corpus.select("url", "text")
-        aliased = pages.unionByName(
-            pages.select(F.concat("url", F.lit("?session=1")).alias("url"), "text")
+        # content keys hashed ONCE (the real-pipeline shape: page records
+        # carry a content hash upstream of the miner — feeding raw text
+        # through every alias branch re-hashed the fat column three times,
+        # measured ~2x the whole query)
+        keys = corpus.select(
+            "url", F.xxhash64("text").alias("content_key")
+        )
+        aliased = keys.unionByName(
+            keys.select(
+                F.concat("url", F.lit("?session=1")).alias("url"), "content_key"
+            )
         ).unionByName(
-            pages.select(
+            keys.select(
                 F.concat(
                     "url", F.lit("?sid="), F.abs(F.xxhash64("url")).cast("string")
                 ).alias("url"),
-                "text",
+                "content_key",
             )
         )
-        dr = mine_dust_rules(aliased, max_df=8).filter("valid")
+        dr = mine_dust_rules(aliased, key_col="content_key", max_df=8).filter(
+            "valid"
+        )
         apply_dust_rules(aliased.select("url"), dr).select(
             F.countDistinct("canon_url")
         ).collect()
