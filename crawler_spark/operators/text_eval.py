@@ -402,10 +402,13 @@ def bleu_corpus(
             F.sum("_r").cast("bigint").alias("r_len"),
         )
     )
+    # matches is group-cardinality by construction (one row per group of
+    # bounded-width integer columns) — broadcast it so the final stitch
+    # never sorts or shuffles the totals side
     j = (
-        totals.join(matches, gc, "left")
+        totals.join(F.broadcast(matches), gc, "left")
         if gc
-        else totals.crossJoin(matches)
+        else totals.crossJoin(F.broadcast(matches))
     )
     for n in range(1, max_n + 1):
         j = j.withColumn(f"m{n}", F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("bigint"))
@@ -542,10 +545,13 @@ def chrf_corpus(
             ],
         )
     )
+    # matches is group-cardinality by construction (one row per group of
+    # bounded-width integer columns) — broadcast it so the final stitch
+    # never sorts or shuffles the totals side
     j = (
-        totals.join(matches, gc, "left")
+        totals.join(F.broadcast(matches), gc, "left")
         if gc
-        else totals.crossJoin(matches)
+        else totals.crossJoin(F.broadcast(matches))
     )
     for n in range(1, max_n + 1):
         j = j.withColumn(
