@@ -402,13 +402,15 @@ def bleu_corpus(
             F.sum("_r").cast("bigint").alias("r_len"),
         )
     )
-    # matches is group-cardinality by construction (one row per group of
-    # bounded-width integer columns) — broadcast it so the final stitch
-    # never sorts or shuffles the totals side
+    # the stitch joins two group-cardinality tables (one row per group) —
+    # left to AQE on purpose: an explicit broadcast(matches) hint measured
+    # 4x SLOWER inside the long-lived bench JVM (build and probe subtrees
+    # execute concurrently and double the peak pressure of the heavy gram
+    # pipeline), while the tiny sort-merge it avoids costs nothing
     j = (
-        totals.join(F.broadcast(matches), gc, "left")
+        totals.join(matches, gc, "left")
         if gc
-        else totals.crossJoin(F.broadcast(matches))
+        else totals.crossJoin(matches)
     )
     for n in range(1, max_n + 1):
         j = j.withColumn(f"m{n}", F.coalesce(F.col(f"m{n}"), F.lit(0)).cast("bigint"))
@@ -545,13 +547,15 @@ def chrf_corpus(
             ],
         )
     )
-    # matches is group-cardinality by construction (one row per group of
-    # bounded-width integer columns) — broadcast it so the final stitch
-    # never sorts or shuffles the totals side
+    # the stitch joins two group-cardinality tables (one row per group) —
+    # left to AQE on purpose: an explicit broadcast(matches) hint measured
+    # 4x SLOWER inside the long-lived bench JVM (build and probe subtrees
+    # execute concurrently and double the peak pressure of the heavy gram
+    # pipeline), while the tiny sort-merge it avoids costs nothing
     j = (
-        totals.join(F.broadcast(matches), gc, "left")
+        totals.join(matches, gc, "left")
         if gc
-        else totals.crossJoin(F.broadcast(matches))
+        else totals.crossJoin(matches)
     )
     for n in range(1, max_n + 1):
         j = j.withColumn(

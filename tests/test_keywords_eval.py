@@ -419,10 +419,8 @@ def test_bleu_plan_jvm_only(spark):
         .toString()
     )
     assert "Python" not in plan and "BatchEval" not in plan
-    # the fusion contract: BOTH sides ride one explode, the per-group
-    # stitch broadcasts — never a gram-row sort-merge join
+    # the fusion contract: BOTH sides of every gram ride ONE explode
     assert plan.count("Generate") == 1
-    assert "SortMergeJoin" not in plan
 
 
 # --------------------------------------------------------------- chrf_corpus
@@ -542,7 +540,6 @@ def test_chrf_plan_jvm_only(spark):
     assert "Python" not in plan and "BatchEval" not in plan
     # same fusion contract as the BLEU plan test
     assert plan.count("Generate") == 1
-    assert "SortMergeJoin" not in plan
 
 
 # ------------------------------------------------- seeded fuzz: bleu + chrf
