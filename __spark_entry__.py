@@ -968,6 +968,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return ivf_assign(e, rows).select("vec_id", "centroid_id")
 
+    # ---- embedding-distribution drift (operators/similarity.py
+    # cluster_histograms / embedding_divergence): split the embeddings by
+    # vec_id parity into two "snapshots", quantize BOTH under the one
+    # hash-sampled codebook, and pin every per-cluster smoothed JS term —
+    # each term is a pure function of four exact integers, so the gate
+    # carries no multi-double summation-order risk; the scalar jsd sum is
+    # pinned by pytest replay instead
+    def emb_divergence_docs(spark, sf_dir):
+        from crawler_spark.operators.similarity import (
+            cluster_histograms,
+            ivf_centroids,
+        )
+
+        e = _t(spark, sf_dir, "embeddings")
+        rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(e, _IVF_K).collect()
+        ]
+        h = cluster_histograms(
+            e.filter("vec_id % 2 = 0"), e.filter("vec_id % 2 = 1"), rows
+        )
+        tot = h.agg(
+            F.sum("n_a").cast("double").alias("_ta"),
+            F.sum("n_b").cast("double").alias("_tb"),
+        )
+        k = _IVF_K
+        return h.crossJoin(tot).select(
+            "centroid_id",
+            "n_a",
+            "n_b",
+            F.expr(f"round((n_a + 1.0d) / (_ta + {k}.0d), 6)").alias("p"),
+            F.expr(f"round((n_b + 1.0d) / (_tb + {k}.0d), 6)").alias("q"),
+            F.expr(
+                f"round(0.5d * ((n_a + 1.0d) / (_ta + {k}.0d))"
+                f" * ln(((n_a + 1.0d) / (_ta + {k}.0d))"
+                f" / ((((n_a + 1.0d) / (_ta + {k}.0d))"
+                f" + ((n_b + 1.0d) / (_tb + {k}.0d))) / 2.0d))"
+                f" + 0.5d * ((n_b + 1.0d) / (_tb + {k}.0d))"
+                f" * ln(((n_b + 1.0d) / (_tb + {k}.0d))"
+                f" / ((((n_a + 1.0d) / (_ta + {k}.0d))"
+                f" + ((n_b + 1.0d) / (_tb + {k}.0d))) / 2.0d)), 6)"
+            ).alias("jst"),
+        )
+
     # ---- IVF-Flat approximate top-k (nprobe inverted lists + exact rerank)
     def ivf_topk_docs(spark, sf_dir):
         from crawler_spark.operators.similarity import ivf_topk
@@ -3195,6 +3239,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "semantic_dedup_docs": semantic_dedup_docs,
         "ivf_assign_docs": ivf_assign_docs,
+        "emb_divergence_docs": emb_divergence_docs,
         "ivf_topk_docs": ivf_topk_docs,
         "pq_topk_docs": pq_topk_docs,
         "lang_id_docs": lang_id_docs,
@@ -3742,6 +3787,60 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_assign_docs": f"""
             SELECT vec_id, centroid_id FROM ({ivf_assigned})
+        """,
+        # embedding-distribution drift: same cents CTE (codebook from the
+        # FULL table), per-parity-half argmin assignment, zero-count-safe
+        # histograms, then the per-cluster smoothed JS terms — every
+        # double a pure function of four exact integers, matching the
+        # Spark projection op-for-op
+        "emb_divergence_docs": f"""
+            WITH cents AS (
+              SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings
+              WHERE {_duck_hash60("cast(vec_id as varchar)")}
+                    % {_ivf_stride(_ORACLE_SF_DIR)} = 0
+              ORDER BY vec_id LIMIT {_IVF_K}
+            ),
+            sa AS (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {ivf_d2}, c.centroid_id) AS rn
+              FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 0) e
+              CROSS JOIN cents c
+            ),
+            sb AS (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY {ivf_d2}, c.centroid_id) AS rn
+              FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 1) e
+              CROSS JOIN cents c
+            ),
+            ca AS (SELECT centroid_id, count(*) AS c FROM sa
+                   WHERE rn = 1 GROUP BY 1),
+            cb AS (SELECT centroid_id, count(*) AS c FROM sb
+                   WHERE rn = 1 GROUP BY 1),
+            h AS (
+              SELECT cents.centroid_id,
+                     CAST(coalesce(ca.c, 0) AS BIGINT) AS n_a,
+                     CAST(coalesce(cb.c, 0) AS BIGINT) AS n_b
+              FROM cents
+              LEFT JOIN ca ON ca.centroid_id = cents.centroid_id
+              LEFT JOIN cb ON cb.centroid_id = cents.centroid_id
+            ),
+            tot AS (SELECT cast(sum(n_a) as double) AS ta,
+                           cast(sum(n_b) as double) AS tb FROM h)
+            SELECT centroid_id, n_a, n_b,
+                   round((n_a + 1.0) / (ta + {_IVF_K}.0), 6) AS p,
+                   round((n_b + 1.0) / (tb + {_IVF_K}.0), 6) AS q,
+                   round(0.5 * ((n_a + 1.0) / (ta + {_IVF_K}.0))
+                         * ln(((n_a + 1.0) / (ta + {_IVF_K}.0))
+                           / ((((n_a + 1.0) / (ta + {_IVF_K}.0))
+                             + ((n_b + 1.0) / (tb + {_IVF_K}.0))) / 2.0))
+                       + 0.5 * ((n_b + 1.0) / (tb + {_IVF_K}.0))
+                         * ln(((n_b + 1.0) / (tb + {_IVF_K}.0))
+                           / ((((n_a + 1.0) / (ta + {_IVF_K}.0))
+                             + ((n_b + 1.0) / (tb + {_IVF_K}.0))) / 2.0)), 6)
+                     AS jst
+            FROM h CROSS JOIN tot
         """,
         # Unicode NFC: DuckDB's engine-native nfc_normalize over the same
         # decomposed-suffix construction (chr(769) = U+0301 COMBINING
@@ -7794,6 +7893,14 @@ _EXTENDED_GATE = [
     # zero-norm/tie-break/cap pytest in test_sampling; awaiting a
     # round-4 driver slot
     "semantic_decon_docs",
+    # embedding-distribution drift (operators/similarity.py
+    # cluster_histograms / embedding_divergence — JS divergence between
+    # two corpora over one shared hash-sampled codebook; zero-shuffle
+    # assignment scans, only k-row tables move): new in the round-3
+    # ninth wave; full cents/argmin/histogram/JS-term SQL replay oracle,
+    # python-replay + bounds + plan pytest in test_pipeline_ops;
+    # awaiting a round-4 driver slot
+    "emb_divergence_docs",
 ]
 
 

@@ -921,3 +921,102 @@ def srp_project(
         f"got ', cast(size({vec_col}) as string))) END"
     )
     return df.withColumn(out_col, F.expr(guarded))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution divergence (corpus drift in embedding space)
+# ---------------------------------------------------------------------------
+
+
+def cluster_histograms(
+    a: DataFrame,
+    b: DataFrame,
+    centroid_rows: Sequence,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-centroid exact counts of two corpora under ONE shared codebook:
+    ``(centroid_id, n_a, n_b)``, every centroid present (zero-count rows
+    included — the divergence below needs the full support).
+
+    Scale shape: assignment is the zero-shuffle
+    :func:`nearest_centroid_expr` scan per corpus; the only exchanges
+    move k-row count tables. Works on corpora of any size ratio — the
+    histograms, not the vectors, are what meet.
+    """
+    expr = nearest_centroid_expr(centroid_rows, vec_col)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.expr(expr).alias("centroid_id"))
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias(out))
+        )
+
+    base = a.sparkSession.createDataFrame(
+        [(int(cid),) for cid, _ in centroid_rows], "centroid_id long"
+    )
+    return (
+        base.join(counts(a, "n_a"), "centroid_id", "left")
+        .join(counts(b, "n_b"), "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+
+
+def embedding_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    centroid_rows: Sequence,
+    vec_col: str = "embedding",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's embedding
+    distributions, measured over a shared k-cluster quantization — the
+    embedding-space drift detector next to `curation.corpus_diff`'s
+    count drift: did a filter pass, a new crawl snapshot, or a sampling
+    policy SHIFT the corpus, not just shrink it?
+
+    Per cluster ``i``: ``p_i = (n_a_i + alpha) / (N_a + alpha*k)`` (and
+    ``q_i`` likewise — Laplace smoothing keeps every ``ln`` finite);
+    ``jsd = 0.5*Σ p ln(p/m) + 0.5*Σ q ln(q/m)`` with ``m = (p+q)/2``.
+    Bounds: 0 (identical) .. ln(2) (disjoint support). One row out:
+    ``(k, n_a, n_b, jsd)``. All counts exact BIGINTs; the doubles derive
+    from them deterministically (the ln-parity stance of the LM gates).
+
+    Scale shape: :func:`cluster_histograms`' two zero-shuffle scans, then
+    arithmetic over k rows. Nothing corpus-sized moves.
+    """
+    k = len(centroid_rows)
+    h = cluster_histograms(a, b, centroid_rows, vec_col)
+    tot = h.agg(
+        F.sum("n_a").cast("bigint").alias("n_a"),
+        F.sum("n_b").cast("bigint").alias("n_b"),
+    )
+    terms = h.crossJoin(tot.select(
+        F.col("n_a").alias("_ta"), F.col("n_b").alias("_tb")
+    )).select(
+        "centroid_id",
+        F.expr(
+            f"(n_a + {alpha!r}d) / (_ta + {alpha!r}d * {k})"
+        ).alias("p"),
+        F.expr(
+            f"(n_b + {alpha!r}d) / (_tb + {alpha!r}d * {k})"
+        ).alias("q"),
+    )
+    jsd = (
+        "0.5d * sum(p * ln(p / ((p + q) / 2.0d))) "
+        "+ 0.5d * sum(q * ln(q / ((p + q) / 2.0d)))"
+    )
+    return (
+        terms.agg(F.expr(jsd).alias("_jsd"))
+        .crossJoin(tot)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            "n_a",
+            "n_b",
+            F.expr("round(_jsd, 6)").alias("jsd"),
+        )
+    )

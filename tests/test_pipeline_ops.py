@@ -1763,3 +1763,84 @@ def test_paragraph_lang_profile_partition_invariance_and_no_shuffle(spark):
     plan = paragraph_lang_profile(df)._jdf.queryExecution().executedPlan(
     ).toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------- embedding divergence
+
+def _div_corpora(spark):
+    import random
+
+    rng = random.Random(11)
+    # corpus A: clustered near axis e0 and e1; corpus B: shifted toward e2
+    def vec(axis, n):
+        rows = []
+        for i in range(n):
+            v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+            v[axis] += 1.0
+            rows.append((len(rows) + axis * 1000 + i, v))
+        return rows
+
+    a = spark.createDataFrame(vec(0, 30) + vec(1, 30),
+                              "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(vec(0, 10) + vec(2, 50),
+                              "vec_id long, embedding array<double>")
+    cents = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(4)]
+    return a, b, cents
+
+
+def test_embedding_divergence_python_replay(spark):
+    import math
+
+    from crawler_spark.operators.similarity import (
+        cluster_histograms,
+        embedding_divergence,
+    )
+
+    a, b, cents = _div_corpora(spark)
+    h = {r["centroid_id"]: (r["n_a"], r["n_b"])
+         for r in cluster_histograms(a, b, cents).collect()}
+    assert set(h) == {0, 1, 2, 3}
+    assert h[0] == (30, 10) and h[1] == (60 - 30, 0) and h[2] == (0, 50)
+    assert h[3] == (0, 0)  # zero-count centroid still present
+    k, alpha = 4, 1.0
+    ta, tb = sum(v[0] for v in h.values()), sum(v[1] for v in h.values())
+    jsd = 0.0
+    for na, nb in h.values():
+        p = (na + alpha) / (ta + alpha * k)
+        q = (nb + alpha) / (tb + alpha * k)
+        m = (p + q) / 2.0
+        jsd += 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    r = embedding_divergence(a, b, cents).collect()[0]
+    assert (r["k"], r["n_a"], r["n_b"]) == (4, 60, 60)
+    assert r["jsd"] == round(jsd, 6)
+
+
+def test_embedding_divergence_bounds(spark):
+    import math
+
+    from crawler_spark.operators.similarity import embedding_divergence
+
+    a, b, cents = _div_corpora(spark)
+    same = embedding_divergence(a, a, cents).collect()[0]
+    assert same["jsd"] == 0.0  # identical corpora
+    cross = embedding_divergence(a, b, cents).collect()[0]
+    assert 0.0 < cross["jsd"] < math.log(2.0)
+    # order symmetry: JS is symmetric in its arguments
+    rev = embedding_divergence(b, a, cents).collect()[0]
+    assert rev["jsd"] == cross["jsd"]
+
+
+def test_embedding_divergence_plan_zero_corpus_shuffle(spark):
+    from crawler_spark.operators.similarity import cluster_histograms
+
+    a, b, cents = _div_corpora(spark)
+    plan = (
+        cluster_histograms(a, b, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # assignment is an expression scan: no join/exchange touches vectors;
+    # the only joins stitch k-row count tables
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
