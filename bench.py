@@ -344,6 +344,26 @@ def run(spark, sf_dir: str):
         q = [float(x) for x in next(iter(d0.values()))]
         brute_force_topk(embs, q, k=50).collect()
 
+    # ---- q_divergence: embedding-distribution drift between the two
+    # vec_id-parity halves (similarity.embedding_divergence — shared
+    # hash-sampled codebook, two zero-shuffle assignment scans, JS over
+    # k-row histograms; nothing corpus-sized moves)
+    with timed("q_divergence"):
+        from crawler_spark.operators.similarity import (
+            embedding_divergence,
+            ivf_centroids,
+        )
+
+        cent_rows = [
+            (r["centroid_id"], list(r["c_emb"]))
+            for r in ivf_centroids(embs, 8).collect()
+        ]
+        embedding_divergence(
+            embs.filter("vec_id % 2 = 0"),
+            embs.filter("vec_id % 2 = 1"),
+            cent_rows,
+        ).collect()
+
     with timed("q_ivf_topk"):
         from crawler_spark.operators.similarity import ivf_topk
 
