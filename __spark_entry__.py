@@ -3206,6 +3206,41 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             value_cols=["event_id", "value"],
         ).select("event_id", "user_id", "asof_event_id", "asof_value")
 
+    # ---- Z-order layout keys (sinks/layout.py): equi-depth qsk
+    # thresholds per dimension -> literal-comparison buckets -> unrolled
+    # Morton interleave. Pure projection after the one-row threshold
+    # collect; the layout primitive behind OPTIMIZE ZORDER BY
+    def zorder_key_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import _hash60
+        from crawler_spark.sinks.layout import zorder_keys
+
+        d = _t(spark, sf_dir, "documents")
+        dims = [("hostb", f"pmod({_hash60('source')}, 64)"), ("len", "n_chars")]
+        keyed, _ = zorder_keys(d, dims, bits=4)
+        return keyed.select("doc_id", "zb_hostb", "zb_len", "zkey")
+
+    # ---- Z-order file-skipping report (sinks/layout.py): model the
+    # written layout (zkey range per file), per-file min/max footer
+    # stats, and the reader's prune decision for a 2-dim range predicate
+    def zorder_prune_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import _hash60
+        from crawler_spark.sinks.layout import (
+            layout_report,
+            scan_flags,
+            zorder_keys,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        dims = [("hostb", f"pmod({_hash60('source')}, 64)"), ("len", "n_chars")]
+        keyed, _ = zorder_keys(d, dims, bits=4)
+        rep = layout_report(keyed, dims, n_files=16, bits=4)
+        return scan_flags(
+            rep, [("len", 200, 400), ("hostb", 16, 47)]
+        ).select(
+            "file_id", "n_rows", "min_hostb", "max_hostb",
+            "min_len", "max_len", "scanned",
+        )
+
     # ---- host/source reputation gate (RefinedWeb-style wholesale drop)
     def source_reputation_docs(spark, sf_dir):
         from crawler_spark.operators.curation import source_reputation_filter
@@ -3359,6 +3394,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "cms_estimate_docs": cms_estimate_docs,
         "temperature_sample_docs": temperature_sample_docs,
+        "zorder_key_docs": zorder_key_docs,
+        "zorder_prune_docs": zorder_prune_docs,
     }
 
 
@@ -6688,6 +6725,87 @@ def _all_oracle_sql() -> dict[str, str]:
     # decides), so its oracle IS the exact oracle
     sql["contamination_pruned_docs"] = sql["contamination_docs"]
 
+    # Z-order layout keys (sinks/layout.py): full replay — the qsk
+    # threshold derivation per dimension (same bucket/cumsum/lower-bound
+    # CTE as quantile_sketch_docs, ungrouped, 15 quantiles), the literal
+    # >=-comparison bucket count, and the unrolled Morton interleave.
+    # Both engines compute thresholds from identical integer counters and
+    # compare identical doubles, so the keys match bit-for-bit.
+    def _z_threshold_cte(prefix: str, expr: str, bits: int) -> str:
+        den = 1 << bits
+        picks = ",\n                   ".join(
+            f"min(CASE WHEN cum * {den} >= n * {i} THEN lo END) AS {prefix}t{i}"
+            for i in range(1, den)
+        )
+        return f"""
+        {prefix}v AS (SELECT least(greatest(cast({expr} as bigint), 0),
+                             9007199254740991) AS v
+                      FROM documents
+                      WHERE cast({expr} as bigint) IS NOT NULL),
+        {prefix}b AS (SELECT CASE WHEN v <= 0 THEN 0
+                             ELSE (length(bin(v)) - 1) * 8
+                                  + (v * 8 >> (length(bin(v)) - 1)) - 8 + 1
+                        END AS qb
+                      FROM {prefix}v),
+        {prefix}sk AS (SELECT qb, count(*) AS cnt FROM {prefix}b GROUP BY 1),
+        {prefix}c AS (SELECT qb, cnt,
+                        cast(sum(cnt) OVER (ORDER BY qb) as bigint) AS cum,
+                        cast(sum(cnt) OVER () as bigint) AS n
+                      FROM {prefix}sk),
+        {prefix}val AS (SELECT *,
+                          CASE WHEN qb = 0 THEN cast(0.0 as double)
+                               ELSE (8 + (qb - 1) % 8)::double
+                                    * pow(2.0, ((qb - 1) // 8)::double) / 8
+                          END AS lo
+                        FROM {prefix}c),
+        {prefix}th AS (SELECT {picks} FROM {prefix}val)"""
+
+    _z_bits = 4
+    _z_dims = [
+        ("hostb", f"({_duck_hash60('source')} % 64)"),
+        ("len", "n_chars"),
+    ]
+    _z_bucket = {
+        name: "cast(("
+        + " + ".join(
+            f"(CASE WHEN cast({expr} as double) >= {p}t{i} THEN 1 ELSE 0 END)"
+            for i in range(1, 1 << _z_bits)
+        )
+        + ") as bigint)"
+        for (name, expr), p in zip(_z_dims, ("a", "b"))
+    }
+    _z_morton = " + ".join(
+        f"(((zb_{name} >> {i}) & 1) * cast({1 << (i * 2 + (1 - j))} as bigint))"
+        for i in range(_z_bits - 1, -1, -1)
+        for j, (name, _) in enumerate(_z_dims)
+    )
+    _z_keyed = f"""
+        WITH {_z_threshold_cte('a', _z_dims[0][1], _z_bits)},
+        {_z_threshold_cte('b', _z_dims[1][1], _z_bits)},
+        keyed AS (
+          SELECT d.doc_id,
+                 cast({_z_dims[0][1]} as double) AS v_hostb,
+                 cast({_z_dims[1][1]} as double) AS v_len,
+                 {_z_bucket['hostb']} AS zb_hostb,
+                 {_z_bucket['len']} AS zb_len
+          FROM documents d, ath, bth
+        ),
+        zk AS (SELECT *, cast({_z_morton} as bigint) AS zkey FROM keyed)"""
+    sql["zorder_key_docs"] = f"""{_z_keyed}
+        SELECT doc_id, zb_hostb, zb_len, zkey FROM zk
+    """
+    sql["zorder_prune_docs"] = f"""{_z_keyed},
+        rep AS (SELECT zkey // 16 AS file_id,
+                       count(*) AS n_rows,
+                       min(v_hostb) AS min_hostb, max(v_hostb) AS max_hostb,
+                       min(v_len) AS min_len, max(v_len) AS max_len
+                FROM zk GROUP BY 1)
+        SELECT file_id, n_rows, min_hostb, max_hostb, min_len, max_len,
+               (max_len >= 200.0 AND min_len <= 400.0
+                AND max_hostb >= 16.0 AND min_hostb <= 47.0) AS scanned
+        FROM rep
+    """
+
     # DUST rule mining: shared CTE pipeline — planted alias families on
     # doc_id%8, envelope decomposition per content-duplicate pair (LCP =
     # count of equal prefixes, downward-closed so count == max), rule
@@ -7901,6 +8019,15 @@ _EXTENDED_GATE = [
     # python-replay + bounds + plan pytest in test_pipeline_ops;
     # awaiting a round-4 driver slot
     "emb_divergence_docs",
+    # Z-order layout keys + file-skipping report (sinks/layout.py — the
+    # OPTIMIZE ZORDER BY primitive: equi-depth qsk thresholds per
+    # dimension, literal-comparison buckets, unrolled Morton interleave,
+    # per-model-file min/max footer stats + the reader's prune decision):
+    # new in the round-3 tenth wave; full threshold/bucket/interleave SQL
+    # replay oracles, python-replay + pruning-win + plan pytest in
+    # test_layout; awaiting a round-4 driver slot
+    "zorder_key_docs",
+    "zorder_prune_docs",
 ]
 
 

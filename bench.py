@@ -1071,6 +1071,32 @@ def run(spark, sf_dir: str):
             F.count("*"), F.sum("n_tokens"), F.max("epoch")
         ).collect()
 
+    # ---- q_zorder: Z-order layout keys + file-skipping report -------------
+    # (sinks/layout.py — two qsk threshold passes, then the key + report
+    # are one codegen'd scan + one n_files-row groupBy; the layout
+    # primitive behind OPTIMIZE ZORDER BY)
+    with timed("q_zorder"):
+        from crawler_spark.operators.dedup import _hash60
+        from crawler_spark.sinks.layout import (
+            layout_report,
+            scan_flags,
+            zorder_keys,
+        )
+
+        zdims = [
+            ("hostb", f"pmod({_hash60('source')}, 64)"),
+            ("len", "n_chars"),
+        ]
+        zkeyed, _ = zorder_keys(docs, zdims, bits=6)
+        zrep = scan_flags(
+            layout_report(zkeyed, zdims, n_files=64, bits=6),
+            [("len", 200, 400), ("hostb", 16, 47)],
+        )
+        n_zfiles, n_zscanned = zrep.agg(
+            F.count("*"), F.sum(F.col("scanned").cast("int"))
+        ).first()
+    extra["zorder_files_scanned"] = f"{int(n_zscanned)}/{int(n_zfiles)}"
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

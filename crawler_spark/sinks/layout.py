@@ -1,0 +1,200 @@
+"""Z-order (Morton) multi-column layout keys + a file-skipping report.
+
+Why this belongs in a 100 TB crawl/curation engine: at that scale the
+dominant cost of every downstream query is the scan, and Parquet/Iceberg
+readers skip whole files and row groups from min/max footer stats — but
+stats only prune when the *layout clusters* the filtered columns. Sorting
+by one column prunes that one column; interleaving the bits of k
+bucketized columns (Morton / Z-order) gives every interleaved column
+locality at once, so multi-predicate reads (host AND doc length AND
+date) prune files on all of them. This is the mechanism behind
+Delta/Iceberg ``OPTIMIZE ZORDER BY``, re-expressed as pure column math +
+one ``repartitionByRange`` (the shuffle IS the layout being built — there
+is no extra one).
+
+Determinism/exactness contract (the house rules):
+
+- per-dimension bucket boundaries are *equi-depth* thresholds taken from
+  the DDSketch-style quantile sketch (``sketch.qsk_*``) — exact-integer
+  counters, value = bucket lower bound, so the thresholds are
+  bit-reproducible across engines and across partitionings;
+- the sketch collapses to <= 53k+1 counter rows before the one-row
+  collect, so the driver never sees data, only ~2^bits literal doubles
+  per dimension (driver-known small, like the IVF centroid tables);
+- bucketize is an unrolled literal-comparison sum and the Morton
+  interleave is unrolled shift/AND arithmetic — zero joins, zero
+  Exchange, whole-stage-codegen'd; the DuckDB oracle replays the same
+  integer expressions term for term.
+
+The reference has no storage layer at all (results live in one Python
+dict, `/root/reference/crawler/enhanced_crawler.py:290-301`); this module
+is part of the engine's scale surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.sketch import QSK_SUBBUCKETS, qsk_build, qsk_quantiles
+
+# (name, value_expr) pairs; the expr must be numeric (cast to double for
+# threshold comparison) and SHOULD be non-negative — qsk clamps negatives
+# into bucket 0, so negative values all land in z-bucket 0.
+Dims = Sequence[Tuple[str, str]]
+
+
+def dim_thresholds(
+    df: DataFrame, value_expr: str, bits: int, k: int = QSK_SUBBUCKETS
+) -> List[float]:
+    """``2^bits - 1`` equi-depth thresholds for one dimension: the
+    sketched ``i / 2^bits`` quantiles (bucket lower bounds — exact
+    doubles) for i = 1 .. 2^bits - 1.
+
+    One bounded-shuffle sketch pass; the collect moves exactly one row.
+    Skewed dimensions may repeat a threshold — buckets then collapse,
+    which only *wastes* key bits, never misorders them. Empty input
+    yields all-zero thresholds (every row would key to bucket
+    ``2^bits - 1``; vacuous on no rows).
+    """
+    den = 1 << bits
+    qs = tuple((f"t{i}", i, den) for i in range(1, den))
+    rows = qsk_quantiles(qsk_build(df, [], value_expr, k), [], qs=qs, k=k).collect()
+    if not rows:
+        return [0.0] * (den - 1)
+    r = rows[0].asDict()
+    return [float(r[f"t{i}"] if r[f"t{i}"] is not None else 0.0) for i in range(1, den)]
+
+
+def bucket_count_expr(value_expr: str, thresholds: Sequence[float]) -> str:
+    """Equi-depth bucket id of ``value_expr``: the count of thresholds at
+    or below the value, as an unrolled literal-comparison sum (<= 2^bits
+    terms, all codegen'd — no join against a boundary table). NULL values
+    compare false everywhere and land in bucket 0."""
+    terms = " + ".join(
+        f"(CASE WHEN cast({value_expr} as double) >= {t!r} THEN 1 ELSE 0 END)"
+        for t in thresholds
+    )
+    return f"cast(({terms}) as bigint)"
+
+
+def morton_expr(bucket_cols: Sequence[str], bits: int) -> str:
+    """Morton interleave of ``len(bucket_cols)`` bucket ids of ``bits``
+    bits each: output bit ``i*D + (D-1-j)`` is bit ``i`` of column ``j``,
+    so earlier columns take the more significant bit of each group.
+    Unrolled shift/AND/multiply arithmetic — exact BIGINT everywhere
+    (``bits * D`` <= 30 in any sane layout), identical in DuckDB with
+    ``>>``/``&``."""
+    d = len(bucket_cols)
+    terms = []
+    for i in range(bits - 1, -1, -1):
+        for j, c in enumerate(bucket_cols):
+            pos = i * d + (d - 1 - j)
+            terms.append(f"((shiftright({c}, {i}) & 1) * cast({1 << pos} as bigint))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_keys(
+    df: DataFrame, dims: Dims, bits: int = 6, k: int = QSK_SUBBUCKETS
+) -> Tuple[DataFrame, Dict[str, List[float]]]:
+    """Add per-dimension bucket columns ``zb_<name>`` and the interleaved
+    ``zkey`` column. Returns ``(keyed_df, thresholds_by_dim)`` — pass the
+    thresholds to key another frame identically (e.g. the next crawl
+    wave) via ``zorder_keys_with``."""
+    th = {name: dim_thresholds(df, expr, bits, k) for name, expr in dims}
+    return zorder_keys_with(df, dims, th, bits), th
+
+
+def zorder_keys_with(
+    df: DataFrame, dims: Dims, thresholds: Dict[str, List[float]], bits: int = 6
+) -> DataFrame:
+    """Key ``df`` with precomputed thresholds (zero actions, zero
+    shuffles — a pure projection)."""
+    out = df
+    for name, expr in dims:
+        out = out.withColumn(f"zb_{name}", F.expr(bucket_count_expr(expr, thresholds[name])))
+    zk = morton_expr([f"zb_{name}" for name, _ in dims], bits)
+    return out.withColumn("zkey", F.expr(zk))
+
+
+def layout_report(
+    keyed: DataFrame, dims: Dims, n_files: int, bits: int, key_col: str = "zkey"
+) -> DataFrame:
+    """Model the written layout's footer stats: file id = ``zkey div
+    ceil(keyspace / n_files)`` (what range-partitioning the keyspace
+    evenly produces), then per-file row count and min/max of every
+    dimension VALUE — exactly the stats a Parquet/Iceberg reader prunes
+    with. One groupBy to ``n_files`` rows."""
+    keyspace = 1 << (bits * len(dims))
+    per = -(-keyspace // n_files)
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for name, expr in dims:
+        v = f"cast({expr} as double)"
+        aggs.append(F.min(F.expr(v)).alias(f"min_{name}"))
+        aggs.append(F.max(F.expr(v)).alias(f"max_{name}"))
+    return (
+        keyed.withColumn("file_id", F.expr(f"cast({key_col} div {per} as bigint)"))
+        .groupBy("file_id")
+        .agg(*aggs)
+    )
+
+
+def scan_flags(
+    report: DataFrame, predicates: Sequence[Tuple[str, float, float]]
+) -> DataFrame:
+    """Mark which model files a conjunctive range scan must read:
+    ``scanned`` is true iff every ``(dim, lo, hi)`` interval intersects
+    the file's [min, max] — the reader's footer-pruning decision,
+    evaluated on the report rows (n_files of them, never the corpus)."""
+    cond = F.lit(True)
+    for name, lo, hi in predicates:
+        cond = cond & (F.col(f"max_{name}") >= float(lo)) & (
+            F.col(f"min_{name}") <= float(hi)
+        )
+    return report.withColumn("scanned", cond)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dims: Dims,
+    bits: int = 6,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> Dict[str, List[float]]:
+    """Write ``df`` Z-ordered: key, range-repartition on the key (the
+    only shuffle — it IS the clustering), sort within each file so row
+    groups inherit the locality too, drop the helper columns, write
+    parquet. Returns the thresholds for keying future appends the same
+    way.
+
+    Note Spark's range partitioner samples the key column to pick file
+    boundaries, so the file *split points* are not part of the
+    determinism contract — the row->key mapping and the total content
+    are (asserted in tests); the skipping REPORT above uses the even
+    keyspace split instead for exact cross-engine replay."""
+    keyed, th = zorder_keys(df, dims, bits)
+    helper = [f"zb_{name}" for name, _ in dims]
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop(*helper)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return th
+
+
+def written_file_stats(spark, path: str, stat_exprs: Dims) -> DataFrame:
+    """Per actual written file min/max stats, read back from the data
+    itself (``input_file_name`` grouping) — lets tests assert the real
+    layout prunes like the model says it should."""
+    df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for name, expr in stat_exprs:
+        v = f"cast({expr} as double)"
+        aggs.append(F.min(F.expr(v)).alias(f"min_{name}"))
+        aggs.append(F.max(F.expr(v)).alias(f"max_{name}"))
+    return df.groupBy("_file").agg(*aggs)
