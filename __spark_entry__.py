@@ -1937,6 +1937,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "hll_s", "hll_zero_buckets", "hll_est"
         )
 
+    # ---- HLL set algebra (sketch.hll_overlap): shared vocabulary
+    # between the even- and odd-doc_id halves of each source — |A|, |B|,
+    # |A ∪ B| from register tables + elementwise-max merge, |A ∩ B| by
+    # inclusion-exclusion, never shuffling the tokens; the snapshot-
+    # overlap / vocab-leakage estimator
+    def hll_overlap_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import _hash60, tokens_expr
+        from crawler_spark.operators.sketch import hll_overlap, hll_registers
+
+        d = _t(spark, sf_dir, "documents")
+        # hash-based halves (doc_id parity is source-correlated in the
+        # test corpus — the halves must overlap per source to exercise
+        # the estimator)
+        split = f"pmod({_hash60('cast(doc_id as string)')}, 2)"
+
+        def _regs(par):
+            ex = d.where(f"{split} = {par}").select(
+                "source", F.explode(F.expr(tokens_expr("text"))).alias("t")
+            )
+            return hll_registers(ex, ["source"], "t")
+
+        return hll_overlap(_regs(0), _regs(1), ["source"]).select(
+            "source", "hll_s_a", "hll_s_b", "hll_s_union",
+            "est_a", "est_b", "est_union", "est_intersect", "jaccard_est",
+        )
+
     # ---- log-histogram quantile sketch (sketch.qsk_*): per-source
     # n_chars percentiles from DDSketch-style power-of-two buckets —
     # at most 53*k+1 counter rows per key, mergeable across waves; the
@@ -3396,6 +3422,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample_docs": temperature_sample_docs,
         "zorder_key_docs": zorder_key_docs,
         "zorder_prune_docs": zorder_prune_docs,
+        "hll_overlap_docs": hll_overlap_docs,
     }
 
 
@@ -6806,6 +6833,78 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM rep
     """
 
+    # HLL set algebra (sketch.hll_overlap): three register replays — the
+    # even-doc half, the odd-doc half, and their elementwise-max merge —
+    # each estimated with the identical alpha/linear-counting formula as
+    # hll_distinct_docs, then inclusion-exclusion over the ROUNDED
+    # estimates (matching the engine, which derives est_intersect /
+    # jaccard_est from hll_estimate's rounded outputs).
+    def _hll_regs_cte(pfx: str, where: str) -> str:
+        return f"""
+        ex{pfx} AS (SELECT source, unnest({_D_TOKS}) AS t
+                    FROM documents WHERE {where}),
+        h{pfx} AS (SELECT source, {_duck_hash60('t')} AS h FROM ex{pfx}),
+        reg{pfx} AS (SELECT source, h % {_HLL_M} AS bucket,
+                            CASE WHEN h // {_HLL_M} = 0 THEN 52
+                                 ELSE 51 - length(bin(h // {_HLL_M})) + 1
+                            END AS rank
+                     FROM h{pfx}),
+        regs{pfx} AS (SELECT source, bucket, max(rank) AS rank
+                      FROM reg{pfx} GROUP BY 1, 2)"""
+
+    def _hll_est_cte(pfx: str) -> str:
+        return f"""
+        pk{pfx} AS (SELECT source,
+                      cast(sum(cast(pow(2, 53 - rank) as bigint)) as bigint)
+                        AS s_used,
+                      count(*) AS used
+                    FROM regs{pfx} GROUP BY 1),
+        fin{pfx} AS (SELECT source,
+                       cast(s_used + ({_HLL_M} - used)
+                            * cast(pow(2, 53) as bigint) as bigint) AS hll_s,
+                       cast({_HLL_M} - used as int) AS zb,
+                       (cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}
+                        * pow(2, 53)
+                        / cast(s_used + ({_HLL_M} - used)
+                               * cast(pow(2, 53) as bigint) as bigint)) AS raw
+                     FROM pk{pfx}),
+        est{pfx} AS (SELECT source, hll_s,
+                       round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zb > 0
+                                  THEN {_HLL_M}
+                                       * ln({_HLL_M} / cast(zb as double))
+                                  ELSE raw END, 6) AS est
+                     FROM fin{pfx})"""
+
+    _hll_inter = "greatest(est_a + est_b - est_union, cast(0.0 as double))"
+    sql["hll_overlap_docs"] = f"""
+        WITH {_hll_regs_cte('a', f"{_duck_hash60('cast(doc_id as varchar)')} % 2 = 0")},
+        {_hll_regs_cte('b', f"{_duck_hash60('cast(doc_id as varchar)')} % 2 = 1")},
+        regsu AS (SELECT source, bucket, max(rank) AS rank
+                  FROM (SELECT * FROM regsa UNION ALL SELECT * FROM regsb)
+                  GROUP BY 1, 2),
+        {_hll_est_cte('a')},
+        {_hll_est_cte('b')},
+        {_hll_est_cte('u')},
+        j AS (SELECT u.source,
+                     coalesce(a.hll_s, {_HLL_M} * cast(pow(2, 53) as bigint))
+                       AS hll_s_a,
+                     coalesce(b.hll_s, {_HLL_M} * cast(pow(2, 53) as bigint))
+                       AS hll_s_b,
+                     u.hll_s AS hll_s_union,
+                     coalesce(a.est, cast(0.0 as double)) AS est_a,
+                     coalesce(b.est, cast(0.0 as double)) AS est_b,
+                     u.est AS est_union
+              FROM estu u
+              LEFT JOIN esta a ON a.source = u.source
+              LEFT JOIN estb b ON b.source = u.source)
+        SELECT source, hll_s_a, hll_s_b, hll_s_union,
+               est_a, est_b, est_union,
+               round({_hll_inter}, 6) AS est_intersect,
+               round(CASE WHEN est_union > 0.0 THEN {_hll_inter} / est_union
+                          ELSE cast(0.0 as double) END, 6) AS jaccard_est
+        FROM j
+    """
+
     # DUST rule mining: shared CTE pipeline — planted alias families on
     # doc_id%8, envelope decomposition per content-duplicate pair (LCP =
     # count of equal prefixes, downward-closed so count == max), rule
@@ -8028,6 +8127,13 @@ _EXTENDED_GATE = [
     # test_layout; awaiting a round-4 driver slot
     "zorder_key_docs",
     "zorder_prune_docs",
+    # HLL set algebra (sketch.hll_overlap — |A|, |B|, |A ∪ B|, |A ∩ B| by
+    # inclusion-exclusion over register tables, the snapshot-overlap /
+    # shared-vocabulary estimator that never shuffles the values): new in
+    # the round-3 tenth wave; three-register-replay SQL oracle sharing
+    # hll_distinct_docs' estimate formula, known-overlap accuracy pytest
+    # in test_sketch_sessions; awaiting a round-4 driver slot
+    "hll_overlap_docs",
 ]
 
 

@@ -158,6 +158,69 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, key_cols, value_expr), key_cols)
 
 
+def hll_overlap(
+    a: DataFrame, b: DataFrame, key_cols: list, p: int = HLL_P
+) -> DataFrame:
+    """Distinct-set overlap between two sketched populations, per key,
+    without ever shuffling the values themselves: |A|, |B| and |A ∪ B|
+    come from the two register tables and their elementwise-max merge,
+    |A ∩ B| by inclusion-exclusion (clamped at 0 — the estimator can go
+    slightly negative on near-disjoint sets), plus the Jaccard estimate
+    ``∩ / ∪``.
+
+    The crawl-scale use: overlap between two snapshots' URL-seen sets,
+    shared vocabulary between two sources, eval-vs-train id leakage —
+    each a 10^8+-distinct question answered by joining three
+    ``groups * m``-row tables. Inclusion-exclusion inherits both
+    sketches' error, so ``jaccard_est`` on small intersections is a
+    signal, not a measurement (the exact twins are the anti-join /
+    intersect operators); tests bound the error on known overlaps.
+
+    Inputs are ``hll_registers`` outputs built with the same ``p`` and
+    the same value domain. Keys present in only one side estimate the
+    other side as empty (zero registers — the implicit-zero contract).
+    Output: ``key_cols + (hll_s_a, hll_s_b, hll_s_union bigint,
+    est_a, est_b, est_union, est_intersect, jaccard_est double)``.
+    """
+
+    def _est(regs: DataFrame, suffix: str) -> DataFrame:
+        e = hll_estimate(regs, key_cols, p)
+        return e.select(
+            *key_cols,
+            F.col("hll_s").alias(f"hll_s_{suffix}"),
+            F.col("hll_est").alias(f"est_{suffix}"),
+        )
+
+    ea = _est(a, "a")
+    eb = _est(b, "b")
+    eu = _est(hll_merge(a, b, key_cols), "union")
+    m = 1 << p
+    # a key absent from one side is an empty sketch there: est 0, exact
+    # anchor = all-zero registers (m * 2^RANK_MAX)
+    empty_s = m * (1 << _RANK_MAX)
+    joined = (
+        eu.join(ea, key_cols, "left")
+        .join(eb, key_cols, "left")
+        .fillna({"est_a": 0.0, "est_b": 0.0})
+        .fillna({"hll_s_a": empty_s, "hll_s_b": empty_s})
+    )
+    inter = "greatest(est_a + est_b - est_union, cast(0.0 as double))"
+    return joined.select(
+        *key_cols,
+        "hll_s_a",
+        "hll_s_b",
+        F.col("hll_s_union"),
+        "est_a",
+        "est_b",
+        "est_union",
+        F.expr(f"round({inter}, 6)").alias("est_intersect"),
+        F.expr(
+            f"round(CASE WHEN est_union > 0.0 THEN {inter} / est_union "
+            f"ELSE cast(0.0 as double) END, 6)"
+        ).alias("jaccard_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact heavy hitters via a Misra-Gries candidate pre-pass
 # ---------------------------------------------------------------------------

@@ -60,6 +60,49 @@ def test_hll_partition_invariant_and_bounded(spark):
     assert one.count() <= HLL_M
 
 
+def test_hll_overlap_known_jaccard(spark):
+    from crawler_spark.operators.sketch import hll_overlap
+
+    # |A|=6000, |B|=6000, |A ∩ B|=2000 -> J = 0.2
+    a = hll_registers(_vals(spark, 0, 6_000), ["key"], "v")
+    b = hll_registers(_vals(spark, 4_000, 10_000), ["key"], "v")
+    r = hll_overlap(a, b, ["key"]).collect()[0]
+    assert abs(r.est_union - 10_000) / 10_000 < 0.2
+    # inclusion-exclusion error scales with (|A|+|B|)/|A ∩ B| times the
+    # sketch error — the docstring's "signal, not a measurement" caveat;
+    # these bands are what m=512 honestly delivers at J=0.2
+    assert abs(r.est_intersect - 2_000) / 2_000 < 0.5
+    assert abs(r.jaccard_est - 0.2) < 0.1
+    # union anchor == merge anchor (exact, not approximate)
+    direct = hll_estimate(hll_merge(a, b, ["key"]), ["key"]).collect()[0]
+    assert r.hll_s_union == direct.hll_s
+    assert r.est_union == direct.hll_est
+
+
+def test_hll_overlap_disjoint_clamps_nonnegative(spark):
+    from crawler_spark.operators.sketch import hll_overlap
+
+    a = hll_registers(_vals(spark, 0, 5_000), ["key"], "v")
+    b = hll_registers(_vals(spark, 50_000, 55_000), ["key"], "v")
+    r = hll_overlap(a, b, ["key"]).collect()[0]
+    assert r.est_intersect >= 0.0
+    assert r.jaccard_est < 0.06  # sketch noise only
+
+
+def test_hll_overlap_one_sided_keys_default_empty(spark):
+    from crawler_spark.operators.sketch import hll_overlap
+
+    a = hll_registers(_vals(spark, 0, 1_000, key="only_a"), ["key"], "v")
+    b = hll_registers(_vals(spark, 0, 1_000, key="only_b"), ["key"], "v")
+    rows = {r.key: r for r in hll_overlap(a, b, ["key"]).collect()}
+    assert set(rows) == {"only_a", "only_b"}
+    assert rows["only_a"].est_b == 0.0 and rows["only_b"].est_a == 0.0
+    # a missing side is the empty sketch: intersection 0, union = the
+    # present side's estimate
+    assert rows["only_a"].est_intersect == 0.0
+    assert rows["only_a"].est_union == rows["only_a"].est_a
+
+
 # ---------------------------------------------------------------------------
 # exact heavy hitters (Misra-Gries candidates + exact verify)
 # ---------------------------------------------------------------------------
