@@ -125,3 +125,102 @@ def test_write_shards_jsonl(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_shards(sharded, str(tmp_path / "bad"), fmt="csvx")
+
+
+# ---------------------------------------------------------------------------
+# deterministic WebDataset-style tar shards (sinks/tar.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tar_bytes_deterministic_and_stdlib_readable():
+    import io
+    import tarfile
+
+    from crawler_spark.sinks.tar import tar_bytes_for
+
+    members = [("000000000003.txt", b"hello"), ("000000000001.txt", b"")]
+    blob = tar_bytes_for(members)
+    assert blob == tar_bytes_for(members)  # bit-stable
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        infos = tf.getmembers()
+        assert [i.name for i in infos] == [m[0] for m in members]
+        assert all(i.mtime == 0 and i.uid == 0 and i.mode == 0o644 for i in infos)
+        assert tf.extractfile(infos[0]).read() == b"hello"
+
+
+def test_tar_shards_members_in_hash_order(tok_docs):
+    import io
+    import tarfile
+
+    from crawler_spark.sinks.tar import tar_shards
+
+    assigned = token_balanced_shards(tok_docs, tokens_per_shard=200, groups=8)
+    blobs = {r.shard: r for r in tar_shards(assigned).collect()}
+    # expected membership + order per shard from the collected assignment
+    per_shard = {}
+    for r in assigned.select("shard", "doc_id").collect():
+        per_shard.setdefault(r.shard, []).append(r.doc_id)
+    for shard, ids in per_shard.items():
+        ids_sorted = sorted(ids, key=lambda i: (_pri(i), i))
+        with tarfile.open(fileobj=io.BytesIO(bytes(blobs[shard].tar))) as tf:
+            names = [i.name for i in tf.getmembers()]
+        assert names == [f"{i:012d}.txt" for i in ids_sorted]
+        assert blobs[shard].n_members == len(ids)
+
+
+def test_tar_shards_partition_invariant_bytes(tok_docs):
+    from crawler_spark.sinks.tar import tar_shards
+
+    assigned = token_balanced_shards(tok_docs, tokens_per_shard=200, groups=8)
+    a = {r.shard: r.md5 for r in tar_shards(assigned).collect()}
+    b = {r.shard: r.md5 for r in tar_shards(assigned.repartition(7)).collect()}
+    assert a == b and len(a) >= 2
+
+
+def test_tar_null_text_is_empty_member(spark):
+    import io
+    import tarfile
+
+    from crawler_spark.sinks.tar import tar_shards
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id int, text string"
+    ).withColumn("shard", F.lit(0))
+    blob = bytes(tar_shards(df).collect()[0].tar)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        data = {i.name: tf.extractfile(i).read() for i in tf.getmembers()}
+    assert data[f"{1:012d}.txt"] == b""
+    assert data[f"{2:012d}.txt"] == b"x"
+
+
+def test_write_tar_shards_roundtrip_and_manifest(tok_docs, tmp_path):
+    import io
+    import tarfile
+
+    from crawler_spark.sinks.tar import write_tar_shards
+
+    assigned = token_balanced_shards(tok_docs, tokens_per_shard=200, groups=8)
+    man = write_tar_shards(assigned, str(tmp_path / "tars"))
+    rows = man.orderBy("shard").collect()
+    assert len(rows) >= 2
+    seen_ids = []
+    for r in rows:
+        with open(r.path, "rb") as f:
+            blob = f.read()
+        assert len(blob) == r.n_bytes
+        import hashlib as _h
+
+        assert _h.md5(blob).hexdigest() == r.md5
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            seen_ids += [int(i.name.split(".")[0]) for i in tf.getmembers()]
+    assert sorted(seen_ids) == list(range(1, 41))
+
+
+def test_write_tar_shards_refuses_object_store_uri(tok_docs):
+    import pytest as _pytest
+
+    from crawler_spark.sinks.tar import write_tar_shards
+
+    assigned = token_balanced_shards(tok_docs, tokens_per_shard=200, groups=8)
+    with _pytest.raises(ValueError, match="POSIX"):
+        write_tar_shards(assigned, "s3a://bucket/corpus")
