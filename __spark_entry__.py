@@ -3267,6 +3267,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_len", "max_len", "scanned",
         )
 
+    # ---- corpus data card stats (sinks/datacard.py): the release-note
+    # numbers — exact volume counts, qsk length percentiles, language /
+    # top-source tables with decimal-formatted shares, exact-dup
+    # fraction, HLL distinct-token estimate — as ordered (ord, section,
+    # k, v) string rows; the markdown render is a driver-side join of
+    # exactly these rows (byte-pinned in pytest)
+    def data_card_docs(spark, sf_dir):
+        from crawler_spark.sinks.datacard import corpus_card_stats
+
+        return corpus_card_stats(
+            _t(spark, sf_dir, "documents"), top_sources=10
+        ).select("ord", "section", "k", "v")
+
     # ---- host/source reputation gate (RefinedWeb-style wholesale drop)
     def source_reputation_docs(spark, sf_dir):
         from crawler_spark.operators.curation import source_reputation_filter
@@ -3423,6 +3436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_docs": zorder_key_docs,
         "zorder_prune_docs": zorder_prune_docs,
         "hll_overlap_docs": hll_overlap_docs,
+        "data_card_docs": data_card_docs,
     }
 
 
@@ -6905,6 +6919,131 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM j
     """
 
+    # corpus data card (sinks/datacard.py): full replay — exact counts,
+    # the ungrouped qsk percentile CTE, language/source tables with the
+    # same DECIMAL-formatted shares, content-hash dup fraction, and the
+    # ungrouped HLL distinct-token estimate; every v string is built
+    # from identical integers/doubles through identical DECIMAL casts
+    def _dk4(expr: str) -> str:
+        return f"cast(cast(round({expr}, 4) as decimal(20, 4)) as varchar)"
+
+    sql["data_card_docs"] = rf"""
+        WITH base AS (
+          SELECT source AS _src, lang AS _lang,
+                 cast(len({_D_TOKS}) as bigint) AS _tok,
+                 cast(length(coalesce(text, '')) as bigint) AS _chr,
+                 {_duck_hash60("coalesce(text, '')")} AS _ch
+          FROM documents
+        ),
+        vol AS (
+          SELECT 0 AS ord, 'volume' AS section, 'docs' AS k,
+                 cast(count(*) as varchar) AS v FROM base
+          UNION ALL SELECT 1, 'volume', 'tokens',
+                 cast(cast(sum(_tok) as bigint) as varchar) FROM base
+          UNION ALL SELECT 2, 'volume', 'chars',
+                 cast(cast(sum(_chr) as bigint) as varchar) FROM base
+          UNION ALL SELECT 3, 'volume', 'sources',
+                 cast(count(DISTINCT _src) as varchar) FROM base
+          UNION ALL SELECT 4, 'volume', 'languages',
+                 cast(count(DISTINCT _lang) as varchar) FROM base
+        ),
+        qv AS (SELECT least(greatest(_tok, 0), 9007199254740991) AS v
+               FROM base WHERE _tok IS NOT NULL),
+        qb AS (SELECT CASE WHEN v <= 0 THEN 0
+                      ELSE (length(bin(v)) - 1) * 8
+                           + (v * 8 >> (length(bin(v)) - 1)) - 8 + 1
+                 END AS qb
+               FROM qv),
+        qsk AS (SELECT qb, count(*) AS cnt FROM qb GROUP BY 1),
+        qc AS (SELECT qb,
+                 cast(sum(cnt) OVER (ORDER BY qb) as bigint) AS cum,
+                 cast(sum(cnt) OVER () as bigint) AS n
+               FROM qsk),
+        qval AS (SELECT *,
+                   CASE WHEN qb = 0 THEN cast(0.0 as double)
+                        ELSE (8 + (qb - 1) % 8)::double
+                             * pow(2.0, ((qb - 1) // 8)::double) / 8
+                   END AS lo
+                 FROM qc),
+        qq AS (SELECT min(CASE WHEN cum * 2 >= n THEN lo END) AS p50,
+                      min(CASE WHEN cum * 10 >= n * 9 THEN lo END) AS p90,
+                      min(CASE WHEN cum * 100 >= n * 99 THEN lo END) AS p99
+               FROM qval),
+        lens AS (
+          SELECT 10 AS ord, 'length_tokens' AS section, 'p50' AS k,
+                 {_dk4('p50')} AS v FROM qq
+          UNION ALL SELECT 11, 'length_tokens', 'p90', {_dk4('p90')} FROM qq
+          UNION ALL SELECT 12, 'length_tokens', 'p99', {_dk4('p99')} FROM qq
+        ),
+        tot AS (SELECT cast(sum(_tok) as bigint) AS _tot_tok,
+                       count(*) AS _tot_docs
+                FROM base),
+        langs AS (
+          SELECT 20 AS ord, 'language' AS section, _lang AS k,
+                 concat('docs=', cast(count(*) as varchar), ' share=',
+                        {_dk4('count(*) / cast(_tot_docs as double)')}) AS v
+          FROM base, tot GROUP BY _lang, _tot_docs
+        ),
+        srcagg AS (SELECT _src, count(*) AS docs,
+                          cast(sum(_tok) as bigint) AS tokens,
+                          count(DISTINCT _ch) AS uniq
+                   FROM base GROUP BY 1),
+        srcr AS (SELECT *,
+                   row_number() OVER (ORDER BY tokens DESC, _src) AS rn
+                 FROM srcagg),
+        srcs AS (
+          SELECT 30 + rn AS ord, 'source' AS section, _src AS k,
+                 concat('docs=', cast(docs as varchar),
+                        ' tokens=', cast(tokens as varchar),
+                        ' share=', {_dk4('tokens / cast(_tot_tok as double)')},
+                        ' dup=', {_dk4('(docs - uniq) / cast(docs as double)')}
+                 ) AS v
+          FROM srcr, tot WHERE rn <= 10
+        ),
+        dupg AS (SELECT _ch, count(*) AS nn FROM base GROUP BY 1),
+        dup AS (
+          SELECT 1000 AS ord, 'duplication' AS section,
+                 'exact_dup_frac' AS k,
+                 {_dk4('(sum(nn) - count(*)) / cast(sum(nn) as double)')} AS v
+          FROM dupg
+        ),
+        ext AS (SELECT unnest({_D_TOKS}) AS t FROM documents),
+        hh AS (SELECT {_duck_hash60('t')} AS h FROM ext),
+        regh AS (SELECT h % {_HLL_M} AS bucket,
+                        CASE WHEN h // {_HLL_M} = 0 THEN 52
+                             ELSE 51 - length(bin(h // {_HLL_M})) + 1
+                        END AS rank
+                 FROM hh),
+        regsh AS (SELECT bucket, max(rank) AS rank FROM regh GROUP BY 1),
+        pkh AS (SELECT
+                  cast(sum(cast(pow(2, 53 - rank) as bigint)) as bigint)
+                    AS s_used,
+                  count(*) AS used
+                FROM regsh),
+        finh AS (SELECT
+                   cast({_HLL_M} - used as int) AS zb,
+                   (cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}
+                    * pow(2, 53)
+                    / cast(s_used + ({_HLL_M} - used)
+                           * cast(pow(2, 53) as bigint) as bigint)) AS raw
+                 FROM pkh),
+        hll AS (
+          SELECT 1001 AS ord, 'duplication' AS section,
+                 'distinct_tokens_est' AS k,
+                 cast(cast(round(
+                   CASE WHEN raw <= 2.5 * {_HLL_M} AND zb > 0
+                        THEN {_HLL_M} * ln({_HLL_M} / cast(zb as double))
+                        ELSE raw END, 6) as decimal(20, 6)) as varchar) AS v
+          FROM finh
+        ),
+        u AS (
+          SELECT * FROM vol UNION ALL SELECT * FROM lens
+          UNION ALL SELECT * FROM langs UNION ALL SELECT * FROM srcs
+          UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM hll
+        )
+        SELECT cast(ord as bigint) AS ord, section, k, v FROM u
+    """
+
     # DUST rule mining: shared CTE pipeline — planted alias families on
     # doc_id%8, envelope decomposition per content-duplicate pair (LCP =
     # count of equal prefixes, downward-closed so count == max), rule
@@ -8134,6 +8273,14 @@ _EXTENDED_GATE = [
     # hll_distinct_docs' estimate formula, known-overlap accuracy pytest
     # in test_sketch_sessions; awaiting a round-4 driver slot
     "hll_overlap_docs",
+    # corpus data card stats (sinks/datacard.py — the Datasheets-style
+    # release numbers as ordered (ord, section, k, v) string rows; the
+    # markdown artifact is a byte-pinned driver-side render of exactly
+    # these rows): new in the round-3 tenth wave; full SQL replay oracle
+    # (counts / qsk percentiles / DECIMAL-formatted shares / dup
+    # fraction / ungrouped HLL estimate), golden-markdown pytest in
+    # test_rag_export; awaiting a round-4 driver slot
+    "data_card_docs",
 ]
 
 

@@ -138,6 +138,10 @@ def main() -> None:
                         "sample_temperature; 0.5 flattens the head)")
     p.add_argument("--mix-budget", type=int, default=None,
                    help="total token budget for --temperature-mix")
+    p.add_argument("--data-card", default=None, metavar="PATH",
+                   help="also write a markdown data card of the CURATED "
+                        "corpus (sinks/datacard.py: volume, length "
+                        "percentiles, language/source tables, dup stats)")
     args = p.parse_args()
     if (args.dsir_target is None) != (args.dsir_keep is None):
         p.error("--dsir-target and --dsir-keep must be given together")
@@ -373,6 +377,18 @@ def main() -> None:
         funnel["n_nb_kept"] = n_nb
     if n_dsir is not None:
         funnel["n_dsir_kept"] = n_dsir
+    if args.data_card:
+        from crawler_spark.sinks.datacard import write_data_card
+
+        write_data_card(
+            spark.read.parquet(args.output),
+            args.data_card,
+            name=os.path.basename(args.output.rstrip("/")) or "corpus",
+            text_col=args.text_col,
+            source_col=args.source_col,
+            lang_col="lang_pred",
+        )
+        funnel["data_card"] = args.data_card
     print(json.dumps(funnel))
 
 

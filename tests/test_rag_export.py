@@ -67,3 +67,74 @@ def test_export_markdown_matches_reference(spark, crawl_pair, corpus_spec):
     ref_md = reference_export_markdown({"meta": meta, "pages": ref_pages})
     got_md = export_markdown_string(result.pages(spark), meta=meta)
     assert got_md == ref_md  # byte-identical report
+
+
+# ---------------------------------------------------------------------------
+# corpus data card (sinks/datacard.py)
+# ---------------------------------------------------------------------------
+
+
+def test_data_card_markdown_golden(spark, tmp_path):
+    from crawler_spark.sinks.datacard import (
+        corpus_card_stats,
+        render_data_card,
+        write_data_card,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "a.test"),
+            (2, "alpha beta", "en", "a.test"),
+            (3, "uno dos", "es", "b.test"),
+            (4, "alpha beta", "en", "b.test"),  # exact dup of doc 2
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    md = render_data_card(corpus_card_stats(df, top_sources=5), "tiny")
+    expected = (
+        "# Data Card: tiny\n"
+        "\n## Volume\n\n"
+        "- **docs:** 4\n"
+        "- **tokens:** 9\n"
+        "- **chars:** 43\n"
+        "- **sources:** 2\n"
+        "- **languages:** 2\n"
+        "\n## Tokens per document\n\n"
+        "- **p50:** 2.0000\n"
+        "- **p90:** 3.0000\n"
+        "- **p99:** 3.0000\n"
+        "\n## Languages\n\n"
+        "- **en:** docs=3 share=0.7500\n"
+        "- **es:** docs=1 share=0.2500\n"
+        "\n## Sources (top by tokens)\n\n"
+        "- **a.test:** docs=2 tokens=5 share=0.5556 dup=0.0000\n"
+        "- **b.test:** docs=2 tokens=4 share=0.4444 dup=0.0000\n"
+        "\n## Duplication\n\n"
+        "- **exact_dup_frac:** 0.2500\n"
+        "- **distinct_tokens_est:** 5.024574\n"
+    )
+    assert md == expected
+    # writer round-trip through the storage-agnostic fs helper
+    p = str(tmp_path / "card.md")
+    out = write_data_card(df, p, name="tiny", top_sources=5)
+    with open(p) as f:
+        assert f.read() == out == md
+
+
+def test_data_card_partition_invariant_and_lang_fallback(spark):
+    from crawler_spark.sinks.datacard import corpus_card_stats
+
+    df = spark.createDataFrame(
+        [(i, f"the and of word{i}", "s" + str(i % 3)) for i in range(30)],
+        "doc_id long, text string, source string",
+    )  # no lang column -> falls back to lang_id
+    a = sorted(
+        (r.ord, r.section, r.k, r.v)
+        for r in corpus_card_stats(df, lang_col=None).collect()
+    )
+    b = sorted(
+        (r.ord, r.section, r.k, r.v)
+        for r in corpus_card_stats(df.repartition(7), lang_col=None).collect()
+    )
+    assert a == b
+    assert any(s == "language" for _, s, _, _ in a)
