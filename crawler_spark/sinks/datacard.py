@@ -86,116 +86,118 @@ def corpus_card_stats(
         F.expr(_hash60(f"coalesce({text_col}, '')")).alias("_ch"),
     )
     base = base.persist()
-    try:
-        vol = base.agg(
+    vol = base.agg(
+        F.count("*").alias("docs"),
+        F.sum("_tok").alias("tokens"),
+        F.sum("_chr").alias("chars"),
+        F.countDistinct("_src").alias("sources"),
+        F.countDistinct("_lang").alias("languages"),
+    ).select(
+        F.expr(
+            "stack(5, "
+            f"0L, 'volume', 'docs', {_int_s('docs')}, "
+            f"1L, 'volume', 'tokens', {_int_s('tokens')}, "
+            f"2L, 'volume', 'chars', {_int_s('chars')}, "
+            f"3L, 'volume', 'sources', {_int_s('sources')}, "
+            f"4L, 'volume', 'languages', {_int_s('languages')}"
+            ") as (ord, section, k, v)"
+        )
+    )
+
+    qs = qsk_quantiles(qsk_build(base, [], "_tok"), [])
+    lens = qs.select(
+        F.expr(
+            "stack(3, "
+            f"10L, 'length_tokens', 'p50', {_dec4('p50')}, "
+            f"11L, 'length_tokens', 'p90', {_dec4('p90')}, "
+            f"12L, 'length_tokens', 'p99', {_dec4('p99')}"
+            ") as (ord, section, k, v)"
+        )
+    )
+
+    tot = base.agg(
+        F.sum("_tok").alias("_tot_tok"), F.count("*").alias("_tot_docs")
+    )
+    langs = (
+        base.groupBy("_lang")
+        .agg(F.count("*").alias("docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(20).cast("long").alias("ord"),
+            F.lit("language").alias("section"),
+            F.col("_lang").alias("k"),
+            F.expr(
+                "concat('docs=', " + _int_s("docs") + ", ' share=', "
+                + _dec4("docs / cast(_tot_docs as double)") + ")"
+            ).alias("v"),
+        )
+    )
+
+    src = (
+        base.groupBy("_src")
+        .agg(
             F.count("*").alias("docs"),
             F.sum("_tok").alias("tokens"),
-            F.sum("_chr").alias("chars"),
-            F.countDistinct("_src").alias("sources"),
-            F.countDistinct("_lang").alias("languages"),
-        ).select(
+            F.countDistinct("_ch").alias("uniq"),
+        )
+        .withColumn(
+            "_rn",
             F.expr(
-                "stack(5, "
-                f"0L, 'volume', 'docs', {_int_s('docs')}, "
-                f"1L, 'volume', 'tokens', {_int_s('tokens')}, "
-                f"2L, 'volume', 'chars', {_int_s('chars')}, "
-                f"3L, 'volume', 'sources', {_int_s('sources')}, "
-                f"4L, 'volume', 'languages', {_int_s('languages')}"
-                ") as (ord, section, k, v)"
-            )
+                "row_number() over (order by tokens desc, _src)"
+            ),
         )
-
-        qs = qsk_quantiles(qsk_build(base, [], "_tok"), [])
-        lens = qs.select(
+        .where(F.col("_rn") <= top_sources)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.lit(30) + F.col("_rn")).cast("long").alias("ord"),
+            F.lit("source").alias("section"),
+            F.col("_src").alias("k"),
             F.expr(
-                "stack(3, "
-                f"10L, 'length_tokens', 'p50', {_dec4('p50')}, "
-                f"11L, 'length_tokens', 'p90', {_dec4('p90')}, "
-                f"12L, 'length_tokens', 'p99', {_dec4('p99')}"
-                ") as (ord, section, k, v)"
-            )
+                "concat('docs=', " + _int_s("docs")
+                + ", ' tokens=', " + _int_s("tokens")
+                + ", ' share=', "
+                + _dec4("tokens / cast(_tot_tok as double)")
+                + ", ' dup=', "
+                + _dec4("(docs - uniq) / cast(docs as double)")
+                + ")"
+            ).alias("v"),
         )
+    )
 
-        tot = base.agg(
-            F.sum("_tok").alias("_tot_tok"), F.count("*").alias("_tot_docs")
-        )
-        langs = (
-            base.groupBy("_lang")
-            .agg(F.count("*").alias("docs"))
-            .crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(20).cast("long").alias("ord"),
-                F.lit("language").alias("section"),
-                F.col("_lang").alias("k"),
-                F.expr(
-                    "concat('docs=', " + _int_s("docs") + ", ' share=', "
-                    + _dec4("docs / cast(_tot_docs as double)") + ")"
-                ).alias("v"),
-            )
-        )
-
-        src = (
-            base.groupBy("_src")
-            .agg(
-                F.count("*").alias("docs"),
-                F.sum("_tok").alias("tokens"),
-                F.countDistinct("_ch").alias("uniq"),
-            )
-            .withColumn(
-                "_rn",
-                F.expr(
-                    "row_number() over (order by tokens desc, _src)"
-                ),
-            )
-            .where(F.col("_rn") <= top_sources)
-            .crossJoin(F.broadcast(tot))
-            .select(
-                (F.lit(30) + F.col("_rn")).cast("long").alias("ord"),
-                F.lit("source").alias("section"),
-                F.col("_src").alias("k"),
-                F.expr(
-                    "concat('docs=', " + _int_s("docs")
-                    + ", ' tokens=', " + _int_s("tokens")
-                    + ", ' share=', "
-                    + _dec4("tokens / cast(_tot_tok as double)")
-                    + ", ' dup=', "
-                    + _dec4("(docs - uniq) / cast(docs as double)")
-                    + ")"
-                ).alias("v"),
-            )
-        )
-
-        dup = (
-            base.groupBy("_ch")
-            .agg(F.count("*").alias("n"))
-            .agg(F.sum("n").alias("docs"), F.count("*").alias("uniq"))
-            .select(
-                F.expr(
-                    "stack(1, 1000L, 'duplication', 'exact_dup_frac', "
-                    + _dec4("(docs - uniq) / cast(docs as double)")
-                    + ") as (ord, section, k, v)"
-                )
-            )
-        )
-
-        toks = docs.select(
-            F.explode(F.expr(tokens_expr(text_col))).alias("_t")
-        )
-        hll = hll_distinct(toks, [], "_t").select(
+    dup = (
+        base.groupBy("_ch")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum("n").alias("docs"), F.count("*").alias("uniq"))
+        .select(
             F.expr(
-                "stack(1, 1001L, 'duplication', 'distinct_tokens_est', "
-                "cast(cast(round(hll_est, 6) as decimal(20, 6)) as string)"
-                ") as (ord, section, k, v)"
+                "stack(1, 1000L, 'duplication', 'exact_dup_frac', "
+                + _dec4("(docs - uniq) / cast(docs as double)")
+                + ") as (ord, section, k, v)"
             )
         )
+    )
 
-        out = vol.unionByName(lens).unionByName(langs).unionByName(src)
-        out = out.unionByName(dup).unionByName(hll)
-        return out
-    finally:
-        # lazily computed union: materialization happens at the caller's
-        # action; unpersist defers cleanup to Spark's LRU if still needed
-        base.unpersist(blocking=False)
+    toks = docs.select(
+        F.explode(F.expr(tokens_expr(text_col))).alias("_t")
+    )
+    hll = hll_distinct(toks, [], "_t").select(
+        F.expr(
+            "stack(1, 1001L, 'duplication', 'distinct_tokens_est', "
+            "cast(cast(round(hll_est, 6) as decimal(20, 6)) as string)"
+            ") as (ord, section, k, v)"
+        )
+    )
+
+    out = vol.unionByName(lens).unionByName(langs).unionByName(src)
+    out = out.unionByName(dup).unionByName(hll)
+    # the card is terminal and bounded (5 + 3 + #langs + top_sources + 2
+    # rows): materialize NOW so the persisted base actually feeds every
+    # section exactly once, then release it — returning the lazy union
+    # would recompute the full scan per section after unpersist
+    schema = out.schema
+    rows = out.collect()
+    base.unpersist(blocking=False)
+    return spark.createDataFrame(rows, schema)
 
 
 def render_data_card(stats: DataFrame, name: str = "corpus") -> str:

@@ -119,6 +119,17 @@ def zorder_keys_with(
     return out.withColumn("zkey", F.expr(zk))
 
 
+def _stat_aggs(dims: Dims):
+    """Footer-stat agg list shared by the model report and the
+    real-written-file reader: row count + min/max of every dim value."""
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for name, expr in dims:
+        v = f"cast({expr} as double)"
+        aggs.append(F.min(F.expr(v)).alias(f"min_{name}"))
+        aggs.append(F.max(F.expr(v)).alias(f"max_{name}"))
+    return aggs
+
+
 def layout_report(
     keyed: DataFrame, dims: Dims, n_files: int, bits: int, key_col: str = "zkey"
 ) -> DataFrame:
@@ -129,15 +140,10 @@ def layout_report(
     with. One groupBy to ``n_files`` rows."""
     keyspace = 1 << (bits * len(dims))
     per = -(-keyspace // n_files)
-    aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for name, expr in dims:
-        v = f"cast({expr} as double)"
-        aggs.append(F.min(F.expr(v)).alias(f"min_{name}"))
-        aggs.append(F.max(F.expr(v)).alias(f"max_{name}"))
     return (
         keyed.withColumn("file_id", F.expr(f"cast({key_col} div {per} as bigint)"))
         .groupBy("file_id")
-        .agg(*aggs)
+        .agg(*_stat_aggs(dims))
     )
 
 
@@ -192,9 +198,4 @@ def written_file_stats(spark, path: str, stat_exprs: Dims) -> DataFrame:
     itself (``input_file_name`` grouping) — lets tests assert the real
     layout prunes like the model says it should."""
     df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
-    aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for name, expr in stat_exprs:
-        v = f"cast({expr} as double)"
-        aggs.append(F.min(F.expr(v)).alias(f"min_{name}"))
-        aggs.append(F.max(F.expr(v)).alias(f"max_{name}"))
-    return df.groupBy("_file").agg(*aggs)
+    return df.groupBy("_file").agg(*_stat_aggs(stat_exprs))

@@ -81,21 +81,40 @@ def tar_shards(
     """
     from crawler_spark.operators.sampling import _priority_expr
 
+    # integer ids keep the zero-padded WebDataset key convention; string
+    # ids (URLs) pass through as the member basename — validated so a
+    # path separator can never smuggle a directory into the archive
+    pad = dict(sharded.dtypes)[id_col] in ("tinyint", "smallint", "int", "bigint")
     base = sharded.select(
         F.col("shard").cast("int").alias("shard"),
-        F.col(id_col).cast("long").alias("_mid"),
+        F.col(id_col).cast("string").alias("_mid"),
         F.col(text_col).cast("string").alias("_mtext"),
         F.expr(_priority_expr(id_col)).alias("_ord"),
     )
 
     def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ord", "_mid"], kind="mergesort")
+        # zero-padding first keeps the (hash, id) tie-break numeric for
+        # integer ids even though _mid travels as a string
+        pdf = pdf.assign(
+            _name=[
+                (f"{int(i):012d}.{ext}" if pad else f"{i}.{ext}")
+                for i in pdf["_mid"]
+            ]
+        ).sort_values(["_ord", "_name"], kind="mergesort")
+        bad = [
+            n for n in pdf["_name"]
+            if "/" in n or "\x00" in n or n.startswith(".")
+        ]
+        if bad:
+            raise ValueError(
+                f"id values unusable as tar member names: {bad[:3]!r}"
+            )
         members = [
             (
-                f"{int(i):012d}.{ext}",
+                name,
                 ("" if t is None else str(t)).encode("utf-8"),
             )
-            for i, t in zip(pdf["_mid"], pdf["_mtext"])
+            for name, t in zip(pdf["_name"], pdf["_mtext"])
         ]
         blob = tar_bytes_for(members)
         return pd.DataFrame(
@@ -134,12 +153,21 @@ def write_tar_shards(
     os.makedirs(tgt, exist_ok=True)
 
     def _write(batches: Iterable[pd.DataFrame]):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        attempt = tc.taskAttemptId() if tc is not None else os.getpid()
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 p = os.path.join(tgt, f"shard-{int(r.shard):06d}.tar")
-                with open(p, "wb") as f:
+                # attempt-unique temp + atomic rename: a speculative or
+                # zombie duplicate attempt can never interleave into the
+                # final file, and a killed job leaves only .tmp litter
+                tmp = f"{p}.{attempt}.tmp"
+                with open(tmp, "wb") as f:
                     f.write(r.tar)
+                os.replace(tmp, p)
                 rows.append(
                     {
                         "shard": int(r.shard),
@@ -155,7 +183,10 @@ def write_tar_shards(
         _write, _MANIFEST_SCHEMA
     )
     spark = sharded.sparkSession
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tgt, "manifest")
-    )
-    return spark.read.parquet(os.path.join(tgt, "manifest"))
+    # repartition (a shuffle barrier), never coalesce: coalesce(1) would
+    # collapse the render+write stage itself into one task and serialize
+    # every shard through it — the shuffle keeps the writes parallel and
+    # only the tiny manifest rows converge on one writer
+    man_path = "file://" + os.path.abspath(os.path.join(tgt, "manifest"))
+    manifest.repartition(1).write.mode("overwrite").parquet(man_path)
+    return spark.read.parquet(man_path)

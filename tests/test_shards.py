@@ -224,3 +224,28 @@ def test_write_tar_shards_refuses_object_store_uri(tok_docs):
     assigned = token_balanced_shards(tok_docs, tokens_per_shard=200, groups=8)
     with _pytest.raises(ValueError, match="POSIX"):
         write_tar_shards(assigned, "s3a://bucket/corpus")
+
+
+def test_tar_shards_string_ids_and_bad_name_refusal(spark):
+    import io
+    import tarfile
+
+    from crawler_spark.sinks.tar import tar_shards
+
+    df = spark.createDataFrame(
+        [("https://a.test/p1", "x"), ("https://a.test/p2", "y")],
+        "doc_id string, text string",
+    ).withColumn("shard", F.lit(0))
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    with _pytest.raises(PythonException, match="unusable as tar member"):
+        tar_shards(df).collect()
+
+    ok = spark.createDataFrame(
+        [("page-a", "x"), ("page-b", "y")], "doc_id string, text string"
+    ).withColumn("shard", F.lit(0))
+    blob = bytes(tar_shards(ok).collect()[0].tar)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        names = [i.name for i in tf.getmembers()]
+    assert sorted(names) == ["page-a.txt", "page-b.txt"]
