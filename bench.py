@@ -1097,6 +1097,16 @@ def run(spark, sf_dir: str):
         ).first()
     extra["zorder_files_scanned"] = f"{int(n_zscanned)}/{int(n_zfiles)}"
 
+    # ---- q_datacard: the corpus release report in one pass ----------------
+    # (sinks/datacard.py — persisted base scan feeding volume counts, qsk
+    # percentiles, language/source share tables, dup fraction and the
+    # ungrouped HLL estimate; the terminal collect is ~30 rows)
+    with timed("q_datacard"):
+        from crawler_spark.sinks.datacard import corpus_card_stats
+
+        n_card_rows = corpus_card_stats(docs, top_sources=10).count()
+    extra["datacard_rows"] = int(n_card_rows)
+
     # ---- q_assemble: the flagship corpus -> training-set composition ------
     # (curate -> decontaminate -> near-dup components -> budget mixing)
     with timed("q_assemble"):

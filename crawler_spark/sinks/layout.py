@@ -96,14 +96,46 @@ def morton_expr(bucket_cols: Sequence[str], bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def dims_thresholds(
+    df: DataFrame, dims: Dims, bits: int, k: int = QSK_SUBBUCKETS
+) -> Dict[str, List[float]]:
+    """Every dimension's thresholds from ONE corpus scan: each row stacks
+    into ``(dim, value)`` pairs, one (dim, bucket) sketch groupBy carries
+    ``n_dims * (53k+1)`` counter rows, then the same rank-pick per dim.
+    Identical values to per-dim ``dim_thresholds`` (the sketch is keyed,
+    not changed) — asserted in tests; this is the shape that keys a
+    100 TB table without re-scanning it per dimension."""
+    den = 1 << bits
+    stacked = df.select(
+        F.expr(
+            f"stack({len(dims)}, "
+            + ", ".join(f"'{n}', cast({e} as bigint)" for n, e in dims)
+            + ") as (_dim, _v)"
+        )
+    )
+    qs = tuple((f"t{i}", i, den) for i in range(1, den))
+    rows = qsk_quantiles(
+        qsk_build(stacked, ["_dim"], "_v", k), ["_dim"], qs=qs, k=k
+    ).collect()
+    th = {name: [0.0] * (den - 1) for name, _ in dims}
+    for r in rows:
+        rd = r.asDict()
+        th[rd["_dim"]] = [
+            float(rd[f"t{i}"] if rd[f"t{i}"] is not None else 0.0)
+            for i in range(1, den)
+        ]
+    return th
+
+
 def zorder_keys(
     df: DataFrame, dims: Dims, bits: int = 6, k: int = QSK_SUBBUCKETS
 ) -> Tuple[DataFrame, Dict[str, List[float]]]:
     """Add per-dimension bucket columns ``zb_<name>`` and the interleaved
     ``zkey`` column. Returns ``(keyed_df, thresholds_by_dim)`` — pass the
     thresholds to key another frame identically (e.g. the next crawl
-    wave) via ``zorder_keys_with``."""
-    th = {name: dim_thresholds(df, expr, bits, k) for name, expr in dims}
+    wave) via ``zorder_keys_with``. Thresholds for all dims come from a
+    single scan (``dims_thresholds``)."""
+    th = dims_thresholds(df, dims, bits, k)
     return zorder_keys_with(df, dims, th, bits), th
 
 

@@ -93,6 +93,15 @@ def test_null_values_key_to_bucket_zero(spark):
     assert [r.zb for r in keyed] == [1, 0, 2]
 
 
+def test_batched_thresholds_equal_per_dim(grid):
+    from crawler_spark.sinks.layout import dims_thresholds
+
+    dims = [("x", "x"), ("y", "y + 1000")]
+    batched = dims_thresholds(grid, dims, bits=4)
+    per_dim = {n: dim_thresholds(grid, e, 4) for n, e in dims}
+    assert batched == per_dim
+
+
 def test_zkey_partition_invariant(grid):
     dims = [("x", "x"), ("y", "y")]
     keyed, th = zorder_keys(grid, dims, bits=4)
