@@ -3267,6 +3267,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "min_len", "max_len", "scanned",
         )
 
+    # ---- Hilbert curve keys (sinks/layout.py): the OPTIMIZE-default
+    # clustering curve — same qsk thresholds/buckets as the Z-order gate,
+    # then the published per-level rotate/reflect walk unrolled into
+    # exact integer CASE/shift updates (consecutive keys are always grid
+    # neighbors, so key-range files hold tighter boxes than Morton)
+    def hilbert_key_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import _hash60
+        from crawler_spark.sinks.layout import hilbert_keys
+
+        d = _t(spark, sf_dir, "documents")
+        dims = [("hostb", f"pmod({_hash60('source')}, 64)"), ("len", "n_chars")]
+        keyed, _ = hilbert_keys(d, dims, bits=4)
+        return keyed.select("doc_id", "zb_hostb", "zb_len", "hkey")
+
     # ---- corpus data card stats (sinks/datacard.py): the release-note
     # numbers — exact volume counts, qsk length percentiles, language /
     # top-source tables with decimal-formatted shares, exact-dup
@@ -3437,6 +3451,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune_docs": zorder_prune_docs,
         "hll_overlap_docs": hll_overlap_docs,
         "data_card_docs": data_card_docs,
+        "hilbert_key_docs": hilbert_key_docs,
     }
 
 
@@ -6835,6 +6850,46 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["zorder_key_docs"] = f"""{_z_keyed}
         SELECT doc_id, zb_hostb, zb_len, zkey FROM zk
     """
+    # Hilbert keys: the same threshold/bucket CTEs, then the published
+    # per-level rotate/reflect walk as one CTE per level — every column
+    # in a level's SELECT reads the PREVIOUS level's x/y, mirroring the
+    # engine's withColumn chain exactly
+    def _hilbert_ctes(nbits: int) -> str:
+        n = 1 << nbits
+        ctes = [
+            f"h{nbits} AS (SELECT doc_id, zb_hostb, zb_len, "
+            f"zb_hostb AS x, zb_len AS y, cast(0 as bigint) AS d FROM zk)"
+        ]
+        for i in range(nbits - 1, -1, -1):
+            s2 = 1 << (2 * i)
+            rx = f"((x >> {i}) & 1)"
+            ry = f"((y >> {i}) & 1)"
+            quad = (
+                f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+                f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+            )
+            nx = (
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {n - 1} - y ELSE y END) "
+                f"ELSE x END"
+            )
+            ny = (
+                f"CASE WHEN {ry} = 0 THEN "
+                f"(CASE WHEN {rx} = 1 THEN {n - 1} - x ELSE x END) "
+                f"ELSE y END"
+            )
+            ctes.append(
+                f"h{i} AS (SELECT doc_id, zb_hostb, zb_len, "
+                f"{nx} AS x, {ny} AS y, "
+                f"d + cast({s2} as bigint) * {quad} AS d FROM h{i + 1})"
+            )
+        return ",\n        ".join(ctes)
+
+    sql["hilbert_key_docs"] = f"""{_z_keyed},
+        {_hilbert_ctes(_z_bits)}
+        SELECT doc_id, zb_hostb, zb_len, cast(d as bigint) AS hkey FROM h0
+    """
+
     sql["zorder_prune_docs"] = f"""{_z_keyed},
         rep AS (SELECT zkey // 16 AS file_id,
                        count(*) AS n_rows,
@@ -8281,6 +8336,13 @@ _EXTENDED_GATE = [
     # fraction / ungrouped HLL estimate), golden-markdown pytest in
     # test_rag_export; awaiting a round-4 driver slot
     "data_card_docs",
+    # Hilbert curve keys (sinks/layout.py hilbert_keys — the
+    # OPTIMIZE-default clustering curve; consecutive keys always grid
+    # neighbors, measurably tighter box pruning than Morton): new in the
+    # round-3 tenth wave; level-for-level SQL replay oracle on the
+    # shared threshold CTEs, python-replay + adjacency + prune-vs-morton
+    # pytest in test_layout; awaiting a round-4 driver slot
+    "hilbert_key_docs",
 ]
 
 

@@ -162,6 +162,79 @@ def _stat_aggs(dims: Dims):
     return aggs
 
 
+def hilbert_keys_with(
+    df: DataFrame,
+    dims: Dims,
+    thresholds: Dict[str, List[float]],
+    bits: int = 6,
+    out_col: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve key over exactly two bucketized dimensions (the
+    curve Delta's OPTIMIZE clusters by): unlike Morton, consecutive keys
+    are always grid neighbors, so a key-range file holds a tighter box
+    of the value space — measurably fewer files scanned for 2-D range
+    predicates (asserted in tests against the Morton layout).
+
+    The classic per-level rotate/reflect walk (s = 2^i descending) is
+    unrolled into ``bits`` integer CASE/shift column updates — exact
+    BIGINT arithmetic end to end, replayed level-for-level by the DuckDB
+    oracle. Two dims only (the standard 2-D curve); use Morton for
+    higher dimensionality."""
+    if len(dims) != 2:
+        raise ValueError("hilbert_keys_with is 2-D; use zorder keys for "
+                         f"{len(dims)} dims")
+    out = df
+    for name, expr in dims:
+        out = out.withColumn(
+            f"zb_{name}", F.expr(bucket_count_expr(expr, thresholds[name]))
+        )
+    n = 1 << bits
+    out = (
+        out.withColumn("_hx", F.col(f"zb_{dims[0][0]}"))
+        .withColumn("_hy", F.col(f"zb_{dims[1][0]}"))
+        .withColumn("_hd", F.lit(0).cast("bigint"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s2 = 1 << (2 * i)
+        rx = f"((shiftright(_hx, {i}) & 1))"
+        ry = f"((shiftright(_hy, {i}) & 1))"
+        quad = (
+            f"(CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END)"
+        )
+        nx = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - _hy ELSE _hy END) "
+            f"ELSE _hx END"
+        )
+        ny = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - _hx ELSE _hx END) "
+            f"ELSE _hy END"
+        )
+        out = (
+            out.withColumn(
+                "_hd",
+                F.expr(f"_hd + cast({s2} as bigint) * {quad}"),
+            )
+            .withColumn("_nx", F.expr(nx))
+            .withColumn("_ny", F.expr(ny))
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+            .drop("_nx", "_ny")
+        )
+    return out.withColumn(out_col, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_keys(
+    df: DataFrame, dims: Dims, bits: int = 6, k: int = QSK_SUBBUCKETS
+) -> Tuple[DataFrame, Dict[str, List[float]]]:
+    """`zorder_keys`' Hilbert twin: one-scan batched thresholds, then the
+    unrolled curve walk. Returns ``(keyed_df, thresholds_by_dim)``."""
+    th = dims_thresholds(df, dims, bits, k)
+    return hilbert_keys_with(df, dims, th, bits), th
+
+
 def layout_report(
     keyed: DataFrame, dims: Dims, n_files: int, bits: int, key_col: str = "zkey"
 ) -> DataFrame:
@@ -201,23 +274,32 @@ def write_zordered(
     bits: int = 6,
     n_files: int = 16,
     mode: str = "overwrite",
+    curve: str = "morton",
 ) -> Dict[str, List[float]]:
-    """Write ``df`` Z-ordered: key, range-repartition on the key (the
-    only shuffle — it IS the clustering), sort within each file so row
-    groups inherit the locality too, drop the helper columns, write
-    parquet. Returns the thresholds for keying future appends the same
-    way.
+    """Write ``df`` curve-clustered: key, range-repartition on the key
+    (the only shuffle — it IS the clustering), sort within each file so
+    row groups inherit the locality too, drop the helper columns, write
+    parquet. ``curve='morton'`` (any dimensionality) or ``'hilbert'``
+    (2-D, tighter boxes). Returns the thresholds for keying future
+    appends the same way.
 
     Note Spark's range partitioner samples the key column to pick file
     boundaries, so the file *split points* are not part of the
     determinism contract — the row->key mapping and the total content
     are (asserted in tests); the skipping REPORT above uses the even
     keyspace split instead for exact cross-engine replay."""
-    keyed, th = zorder_keys(df, dims, bits)
+    if curve == "morton":
+        keyed, th = zorder_keys(df, dims, bits)
+        key = "zkey"
+    elif curve == "hilbert":
+        keyed, th = hilbert_keys(df, dims, bits)
+        key = "hkey"
+    else:
+        raise ValueError(f"unknown curve: {curve!r}")
     helper = [f"zb_{name}" for name, _ in dims]
     (
-        keyed.repartitionByRange(n_files, "zkey")
-        .sortWithinPartitions("zkey")
+        keyed.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
         .drop(*helper)
         .write.mode(mode)
         .parquet(path)

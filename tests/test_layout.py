@@ -196,3 +196,100 @@ def test_three_dim_interleave_keyspace(spark):
     # first dim owns the most significant bit of each 3-bit group
     assert got[(7, 0, 0)] == 0b100100100
     assert got[(0, 0, 7)] == 0b001001001
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve keys (the OPTIMIZE-default curve; better box locality)
+# ---------------------------------------------------------------------------
+
+
+def _xy2d(n, x, y):
+    """Published per-level rotate/reflect walk (the layout.py contract)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def _identity_th(bits):
+    return [float(i) for i in range(1, 1 << bits)]
+
+
+def test_hilbert_matches_python_replay_and_is_bijective(spark):
+    from crawler_spark.sinks.layout import hilbert_keys_with
+
+    bits, n = 4, 16
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    th = {"a": _identity_th(bits), "b": _identity_th(bits)}
+    rows = hilbert_keys_with(grid, [("a", "x"), ("b", "y")], th, bits=bits) \
+        .select("x", "y", "hkey").collect()
+    assert all(r.hkey == _xy2d(n, r.x, r.y) for r in rows)
+    keys = {r.hkey for r in rows}
+    assert keys == set(range(n * n))
+
+
+def test_hilbert_adjacency_property(spark):
+    """Consecutive keys are always grid 4-neighbors — the locality
+    guarantee Morton lacks (Morton jumps across the space at quadrant
+    boundaries)."""
+    from crawler_spark.sinks.layout import hilbert_keys_with
+
+    bits, n = 5, 32
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], "x long, y long"
+    )
+    th = {"a": _identity_th(bits), "b": _identity_th(bits)}
+    pos = {
+        r.hkey: (r.x, r.y)
+        for r in hilbert_keys_with(
+            grid, [("a", "x"), ("b", "y")], th, bits=bits
+        ).select("x", "y", "hkey").collect()
+    }
+    assert all(
+        abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+
+
+def test_hilbert_prunes_at_least_as_well_as_morton(grid):
+    from crawler_spark.sinks.layout import hilbert_keys, layout_report, scan_flags
+
+    dims = [("x", "x"), ("y", "y")]
+    preds = [("x", 8, 15), ("y", 8, 15)]
+    hkeyed, th = hilbert_keys(grid, dims, bits=5)
+    hrep = scan_flags(
+        layout_report(hkeyed, dims, n_files=64, bits=5, key_col="hkey"), preds
+    )
+    zkeyed = zorder_keys_with(grid, dims, th, bits=5)
+    zrep = scan_flags(layout_report(zkeyed, dims, n_files=64, bits=5), preds)
+    h = hrep.where("scanned").count()
+    z = zrep.where("scanned").count()
+    assert h <= z  # the Hilbert locality win (or tie) on a box query
+    assert h <= 12  # and absolutely near the predicate's area share
+
+
+def test_hilbert_partition_invariant_and_refuses_3d(grid):
+    import pytest as _pytest
+
+    from crawler_spark.sinks.layout import hilbert_keys, hilbert_keys_with
+
+    dims = [("x", "x"), ("y", "y")]
+    keyed, th = hilbert_keys(grid, dims, bits=4)
+    a = {(r.rid, r.hkey) for r in keyed.select("rid", "hkey").collect()}
+    b = {
+        (r.rid, r.hkey)
+        for r in hilbert_keys_with(grid.repartition(7), dims, th, bits=4)
+        .select("rid", "hkey").collect()
+    }
+    assert a == b
+    with _pytest.raises(ValueError, match="2-D"):
+        hilbert_keys_with(grid, dims + [("z", "x")], th, bits=4)
