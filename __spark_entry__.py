@@ -3281,6 +3281,22 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keyed, _ = hilbert_keys(d, dims, bits=4)
         return keyed.select("doc_id", "zb_hostb", "zb_len", "hkey")
 
+    # ---- compaction planning (sinks/compact.py): documents modeled as
+    # file metadata (one file per doc, bytes = n_chars), byte-balanced
+    # bins via the shard prefix-sum, files at/above the small-only bound
+    # left alone (bin -1) — the OPTIMIZE rewrite plan as pure metadata
+    def compact_plan_docs(spark, sf_dir):
+        from crawler_spark.sinks.compact import plan_compaction
+
+        files = _t(spark, sf_dir, "documents").select(
+            F.expr("concat('f/', cast(doc_id as string))").alias("path"),
+            F.lit(1).cast("bigint").alias("n_rows"),
+            F.col("n_chars").cast("long").alias("bytes"),
+        )
+        return plan_compaction(
+            files, target_bytes=2000, small_only_below=300
+        ).select("path", "bytes", "bin")
+
     # ---- corpus data card stats (sinks/datacard.py): the release-note
     # numbers — exact volume counts, qsk length percentiles, language /
     # top-source tables with decimal-formatted shares, exact-dup
@@ -3452,6 +3468,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap_docs": hll_overlap_docs,
         "data_card_docs": data_card_docs,
         "hilbert_key_docs": hilbert_key_docs,
+        "compact_plan_docs": compact_plan_docs,
     }
 
 
@@ -6850,6 +6867,37 @@ def _all_oracle_sql() -> dict[str, str]:
     sql["zorder_key_docs"] = f"""{_z_keyed}
         SELECT doc_id, zb_hostb, zb_len, zkey FROM zk
     """
+    # compaction planning: the shard prefix-sum replay applied to file
+    # metadata — small files (bytes < bound) walk the (pri % 64, pri,
+    # path) hash order into 2000-byte contiguous blocks; files at/above
+    # the bound keep bin -1
+    sql["compact_plan_docs"] = rf"""
+        WITH f AS (SELECT concat('f/', cast(doc_id as varchar)) AS path,
+                          cast(n_chars as bigint) AS bytes
+                   FROM documents),
+        small AS (SELECT * FROM f WHERE bytes < 300),
+        t AS (SELECT path, bytes, {_duck_hash60('path')} AS pri FROM small),
+        g AS (SELECT *, cast(pri % 64 as int) AS gg FROM t),
+        cum AS (SELECT *,
+                       coalesce(sum(bytes) OVER (
+                           PARTITION BY gg ORDER BY pri, path
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_in
+                FROM g),
+        gt AS (SELECT gg, sum(bytes) AS g_bytes FROM g GROUP BY 1),
+        off AS (SELECT gg,
+                       coalesce(sum(g_bytes) OVER (
+                           ORDER BY gg ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off_bytes
+                FROM gt),
+        plan AS (SELECT path,
+                        cast((off_bytes + cum_in) // 2000 as int) AS bin
+                 FROM cum JOIN off USING (gg))
+        SELECT f.path, f.bytes,
+               cast(coalesce(p.bin, -1) as int) AS bin
+        FROM f LEFT JOIN plan p USING (path)
+    """
+
     # Hilbert keys: the same threshold/bucket CTEs, then the published
     # per-level rotate/reflect walk as one CTE per level — every column
     # in a level's SELECT reads the PREVIOUS level's x/y, mirroring the
@@ -8343,6 +8391,13 @@ _EXTENDED_GATE = [
     # shared threshold CTEs, python-replay + adjacency + prune-vs-morton
     # pytest in test_layout; awaiting a round-4 driver slot
     "hilbert_key_docs",
+    # small-file compaction planning (sinks/compact.py plan_compaction —
+    # byte-balanced rewrite bins over file METADATA via the shard
+    # prefix-sum; large files pass through as bin -1; the OPTIMIZE
+    # maintenance pass for wave-appended tables): new in the round-3
+    # tenth wave; prefix-sum SQL replay oracle, stats/balance/rewrite
+    # pytest in test_compact; awaiting a round-4 driver slot
+    "compact_plan_docs",
 ]
 
 
