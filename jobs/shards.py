@@ -86,7 +86,8 @@ def main() -> None:
     if n_tokens is not None:
         out["tokens"] = n_tokens
     print(json.dumps(out))
-    spark.stop()
+    # no spark.stop(): the session is shared when driven from tests
+    # (jobs/release.py precedent); process exit reclaims it in CLI use
 
 
 if __name__ == "__main__":

@@ -293,3 +293,33 @@ def test_hilbert_partition_invariant_and_refuses_3d(grid):
     assert a == b
     with _pytest.raises(ValueError, match="2-D"):
         hilbert_keys_with(grid, dims + [("z", "x")], th, bits=4)
+
+
+def test_layout_cli_cluster_and_compact(spark, grid, tmp_path, monkeypatch, capsys):
+    import json
+    import sys
+
+    import jobs.layout as jl
+
+    src = str(tmp_path / "cli_src")
+    grid.repartition(12).write.parquet(src)
+    out_z = str(tmp_path / "cli_z")
+    monkeypatch.setattr(sys, "argv", [
+        "layout.py", "cluster", "--input", src, "--out", out_z,
+        "--dims", "x:x", "--dims", "y:y", "--curve", "hilbert",
+        "--bits", "5", "--n-files", "8",
+    ])
+    jl.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["rows"] == 1024 and line["curve"] == "hilbert"
+    assert "hkey" in spark.read.parquet(out_z).columns
+
+    out_c = str(tmp_path / "cli_c")
+    monkeypatch.setattr(sys, "argv", [
+        "layout.py", "compact", "--input", src, "--out", out_c,
+        "--target-mb", "0.05",
+    ])
+    jl.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["files_in"] == 12 and line["files_out"] < 12
+    assert spark.read.parquet(out_c).count() == 1024
