@@ -70,14 +70,28 @@ def dim_thresholds(
 
 def bucket_count_expr(value_expr: str, thresholds: Sequence[float]) -> str:
     """Equi-depth bucket id of ``value_expr``: the count of thresholds at
-    or below the value, as an unrolled literal-comparison sum (<= 2^bits
-    terms, all codegen'd — no join against a boundary table). NULL values
-    compare false everywhere and land in bucket 0."""
-    terms = " + ".join(
-        f"(CASE WHEN cast({value_expr} as double) >= {t!r} THEN 1 ELSE 0 END)"
-        for t in thresholds
-    )
-    return f"cast(({terms}) as bigint)"
+    or below the value — no join against a boundary table. NULL values
+    compare false at every node and land in bucket 0.
+
+    Emitted as a binary-search CASE tree (``bits`` comparisons per
+    evaluation) rather than a literal-comparison sum: downstream key
+    expressions (Morton bits, the Hilbert walk) reference the bucket
+    many times and Spark's codegen re-evaluates a projected column per
+    reference — a linear 2^bits-term sum measured 10x slower through the
+    interleave than this tree (BENCH.md, round-3 tenth wave)."""
+    v = f"cast({value_expr} as double)"
+
+    def tree(lo: int, hi: int) -> str:
+        # bucket given thresholds[:lo] <= value and thresholds[hi:] > it
+        if lo >= hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN {v} >= {thresholds[mid]!r} "
+            f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END)"
+        )
+
+    return f"cast({tree(0, len(thresholds))} as bigint)"
 
 
 def morton_expr(bucket_cols: Sequence[str], bits: int) -> str:
@@ -96,15 +110,29 @@ def morton_expr(bucket_cols: Sequence[str], bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _qsk_lower_bound(qbucket: int, k: int) -> float:
+    """Python replica of ``sketch.qsk_value_expr`` — (k + sub) and
+    2^octave are exact, the divide is by a power of two, so the double
+    is bit-identical to the SQL expression's."""
+    if qbucket == 0:
+        return 0.0
+    return float(k + (qbucket - 1) % k) * 2.0 ** ((qbucket - 1) // k) / k
+
+
 def dims_thresholds(
     df: DataFrame, dims: Dims, bits: int, k: int = QSK_SUBBUCKETS
 ) -> Dict[str, List[float]]:
     """Every dimension's thresholds from ONE corpus scan: each row stacks
     into ``(dim, value)`` pairs, one (dim, bucket) sketch groupBy carries
-    ``n_dims * (53k+1)`` counter rows, then the same rank-pick per dim.
-    Identical values to per-dim ``dim_thresholds`` (the sketch is keyed,
-    not changed) — asserted in tests; this is the shape that keys a
-    100 TB table without re-scanning it per dimension."""
+    ``n_dims * (53k+1)`` counter rows. The rank pick then runs on the
+    DRIVER over those collected counters — planning the 2^bits-agg
+    quantile expression in Catalyst measured ~10 s of pure serial driver
+    time at any data size, while the counter table is a few hundred rows
+    (the same driver-side-over-bounded-rows pattern as the IVF centroid
+    tables). The pick replays ``qsk_quantiles``' integer cross-multiply
+    rule and ``qsk_value_expr``'s lower-bound double exactly — identical
+    values to per-dim ``dim_thresholds`` (asserted in tests, which keeps
+    the python pick pinned against the SQL pick)."""
     den = 1 << bits
     stacked = df.select(
         F.expr(
@@ -113,17 +141,25 @@ def dims_thresholds(
             + ") as (_dim, _v)"
         )
     )
-    qs = tuple((f"t{i}", i, den) for i in range(1, den))
-    rows = qsk_quantiles(
-        qsk_build(stacked, ["_dim"], "_v", k), ["_dim"], qs=qs, k=k
-    ).collect()
-    th = {name: [0.0] * (den - 1) for name, _ in dims}
-    for r in rows:
-        rd = r.asDict()
-        th[rd["_dim"]] = [
-            float(rd[f"t{i}"] if rd[f"t{i}"] is not None else 0.0)
-            for i in range(1, den)
-        ]
+    counters = qsk_build(stacked, ["_dim"], "_v", k).collect()
+    per_dim: Dict[str, List] = {}
+    for r in counters:
+        per_dim.setdefault(r["_dim"], []).append((r["qbucket"], r["cnt"]))
+    th = {}
+    for name, _ in dims:
+        buckets = sorted(per_dim.get(name, []))
+        n = sum(c for _, c in buckets)
+        picks = []
+        for i in range(1, den):
+            val = 0.0
+            cum = 0
+            for qb, c in buckets:
+                cum += c
+                if cum * den >= n * i:
+                    val = _qsk_lower_bound(qb, k)
+                    break
+            picks.append(val)
+        th[name] = picks
     return th
 
 
