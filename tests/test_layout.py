@@ -151,11 +151,16 @@ def test_zorder_prunes_both_dims_sorted_layout_does_not(grid):
 
 
 def test_key_computation_is_a_pure_projection(grid):
+    from crawler_spark.plans.lint import assert_clean
+
     dims = [("x", "x"), ("y", "y")]
     keyed, th = zorder_keys(grid, dims, bits=4)
     plan = keyed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+    # and the generic audit agrees: no errors, no warnings, zero shuffles
+    findings = assert_clean(keyed)
+    assert {f["rule"]: f["detail"] for f in findings}["exchange_count"] == "0"
 
 
 def test_write_zordered_roundtrip_and_real_file_pruning(spark, grid, tmp_path):
