@@ -3281,6 +3281,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keyed, _ = hilbert_keys(d, dims, bits=4)
         return keyed.select("doc_id", "zb_hostb", "zb_len", "hkey")
 
+    # ---- layout clustering health (sinks/layout.py): per-dimension
+    # mean/max file-span fraction over the model layout's footer stats —
+    # the OPTIMIZE trigger signal (recluster when appends degrade it)
+    def layout_health_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import _hash60
+        from crawler_spark.sinks.layout import (
+            layout_health,
+            layout_report,
+            zorder_keys,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        dims = [("hostb", f"pmod({_hash60('source')}, 64)"), ("len", "n_chars")]
+        keyed, _ = zorder_keys(d, dims, bits=4)
+        rep = layout_report(keyed, dims, n_files=16, bits=4)
+        return layout_health(rep, dims).select(
+            "dim", "n_files", "mean_span_frac", "max_span_frac"
+        )
+
     # ---- compaction planning (sinks/compact.py): documents modeled as
     # file metadata (one file per doc, bytes = n_chars), byte-balanced
     # bins via the shard prefix-sum, files at/above the small-only bound
@@ -3469,6 +3488,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_card_docs": data_card_docs,
         "hilbert_key_docs": hilbert_key_docs,
         "compact_plan_docs": compact_plan_docs,
+        "layout_health_docs": layout_health_docs,
     }
 
 
@@ -6898,6 +6918,31 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM f LEFT JOIN plan p USING (path)
     """
 
+    # layout clustering health: the same keyed/report CTEs, then one
+    # aggregate per dimension over the n_files stat rows — sum/count/
+    # range folds in the engine's literal order so the doubles agree
+    def _z_health_cte(name: str) -> str:
+        return f"""
+          SELECT '{name}' AS dim, cast(count(*) as bigint) AS n_files,
+                 round(CASE WHEN max(max_{name}) > min(min_{name})
+                       THEN sum(max_{name} - min_{name}) / count(*)
+                            / (max(max_{name}) - min(min_{name}))
+                       ELSE cast(0.0 as double) END, 6) AS mean_span_frac,
+                 round(CASE WHEN max(max_{name}) > min(min_{name})
+                       THEN max(max_{name} - min_{name})
+                            / (max(max_{name}) - min(min_{name}))
+                       ELSE cast(0.0 as double) END, 6) AS max_span_frac
+          FROM rep"""
+
+    sql["layout_health_docs"] = f"""{_z_keyed},
+        rep AS (SELECT zkey // 16 AS file_id,
+                       min(v_hostb) AS min_hostb, max(v_hostb) AS max_hostb,
+                       min(v_len) AS min_len, max(v_len) AS max_len
+                FROM zk GROUP BY 1)
+        SELECT * FROM ({_z_health_cte('hostb')})
+        UNION ALL SELECT * FROM ({_z_health_cte('len')})
+    """
+
     # Hilbert keys: the same threshold/bucket CTEs, then the published
     # per-level rotate/reflect walk as one CTE per level — every column
     # in a level's SELECT reads the PREVIOUS level's x/y, mirroring the
@@ -8398,6 +8443,13 @@ _EXTENDED_GATE = [
     # tenth wave; prefix-sum SQL replay oracle, stats/balance/rewrite
     # pytest in test_compact; awaiting a round-4 driver slot
     "compact_plan_docs",
+    # layout clustering health (sinks/layout.py layout_health — per-dim
+    # mean/max file-span fraction, the recluster-trigger signal tracked
+    # across appended waves; pairs with read_pruned, the file-list
+    # pruning reader): new in the round-3 eleventh wave; same-CTE span
+    # aggregate SQL replay oracle, clustered-vs-shuffled + pruned-reader
+    # equality pytest in test_layout; awaiting a round-4 driver slot
+    "layout_health_docs",
 ]
 
 

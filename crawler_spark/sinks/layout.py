@@ -349,3 +349,84 @@ def written_file_stats(spark, path: str, stat_exprs: Dims) -> DataFrame:
     layout prunes like the model says it should."""
     df = spark.read.parquet(path).withColumn("_file", F.input_file_name())
     return df.groupBy("_file").agg(*_stat_aggs(stat_exprs))
+
+
+def read_pruned(
+    spark,
+    path: str,
+    predicates: Sequence[Tuple[str, str, float, float]],
+    stats: Optional[DataFrame] = None,
+):
+    """Read only the files a conjunctive range scan needs: file-LIST
+    pruning from footer-style stats, above and before Spark's own
+    row-group pruning. Each predicate is ``(name, value_expr, lo, hi)``.
+
+    The reader half of ``write_zordered``: per-file min/max (computed
+    once via ``written_file_stats`` and reusable via ``stats`` — persist
+    it as a manifest sidecar for repeated queries), the prune decision
+    on those n_files rows, then a parquet read of the surviving file
+    list with the RESIDUAL filter applied (file stats admit a superset;
+    the filter is the authority — equality with the full scan is
+    asserted in tests). Returns ``(df, n_scanned, n_total)``.
+
+    At 100 TB this is the manifest-level pruning an Iceberg reader does
+    from its metadata tree, expressed over plain parquet directories."""
+    dims = [(name, expr) for name, expr, _, _ in predicates]
+    st = stats if stats is not None else written_file_stats(spark, path, dims)
+    flagged = scan_flags(
+        st, [(name, lo, hi) for name, _, lo, hi in predicates]
+    )
+    rows = flagged.select("_file", "scanned").collect()
+    keep = [r._file for r in rows if r.scanned]
+    cond = " AND ".join(
+        f"(cast({expr} as double) >= {float(lo)!r} "
+        f"AND cast({expr} as double) <= {float(hi)!r})"
+        for _, expr, lo, hi in predicates
+    )
+    if not keep:
+        return (
+            spark.read.parquet(path).where(F.expr(cond)).limit(0),
+            0,
+            len(rows),
+        )
+    return spark.read.parquet(*keep).where(F.expr(cond)), len(keep), len(rows)
+
+
+def layout_health(stats: DataFrame, dims: Dims) -> DataFrame:
+    """Clustering-quality report over a stats table (model or real): per
+    dimension, the mean and max file span as a fraction of the global
+    value range — 1/n_files-ish when perfectly clustered, ~1.0 when every
+    file spans the whole dimension (the OPTIMIZE trigger signal: track
+    it across appended waves and recluster when it degrades past a
+    threshold). One aggregate over n_files rows; output one row per
+    dimension ``(dim, n_files, mean_span_frac, max_span_frac)``, spans
+    rounded to 6 decimals, degenerate global range -> 0 spans."""
+    outs = []
+    for name, _ in dims:
+        span = f"(max_{name} - min_{name})"
+        outs.append(
+            stats.agg(
+                F.count("*").cast("bigint").alias("n_files"),
+                F.min(f"min_{name}").alias("_glo"),
+                F.max(f"max_{name}").alias("_ghi"),
+                F.sum(F.expr(span)).alias("_spans"),
+                F.max(F.expr(span)).alias("_maxspan"),
+            ).select(
+                F.lit(name).alias("dim"),
+                "n_files",
+                F.expr(
+                    "round(CASE WHEN _ghi > _glo THEN "
+                    "_spans / n_files / (_ghi - _glo) "
+                    "ELSE cast(0.0 as double) END, 6)"
+                ).alias("mean_span_frac"),
+                F.expr(
+                    "round(CASE WHEN _ghi > _glo THEN "
+                    "_maxspan / (_ghi - _glo) "
+                    "ELSE cast(0.0 as double) END, 6)"
+                ).alias("max_span_frac"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

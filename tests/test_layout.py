@@ -328,3 +328,75 @@ def test_layout_cli_cluster_and_compact(spark, grid, tmp_path, monkeypatch, caps
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["files_in"] == 12 and line["files_out"] < 12
     assert spark.read.parquet(out_c).count() == 1024
+
+
+# ---------------------------------------------------------------------------
+# layout lifecycle: pruned reader + clustering-health signal
+# ---------------------------------------------------------------------------
+
+
+def test_read_pruned_equals_full_scan_but_touches_fewer_files(
+    spark, grid, tmp_path
+):
+    from crawler_spark.sinks.layout import read_pruned
+
+    path = str(tmp_path / "zr")
+    dims = [("x", "x"), ("y", "y")]
+    write_zordered(grid, path, dims, bits=5, n_files=16)
+    preds = [("x", "x", 8, 15), ("y", "y", 8, 15)]
+    df, n_scanned, n_total = read_pruned(spark, path, preds)
+    got = sorted(r.rid for r in df.select("rid").collect())
+    want = sorted(
+        r.rid
+        for r in spark.read.parquet(path)
+        .where("x between 8 and 15 and y between 8 and 15")
+        .select("rid")
+        .collect()
+    )
+    assert got == want and len(got) == 64  # the exact 8x8 box
+    assert 0 < n_scanned < n_total  # real file-list pruning happened
+    # and the pruned frame really reads fewer files (file stats admit a
+    # superset — some admitted files may hold no matching rows)
+    touched = (
+        df.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    assert touched <= n_scanned < n_total
+
+
+def test_read_pruned_empty_box(spark, grid, tmp_path):
+    from crawler_spark.sinks.layout import read_pruned
+
+    path = str(tmp_path / "ze")
+    dims = [("x", "x"), ("y", "y")]
+    write_zordered(grid, path, dims, bits=5, n_files=8)
+    df, n_scanned, n_total = read_pruned(
+        spark, path, [("x", "x", 1000, 2000)]
+    )
+    assert df.count() == 0 and n_scanned == 0 and n_total > 0
+
+
+def test_layout_health_clustered_beats_shuffled(spark, grid, tmp_path):
+    from crawler_spark.sinks.layout import layout_health, written_file_stats
+
+    dims = [("x", "x"), ("y", "y")]
+    zpath = str(tmp_path / "hz")
+    write_zordered(grid, zpath, dims, bits=5, n_files=16)
+    rpath = str(tmp_path / "hr")
+    grid.repartition(16).write.parquet(rpath)  # hash layout: no locality
+    hz = {
+        r.dim: r
+        for r in layout_health(
+            written_file_stats(spark, zpath, dims), dims
+        ).collect()
+    }
+    hr = {
+        r.dim: r
+        for r in layout_health(
+            written_file_stats(spark, rpath, dims), dims
+        ).collect()
+    }
+    for d in ("x", "y"):
+        # a shuffled file spans ~the whole range; z-ordered files don't
+        assert hr[d].mean_span_frac > 0.9
+        assert hz[d].mean_span_frac < 0.5
+        assert hz[d].max_span_frac <= 1.0 and hz[d].n_files == 16
