@@ -97,6 +97,77 @@ class WaveCommit:
             self._manifest_path(manifest.wave), manifest.to_json()
         )
 
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self, keep_frontier_last: int = 1) -> Dict[str, List[str]]:
+        """Reclaim storage a long crawl no longer needs. An OFFLINE
+        maintenance pass — run between jobs, never concurrently with a
+        crawl (it deletes exactly what a crashed wave would have
+        overwritten anyway, but racing a live writer is undefined).
+
+        Removes, and nothing else:
+
+        - **superseded frontier waves**: ``frontier`` is REPLACED each
+          wave (unlike the append-only ``seen``/``pages``, which stay
+          untouched — they ARE the crawl's output). Committing wave k
+          writes the NEXT frontier as ``frontier/wave=k+1`` and resume
+          reads exactly ``last+1`` (bfs.py:317), so only the last
+          ``keep_frontier_last`` of those can ever be read again;
+          earlier ones are the dead weight that dominates run-dir growth
+          on long crawls;
+        - **superseded bloom waves**: the last manifest records which
+          bloom tables still contribute (``bloom_waves`` — compaction
+          collapses the list); committed bloom dirs no longer on that
+          list are unreadable leftovers. Manifests predating the field
+          keep everything (the resume fallback reads all of them);
+        - **uncommitted table directories**: wave dirs a resume would
+          ignore and overwrite anyway (beyond ``last`` — beyond
+          ``last+1`` for frontier) — crash litter; removing it makes the
+          run dir listing-clean for external tools.
+
+        Returns the deleted paths per category. Idempotent; a vacuumed
+        run dir resumes bit-identically (asserted in tests)."""
+        committed = self.committed_waves()
+        deleted: Dict[str, List[str]] = {
+            "frontier": [], "bloom": [], "uncommitted": [],
+        }
+        if not committed:
+            return deleted
+        last = committed[-1]
+        live_frontier = last + 1
+        keep_f = max(keep_frontier_last, 1)
+        last_manifest = self.read_manifest(last)
+        bloom_keep = last_manifest.get("counters", {}).get("bloom_waves")
+        for name in self.fs.listdir(self.run_dir):
+            if name == "manifests":
+                continue
+            tdir = join(self.run_dir, name)
+            for part in self.fs.listdir(tdir):
+                if not part.startswith("wave="):
+                    continue
+                try:
+                    w = int(part[len("wave="):])
+                except ValueError:
+                    continue
+                p = join(tdir, part)
+                if name == "frontier":
+                    if w > live_frontier:
+                        self.fs.delete(p)
+                        deleted["uncommitted"].append(p)
+                    elif w <= live_frontier - keep_f:
+                        self.fs.delete(p)
+                        deleted["frontier"].append(p)
+                elif w > last:
+                    self.fs.delete(p)
+                    deleted["uncommitted"].append(p)
+                elif (
+                    name == "bloom"
+                    and bloom_keep is not None
+                    and w not in bloom_keep
+                ):
+                    self.fs.delete(p)
+                    deleted["bloom"].append(p)
+        return deleted
+
     # -- table I/O ------------------------------------------------------------
     def table_wave_dir(self, table: str, wave: int) -> str:
         return join(self.run_dir, table, f"wave={wave}")

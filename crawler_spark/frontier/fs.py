@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 import uuid
 from typing import List
@@ -70,6 +71,13 @@ class LocalRunFS:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; missing path is a no-op (vacuum idempotency)."""
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.unlink(path)
 
 
 class HadoopRunFS:
@@ -134,6 +142,11 @@ class HadoopRunFS:
             self._fs.delete(dst, False)
         if not self._fs.rename(self._p(tmp), dst):
             raise IOError(f"rename {tmp} -> {path} failed")
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; missing path is a no-op (vacuum idempotency)."""
+        if self.exists(path):
+            self._fs.delete(self._p(path), True)
 
 
 def run_fs(path: str):

@@ -77,6 +77,10 @@ def main() -> None:
                    help="key the seen anti-join by url string (collision-free) "
                         "instead of xxhash64 (default accepts ~2.7 expected "
                         "collisions at 10^10 urls for an 8-byte key)")
+    p.add_argument("--vacuum", action="store_true",
+                   help="after the crawl commits, reclaim superseded "
+                        "frontier/bloom waves + crash litter from the run "
+                        "dir (WaveCommit.vacuum; seen/pages untouched)")
     p.add_argument("--rag-out", default=None,
                    help="optional parquet path to materialize rag_documents after the crawl")
     p.add_argument("--export-markdown", default=None,
@@ -133,6 +137,10 @@ def main() -> None:
         spark, corpus, args.seeds, cfg,
         robots=robots, run_dir=args.run_dir, resume=args.resume,
     )
+
+    if args.vacuum:
+        deleted = res.commit.vacuum()
+        print(json.dumps({"vacuum": {k: len(v) for k, v in deleted.items()}}))
 
     if args.rag_out:
         from crawler_spark.sinks.rag import build_rag_documents

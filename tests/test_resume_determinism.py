@@ -116,3 +116,49 @@ def test_parallelism_determinism(corpus_parquet, corpus_spec, tmp_path):
         assert proc.returncode == 0, proc.stderr[-3000:]
         outs[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
     assert outs["2"] == outs["8"]
+
+
+def test_vacuum_reclaims_frontier_and_litter_resume_identical(
+    spark, corpus_parquet, full_run, tmp_path
+):
+    from crawler_spark.frontier.checkpoint import WaveCommit
+
+    seeds, cfg, full = full_run
+    pages = spark.read.parquet(corpus_parquet)
+    run_dir = str(tmp_path / "vac")
+
+    part_cfg = CrawlConfig(**{**cfg.__dict__, "max_waves": 2})
+    crawl(spark, pages, seeds, config=part_cfg, run_dir=run_dir)
+    ck = WaveCommit(run_dir)
+    committed = ck.committed_waves()
+    assert len(committed) == 2
+
+    # crash litter: an uncommitted wave dir beyond the last manifest
+    litter = os.path.join(run_dir, "pages", "wave=9")
+    os.makedirs(litter, exist_ok=True)
+    with open(os.path.join(litter, "part-garbage.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    deleted = ck.vacuum()
+    # superseded frontier waves gone; the LIVE one (last+1, what resume
+    # reads) kept
+    live = committed[-1] + 1
+    assert any("frontier" in p for p in deleted["frontier"])
+    for w in range(1, live):
+        assert not os.path.exists(
+            os.path.join(run_dir, "frontier", f"wave={w}")
+        )
+    assert os.path.exists(os.path.join(run_dir, "frontier", f"wave={live}"))
+    # litter gone; append tables untouched
+    assert not os.path.exists(litter)
+    for w in committed:
+        assert os.path.exists(os.path.join(run_dir, "pages", f"wave={w}"))
+        assert os.path.exists(os.path.join(run_dir, "seen", f"wave={w}"))
+    # idempotent
+    again = ck.vacuum()
+    assert again == {"frontier": [], "bloom": [], "uncommitted": []}
+
+    # and the vacuumed run resumes to the exact uninterrupted outputs
+    resumed = crawl(spark, pages, seeds, config=cfg, run_dir=run_dir,
+                    resume=True)
+    assert crawl_outputs(spark, resumed) == crawl_outputs(spark, full)
