@@ -3281,6 +3281,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keyed, _ = hilbert_keys(d, dims, bits=4)
         return keyed.select("doc_id", "zb_hostb", "zb_len", "hkey")
 
+    # ---- RRF hybrid retrieval (operators/index.rrf_fuse): BM25 top-10
+    # and cosine top-20 candidate lists fused rank-wise (1/(60+rank),
+    # contributions added in ranking order — never an unordered sum);
+    # the calibration-free lexical+vector combiner over bounded lists
+    def hybrid_search_docs(spark, sf_dir):
+        from crawler_spark.operators.dedup import tokens_expr
+        from crawler_spark.operators.index import (
+            bm25_search,
+            posting_lists,
+            rrf_fuse,
+        )
+        from crawler_spark.operators.similarity import brute_force_topk
+
+        docs = _t(spark, sf_dir, "documents")
+        first = (
+            docs.orderBy("doc_id")
+            .select(F.expr(tokens_expr("text")).alias("t"))
+            .first()["t"]
+        )
+        lex = bm25_search(posting_lists(docs), first[:3], k=10).select(
+            "doc_id", F.round("score", 6).alias("score")
+        )
+        vec = brute_force_topk(
+            _t(spark, sf_dir, "embeddings"), _query_vec(sf_dir), k=20
+        ).select(F.col("vec_id").alias("doc_id"), "cosine")
+        return rrf_fuse([(lex, "score"), (vec, "cosine")], k=10).select(
+            "doc_id", "rrf_score", "n_lists"
+        )
+
     # ---- layout clustering health (sinks/layout.py): per-dimension
     # mean/max file-span fraction over the model layout's footer stats —
     # the OPTIMIZE trigger signal (recluster when appends degrade it)
@@ -3489,6 +3518,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_key_docs": hilbert_key_docs,
         "compact_plan_docs": compact_plan_docs,
         "layout_health_docs": layout_health_docs,
+        "hybrid_search_docs": hybrid_search_docs,
     }
 
 
@@ -6943,6 +6973,33 @@ def _all_oracle_sql() -> dict[str, str]:
         UNION ALL SELECT * FROM ({_z_health_cte('len')})
     """
 
+    # RRF hybrid retrieval: the two ranker oracles embedded verbatim as
+    # derived tables (so the fused gate can never drift from the
+    # driver-checked bm25/cosine gates), ranks over the ROUNDED scores
+    # (the engine's rrf_fuse contract), contributions added left-to-right
+    sql["hybrid_search_docs"] = f"""
+        WITH bm AS ({sql["bm25_search_docs"]}),
+        ann AS ({sql["cosine_topk"]}),
+        bmr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r0
+                FROM bm),
+        annr AS (SELECT vec_id AS doc_id,
+                        row_number() OVER (ORDER BY cosine DESC, vec_id) AS r1
+                 FROM ann),
+        f AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id, b.r0, a.r1
+              FROM bmr b FULL OUTER JOIN annr a ON a.doc_id = b.doc_id)
+        SELECT doc_id,
+               round(coalesce(cast(1.0 as double) / (60 + r0),
+                              cast(0.0 as double))
+                     + coalesce(cast(1.0 as double) / (60 + r1),
+                                cast(0.0 as double)), 9) AS rrf_score,
+               cast((CASE WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END) as int)
+                 AS n_lists
+        FROM f
+        ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """
+
     # Hilbert keys: the same threshold/bucket CTEs, then the published
     # per-level rotate/reflect walk as one CTE per level — every column
     # in a level's SELECT reads the PREVIOUS level's x/y, mirroring the
@@ -8450,6 +8507,14 @@ _EXTENDED_GATE = [
     # aggregate SQL replay oracle, clustered-vs-shuffled + pruned-reader
     # equality pytest in test_layout; awaiting a round-4 driver slot
     "layout_health_docs",
+    # RRF hybrid retrieval (operators/index.rrf_fuse / hybrid_search —
+    # Cormack et al. 2009 reciprocal-rank fusion of the BM25 and cosine
+    # candidate lists; the calibration-free lexical+vector combiner,
+    # fusion only ever sees bounded top-K rows): new in the round-3
+    # eleventh wave; oracle embeds the two driver-checked ranker oracles
+    # verbatim as derived tables + the rank/fuse replay; overlap/ties/
+    # single-list pytest in test_index; awaiting a round-4 driver slot
+    "hybrid_search_docs",
 ]
 
 

@@ -166,3 +166,95 @@ def bm25_search(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of ranked candidate
+    lists — the standard way to combine lexical (BM25) and vector
+    (cosine) retrieval without score calibration: each list contributes
+    ``1 / (c + rank)`` per document and documents missing from a list
+    contribute 0.
+
+    ``rankings``: ``(df, score_col)`` pairs; each frame must carry
+    ``id_col`` and a DETERMINISTIC score (the engine's rankers round to
+    6 decimals — ranks derive from ``(score desc, id asc)``). Inputs
+    are top-K candidate lists by construction, so the global rank
+    window and the chained full-outer joins here run over bounded rows
+    — never the corpus (the corpus-sized work already happened inside
+    each ranker).
+
+    Determinism: contributions add in ranking order via an explicitly
+    nested expression (never a groupBy sum whose order floats), so the
+    fused double is reproducible; output is top-``k`` by ``(rrf_score
+    desc, id asc)`` with ``n_lists`` showing how many rankers surfaced
+    the doc.
+    """
+    if not rankings:
+        raise ValueError("no rankings to fuse")
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, (df, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias(f"_r{i}"),
+            )
+        )
+    out = ranked[0]
+    for i, r in enumerate(ranked[1:], start=1):
+        out = out.join(r, id_col, "full_outer")
+    # explicit double literals: a bare 1.0 parses as DECIMAL in both
+    # engines and decimal arithmetic value-hashes differently than double
+    contrib = " + ".join(
+        f"coalesce(cast(1.0 as double) / ({c} + _r{i}), cast(0.0 as double))"
+        for i in range(len(ranked))
+    )
+    n_lists = " + ".join(
+        f"(CASE WHEN _r{i} IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(len(ranked))
+    )
+    return (
+        out.select(
+            id_col,
+            F.expr(f"round({contrib}, 9)").alias("rrf_score"),
+            F.expr(f"cast({n_lists} as int)").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    postings: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    doc_lens: DataFrame | None = None,
+) -> DataFrame:
+    """Lexical + vector retrieval fused by RRF: BM25 over the positional
+    index and exact cosine top-k over the embedding table, each producing
+    a bounded candidate list, combined rank-wise. The two rankers keep
+    their own scale shapes (term-pushdown postings scan; TakeOrdered
+    cosine heap); fusion only ever sees 2k candidate rows."""
+    from crawler_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_search(
+        postings, terms, k=k, id_col=id_col, doc_lens=doc_lens
+    ).select(F.col(id_col), F.round("score", 6).alias("score"))
+    vec = brute_force_topk(
+        embeddings, query_vec, k=k, id_col=vec_id_col
+    ).select(F.col(vec_id_col).alias(id_col), F.col("cosine"))
+    return rrf_fuse(
+        [(lex, "score"), (vec, "cosine")], k=k, c=c, id_col=id_col
+    )

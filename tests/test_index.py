@@ -228,3 +228,100 @@ def test_search_cli_build_and_query(spark, tmp_path, monkeypatch, capsys):
     hits = {_json.loads(l)["doc_id"]: _json.loads(l)["n_matches"]
             for l in lines[:-1]}
     assert hits == {0: 1, 1: 3, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid retrieval (rrf_fuse / hybrid_search)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_checked(spark):
+    from crawler_spark.operators.index import rrf_fuse
+
+    # list A ranks: d1, d2, d3; list B ranks: d3, d2, d4
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (2, 0.8), (4, 0.7)], "doc_id long, c double"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.n_lists)
+        for r in rrf_fuse([(a, "s"), (b, "c")], k=10, c=60).collect()
+    }
+    exp = {
+        1: round(1 / 61, 9),
+        2: round(1 / 62 + 1 / 62, 9),
+        3: round(1 / 63 + 1 / 61, 9),
+        4: round(1 / 63, 9),
+    }
+    assert {d: v[0] for d, v in got.items()} == pytest.approx(exp)
+    assert {d: v[1] for d, v in got.items()} == {1: 1, 2: 2, 3: 2, 4: 1}
+    # docs in both lists outrank docs in one
+    order = sorted(got, key=lambda d: (-got[d][0], d))
+    assert set(order[:2]) == {2, 3}
+
+
+def test_rrf_fuse_tie_break_and_k(spark):
+    from crawler_spark.operators.index import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "doc_id long, s double"
+    )  # all scores tie -> rank by doc_id
+    out = rrf_fuse([(a, "s")], k=3, c=60).collect()
+    assert [r.doc_id for r in out] == [0, 1, 2]
+    assert out[0].rrf_score == round(1 / 61, 9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rankings"):
+        rrf_fuse([], k=3)
+
+
+def test_rrf_fuse_partition_invariant(spark):
+    from crawler_spark.operators.index import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(30)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(10, 40)], "doc_id long, c double"
+    )
+    one = [(r.doc_id, r.rrf_score) for r in rrf_fuse([(a, "s"), (b, "c")], k=15).collect()]
+    many = [
+        (r.doc_id, r.rrf_score)
+        for r in rrf_fuse(
+            [(a.repartition(7), "s"), (b.repartition(3), "c")], k=15
+        ).collect()
+    ]
+    assert one == many
+
+
+def test_hybrid_search_end_to_end(spark):
+    from crawler_spark.operators.index import hybrid_search, posting_lists
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),
+            (3, "dog cat mouse"),
+            (4, "apple dog"),
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.7, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_search(
+        posting_lists(docs), embs, ["apple", "banana"], [1.0, 0.0], k=4
+    ).collect()
+    got = {r.doc_id: r.n_lists for r in out}
+    # doc 1 and 2 are strong in BOTH lexical and vector lists
+    assert got[1] == 2 and got[2] == 2
+    top = max(out, key=lambda r: (r.rrf_score, -r.doc_id)).doc_id
+    assert top in (1, 2)
