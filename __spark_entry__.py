@@ -2214,11 +2214,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hist, min_interval_sec=3600, max_interval_sec=2592000,
             target_changes=0.5,
         )
+        # hash-stable fixed-point projection: the driver's value hash
+        # diverges on raw doubles (r2 hashed_vector_docs remedy), so the
+        # rate goes on the board as bigint micro-changes/day.
         return sched.select(
             "url", "n_fetches", "n_changes", "span_sec",
-            F.expr("round(coalesce(change_rate, -1d) * 86400, 6)").alias(
-                "rate_per_day"
-            ),
+            F.expr(
+                "cast(round(coalesce(change_rate, -1d) * 86400 * 1000000) "
+                "as bigint)"
+            ).alias("rate_per_day_micro"),
             "interval_sec",
             F.expr("cast(unix_timestamp(next_fetch_ts) as bigint)").alias(
                 "next_fetch_epoch"
@@ -5899,8 +5903,8 @@ def _all_oracle_sql() -> dict[str, str]:
                                     AS bigint) END AS interval_sec
               FROM r)
             SELECT url, n_fetches, n_changes, span_sec,
-                   round(coalesce(change_rate, -1) * 86400, 6)
-                     AS rate_per_day,
+                   cast(round(coalesce(change_rate, -1) * 86400 * 1000000)
+                        AS bigint) AS rate_per_day_micro,
                    interval_sec,
                    cast(epoch_us(last_ts + to_seconds(interval_sec))
                         // 1000000 AS bigint) AS next_fetch_epoch
@@ -7981,75 +7985,73 @@ def _all_oracle_sql() -> dict[str, str]:
 # in pytest (tests/test_gate_board.py pins the cap and the coverage rule).
 
 _DRIVER_GATE = [
-    # --- never driver-checked before round 3 (past the round-2 cap) ---
+    # --- round-4 promotions: never driver-checked before (VERDICT_r03
+    # item 2 — layout / eval / retrieval / graph / sketch families get
+    # their first driver-verified CORRECTNESS rows). Each displaces a
+    # two-rounds-driver-green gate or an analog whose semantics a staying
+    # or incoming gate replays (rationales at the rotated entries in
+    # _EXTENDED_GATE below). ---
+    "zorder_key_docs",
+    "zorder_prune_docs",
+    "hilbert_key_docs",
+    "compact_plan_docs",
+    "data_card_docs",
+    "bleu_docs",
+    "chrf_docs",
+    "token_prf_docs",
+    "bm25_search_docs",
+    "hybrid_search_docs",
+    "bowtie_docs",
+    "hits_docs",
+    "harmonic_docs",
+    "opic_docs",
+    "cms_estimate_docs",
+    "quantile_sketch_docs",
+    "hll_overlap_docs",
+    "main_content_docs",
+    "dust_rewrite_docs",
+    "sq_topk_docs",
+    # --- round-3 first-green gates held for a second driver round ---
     "sample_budget_approx_docs",
     "near_dup_clusters",
-    "near_dup_survivors",
     "assemble_training_docs",
     "lm_score_docs",
-    "dup_span_docs",
     "strip_spans_docs",
     "source_reputation_docs",
-    "hll_distinct_docs",
     "session_stats_events",
     "asof_join_events",
-    "vocab_topk_docs",
     "tfidf_keywords_docs",
     "split_assign_docs",
     "pack_sequences_docs",
-    "canonical_url_docs",
-    # --- red in round 2 (projection fixed this round) ---
-    "hashed_vector_docs",
-    # --- new in round 3 ---
-    "pack_firstfit_docs",
-    "pagerank_docs",
     "semantic_dedup_docs",
     "nb_quality_docs",
     "dsir_sample_docs",
     "anchor_stats_docs",
     "redirect_resolve_docs",
     "mirror_pairs_docs",
-    "phrase_search_docs",
-    # --- flagship crawl / extract / export gates ---
+    # --- red r3 cell, projection fixed this round (rate_per_day ->
+    # fixed-point bigint micro-units; operator was judge-verified
+    # value-correct at sf0.01 and sf0.1) ---
+    "recrawl_schedule_docs",
+    # --- flagship crawl / extract / export parity gates (the core
+    # reference-parity proof stays driver-checked every round) ---
     "extract_pages_flagship",
     "extract_llm_path",
     "crawl_bfs_order",
-    "crawl_priority_order",
     "rag_chunks",
     "trap_flags_docs",
     "export_markdown_report",
-    # --- dedup / similarity / text-analysis / filter / sampling gates ---
-    "near_dup_docs",
-    "recrawl_schedule_docs",
-    "simhash_near_dups",
-    "embedding_near_dups",
-    "ivf_topk_docs",
+    # --- remaining family rows first-green in round 3 ---
     "pq_topk_docs",
-    # lang_id_docs rotated to extended (driver-green rounds 1 and 2;
-    # lang_pred still gates curate_docs survivorship on board) to give the
-    # round-3 incremental cross-wave near-dup a driver row
     "incr_near_dup_docs",
-    "fingerprint_docs",
-    "curate_docs",
-    "media_features",
-    # repetition_docs / c4_flags_docs / line_dedup_docs rotated to
-    # extended (each driver-green in round 2) so the third-wave round-3
-    # operators of the SAME families get their first driver rows:
     "gopher_line_docs",     # Gopher family (line/symbol flags)
-    "word_blocklist_docs",  # C4 family (bad-words gate)
-    "pii_redact_docs",
-    "blocklist_docs",
+    "word_blocklist_docs",  # C4 family (bad-words gate) + blocklist
     "host_boilerplate_docs",  # line-level cleanup family (mine + strip)
     # contamination_docs -> contamination_pruned_docs is evidence-NEUTRAL:
     # the pruned gate's oracle IS the exact gate's SQL, so the driver
     # still value-hashes the same decontamination semantics — now through
     # the Bloom-sidecar probe path as well
     "contamination_pruned_docs",
-    # sample_budget_docs rotated to extended (driver-green round 2; the
-    # exact per-source-window budget sampler is replayed stage-for-stage
-    # inside assemble_training_docs' pipeline CTE, on board above) so the
-    # round-3 fourth-wave DUST rule miner gets a driver row:
-    "dust_rules_docs",
 ]
 
 # Rotated out of the driver board (driver-green in BOTH round 1 and round 2,
@@ -8080,13 +8082,6 @@ _EXTENDED_GATE = [
     # replay oracle, hand-computed probability pytest in test_lm_spans;
     # awaiting a round-4 driver slot
     "kn_score_docs",
-    # exact truncated harmonic centrality (graph.harmonic_centrality —
-    # the Common Crawl host-ranking metric; authority twin of the
-    # HyperBall register path, which pytest bounds against it): new in
-    # the round-3 seventh wave; unrolled min-distance SQL replay oracle,
-    # hand-graph + HyperBall-accuracy pytest in test_graph; awaiting a
-    # round-4 driver slot
-    "harmonic_docs",
     # cluster-balanced sampling (sampling.cluster_balanced_sample — D4-
     # style per-embedding-cluster budgets; ivf_topk_docs on the driver
     # board pins the shared centroid/assignment expressions and
@@ -8133,14 +8128,6 @@ _EXTENDED_GATE = [
     # pinned by an exponential-reference replay + order/NULL-convention
     # pytest in test_keywords_eval
     "rouge_l_docs",
-    # BM25 ranked retrieval over the positional index (phrase_search_docs,
-    # on board, pins the same postings); parity held by check_entry
-    # --extended + python-replay tests in test_index
-    "bm25_search_docs",
-    # Count-Min sketch point queries paired with exact counts (all-integer
-    # gate); parity held by check_entry --extended + python-replay, merge,
-    # and overcount-guarantee tests in test_sketch_sessions
-    "cms_estimate_docs",
     # temperature-scaled mixing (budget ∝ c^alpha, alpha=0.5 IEEE-exact);
     # parity held by check_entry --extended + replay/cap/flattening tests
     # in test_sampling; sample_budget_docs (on board) pins the shared
@@ -8219,9 +8206,6 @@ _EXTENDED_GATE = [
     # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
     # held by check_entry --extended + structural tests in test_lm_spans
     "ppl_bucket_docs",
-    # HITS hubs/authorities (fixed-point, unrolled-iteration oracle);
-    # parity held by check_entry --extended + python replay in test_graph
-    "hits_docs",
     # deterministic self-vote label propagation (host communities;
     # unrolled vote/argmax oracle); parity held by check_entry --extended
     # + python replay / clique tests in test_graph
@@ -8319,33 +8303,11 @@ _EXTENDED_GATE = [
     # sampler is replayed inside on-board assemble_training_docs) to give
     # dust_rules_docs a driver row
     "sample_budget_docs",
-    # DUST apply pass (frontier/dust.py — the miner itself is ON the
-    # driver board as dust_rules_docs): full envelope/support/refutation/
-    # best-rule SQL replay oracle, python-replay + plan tests in
-    # test_dust; awaiting a round-4 driver slot
-    "dust_rewrite_docs",
-    # boilerpipe-style main-content extraction (operators/maincontent.py —
-    # block segmentation + the NumWordsRulesClassifier tree as a JVM HOF):
-    # new in the round-3 fourth wave; full block/classifier SQL replay
-    # oracle, replay + threshold-boundary pytest in test_maincontent;
-    # awaiting a round-4 driver slot
-    "main_content_docs",
-    # SQ8 scalar-quantization ANN (operators/similarity.py sq_params/
-    # sq_encode/sq_topk — exact-BIGINT codes + ADC): new in the round-3
-    # fourth wave; full unnest/group SQL replay oracle, numpy-replay +
-    # clamp/rerank/plan pytest in test_pipeline_ops; awaiting a round-4
-    # driver slot
-    "sq_topk_docs",
     # <html lang> declared-language column through the real extract kernel
     # (core/text.extract_html_lang): new in the round-3 fourth wave;
     # planting-arithmetic oracle, unit + column pytest in test_robots_meta;
     # awaiting a round-4 driver slot
     "html_lang_docs",
-    # token P/R/F1 eval (operators/text_eval.py — multiset-overlap scoring
-    # between text columns): new in the round-3 fourth wave; full SQL
-    # replay oracle, python-replay + convention pytest in test_text_eval;
-    # awaiting a round-4 driver slot
-    "token_prf_docs",
     # word-bigram P/R/F1 (operators/text_eval.ngram_prf — the ROUGE-N
     # multiset family; token_prf_docs above pins the shared conventions at
     # n=1): new in the round-3 fifth wave; full SQL replay oracle,
@@ -8382,36 +8344,17 @@ _EXTENDED_GATE = [
     # python-replay + cap/conservation pytest in test_sampling; awaiting
     # a round-4 driver slot
     "sample_repeats_docs",
-    # OPIC online importance (frontier/opic.py — crawl-coupled cash
-    # diffusion via the wave_observer + priority_scorer seams): new in
-    # the round-3 fourth wave; closed-form two-wave SQL oracle,
-    # python-replay + crawl-coupled e2e pytest in test_opic; awaiting a
-    # round-4 driver slot
-    "opic_docs",
     # duplication-aware exact dedup (operators/dedup.exact_dedup_counts —
     # survivor + n_copies repetition weight): new in the round-3 fourth
     # wave; plain group-by oracle, weighted-sample feed pytest in
     # test_dust; awaiting a round-4 driver slot
     "dedup_counts_docs",
-    # log-histogram quantile sketch (sketch.qsk_* — DDSketch-style
-    # power-of-two buckets, exact-integer rank pick; completes the sketch
-    # family next to HLL / CMS / MG): new in the round-3 eighth wave;
-    # full bucket/cumsum SQL replay oracle, band/merge/partition pytest
-    # in test_sketch_sessions; awaiting a round-4 driver slot
-    "quantile_sketch_docs",
     # sketch-thresholded per-source filter (sketch.qsk_threshold_filter —
     # the zero-corpus-shuffle "top fraction per host" curation path):
     # new in the round-3 eighth wave; same CTE + broadcast-join filter
     # oracle, superset-of-exact-cut pytest in test_sketch_sessions;
     # awaiting a round-4 driver slot
     "quantile_filter_docs",
-    # Broder bowtie decomposition (graph.bowtie — giant-SCC core/in/out/
-    # other macro-structure via two BFS closures; the classic web-graph
-    # analysis for seed-list placement): new in the round-3 eighth wave;
-    # recursive-CTE reachability oracle over a four-class synthetic
-    # graph, python-replay + hand-graph + loud-cap pytest in test_graph;
-    # awaiting a round-4 driver slot
-    "bowtie_docs",
     # RefinedWeb URL word scoring (filters.url_word_score /
     # url_blocklist_filter — weighted token-match broadcast join + small
     # severe-term substring fold, exact BIGINT weights; the URL-filter
@@ -8429,22 +8372,6 @@ _EXTENDED_GATE = [
     # tie-break + empty-doc pytest in test_pipeline_ops; awaiting a
     # round-4 driver slot
     "para_lang_docs",
-    # corpus-level BLEU (operators/text_eval.bleu_corpus, Papineni et
-    # al. 2002 — exact-BIGINT clipped matches via ONE tagged n-gram
-    # explode, per-group brevity penalty + geometric-mean precision;
-    # completes the eval family next to token/ROUGE-N/ROUGE-L): new in
-    # the round-3 eighth wave; full tagged-unnest SQL replay oracle,
-    # python-replay + convention + partition pytest in
-    # test_keywords_eval; awaiting a round-4 driver slot
-    "bleu_docs",
-    # corpus-level chrF2 (operators/text_eval.chrf_corpus, Popović 2015
-    # — character-n-gram F-β over the whitespace-stripped string, the
-    # tokenization-free eval that sees partial-word damage; same tagged
-    # one-explode scale shape as bleu_docs): new in the round-3 ninth
-    # wave; full tagged-unnest SQL replay oracle, python-replay +
-    # convention + partition pytest in test_keywords_eval; awaiting a
-    # round-4 driver slot
-    "chrf_docs",
     # semantic decontamination (operators/sampling.py
     # semantic_contamination / decontaminate_semantic — max cosine of
     # every corpus embedding to a small eval set as ONE zero-shuffle
@@ -8462,44 +8389,6 @@ _EXTENDED_GATE = [
     # python-replay + bounds + plan pytest in test_pipeline_ops;
     # awaiting a round-4 driver slot
     "emb_divergence_docs",
-    # Z-order layout keys + file-skipping report (sinks/layout.py — the
-    # OPTIMIZE ZORDER BY primitive: equi-depth qsk thresholds per
-    # dimension, literal-comparison buckets, unrolled Morton interleave,
-    # per-model-file min/max footer stats + the reader's prune decision):
-    # new in the round-3 tenth wave; full threshold/bucket/interleave SQL
-    # replay oracles, python-replay + pruning-win + plan pytest in
-    # test_layout; awaiting a round-4 driver slot
-    "zorder_key_docs",
-    "zorder_prune_docs",
-    # HLL set algebra (sketch.hll_overlap — |A|, |B|, |A ∪ B|, |A ∩ B| by
-    # inclusion-exclusion over register tables, the snapshot-overlap /
-    # shared-vocabulary estimator that never shuffles the values): new in
-    # the round-3 tenth wave; three-register-replay SQL oracle sharing
-    # hll_distinct_docs' estimate formula, known-overlap accuracy pytest
-    # in test_sketch_sessions; awaiting a round-4 driver slot
-    "hll_overlap_docs",
-    # corpus data card stats (sinks/datacard.py — the Datasheets-style
-    # release numbers as ordered (ord, section, k, v) string rows; the
-    # markdown artifact is a byte-pinned driver-side render of exactly
-    # these rows): new in the round-3 tenth wave; full SQL replay oracle
-    # (counts / qsk percentiles / DECIMAL-formatted shares / dup
-    # fraction / ungrouped HLL estimate), golden-markdown pytest in
-    # test_rag_export; awaiting a round-4 driver slot
-    "data_card_docs",
-    # Hilbert curve keys (sinks/layout.py hilbert_keys — the
-    # OPTIMIZE-default clustering curve; consecutive keys always grid
-    # neighbors, measurably tighter box pruning than Morton): new in the
-    # round-3 tenth wave; level-for-level SQL replay oracle on the
-    # shared threshold CTEs, python-replay + adjacency + prune-vs-morton
-    # pytest in test_layout; awaiting a round-4 driver slot
-    "hilbert_key_docs",
-    # small-file compaction planning (sinks/compact.py plan_compaction —
-    # byte-balanced rewrite bins over file METADATA via the shard
-    # prefix-sum; large files pass through as bin -1; the OPTIMIZE
-    # maintenance pass for wave-appended tables): new in the round-3
-    # tenth wave; prefix-sum SQL replay oracle, stats/balance/rewrite
-    # pytest in test_compact; awaiting a round-4 driver slot
-    "compact_plan_docs",
     # layout clustering health (sinks/layout.py layout_health — per-dim
     # mean/max file-span fraction, the recluster-trigger signal tracked
     # across appended waves; pairs with read_pruned, the file-list
@@ -8507,14 +8396,64 @@ _EXTENDED_GATE = [
     # aggregate SQL replay oracle, clustered-vs-shuffled + pruned-reader
     # equality pytest in test_layout; awaiting a round-4 driver slot
     "layout_health_docs",
-    # RRF hybrid retrieval (operators/index.rrf_fuse / hybrid_search —
-    # Cormack et al. 2009 reciprocal-rank fusion of the BM25 and cosine
-    # candidate lists; the calibration-free lexical+vector combiner,
-    # fusion only ever sees bounded top-K rows): new in the round-3
-    # eleventh wave; oracle embeds the two driver-checked ranker oracles
-    # verbatim as derived tables + the rank/fuse replay; overlap/ties/
-    # single-list pytest in test_index; awaiting a round-4 driver slot
-    "hybrid_search_docs",
+    # ------------------------------------------------------------------
+    # rotated off the driver board in ROUND 4 to seat the 20 promotions
+    # above (layout/eval/retrieval/graph/sketch first driver rows).
+    # Two-rounds-driver-green retirements (green in r2 AND r3; banked
+    # history + extended check + pytest keep them pinned):
+    "crawl_priority_order",   # crawl_bfs_order (on board) replays the
+                              # politeness rank / deferral / cap in its
+                              # recursive-CTE oracle; priority scoring
+                              # pinned by test_priority_delay
+    "near_dup_docs",          # near_dup_clusters (on board) composes the
+                              # same MinHash signature + banded-bucket
+                              # join + exact-Jaccard verify before its
+                              # connected-components stage
+    "embedding_near_dups",    # hyperplane-LSH signature + bucket join:
+                              # driver-green r2+r3 here, r1+r2 as
+                              # lsh_topk_docs — three rounds of banked
+                              # family evidence
+    "blocklist_docs",         # domain blocklist: word_blocklist_docs (on
+                              # board) drives the same broadcast
+                              # anti-join blocklist machinery
+    "ivf_topk_docs",          # IVF-Flat ANN: pq_topk_docs + sq_topk_docs
+                              # (both on board) drive the same centroid
+                              # assignment + candidate-only exact rerank;
+                              # ivf_assign_docs pins assignment here
+    "fingerprint_docs",       # rolling-hash fingerprints: r2+r3 green
+    "curate_docs",            # composed curation pipeline (incl. the
+                              # lang_pred survivorship rule): r2+r3 green
+    "media_features",         # multimodal container parsing: r2+r3 green
+    "pii_redact_docs",        # PII span redaction: r2+r3 green
+    "simhash_near_dups",      # SimHash 4-band near-dups: r2+r3 green
+    # Round-3-green analogs whose exact semantics a staying or incoming
+    # board gate replays (the gate named in each comment is on board):
+    "near_dup_survivors",     # keeper pick over the SAME components
+                              # near_dup_clusters value-hashes
+    "dup_span_docs",          # strip_spans_docs replays the identical
+                              # span detection before stripping
+    "hll_distinct_docs",      # hll_overlap_docs shares the register
+                              # tables + estimate formula (its oracle
+                              # embeds this gate's)
+    "vocab_topk_docs",        # tfidf_keywords_docs shares the tokenizer
+                              # + exact count aggregation
+    "canonical_url_docs",     # canonicalization is exercised inside the
+                              # crawl gates' seen keys; surt_key_docs
+                              # (extended, independent constructed-key
+                              # oracle) pins the URL-rule family
+    "hashed_vector_docs",     # nb_quality_docs + dsir_sample_docs (both
+                              # on board) drive the same hashed-feature
+                              # machinery
+    "pack_firstfit_docs",     # pack_sequences_docs keeps the packing
+                              # family's driver row
+    "pagerank_docs",          # graph family gains FOUR first driver rows
+                              # (hits/harmonic/opic/bowtie); trustrank
+                              # (extended) pins the same fixed-point loop
+    "phrase_search_docs",     # bm25_search_docs + hybrid_search_docs
+                              # build on the same positional postings
+    "dust_rules_docs",        # dust_rewrite_docs' oracle replays the
+                              # FULL miner (envelope/support/refutation/
+                              # best-rule) before the apply pass
 ]
 
 
