@@ -519,7 +519,11 @@ def crawl(
             pages_path = ck.write_table(parsed, "pages", wave)
             pages_lineage = ck.lineage_of(spark, pages_path)
         _mark("fetch_extract_write")
-        parsed_c = spark.read.parquet(pages_path)
+        # one read of the committed wave serves the observer, the seen
+        # projection, the host histogram, and the expand base — cached so
+        # the wave's pages parquet is scanned once, not four times
+        # (unpersisted after the manifest commit below)
+        parsed_c = spark.read.parquet(pages_path).persist()
 
         if cfg.wave_observer is not None:
             # the observer sees the committed records (stable parquet
@@ -732,10 +736,12 @@ def crawl(
         frontier_lineage = ck.lineage_of(spark, frontier_path)
         frontier_rows = sum(e["rows"] for e in frontier_lineage)
         if cfg.host_histogram_topk > 0:
-            # A5: hot-host histogram from the wave's committed seen rows
+            # A5: hot-host histogram from the wave's committed rows — the
+            # seen table is a projection of the cached pages frame (same
+            # rows), so count hosts there instead of re-reading seen_path
             # (orderBy+limit => TakeOrderedAndProject, no global sort)
             hist_rows = (
-                spark.read.parquet(seen_path)
+                parsed_c
                 .groupBy("host")
                 .count()
                 .orderBy(F.col("count").desc(), "host")

@@ -64,8 +64,16 @@ def pagerank(
     rank_scale: Optional[int] = None,
     num_partitions: Optional[int] = None,
     seed_ids: Optional[Sequence[int]] = None,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
+
+    ``checkpoint_interval`` widens the localCheckpoint cadence: the rank
+    frame is materialized every K iterations (and always after the last)
+    instead of every round, halving the serial per-round driver cost
+    (job scheduling + checkpoint write) at the default K=2 while keeping
+    lineage depth bounded at K rank-join rounds. Results are identical
+    at any K — checkpointing only truncates lineage.
 
     Returns ``(id, rank_q bigint, rank double)`` for every node that
     appears as a source or destination; ``rank_q`` is the exact
@@ -96,23 +104,32 @@ def pagerank(
         damping_den * (len(seeds) if seeds else 1)
     )
 
+    # ONE exchange builds the whole edge-side state: repartition by src
+    # FIRST, then dedup / out-degree / degree-join all run partition-local
+    # (HashPartitioning(src) satisfies clustering on (src, dst) and on
+    # src, so neither the distinct nor the groupBy nor the join plans an
+    # Exchange). The cache is sorted within partitions on src so every
+    # iteration's sort-merge rank join reads the edge side pre-sorted —
+    # the per-round edge-sized sort this removed was the largest single
+    # term in tools/graph_scaling.py's per-iteration profile.
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    ).repartition(num_partitions, "src").dropDuplicates(["src", "dst"])
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
         .repartition(num_partitions, "id")
+        .sortWithinPartitions("id")
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # degree rides the edge, computed once; the edge list keeps its
-    # src-hash layout for every iteration's rank join
+    # src-hash layout (and src sort) for every iteration's rank join
     ej = (
         e.join(deg, "src")
-        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     ej.count()  # materialize so each round scans, never recomputes
@@ -130,8 +147,10 @@ def pagerank(
             .otherwise(F.lit(0))
             .cast("bigint")
         )
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     ranks = nodes.withColumn("rank_q", init_expr)
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ej.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -151,12 +170,14 @@ def pagerank(
                     )
                 ).alias("rank_q"),
             )
-            # eager: materializes each round while the edge cache is alive,
-            # so the returned frame's lineage is one node-sized checkpoint,
-            # not the whole iteration chain (which unpersist would force to
-            # recompute uncached)
-            .localCheckpoint(eager=True)
         )
+        # eager at cadence points and always after the LAST round (the
+        # edge cache is unpersisted below, so the returned frame must not
+        # keep live lineage into it): materializes while the edge cache
+        # is alive, leaving a node-sized checkpoint instead of the whole
+        # iteration chain
+        if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks.withColumn("rank", F.col("rank_q") / F.lit(float(q)))
     ej.unpersist()
     return out
@@ -767,14 +788,17 @@ def hyperball_harmonic(
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    # one exchange, then partition-local dedup + a src-sorted cache (the
+    # same setup fusion as pagerank — see the comment there)
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
             F.col(dst_col).cast("long").alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
         .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
         .persist()
     )
     e.count()
@@ -804,6 +828,11 @@ def hyperball_harmonic(
         est = hll_estimate(regs, ["id"], p=p).select(
             "id", F.col("hll_est").alias("est")
         )
+        # acc is NOT checkpointed per round: every est frame derives from
+        # the round's eagerly-checkpointed register table, so the final
+        # action computes a max_dist-deep node-sized join chain with no
+        # recomputation — dropping the second per-round job halved the
+        # iterative family's serial driver cost (tools/graph_scaling.py)
         acc = (
             acc.join(est, "id")
             .withColumn(
@@ -817,7 +846,6 @@ def hyperball_harmonic(
                 F.col("est").alias("prev_est"),
                 "harmonic_est",
             )
-            .localCheckpoint(eager=True)
         )
     e.unpersist()
     return acc.select(

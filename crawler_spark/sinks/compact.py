@@ -59,15 +59,22 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
     # input_file_name renders file:///p while the FS listing renders
-    # file:/p — join on a slash-normalized form, keep the reader's
-    # spelling (it is what the rewrite's input_file_name will produce)
+    # file:/p — join on a slash-normalized form. LEFT join FROM the
+    # listing: a zero-row data file never appears in the grouped scan,
+    # but it must still be planned (and compacted away) — coalesce its
+    # count to 0. Keep the scan's path spelling when present (it is what
+    # the rewrite's input_file_name will produce); fall back to the
+    # listing's for empty files (they contribute no rows to tag anyway).
     norm = "regexp_replace(path, '^file:/+', 'file:/')"
     return (
-        rows.withColumn("_np", F.expr(norm))
-        .join(
-            size_df.withColumn("_np", F.expr(norm)).drop("path"), "_np", "inner"
+        size_df.withColumn("_np", F.expr(norm))
+        .withColumnRenamed("path", "_lpath")
+        .join(rows.withColumn("_np", F.expr(norm)), "_np", "left")
+        .select(
+            F.coalesce("path", "_lpath").alias("path"),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            "bytes",
         )
-        .select("path", "n_rows", "bytes")
     )
 
 
@@ -116,8 +123,11 @@ def compact_parquet(
     straight copy). Returns the plan with per-bin output counts.
 
     Rows are preserved exactly (count and content — asserted in tests);
-    within-bin row order follows input file order, so a layout-sorted
-    table stays sorted per output file when compacted bin-contiguously.
+    within-bin row order follows input file order — enforced by an
+    explicit within-partition sort on (bin, source file, read-order id),
+    since shuffle fetch order alone would NOT guarantee it — so a
+    layout-sorted table stays sorted per output file when compacted
+    bin-contiguously.
     """
     plan = plan_compaction(
         file_stats(spark, path), target_bytes, small_only_below
@@ -134,15 +144,23 @@ def compact_parquet(
     )
     fmap = plan.where("bin >= 0").select("path", "bin").unionByName(w_large)
     total_bins = n_bins + w_large.count()
+    # _cidx: per-row read-order id carried through the shuffle. Shuffle
+    # fetch order across map outputs is NOT deterministic, so without an
+    # explicit within-partition sort a compaction would scramble rows
+    # inside each output file and silently destroy zkey clustering. The
+    # (bin, _cpath, _cidx) sort restores source-file order (file names
+    # sort in the layout writer's range order) and original row order
+    # within each file.
     data = spark.read.parquet(path).withColumn(
         "_cpath", F.input_file_name()
-    )
+    ).withColumn("_cidx", F.monotonically_increasing_id())
     tagged = data.join(
         F.broadcast(fmap.withColumnRenamed("path", "_cpath")), "_cpath"
     )
     (
         tagged.repartitionByRange(max(total_bins, 1), "bin", "_cpath")
-        .drop("_cpath", "bin")
+        .sortWithinPartitions("bin", "_cpath", "_cidx")
+        .drop("_cpath", "bin", "_cidx")
         .write.mode("overwrite")
         .parquet(out_path)
     )

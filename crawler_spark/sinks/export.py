@@ -74,13 +74,36 @@ _BLOCK_SCHEMA = T.StructType(
 )
 
 
+# The report is a single human-readable document the driver must assemble,
+# so its row count is a DRIVER-MEMORY bound, not a cluster bound. 100k
+# rendered blocks ~ a few hundred MB — far past any report a human reads
+# (the reference's golden artifact is 18 pages). Above the cap the sink
+# refuses loudly instead of OOM-ing the driver; callers that really want a
+# corpus-sized export should use export_to_json (distributed write).
+MAX_REPORT_PAGES = 100_000
+
+
 def export_markdown_string(
     pages: DataFrame,
     meta: Optional[Dict] = None,
+    max_report_pages: int = MAX_REPORT_PAGES,
 ) -> str:
     """Render the full report. Page blocks render in executors; the driver
-    only sorts and joins the per-page strings."""
+    only sorts and joins the per-page strings.
+
+    Raises ``ValueError`` when ``pages`` holds more than
+    ``max_report_pages`` rows — the collect below is driver-sized by
+    design (S4 is a small-result export, bounded by ``max_pages`` in
+    every reference workflow)."""
     meta = meta or {}
+    n = pages.count()
+    if n > max_report_pages:
+        raise ValueError(
+            f"markdown report sink refuses {n} pages "
+            f"(> max_report_pages={max_report_pages}): the report is "
+            "assembled driver-side; use export_to_json for corpus-sized "
+            "output or raise max_report_pages explicitly"
+        )
 
     def render(it):
         for pdf in it:

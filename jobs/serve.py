@@ -90,6 +90,32 @@ class CrawlerService:
         return [page_row_to_dict(r) for r in rows]
 
 
+def _service_map() -> Dict:
+    return {
+        "service": "crawler_spark",
+        "endpoints": [
+            "POST /api/scrape",
+            "POST /api/download",
+            "GET /health",
+            "GET /api/environment",
+            "GET /",
+        ],
+    }
+
+
+def _static_index() -> Optional[str]:
+    """The single-file UI, looked up relative to the repo layout
+    (web/static/index.html); None when not deployed."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(os.path.dirname(here), "web", "static", "index.html")
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    return None
+
+
 def make_handler(service: CrawlerService, download_dir: str):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test runs
@@ -125,23 +151,28 @@ def make_handler(service: CrawlerService, download_dir: str):
                 return self._json(200, {"status": "ok", "version": "0.1.0"})
             if self.path == "/api/environment":
                 return self._json(200, self._environment())
-            if self.path == "/":
-                # reference root serves its web UI (api/main.py:124-129);
-                # the engine has no UI, so the root answers with the
-                # service map instead of a 404 — same
-                # "the server is up, here is what it does" contract
-                return self._json(
-                    200,
-                    {
-                        "service": "crawler_spark",
-                        "endpoints": [
-                            "POST /api/scrape",
-                            "POST /api/download",
-                            "GET /health",
-                            "GET /api/environment",
-                        ],
-                    },
-                )
+            if self.path in ("/", "/static/index.html"):
+                # reference root serves its web UI (api/main.py:124-129 +
+                # web/static/); ours is the from-scratch single-file page
+                # in web/static/index.html, driving the same /api/scrape
+                # and /api/download contract. Falls back to the JSON
+                # service map when the static dir isn't deployed (the
+                # reference warns-and-continues the same way,
+                # api/main.py:30-33).
+                page = _static_index()
+                if page is not None:
+                    body = page.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                return self._json(200, _service_map())
+            if self.path == "/api":
+                # machine-readable "what does this server do" probe
+                return self._json(200, _service_map())
             self._json(404, {"detail": "Not Found"})
 
         def _environment(self) -> Dict:

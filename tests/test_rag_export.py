@@ -69,6 +69,18 @@ def test_export_markdown_matches_reference(spark, crawl_pair, corpus_spec):
     assert got_md == ref_md  # byte-identical report
 
 
+def test_export_markdown_refuses_over_cap(spark, crawl_pair):
+    """The report is assembled driver-side (S4 small-result export) — an
+    uncapped collect against a corpus-sized pages table would OOM the
+    driver, so above max_report_pages the sink must refuse loudly."""
+    import pytest
+
+    result, _ = crawl_pair
+    pages = result.pages(spark)
+    with pytest.raises(ValueError, match="max_report_pages"):
+        export_markdown_string(pages, meta={}, max_report_pages=2)
+
+
 # ---------------------------------------------------------------------------
 # corpus data card (sinks/datacard.py)
 # ---------------------------------------------------------------------------

@@ -154,11 +154,45 @@ def test_unknown_get_route(server):
     assert code == 404
 
 
-def test_root_serves_service_map(server):
-    """GET / answers (reference root serves its UI, api/main.py:124-129;
-    the engine answers with its endpoint map instead of a 404)."""
+def test_root_serves_ui_page(server):
+    """GET / serves the single-file browser UI (reference root serves its
+    web/static UI, api/main.py:124-129). The page must reference the two
+    API endpoints it drives."""
     code, content = _get(server, "/")
+    assert code == 200
+    assert content.lstrip().startswith("<!DOCTYPE html>")
+    assert "/api/scrape" in content
+    assert "/api/download" in content
+
+
+def test_api_root_serves_service_map(server):
+    code, content = _get(server, "/api")
     assert code == 200
     body = json.loads(content)
     assert body["service"] == "crawler_spark"
     assert "POST /api/scrape" in body["endpoints"]
+
+
+def test_ui_scripted_round_trip(server, corpus_rows_mem):
+    """The exact request the UI form submits round-trips: scrape with the
+    page's default payload shape, then download markdown of the result —
+    the scripted equivalent of pressing Scrape + Download Markdown."""
+    seed = corpus_rows_mem[0]["url"]
+    payload = {
+        "url": seed,
+        "instructions": "Extract main content",
+        "depth": 0,
+        "max_pages": 20,
+        "follow_external_links": False,
+    }
+    code, content, _ = _post(server, "/api/scrape", payload)
+    assert code == 200
+    data = json.loads(content)["data"]
+    assert len(data) == 1 and data[0]["url"] == seed
+    code, content, headers = _post(
+        server, "/api/download",
+        {"data": data, "format": "markdown", **payload},
+    )
+    assert code == 200
+    assert "attachment" in headers.get("Content-Disposition", "")
+    assert content.startswith("# Crawler Results:")

@@ -77,17 +77,43 @@ def worker(args) -> None:
 
     spark = build_session(
         master=f"local[{args.cpus}]",
-        shuffle_partitions=64,
+        shuffle_partitions=args.partitions,
         app_name=f"graph_scale_{args.cpus}",
         extra_conf={"spark.driver.memory": "24g"},
     )
     edges = spark.read.parquet(edges_path(args.nodes))
     n_edges = edges.count()
 
+    # Warm-up OUTSIDE the measured window: run the identical plan shapes
+    # on a 20k-node graph so whole-stage-codegen compilation (Janino) and
+    # JIT warm-up happen before t0. A fresh JVM otherwise pays ~2-3 s of
+    # compile time inside the measurement — a size-independent serial
+    # term that masquerades as poor scaling (measured on this box: a
+    # shuffle-free xxhash scan "scales" at 1.6x from 2->8 cores cold and
+    # ~4x warm). Steady-state throughput is what a long-lived executor
+    # fleet delivers; the bit-identity assert still runs on the measured
+    # output.
+    wedges = spark.range(20_000).selectExpr(
+        "id as src",
+        f"explode(transform(array(1, 2, 3), j -> (id * 31 + j * 17) % "
+        f"20000)) as dst",
+    )
+    if args.ops in ("both", "pagerank"):
+        pagerank(wedges, iterations=2, num_partitions=args.partitions).agg(
+            F.count("*")
+        ).collect()
+    if args.ops in ("both", "hyperball"):
+        hyperball_harmonic(
+            wedges, max_dist=2, p=6, num_partitions=args.partitions
+        ).agg(F.count("*")).collect()
+    spark.catalog.clearCache()
+
     t0 = time.perf_counter()
     pr_agg = hb_agg = {"n": 0, "h": 0}
+    # explicit num_partitions: identical data layout at BOTH core budgets
+    # (the default derives from defaultParallelism, which differs per run)
     if args.ops in ("both", "pagerank"):
-        pr = pagerank(edges, iterations=4)
+        pr = pagerank(edges, iterations=4, num_partitions=args.partitions)
         pr_agg = pr.agg(
             F.count("*").alias("n"),
             F.expr(
@@ -96,7 +122,9 @@ def worker(args) -> None:
             ).alias("h"),
         ).collect()[0]
     if args.ops in ("both", "hyperball"):
-        hb = hyperball_harmonic(edges, max_dist=3, p=6)
+        hb = hyperball_harmonic(
+            edges, max_dist=3, p=6, num_partitions=args.partitions
+        )
         hb_agg = hb.agg(
             F.count("*").alias("n"),
             F.expr(
@@ -134,6 +162,7 @@ def main() -> None:
     p.add_argument("--repeat", type=int, default=2)
     p.add_argument("--ops", default="both",
                    choices=("both", "pagerank", "hyperball"))
+    p.add_argument("--partitions", type=int, default=32)
     p.add_argument("--worker", action="store_true")
     args = p.parse_args()
     if args.worker:
@@ -149,7 +178,7 @@ def main() -> None:
             inner = [
                 sys.executable, os.path.abspath(__file__), "--worker",
                 "--cpus", str(c), "--nodes", str(args.nodes),
-                "--ops", args.ops,
+                "--ops", args.ops, "--partitions", str(args.partitions),
             ]
             env = dict(os.environ)
             env["JAVA_TOOL_OPTIONS"] = (
