@@ -519,11 +519,13 @@ def crawl(
             pages_path = ck.write_table(parsed, "pages", wave)
             pages_lineage = ck.lineage_of(spark, pages_path)
         _mark("fetch_extract_write")
-        # one read of the committed wave serves the observer, the seen
-        # projection, the host histogram, and the expand base — cached so
-        # the wave's pages parquet is scanned once, not four times
-        # (unpersisted after the manifest commit below)
-        parsed_c = spark.read.parquet(pages_path).persist()
+        # deliberately NOT cached: each consumer (observer, seen
+        # projection, host histogram, expand base) takes a COLUMN-PRUNED
+        # parquet scan of the committed wave, and a persist() here
+        # materializes every column (markdown included) through the block
+        # store — measured at 1M pages it cut 8-core crawl throughput 34%
+        # and N->4N efficiency 0.90 -> 0.70 (tools/scaling_bench.py)
+        parsed_c = spark.read.parquet(pages_path)
 
         if cfg.wave_observer is not None:
             # the observer sees the committed records (stable parquet
@@ -736,12 +738,12 @@ def crawl(
         frontier_lineage = ck.lineage_of(spark, frontier_path)
         frontier_rows = sum(e["rows"] for e in frontier_lineage)
         if cfg.host_histogram_topk > 0:
-            # A5: hot-host histogram from the wave's committed rows — the
-            # seen table is a projection of the cached pages frame (same
-            # rows), so count hosts there instead of re-reading seen_path
-            # (orderBy+limit => TakeOrderedAndProject, no global sort)
+            # A5: hot-host histogram from the wave's committed seen rows
+            # (orderBy+limit => TakeOrderedAndProject, no global sort).
+            # The seen table is the narrow projection, so this scan reads
+            # one small column — see the parsed_c no-cache note above.
             hist_rows = (
-                parsed_c
+                spark.read.parquet(seen_path)
                 .groupBy("host")
                 .count()
                 .orderBy(F.col("count").desc(), "host")

@@ -64,16 +64,20 @@ def pagerank(
     rank_scale: Optional[int] = None,
     num_partitions: Optional[int] = None,
     seed_ids: Optional[Sequence[int]] = None,
-    checkpoint_interval: int = 2,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     ``checkpoint_interval`` widens the localCheckpoint cadence: the rank
     frame is materialized every K iterations (and always after the last)
-    instead of every round, halving the serial per-round driver cost
-    (job scheduling + checkpoint write) at the default K=2 while keeping
-    lineage depth bounded at K rank-join rounds. Results are identical
-    at any K — checkpointing only truncates lineage.
+    instead of every round. Each materialization is a full job AND a
+    node-sized write through the block store, so the cadence is the
+    iterative family's main serial/memory-bus term: at 12M nodes going
+    K=1 -> 4 raised 8-core throughput 436k -> 553k edges/s and N->4N
+    scaling efficiency 0.71 -> 0.88 (tools/graph_scaling.py). K bounds
+    lineage depth (failure-recovery recompute) at K rank-join rounds;
+    results are identical at any K — checkpointing only truncates
+    lineage.
 
     Returns ``(id, rank_q bigint, rank double)`` for every node that
     appears as a source or destination; ``rank_q`` is the exact
@@ -812,10 +816,14 @@ def hyperball_harmonic(
     regs = hll_registers(
         nodes, ["id"], "cast(id as string)", p=p
     ).localCheckpoint(eager=True)
+    # eager: the round-1 body below frees the initial register table once
+    # its own est materializes — this node-sized frame must not lazily
+    # reference those blocks
     acc = (
         hll_estimate(regs, ["id"], p=p)
         .select("id", F.col("hll_est").alias("prev_est"))
         .withColumn("harmonic_est", F.lit(0.0))
+        .localCheckpoint(eager=True)
     )
     for t in range(1, int(max_dist) + 1):
         # no pre-aggregation on the joined side: hll_merge's groupBy-max
@@ -824,15 +832,27 @@ def hyperball_harmonic(
         grown = e.join(regs.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "bucket", "rank"
         )
+        prev_regs = regs
         regs = hll_merge(regs, grown, ["id"]).localCheckpoint(eager=True)
-        est = hll_estimate(regs, ["id"], p=p).select(
-            "id", F.col("hll_est").alias("est")
+        # est is the NODE-sized eager checkpoint (m-times smaller than
+        # the register table): once it materializes, nothing references
+        # the PREVIOUS round's n*m register blocks, so they are freed
+        # explicitly below. Without this the lazy acc chain kept every
+        # round's register generation live until the final action —
+        # at 12M nodes (m=64: ~770M register rows per round) the block
+        # store evicted a localCheckpoint block mid-job, which is
+        # unrecoverable ("Block rdd_N does not exist"), aborting the run.
+        est = (
+            hll_estimate(regs, ["id"], p=p)
+            .select("id", F.col("hll_est").alias("est"))
+            .localCheckpoint(eager=True)
         )
-        # acc is NOT checkpointed per round: every est frame derives from
-        # the round's eagerly-checkpointed register table, so the final
-        # action computes a max_dist-deep node-sized join chain with no
-        # recomputation — dropping the second per-round job halved the
-        # iterative family's serial driver cost (tools/graph_scaling.py)
+        prev_regs.unpersist()
+        # acc itself stays lazy: it folds the small est checkpoints, so
+        # the final action computes a max_dist-deep node-sized join chain
+        # with no recomputation and no register-table references — one
+        # big job per round (the register merge) instead of two
+        # (tools/graph_scaling.py round-4 profile)
         acc = (
             acc.join(est, "id")
             .withColumn(
