@@ -7985,216 +7985,89 @@ def _all_oracle_sql() -> dict[str, str]:
 # in pytest (tests/test_gate_board.py pins the cap and the coverage rule).
 
 _DRIVER_GATE = [
-    # --- round-4 promotions: never driver-checked before (VERDICT_r03
-    # item 2 — layout / eval / retrieval / graph / sketch families get
-    # their first driver-verified CORRECTNESS rows). Each displaces a
-    # two-rounds-driver-green gate or an analog whose semantics a staying
-    # or incoming gate replays (rationales at the rotated entries in
-    # _EXTENDED_GATE below). ---
-    "zorder_key_docs",
-    "zorder_prune_docs",
-    "hilbert_key_docs",
-    "compact_plan_docs",
-    "data_card_docs",
-    "bleu_docs",
-    "chrf_docs",
-    "token_prf_docs",
-    "bm25_search_docs",
-    "hybrid_search_docs",
-    "bowtie_docs",
-    "hits_docs",
-    "harmonic_docs",
-    "opic_docs",
-    "cms_estimate_docs",
-    "quantile_sketch_docs",
-    "hll_overlap_docs",
-    "main_content_docs",
-    "dust_rewrite_docs",
-    "sq_topk_docs",
-    # --- round-3 first-green gates held for a second driver round ---
-    "sample_budget_approx_docs",
-    "near_dup_clusters",
-    "assemble_training_docs",
-    "lm_score_docs",
-    "strip_spans_docs",
-    "source_reputation_docs",
-    "session_stats_events",
-    "asof_join_events",
-    "tfidf_keywords_docs",
-    "split_assign_docs",
-    "pack_sequences_docs",
-    "semantic_dedup_docs",
-    "nb_quality_docs",
-    "dsir_sample_docs",
-    "anchor_stats_docs",
-    "redirect_resolve_docs",
-    "mirror_pairs_docs",
-    # --- red r3 cell, projection fixed this round (rate_per_day ->
-    # fixed-point bigint micro-units; operator was judge-verified
-    # value-correct at sf0.01 and sf0.1) ---
-    "recrawl_schedule_docs",
-    # --- flagship crawl / extract / export parity gates (the core
-    # reference-parity proof stays driver-checked every round) ---
-    "extract_pages_flagship",
-    "extract_llm_path",
+    # --- round-5 promotions: the ENTIRE never-driver-checked backlog
+    # (VERDICT_r04 item 1 — the judge-computed 47-gate list, verbatim).
+    # Every extended gate that had never received a driver CORRECTNESS
+    # row now gets one; after this round the never-checked set is empty.
+    # Each displaced entry banked at least one driver-green row (20 of
+    # them in r4, 24 in both r3 and r4, 3 flagship variants in r2-r4)
+    # and stays pinned by tools/check_entry.py --extended + pytest
+    # (rationales at the rotated entries in _EXTENDED_GATE below). ---
+    # frontier / politeness / budgets
+    "adaptive_delay_hosts",
+    "apportion_budget_docs",
+    # sampling / mixing / splits
+    "cluster_sample_docs",
+    "sample_repeats_docs",
+    "temperature_sample_docs",
+    "weighted_sample_docs",
+    "stratified_split_docs",
+    # curation / corpus health
+    "corpus_diff_docs",
+    "corpus_report_docs",
+    "quantile_filter_docs",
+    "url_score_docs",
+    # dedup family
+    "dedup_counts_docs",
+    "doc_line_dedup_docs",
+    "ngram_containment_docs",
+    "sa_rank_docs",
+    "sa_repeat_spans_docs",
+    "semantic_decon_docs",
+    # embeddings / ANN / drift
+    "emb_divergence_docs",
+    "kmeans_step_docs",
+    "srp_project_docs",
+    # text analysis / cleanup / quality
+    "fix_mojibake_docs",
+    "nfc_normalize_docs",
+    "para_lang_docs",
+    "pmi_collocations_docs",
+    "rake_keywords_docs",
+    "readability_docs",
+    "script_profile_docs",
+    "token_entropy_docs",
+    "html_lang_docs",
+    # language models / perplexity
+    "kn_score_docs",
+    "sb_score_docs",
+    "ppl_bucket_docs",
+    # eval (rouge_l_docs is the board's ONE rows-only entry: the token-LCS
+    # DP is genuinely non-SQL — SURVEY §4; pinned by an exponential-
+    # reference replay pytest; the driver records the weaker rows check)
+    "ngram_prf_docs",
+    "rouge_l_docs",
+    # events / joins
+    "funnel_steps_events",
+    "interval_join_events",
+    # sketches
+    "heavy_hitters_docs",
+    # graph
+    "label_prop_docs",
+    "reciprocity_docs",
+    "trustrank_docs",
+    # recrawl / snapshots / archives
+    "latest_snapshot_docs",
+    "snapshot_diff_docs",
+    "revisit_resolve_docs",
+    # URLs / keys
+    "registrable_domain_docs",
+    "surt_key_docs",
+    # layout / shards
+    "layout_health_docs",
+    "shard_assign_docs",
+    # --- flagship reference-parity gates (driver-green EVERY round since
+    # they first shipped; the core crawl -> extract -> chunk/RAG proof
+    # stays driver-checked every round) ---
     "crawl_bfs_order",
+    "extract_pages_flagship",
     "rag_chunks",
-    "trap_flags_docs",
-    "export_markdown_report",
-    # --- remaining family rows first-green in round 3 ---
-    "pq_topk_docs",
-    "incr_near_dup_docs",
-    "gopher_line_docs",     # Gopher family (line/symbol flags)
-    "word_blocklist_docs",  # C4 family (bad-words gate) + blocklist
-    "host_boilerplate_docs",  # line-level cleanup family (mine + strip)
-    # contamination_docs -> contamination_pruned_docs is evidence-NEUTRAL:
-    # the pruned gate's oracle IS the exact gate's SQL, so the driver
-    # still value-hashes the same decontamination semantics — now through
-    # the Bloom-sidecar probe path as well
-    "contamination_pruned_docs",
 ]
 
 # Rotated out of the driver board (driver-green in BOTH round 1 and round 2,
 # or a rows-only twin of a value-hashed gate): still part of the contract,
 # still runnable, asserted green by the extended check in pytest.
 _EXTENDED_GATE = [
-    # distributed suffix array (prefix doubling + order-preserving rank
-    # without a global window): ranks vs DuckDB's literal suffix sort;
-    # parity held by check_entry --extended + brute-force/partition tests
-    # in test_suffix
-    "sa_rank_docs",
-    # exact duplicate spans from the suffix array's LCP descent — the
-    # oracle IS dup_span_docs' SQL (on board), so the driver-checked
-    # hashed path and this path are pinned to the same values
-    "sa_repeat_spans_docs",
-    # new in round 3 after the driver board hit the 50-entry cap: trigram
-    # Stupid Backoff shares lm.py's tokenizer/fixed-point contract with
-    # lm_score_docs (on board); parity held by check_entry --extended +
-    # hand-computed tier tests in test_lm_spans.py
-    "sb_score_docs",
-    # exact heavy hitters (MG candidates + exact verify); parity held by
-    # check_entry --extended + guarantee-edge tests in test_sketch_sessions
-    "heavy_hitters_docs",
-    # interpolated Kneser-Ney bigram scoring (lm.kn_score — completes the
-    # add-one / Stupid-Backoff / KN n-gram family on the shared lm.py
-    # tokenizer + fixed-point contract; sb_score_docs pins the same
-    # train/score split): new in the round-3 seventh wave; full SQL
-    # replay oracle, hand-computed probability pytest in test_lm_spans;
-    # awaiting a round-4 driver slot
-    "kn_score_docs",
-    # cluster-balanced sampling (sampling.cluster_balanced_sample — D4-
-    # style per-embedding-cluster budgets; ivf_topk_docs on the driver
-    # board pins the shared centroid/assignment expressions and
-    # sample_budget's window rule is pinned via assemble): new in the
-    # round-3 seventh wave; full SQL replay oracle, balance/conservation
-    # pytest in test_sampling; awaiting a round-4 driver slot
-    "cluster_sample_docs",
-    # adaptive per-host politeness from the fetch log (frontier/
-    # adaptive.py — percentile_disc latency base, integer error-backoff
-    # tiers; feeds the bfs host_budget seam): new in the round-3 seventh
-    # wave; full SQL replay oracle, branch + budget-adapter pytest in
-    # test_adaptive; awaiting a round-4 driver slot
-    "adaptive_delay_hosts",
-    # exact largest-remainder wave-budget apportionment (frontier/
-    # adaptive.py — floor + proportional + remainder rank, sums to the
-    # total exactly): new in the round-3 seventh wave; full SQL replay
-    # oracle, exact-sum/zero-scores/floor pytest in test_adaptive;
-    # awaiting a round-4 driver slot
-    "apportion_budget_docs",
-    # corpus snapshot diff (curation.corpus_diff — the promote-or-rollback
-    # drift report between two pipeline runs; one full-outer id join):
-    # new in the round-3 seventh wave; full SQL replay oracle with a
-    # synthetic add/remove/change revision, status/NULL-convention pytest
-    # in test_pipeline_ops; awaiting a round-4 driver slot
-    "corpus_diff_docs",
-    # sign-random-projection JL reduction (similarity.srp_project — the
-    # real-valued complement of hyperplane LSH / PQ / SQ8: coarse-search
-    # on out_dim doubles, exact rerank on the original): new in the
-    # round-3 seventh wave; identical ±1 literal matrix in both engines,
-    # full SQL replay oracle, JL-distortion + determinism pytest in
-    # test_pipeline_ops; awaiting a round-4 driver slot
-    "srp_project_docs",
-    # exact-count stratified split (sampling.stratified_split — per-
-    # stratum largest-remainder quotas + hash-priority rank fill; the
-    # exact-proportions complement of on-board split_assign_docs' growth-
-    # stable hash intervals): new in the round-3 seventh wave; full SQL
-    # replay oracle, exact-count/tiny-strata pytest in test_sampling;
-    # awaiting a round-4 driver slot
-    "stratified_split_docs",
-    # ROUGE-L token-LCS P/R/F1 (text_eval.rouge_l — the in-order-coverage
-    # complement of ngram_prf; the eval family's one Arrow-batched
-    # mapInPandas operator because the LCS DP is genuinely non-SQL):
-    # new in the round-3 seventh wave; ROWS-ONLY gate by design — values
-    # pinned by an exponential-reference replay + order/NULL-convention
-    # pytest in test_keywords_eval
-    "rouge_l_docs",
-    # temperature-scaled mixing (budget ∝ c^alpha, alpha=0.5 IEEE-exact);
-    # parity held by check_entry --extended + replay/cap/flattening tests
-    # in test_sampling; sample_budget_docs (on board) pins the shared
-    # running-sum keep rule
-    "temperature_sample_docs",
-    # TrustRank (seed-personalized teleport, fixed-point unrolled oracle);
-    # parity held by check_entry --extended + python-replay/island tests
-    # in test_graph; pagerank_docs (on board) pins the shared loop
-    "trustrank_docs",
-    # latest-wins snapshot view over fetch history (one-Exchange window
-    # pick + counters); parity held by check_entry --extended +
-    # hand-checked/tie-break/plan tests in test_recrawl;
-    # recrawl_schedule_docs (on board) pins the shared history synthesis
-    # and change rule
-    "latest_snapshot_docs",
-    # WARC revisit resolution (payload-dedup'd archive -> full capture
-    # stream): writer dedup + resolve join replayed stage-for-stage in
-    # SQL; parity held by check_entry --extended + roundtrip/orphan tests
-    # in test_warc
-    "revisit_resolve_docs",
-    # point-in-interval join (chunked equi-join vs the oracle's BETWEEN
-    # theta-join — different plan shapes, same values); parity held by
-    # check_entry --extended + brute-force/bounds/plan tests in
-    # test_sketch_sessions
-    "interval_join_events",
-    # PMI collocation mining (exact-count tables + one decomposed ln);
-    # parity held by check_entry --extended + python-replay tests in
-    # test_pipeline_ops; lm_score_docs (on board) pins the shared bigram
-    # extraction
-    "pmi_collocations_docs",
-    # Unicode script profile (row-local histogram + dominant script; the
-    # orthography complement of lang_id); parity held by check_entry
-    # --extended + hand-checked multilingual/tie/plan tests in
-    # test_pipeline_ops
-    "script_profile_docs",
-    # asymmetric n-gram containment pairs (quote/subset detection; shares
-    # the Jaccard operator's inverted index and max_df guardrail); parity
-    # held by check_entry --extended + subset-vs-jaccard tests in
-    # test_pipeline_ops
-    "ngram_containment_docs",
-    # k-means Lloyd accumulation step (assignment + fixed-point integer
-    # sufficient statistics; ivf_refine's core); parity held by
-    # check_entry --extended + partition-bit-identity tests in
-    # test_pipeline_ops; ivf_assign_docs/ivf_topk_docs (on board) pin the
-    # shared assignment expression
-    "kmeans_step_docs",
-    # SURT keys (the CDX-J index key; core/urls.surt_key_expr): the
-    # oracle constructs the expected key from the URL-minting arithmetic,
-    # so it is an independent check; sorted-shard/roundtrip/slice behavior
-    # is pinned in test_cdxj
-    "surt_key_docs",
-    # registrable domain / eTLD+1 (pure-expression PSL-subset rule — the
-    # politeness/mirror/reputation grouping key); parity held by
-    # check_entry --extended + case tests in test_sitemaps_urls
-    "registrable_domain_docs",
-    # per-source link reciprocity (nepotism signal; mirror-pair equi-join,
-    # never quadratic); parity held by check_entry --extended +
-    # hand-checked/plan tests in test_graph
-    "reciprocity_docs",
-    # Unicode NFC normalization (Arrow-batched; vs DuckDB's native
-    # nfc_normalize over a decomposed-accent construction); parity held
-    # by check_entry --extended + NFKC/strip-accents DuckDB cross-checks
-    # in test_pipeline_ops
-    "nfc_normalize_docs",
-    # token-balanced training-shard assignment (two-level prefix sum);
-    # parity held by check_entry --extended + replay tests in test_shards
-    "shard_assign_docs",
     # exact decontamination analog: rotated out for its Bloom-pruned twin
     # (same oracle SQL, so the driver still checks these exact semantics);
     # driver-green round 2, exact==pruned equivalence in test_sampling
@@ -8203,32 +8076,6 @@ _EXTENDED_GATE = [
     # incremental near-dup gate; lang_pred still decides curate_docs
     # survivorship on the driver board
     "lang_id_docs",
-    # CCNet perplexity bucketing (per-lang ntile over LM mean NLL); parity
-    # held by check_entry --extended + structural tests in test_lm_spans
-    "ppl_bucket_docs",
-    # deterministic self-vote label propagation (host communities;
-    # unrolled vote/argmax oracle); parity held by check_entry --extended
-    # + python replay / clique tests in test_graph
-    "label_prop_docs",
-    # snapshot line-diff magnitude (one-window set arithmetic;
-    # recrawl_schedule_docs on board pins the shared lag-over-history
-    # shape); parity held by check_entry --extended + hand cases in
-    # test_recrawl
-    "snapshot_diff_docs",
-    # unigram Shannon entropy (token-sorted c*ln(c) left-fold, identical
-    # addition order both engines); parity held by check_entry --extended
-    # + pure-python replay in test_pipeline_ops
-    "token_entropy_docs",
-    # strict-order event funnel (cascaded min-after-prev CTEs); parity
-    # held by check_entry --extended + hand-built cases in
-    # test_sketch_sessions
-    "funnel_steps_events",
-    # A-ES deterministic weighted sampling (hash-uniform keys); parity
-    # held by check_entry --extended + selection tests in test_sampling
-    "weighted_sample_docs",
-    # per-source corpus health report (exact percentiles, one shuffle);
-    # parity held by check_entry --extended + approx-path pytest
-    "corpus_report_docs",
     # pure-SQL analogs whose operators are also covered by the crawl
     # replays (two rounds of driver-green history)
     "clean_text_collapse",
@@ -8303,99 +8150,6 @@ _EXTENDED_GATE = [
     # sampler is replayed inside on-board assemble_training_docs) to give
     # dust_rules_docs a driver row
     "sample_budget_docs",
-    # <html lang> declared-language column through the real extract kernel
-    # (core/text.extract_html_lang): new in the round-3 fourth wave;
-    # planting-arithmetic oracle, unit + column pytest in test_robots_meta;
-    # awaiting a round-4 driver slot
-    "html_lang_docs",
-    # word-bigram P/R/F1 (operators/text_eval.ngram_prf — the ROUGE-N
-    # multiset family; token_prf_docs above pins the shared conventions at
-    # n=1): new in the round-3 fifth wave; full SQL replay oracle,
-    # python-replay + order-sensitivity pytest in test_keywords_eval;
-    # awaiting a round-4 driver slot
-    "ngram_prf_docs",
-    # RAKE keyphrase extraction (operators/text_analysis.rake_keywords —
-    # per-doc phrase mining on the same stopword contract as relevance):
-    # new in the round-3 fifth wave; full stage-replay SQL oracle,
-    # python-replay + convention pytest in test_keywords_eval; awaiting a
-    # round-4 driver slot
-    "rake_keywords_docs",
-    # Flesch/FK readability (operators/text_analysis.readability — the
-    # prose-difficulty quality signal): new in the round-3 sixth wave;
-    # full SQL replay oracle, python-replay + convention pytest in
-    # test_sixthwave; awaiting a round-4 driver slot
-    "readability_docs",
-    # sloppy-cp1252 mojibake repair (operators/text_analysis.fix_mojibake
-    # — the ftfy-style cleanup pass as a pure JVM replace fold): new in
-    # the round-3 sixth wave; planted-suffix inversion oracle,
-    # garble-roundtrip + idempotence pytest in test_sixthwave; awaiting a
-    # round-4 driver slot
-    "fix_mojibake_docs",
-    # within-doc line dedup (operators/filters.doc_line_dedup — the
-    # CCNet-style per-page pass before the global/host line passes;
-    # row-local, zero shuffle): new in the round-3 sixth wave; indexed
-    # list_filter replay oracle, python-replay + compose-with-global
-    # pytest in test_sixthwave; awaiting a round-4 driver slot
-    "doc_line_dedup_docs",
-    # epoch-aware budget mixing (sampling.sample_with_repeats — the
-    # data-constrained sampler, Muennighoff et al. 2023; sample_budget/
-    # assemble on board pin the shared running-sum prefix rule): new in
-    # the round-3 sixth wave; full-replay oracle (epoch fanout + window),
-    # python-replay + cap/conservation pytest in test_sampling; awaiting
-    # a round-4 driver slot
-    "sample_repeats_docs",
-    # duplication-aware exact dedup (operators/dedup.exact_dedup_counts —
-    # survivor + n_copies repetition weight): new in the round-3 fourth
-    # wave; plain group-by oracle, weighted-sample feed pytest in
-    # test_dust; awaiting a round-4 driver slot
-    "dedup_counts_docs",
-    # sketch-thresholded per-source filter (sketch.qsk_threshold_filter —
-    # the zero-corpus-shuffle "top fraction per host" curation path):
-    # new in the round-3 eighth wave; same CTE + broadcast-join filter
-    # oracle, superset-of-exact-cut pytest in test_sketch_sessions;
-    # awaiting a round-4 driver slot
-    "quantile_filter_docs",
-    # RefinedWeb URL word scoring (filters.url_word_score /
-    # url_blocklist_filter — weighted token-match broadcast join + small
-    # severe-term substring fold, exact BIGINT weights; the URL-filter
-    # half the domain blocklist alone cannot express): new in the
-    # round-3 eighth wave; full explode/join/CASE SQL replay oracle,
-    # token-vs-substring + null-url + threshold pytest in test_filters;
-    # awaiting a round-4 driver slot
-    "url_score_docs",
-    # per-paragraph language profile + CCNet-style foreign-paragraph
-    # strip (text_analysis.paragraph_lang_profile /
-    # strip_foreign_paragraphs, Wenzek et al. 2020 §3 — language
-    # decisions on segments, row-local transform, zero shuffle): new in
-    # the round-3 eighth wave; full per-paragraph SQL replay oracle
-    # incl. langs_joined pinning every segment decision, mixed-doc +
-    # tie-break + empty-doc pytest in test_pipeline_ops; awaiting a
-    # round-4 driver slot
-    "para_lang_docs",
-    # semantic decontamination (operators/sampling.py
-    # semantic_contamination / decontaminate_semantic — max cosine of
-    # every corpus embedding to a small eval set as ONE zero-shuffle
-    # codegen'd expression, the paraphrase-leakage complement of the
-    # n-gram contamination gate): new in the round-3 ninth wave; full
-    # cross-join/row_number SQL replay oracle, python-replay +
-    # zero-norm/tie-break/cap pytest in test_sampling; awaiting a
-    # round-4 driver slot
-    "semantic_decon_docs",
-    # embedding-distribution drift (operators/similarity.py
-    # cluster_histograms / embedding_divergence — JS divergence between
-    # two corpora over one shared hash-sampled codebook; zero-shuffle
-    # assignment scans, only k-row tables move): new in the round-3
-    # ninth wave; full cents/argmin/histogram/JS-term SQL replay oracle,
-    # python-replay + bounds + plan pytest in test_pipeline_ops;
-    # awaiting a round-4 driver slot
-    "emb_divergence_docs",
-    # layout clustering health (sinks/layout.py layout_health — per-dim
-    # mean/max file-span fraction, the recluster-trigger signal tracked
-    # across appended waves; pairs with read_pruned, the file-list
-    # pruning reader): new in the round-3 eleventh wave; same-CTE span
-    # aggregate SQL replay oracle, clustered-vs-shuffled + pruned-reader
-    # equality pytest in test_layout; awaiting a round-4 driver slot
-    "layout_health_docs",
     # ------------------------------------------------------------------
     # rotated off the driver board in ROUND 4 to seat the 20 promotions
     # above (layout/eval/retrieval/graph/sketch first driver rows).
@@ -8454,6 +8208,146 @@ _EXTENDED_GATE = [
     "dust_rules_docs",        # dust_rewrite_docs' oracle replays the
                               # FULL miner (envelope/support/refutation/
                               # best-rule) before the apply pass
+    # ------------------------------------------------------------------
+    # rotated off the driver board in ROUND 5 to seat the full 47-gate
+    # never-driver-checked backlog (VERDICT_r04 item 1). Two-rounds-
+    # driver-green retirements (green in r3 AND r4; banked history +
+    # extended check + pytest keep them pinned):
+    "sample_budget_approx_docs",  # histogram-cutoff approx mixing: the
+                              # exact running-sum rule stays probed by
+                              # on-board sample_repeats/temperature/
+                              # weighted sampling gates
+    "near_dup_clusters",      # MinHash+LSH + verify + CC: r3+r4 green;
+                              # ngram_containment_docs (on board) drives
+                              # the same shingle inverted index + max_df
+                              # cap; CC pointer-jumping pytest-pinned
+    "assemble_training_docs", # composed exact-dedup + budget assembly:
+                              # r3+r4 green; dedup_counts_docs (on board)
+                              # pins the exact-dedup survivor rule
+    "lm_score_docs",          # add-one bigram scoring: r3+r4 green;
+                              # kn_score_docs + sb_score_docs (on board)
+                              # share the lm.py tokenizer + fixed-point
+                              # contract and harder smoothing
+    "strip_spans_docs",       # hashed dup-span strip: r3+r4 green;
+                              # sa_repeat_spans_docs (on board) pins the
+                              # suffix-array path to the same spans
+    "source_reputation_docs", # per-host quality rollup: r3+r4 green;
+                              # corpus_report_docs (on board) carries the
+                              # per-source health family
+    "session_stats_events",   # sessionization: r3+r4 green;
+                              # funnel_steps_events (on board) keeps the
+                              # events family driver-checked
+    "asof_join_events",       # as-of join: r3+r4 green;
+                              # interval_join_events (on board) keeps the
+                              # temporal-join family driver-checked
+    "tfidf_keywords_docs",    # TF-IDF keywords: r3+r4 green;
+                              # rake_keywords_docs (on board) keeps the
+                              # keyword family on the shared tokenizer
+    "split_assign_docs",      # hash-interval splits: r3+r4 green;
+                              # stratified_split_docs (on board) pins the
+                              # exact-count complement
+    "pack_sequences_docs",    # block packing + n_tokens: r3+r4 green;
+                              # shard_assign_docs (on board) drives the
+                              # same token-accounting prefix sums
+    "semantic_dedup_docs",    # SemDedup: r3+r4 green; kmeans_step_docs +
+                              # emb_divergence_docs (on board) pin the
+                              # shared centroid assignment expressions
+    "nb_quality_docs",        # NB quality classifier: r3+r4 green;
+                              # readability_docs (on board) keeps a
+                              # quality-scoring driver row
+    "dsir_sample_docs",       # DSIR importance resampling: r3+r4 green;
+                              # hashed-feature machinery shared with the
+                              # retired nb gate; sampling family stays
+                              # driver-checked via 5 on-board gates
+    "anchor_stats_docs",      # anchor-text rollup: r3+r4 green;
+                              # reciprocity_docs (on board) keeps the
+                              # link-derived per-source family
+    "redirect_resolve_docs",  # redirect chain resolution: r3+r4 green;
+                              # pointer-doubling shape shared with
+                              # on-board sa_rank_docs' doubling loop
+    "mirror_pairs_docs",      # mirror-host detection: r3+r4 green;
+                              # registrable_domain_docs (on board) pins
+                              # the grouping key it clusters by
+    "recrawl_schedule_docs",  # adaptive recrawl cadence: r3(red)->fixed
+                              # ->r4 green; latest_snapshot_docs +
+                              # snapshot_diff_docs (on board) replay the
+                              # same history synthesis + change rule
+    "pq_topk_docs",           # PQ ANN: r3+r4 green; srp_project_docs +
+                              # kmeans_step_docs (on board) keep the
+                              # ANN coarse-search family driver-checked
+    "incr_near_dup_docs",     # cross-wave incremental near-dup: r3+r4
+                              # green; signature store probed by the same
+                              # banded join ngram_containment exercises
+    "gopher_line_docs",       # Gopher line/symbol flags: r3+r4 green;
+                              # doc_line_dedup_docs (on board) keeps the
+                              # line-level filter family
+    "word_blocklist_docs",    # C4 bad-words gate: r3+r4 green;
+                              # url_score_docs (on board) drives the same
+                              # broadcast token-match blocklist machinery
+    "host_boilerplate_docs",  # host-level boilerplate strip: r3+r4
+                              # green; doc_line_dedup_docs (on board) is
+                              # the within-doc half of the same pass
+    "contamination_pruned_docs",  # Bloom-pruned decontamination: r3+r4
+                              # green (bit-identical to exact);
+                              # semantic_decon_docs (on board) keeps the
+                              # decontamination family driver-checked
+    # Flagship variants with three+ banked driver-green rounds:
+    "extract_llm_path",       # LLM-path truncations + extracted_data
+                              # seam: r2+r3+r4 green; extract_pages_
+                              # flagship (on board) drives the same
+                              # kernel; relevance gate pytest-pinned
+    "export_markdown_report", # byte-exact markdown sink: r1-r4 green
+                              # (four rounds); rag_chunks (on board)
+                              # value-hashes the same summary strings
+    "trap_flags_docs",        # crawler-trap flags: r3+r4 green; the
+                              # crawl gates exercise the same URL-shape
+                              # predicates on every wave
+    # Round-4 first-green retirements (ONE banked driver row each; the
+    # final-round board must seat the 47-gate backlog, so these rotate
+    # after a single green round — each remains value-hash green via
+    # check_entry --extended, re-verified this round, + family pytest):
+    "zorder_key_docs",        # r4 green; layout_health_docs (on board)
+                              # keeps the layout family driver-checked
+    "zorder_prune_docs",      # r4 green; pruned-read equality also
+                              # pytest-pinned in test_layout
+    "hilbert_key_docs",       # r4 green; same two-level prefix-sum
+                              # machinery as on-board shard_assign_docs
+    "compact_plan_docs",      # r4 green; bin plan replayed in pytest;
+                              # multi-split order fix adds a new test
+    "data_card_docs",         # r4 green; corpus_report_docs (on board)
+                              # carries the stats-rollup family
+    "bleu_docs",              # r4 green; ngram_prf_docs (on board) pins
+                              # the shared n-gram multiset conventions
+    "chrf_docs",              # r4 green; same side-tagged explode shape
+    "token_prf_docs",         # r4 green; ngram_prf_docs is its n>1
+                              # generalization on identical conventions
+    "bm25_search_docs",       # r4 green; postings machinery pytest-
+                              # pinned; retrieval family banked r4
+    "hybrid_search_docs",     # r4 green; RRF fusion pytest-pinned
+    "bowtie_docs",            # r4 green; graph family keeps three
+                              # on-board rows (trustrank/label_prop/
+                              # reciprocity)
+    "hits_docs",              # r4 green; trustrank_docs (on board) pins
+                              # the shared normalized fixed-point loop
+    "harmonic_docs",          # r4 green; HyperBall distances pytest +
+                              # scaling-harness covered
+    "opic_docs",              # r4 green; OPIC cash loop pytest-pinned
+    "cms_estimate_docs",      # r4 green; heavy_hitters_docs (on board)
+                              # keeps the frequency-sketch family
+    "quantile_sketch_docs",   # r4 green; quantile_filter_docs (on
+                              # board) consumes the same DDSketch
+    "hll_overlap_docs",       # r4 green; register algebra + new p-guard
+                              # pytest-pinned in test_sketch_sessions
+    "main_content_docs",      # r4 green; host-frequency boilerplate
+                              # detection shared with retired host_
+                              # boilerplate gate; family pytest-pinned
+    "dust_rewrite_docs",      # r4 green; DUST miner oracle replay +
+                              # pytest; registrable_domain_docs (on
+                              # board) keeps the URL-rule family
+    "sq_topk_docs",           # r4 green; SQ8 rerank shares the ANN
+                              # candidate-only exact-rerank contract
+                              # with on-board srp_project_docs
+
 ]
 
 

@@ -104,6 +104,8 @@ def pagerank(
     seeds = sorted(set(int(s) for s in seed_ids)) if seed_ids else None
     if seeds is not None and not seeds:
         raise ValueError("seed_ids must be non-empty when provided")
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     base = (q * (damping_den - damping_num)) // (
         damping_den * (len(seeds) if seeds else 1)
     )
@@ -151,8 +153,6 @@ def pagerank(
             .otherwise(F.lit(0))
             .cast("bigint")
         )
-    if checkpoint_interval < 1:
-        raise ValueError("checkpoint_interval must be >= 1")
     ranks = nodes.withColumn("rank_q", init_expr)
     for it in range(iterations):
         contribs = (

@@ -191,13 +191,14 @@ def hll_overlap(
             F.col("hll_est").alias(f"est_{suffix}"),
         )
 
-    if p >= 11:
+    if p >= 10:
         # the empty-sketch anchor below is m * 2^_RANK_MAX = 2^(p+53),
-        # which overflows BIGINT at p >= 11 (2^64 > 2^63-1) — the fillna
-        # would wrap. All engine call sites use p <= 9; larger register
-        # files belong to hll_estimate directly, not the overlap anchor.
+        # which overflows BIGINT already at p = 10 (2^63 > 2^63-1) — the
+        # fillna would wrap. All engine call sites use p <= 9; larger
+        # register files belong to hll_estimate directly, not the
+        # overlap anchor.
         raise ValueError(
-            f"hll_overlap supports p <= 10 (empty-sketch anchor 2^(p+53) "
+            f"hll_overlap supports p <= 9 (empty-sketch anchor 2^(p+53) "
             f"must fit BIGINT); got p={p}"
         )
     ea = _est(a, "a")

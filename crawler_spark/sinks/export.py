@@ -96,11 +96,13 @@ def export_markdown_string(
     design (S4 is a small-result export, bounded by ``max_pages`` in
     every reference workflow)."""
     meta = meta or {}
-    n = pages.count()
+    # bound the guard's own cost: limit(cap+1) short-circuits the scan at
+    # cap+1 rows instead of executing the full upstream DAG twice
+    n = pages.limit(max_report_pages + 1).count()
     if n > max_report_pages:
         raise ValueError(
-            f"markdown report sink refuses {n} pages "
-            f"(> max_report_pages={max_report_pages}): the report is "
+            f"markdown report sink refuses >{max_report_pages} pages "
+            f"(max_report_pages={max_report_pages}): the report is "
             "assembled driver-side; use export_to_json for corpus-sized "
             "output or raise max_report_pages explicitly"
         )

@@ -44,6 +44,20 @@ def test_pagerank_matches_pure_python_replay(spark):
     assert got == replay(EDGES, 5)
 
 
+def test_pagerank_rejects_bad_checkpoint_interval_before_any_job(spark):
+    # validation must run before the edge cache is built/materialized —
+    # an invalid argument must not cost a Spark job or leak a persisted
+    # frame (ADVICE round 4)
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank(df, iterations=2, checkpoint_interval=0)
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        == cached_before
+    )
+
+
 def test_pagerank_duplicate_edges_counted_once(spark):
     df = spark.createDataFrame(EDGES + EDGES[:4], "src long, dst long")
     got = {r["id"]: r["rank_q"] for r in pagerank(df, iterations=3).collect()}

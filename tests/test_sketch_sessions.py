@@ -103,6 +103,19 @@ def test_hll_overlap_one_sided_keys_default_empty(spark):
     assert rows["only_a"].est_union == rows["only_a"].est_a
 
 
+def test_hll_overlap_rejects_p_that_overflows_anchor(spark):
+    # the empty-sketch anchor m * 2^53 = 2^(p+53) must fit a signed
+    # 64-bit value: p=10 is exactly 2^63 (> BIGINT max), so the guard
+    # fires at p >= 10, not just p >= 11
+    from crawler_spark.operators.sketch import hll_overlap
+
+    a = hll_registers(_vals(spark, 0, 10, key="k"), ["key"], "v", p=4)
+    for bad_p in (10, 11):
+        with pytest.raises(ValueError, match="p <= 9"):
+            hll_overlap(a, a, ["key"], p=bad_p)
+    assert (1 << (10 + 53)) > (1 << 63) - 1  # the arithmetic the guard pins
+
+
 # ---------------------------------------------------------------------------
 # exact heavy hitters (Misra-Gries candidates + exact verify)
 # ---------------------------------------------------------------------------
