@@ -1821,6 +1821,24 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "source", "lang_pred", "quality", "n_tokens"
         )
 
+    # ---- corpus-release stats (pipeline.release_stats over the assembled
+    # + shard-assigned set — the jobs/corpus_release.py gated surface; the
+    # oracle replays assemble stage-for-stage, then the shard prefix-sum,
+    # then the per-source rollup)
+    def release_stats_docs(spark, sf_dir):
+        from crawler_spark.pipeline import release_stats
+        from crawler_spark.sinks.shards import token_balanced_shards
+
+        sharded = token_balanced_shards(
+            assemble_training_docs(spark, sf_dir),
+            tokens_per_shard=20_000,
+            tokens_col="n_tokens",
+            groups=8,
+        )
+        return release_stats(sharded).select(
+            "source", "n_docs", "n_tokens", "n_shards", "min_quality"
+        )
+
     # ---- CCNet-style bigram-LM scoring (corpus-trained, fixed-point sums)
     def lm_score_docs(spark, sf_dir):
         from crawler_spark.operators.lm import lm_score
@@ -3444,6 +3462,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": near_dup_clusters,
         "near_dup_survivors": near_dup_survivors,
         "assemble_training_docs": assemble_training_docs,
+        "release_stats_docs": release_stats_docs,
         "lm_score_docs": lm_score_docs,
         "ppl_bucket_docs": ppl_bucket_docs,
         "corpus_report_docs": corpus_report_docs,
@@ -7969,6 +7988,40 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM uk u LEFT JOIN best b ON b.url = u.url AND b.rn = 1
     """
     )
+    # corpus-release stats: the assemble oracle's rows, shard-assigned by
+    # the exact prefix-sum replay (token_balanced_shards, groups=8,
+    # 20k tokens/shard), rolled up per source — composes two existing
+    # verified oracles rather than restating their logic
+    sql["release_stats_docs"] = f"""
+        WITH assembled AS ({sql["assemble_training_docs"]}),
+        t AS (SELECT doc_id, source, quality,
+                     cast(n_tokens as bigint) AS n_tokens,
+                     {_duck_hash60("cast(doc_id as varchar)")} AS pri
+              FROM assembled),
+        g AS (SELECT *, cast(pri % 8 as int) AS gg FROM t),
+        cum AS (SELECT *,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY gg ORDER BY pri, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cum_in
+                FROM g),
+        gt AS (SELECT gg, sum(n_tokens) AS g_tokens FROM g GROUP BY 1),
+        off AS (SELECT gg,
+                       coalesce(sum(g_tokens) OVER (
+                           ORDER BY gg ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS off_tokens
+                FROM gt),
+        sh AS (SELECT source, quality, n_tokens,
+                      cast((off_tokens + cum_in) // 20000 as int) AS shard
+               FROM cum JOIN off USING (gg))
+        SELECT source,
+               count(*) AS n_docs,
+               cast(sum(n_tokens) as bigint) AS n_tokens,
+               cast(count(DISTINCT shard) as bigint) AS n_shards,
+               min(quality) AS min_quality
+        FROM sh GROUP BY source
+    """
+
     return sql
 
 
@@ -8068,6 +8121,14 @@ _DRIVER_GATE = [
 # or a rows-only twin of a value-hashed gate): still part of the contract,
 # still runnable, asserted green by the extended check in pytest.
 _EXTENDED_GATE = [
+    # per-source corpus-release stats (pipeline.release_stats over the
+    # assembled + shard-assigned set — jobs/corpus_release.py's gated
+    # summary surface): NEW in round 5; full stage-replay oracle
+    # (assemble CTEs + shard prefix-sum + rollup), end-to-end release
+    # pytest in test_corpus_release; the round-5 board seats the full
+    # 47-gate backlog + the 3 flagships, so this gate starts extended —
+    # first in line for a future driver slot
+    "release_stats_docs",
     # exact decontamination analog: rotated out for its Bloom-pruned twin
     # (same oracle SQL, so the driver still checks these exact semantics);
     # driver-green round 2, exact==pruned equivalence in test_sampling

@@ -751,28 +751,50 @@ def hyperball_harmonic(
     dst_col: str = "dst",
     num_partitions: Optional[int] = None,
     p: int = 9,
+    impl: str = "packed",
 ) -> DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna 2013, "In-Core
     Computation of Geometric Centralities with HyperBall") — the 100 TB
     path for :func:`harmonic_centrality`.
 
-    Instead of the exact reachable-pairs table, every node carries an HLL
-    sketch of its incoming ball ``B_t(x) = {y : d(y, x) <= t}``, updated
-    by the recurrence ``B_t(x) = B_{t-1}(x) UNION B_{t-1}(w)`` over
-    in-neighbors ``w -> x`` — HLL registers make that union an elementwise
-    ``max``, so each round is one edge join + one (id, bucket) max
-    aggregation: state is ``n * m`` small ints, NEVER pairs. The harmonic
+    Every node carries an HLL sketch of its incoming ball ``B_t(x) =
+    {y : d(y, x) <= t}``, updated by the recurrence ``B_t(x) =
+    B_{t-1}(x) UNION B_{t-1}(w)`` over in-neighbors ``w -> x`` — HLL
+    registers make that union an elementwise ``max``. The harmonic
     estimate accumulates ``(|B_t| - |B_{t-1}|) / t`` per round; register
     growth makes the raw estimate monotone up to the linear-counting
-    switch, so increments are clamped at 0 (documented deviation, only at
-    the correction boundary).
+    switch, so increments are clamped at 0 (documented deviation, only
+    at the correction boundary).
 
-    Determinism: the register tables are the exact-integer HLL of
-    sketch.py (bit-identical across partitionings and engines); estimates
-    and increments derive from them with one pinned expression — the whole
-    output is bit-reproducible, asserted against repartitioned runs in
-    pytest. Accuracy is HLL accuracy (~1.04/sqrt(512) ≈ 4.6% per ball);
-    the exact twin is the truth at test scale.
+    ``impl="packed"`` (default) is the round-5 scale rework; both
+    implementations are bit-identical (asserted in pytest) because the
+    registers, the exact-integer indicator sum, and the estimate
+    arithmetic are the same sketch.py math:
+
+    - **Packed registers**: each node's m registers ride ONE row as an
+      ``array<tinyint>`` instead of m ``(id, bucket, rank)`` rows. The
+      per-round edge join moves E rows of ~m bytes instead of E*m flat
+      rows of ~28 bytes — a ~20x cut in the register traffic that made
+      this the most bus-intensive operator in the repo (BENCH.md r4:
+      both-mode N->4N 0.67).
+    - **Per-dst combine**: contributions aggregate with m codegen'd
+      ``max`` columns (map-side partial combine), so the shuffle carries
+      one packed row per (partition, dst), never per edge.
+    - **Dirty-set propagation** (the paper's systolic optimization §4.1):
+      a node propagates in round t only if its registers CHANGED in
+      round t-1 — if ``B_{t-1}(w) = B_{t-2}(w)``, w's contribution is
+      already folded into every successor's ball. Detected exactly via
+      the bigint indicator sum (registers only grow, so s strictly
+      decreases iff any register grew). Near saturation the dirty
+      frontier collapses and round cost falls toward zero — the
+      register-identical invariant makes this safe at any round.
+
+    Determinism: registers are the exact-integer HLL of sketch.py
+    (bit-identical across partitionings and engines); estimates derive
+    from them with one pinned expression — the whole output is
+    bit-reproducible, asserted against repartitioned runs in pytest.
+    Accuracy is HLL accuracy (~1.04/sqrt(m) per ball); the exact twin is
+    the truth at test scale.
 
     Returns ``(id, reach_est double, harmonic_est double)`` — estimated
     ball size at ``max_dist`` and estimated harmonic centrality.
@@ -781,8 +803,296 @@ def hyperball_harmonic(
     (m=512, ~4.6% per-ball error) matches the module-wide HLL; for
     10^9-10^10-node graphs pass p=5..6 (m=32-64, ~13-18% error) — the
     HyperBall paper's own operating point for centrality RANKING, and an
-    8-16x cut in the n*m register state every round moves.
+    8-16x cut in the register state every round moves. (At m=512 the
+    packed path's wide max-aggregate falls out of whole-stage codegen —
+    correct but slower per row; the web-scale operating point m<=128
+    stays inside codegen.)
     """
+    if impl == "packed":
+        return _hyperball_packed(
+            edges, max_dist, src_col, dst_col, num_partitions, p
+        )
+    if impl == "flat":
+        return _hyperball_flat(
+            edges, max_dist, src_col, dst_col, num_partitions, p
+        )
+    raise ValueError(f"impl must be 'packed' or 'flat', got {impl!r}")
+
+
+def _hyperball_packed(
+    edges: DataFrame,
+    max_dist: int,
+    src_col: str,
+    dst_col: str,
+    num_partitions: Optional[int],
+    p: int,
+) -> DataFrame:
+    """Packed-register + dirty-set HyperBall (see the public docstring).
+
+    Per-round dataflow:
+
+      dirty_regs = regs JOIN dirty              (shuffle-hash, dirty builds)
+      contrib = edges JOIN dirty_regs ON src    -> (dst, regv)
+      merged  = (self-rows UNION contrib) repartition(id)
+                |> mapInPandas numpy merge      -> (id, regv, s, z)
+      round   = merged JOIN prev (id, s, est): est, changed?, delta [ckpt]
+      small   = (id, changed, delta)                                [ckpt]
+      regs    = round.(id, regv, s, est); dirty = small WHERE changed;
+      acc folds small.delta lazily in round order
+
+    Why the merge is a numpy ``mapInPandas`` and not a DataFrame
+    aggregate: the elementwise register max is m operations per
+    contribution, and a groupBy with m ``max(regv[j])`` columns runs
+    them through interpreted aggregate evaluation (HashAggregate with a
+    wide buffer does not whole-stage-codegen here) at ~100 ns per
+    register — profiled 50-80 s of CPU per round at 1M nodes, m=64.
+    ``np.maximum.reduceat`` over an id-sorted (rows, m) int8 matrix does
+    the identical exact max in vectorized C, with Arrow moving packed
+    ~m-byte arrays instead of E*m flat rows; the measured swing at 1M
+    nodes was 15 s/round -> 7 s/round against the best pure-DataFrame
+    shape (and 3x fewer shuffled bytes than the flat path). This is the
+    repo's sanctioned escape hatch: Arrow-batched, partition-local,
+    never per-row Python.
+
+    Bit-identity with the flat path (asserted in pytest) rests on: the
+    register max is exact int8; the indicator sum ``s`` and zero count
+    are exact int64/int32 (``2^(RANK_MAX-r)`` via guarded shifts, and
+    ranks above RANK_MAX contribute 0 exactly as the flat path's
+    ``cast(pow(...) as bigint)`` truncation does); the float estimate is
+    computed ONLY in JVM SQL expressions from those integers, with
+    hll_estimate's verbatim arithmetic (alpha literal, operation order,
+    linear-counting switch, 6-decimal round).
+
+    The two localCheckpoints per round keep lineage flat, and the small
+    frame (id + bool + double) divorces the long-lived accumulator
+    references from the array payloads, so no lazy chain ever
+    references a prior round's register blocks — the round-4
+    eviction-abort lesson, preserved by design. A finished round's
+    array frame goes unreferenced one round later; its blocks are
+    reclaimed by the ContextCleaner (Dataset.unpersist cannot free
+    checkpoint RDD blocks, so no explicit free is attempted).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        ByteType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from crawler_spark.operators.dedup import _hash60
+    from crawler_spark.operators.sketch import (
+        _RANK_MAX,
+        alpha_for_m,
+        hll_rank_expr,
+    )
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism, 4)
+    m = 1 << p
+    rank_max = _RANK_MAX
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("regv", ArrayType(ByteType())),
+            StructField("s", LongType()),
+            StructField("z", IntegerType()),
+        ]
+    )
+
+    def merge_partition(batches):
+        # partition-local exact register union: all rows of one id land
+        # in this partition (hash-repartitioned on id upstream), so the
+        # per-partition reduce IS the final aggregate. Stateful across
+        # the partition's Arrow batches, vectorized across rows.
+        ids_parts, reg_parts = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_parts.append(pdf["id"].to_numpy(dtype=np.int64))
+            reg_parts.append(np.stack(pdf["regv"].to_numpy()))
+        if not ids_parts:
+            return
+        ids = np.concatenate(ids_parts)
+        regs_mat = np.concatenate(reg_parts).astype(np.int8, copy=False)
+        order = np.argsort(ids, kind="stable")
+        ids, regs_mat = ids[order], regs_mat[order]
+        bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        merged = np.maximum.reduceat(regs_mat, bounds, axis=0)
+        r64 = merged.astype(np.int64)
+        # 2^(RANK_MAX - r) for r <= RANK_MAX, else 0 — the shift count is
+        # clamped non-negative first because np.where evaluates both
+        # branches (a negative shift is C-level UB)
+        s = np.where(
+            r64 > rank_max,
+            np.int64(0),
+            np.int64(1) << np.maximum(rank_max - r64, 0),
+        ).sum(axis=1)
+        z = (merged == 0).sum(axis=1).astype(np.int32)
+        yield pd.DataFrame(
+            {"id": ids[bounds], "regv": list(merged), "s": s, "z": z}
+        )
+
+    def _est(s_col: str, zeros_col: str) -> str:
+        # verbatim hll_estimate arithmetic (alpha literal, operation
+        # order, linear-counting switch, 6-decimal round) over scalar
+        # integer columns — bit-identity with the flat path rests on
+        # the floats being computed only here, in JVM SQL
+        raw = (
+            f"(cast({alpha_for_m(m)!r} as double) * {m} * {m} "
+            f"* pow(2, {rank_max}) / {s_col})"
+        )
+        return (
+            f"round(CASE WHEN {raw} <= 2.5 * {m} AND {zeros_col} > 0 "
+            f"THEN {m} * ln({m} / cast({zeros_col} as double)) "
+            f"ELSE {raw} END, 6)"
+        )
+
+    # one exchange, then partition-local dedup + a src-sorted cache (the
+    # same setup fusion as pagerank — see the comment there)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(num_partitions, "src")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .repartition(num_partitions, "id")
+        .localCheckpoint(eager=False)
+    )
+    # initial sketch of the singleton ball {x}: the node's own hash sets
+    # exactly one bucket (hash60 + pmod bucket + bin-length rank — the
+    # module HLL, so packed registers == hll_registers bit-for-bit).
+    # s0 = (m-1) empty buckets at 2^RANK_MAX plus the set bucket's
+    # 2^(RANK_MAX-r) — the integer division matches the flat path's
+    # double-pow truncation (rank 54/55 -> 0) exactly.
+    h = _hash60("cast(id as string)")
+    one = "cast(1 as bigint)"
+    regs = (
+        nodes.select(
+            "id",
+            F.expr(f"cast(pmod({h}, {m}) as int)").alias("_b"),
+            F.expr(
+                f"cast(({hll_rank_expr(f'({h})', p)}) as tinyint)"
+            ).alias("_r"),
+        )
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> IF(j = _b, _r, cast(0 as tinyint)))"
+            ).alias("regv"),
+            F.expr(
+                f"cast({m - 1} as bigint) * shiftleft({one}, {rank_max})"
+                f" + shiftleft({one}, {rank_max}) / shiftleft({one}, _r)"
+            ).alias("s"),
+            F.expr(f"cast({m - 1} as int)").alias("_z"),
+        )
+        .select("id", "regv", "s", F.expr(_est("s", "_z")).alias("est"))
+        .localCheckpoint(eager=True)
+    )
+
+    acc = nodes.select("id").withColumn("harmonic_est", F.lit(0.0))
+    dirty = None  # round 1: every node's ball "changed" at t=0
+    for t in range(1, int(max_dist) + 1):
+        dirty_regs = (
+            regs.select("id", "regv")
+            if dirty is None
+            else regs.select("id", "regv").join(
+                dirty.hint("shuffle_hash"), "id"
+            )
+        )
+        contrib = e.join(
+            dirty_regs.withColumnRenamed("id", "src").hint("shuffle_hash"),
+            "src",
+        ).select(F.col("dst").alias("id"), "regv")
+        # the self rows make every node present in the merge output (and
+        # carry its current ball), so the union + per-id max IS the
+        # B_t = B_{t-1} UNION over in-neighbors recurrence
+        merged = (
+            regs.select("id", "regv")
+            .unionByName(contrib)
+            .repartition(num_partitions, "id")
+            .mapInPandas(merge_partition, schema=out_schema)
+        )
+        round_out = (
+            merged.join(
+                regs.select(
+                    "id",
+                    F.col("s").alias("_s_old"),
+                    F.col("est").alias("_est_old"),
+                ).hint("shuffle_hash"),
+                "id",
+            )
+            .select(
+                "id",
+                "regv",
+                "s",
+                F.expr(_est("s", "z")).alias("est"),
+                (F.col("s") != F.col("_s_old")).alias("changed"),
+                F.expr(
+                    f"greatest({_est('s', 'z')} - _est_old, 0.0) / {t}"
+                ).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        small = round_out.select("id", "changed", "delta").localCheckpoint(
+            eager=True
+        )
+        regs = round_out.select("id", "regv", "s", "est")
+        dirty = small.filter("changed").select("id")
+        # acc stays lazy: it folds the small checkpoints in round order
+        # (double addition is order-sensitive; the flat path adds one
+        # greatest(...)/t term per round, and the unaffected-node
+        # delta is exactly +0.0)
+        acc = (
+            acc.join(small.select("id", "delta"), "id", "left")
+            .withColumn(
+                "harmonic_est",
+                F.expr("harmonic_est + coalesce(delta, 0.0)"),
+            )
+            .select("id", "harmonic_est")
+        )
+    e.unpersist()
+    return (
+        regs.select("id", F.col("est").alias("prev_est"))
+        .join(acc, "id")
+        .select(
+            "id",
+            F.expr("round(prev_est, 6)").alias("reach_est"),
+            F.expr("round(harmonic_est, 6)").alias("harmonic_est"),
+        )
+    )
+
+
+def _hyperball_flat(
+    edges: DataFrame,
+    max_dist: int,
+    src_col: str,
+    dst_col: str,
+    num_partitions: Optional[int],
+    p: int,
+) -> DataFrame:
+    """Flat-register HyperBall — the pre-round-5 implementation, kept as
+    the packed path's bit-identity cross-check (pytest joins both outputs
+    and asserts equality). State is the literal sketch.py register table:
+    ``(id, bucket, rank)`` rows, n*m of them, re-aggregated every round —
+    correct, but the per-round edge join materializes E*m rows, which is
+    why the packed path replaced it as the default."""
     from crawler_spark.operators.sketch import (
         hll_estimate,
         hll_merge,
@@ -792,8 +1102,6 @@ def hyperball_harmonic(
     spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 4)
-    # one exchange, then partition-local dedup + a src-sorted cache (the
-    # same setup fusion as pagerank — see the comment there)
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
@@ -832,22 +1140,23 @@ def hyperball_harmonic(
         grown = e.join(regs.withColumnRenamed("id", "src"), "src").select(
             F.col("dst").alias("id"), "bucket", "rank"
         )
-        prev_regs = regs
         regs = hll_merge(regs, grown, ["id"]).localCheckpoint(eager=True)
         # est is the NODE-sized eager checkpoint (m-times smaller than
         # the register table): once it materializes, nothing references
-        # the PREVIOUS round's n*m register blocks, so they are freed
-        # explicitly below. Without this the lazy acc chain kept every
-        # round's register generation live until the final action —
-        # at 12M nodes (m=64: ~770M register rows per round) the block
-        # store evicted a localCheckpoint block mid-job, which is
-        # unrecoverable ("Block rdd_N does not exist"), aborting the run.
+        # the PREVIOUS round's n*m register blocks. Without this the
+        # lazy acc chain kept every round's register generation live
+        # until the final action — at 12M nodes (m=64: ~770M register
+        # rows per round) the block store evicted a localCheckpoint
+        # block mid-job, which is unrecoverable ("Block rdd_N does not
+        # exist"), aborting the run. (The blocks themselves are
+        # reclaimed by GC/ContextCleaner once unreferenced —
+        # Dataset.unpersist cannot free checkpoint RDD blocks, so no
+        # explicit free is attempted here.)
         est = (
             hll_estimate(regs, ["id"], p=p)
             .select("id", F.col("hll_est").alias("est"))
             .localCheckpoint(eager=True)
         )
-        prev_regs.unpersist()
         # acc itself stays lazy: it folds the small est checkpoints, so
         # the final action computes a max_dist-deep node-sized join chain
         # with no recomputation and no register-table references — one

@@ -101,3 +101,134 @@ def crawl_to_training_set(
     if seq_len is not None:
         out = pack_sequences(out, seq_len=seq_len, tokens_col="n_tokens")
     return out
+
+
+def release_stats(sharded: DataFrame) -> DataFrame:
+    """Per-source stats table of an assembled + shard-assigned training
+    set — the release's gated summary surface (``release_stats_docs``).
+
+    Exact-integer columns only (counts and token sums; shards touched per
+    source), so the row set is bit-reproducible across partitionings and
+    engines. One shuffle (the groupBy)."""
+    return (
+        sharded.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.countDistinct("shard").cast("bigint").alias("n_shards"),
+            F.min("quality").alias("min_quality"),
+        )
+    )
+
+
+def corpus_release(
+    spark: SparkSession,
+    corpus: DataFrame,
+    seeds: Sequence[str],
+    crawl_config,
+    run_dir: str,
+    out_dir: str,
+    token_budget: int,
+    tokens_per_shard: int,
+    weights: Optional[Dict[str, float]] = None,
+    eval_docs: Optional[DataFrame] = None,
+    min_quality: float = 0.3,
+    langs: Optional[Sequence[str]] = None,
+    shard_format: str = "parquet",
+    name: str = "corpus",
+    text_source: str = "markdown",
+    layout_bits: int = 5,
+    layout_files: int = 16,
+    **assemble_kwargs,
+) -> Dict:
+    """One-command corpus release: crawl -> curate -> assemble -> shards
+    -> data card -> Z-order layout, emitting a complete release directory
+
+        {out_dir}/training/      assembled training rows (parquet)
+        {out_dir}/shards/        token-balanced trainer shards
+        {out_dir}/manifest/      shard integrity manifest (parquet)
+        {out_dir}/stats/         per-source release stats (parquet)
+        {out_dir}/layout/        (n_tokens, quality)-Z-ordered copy
+        {out_dir}/DATA_CARD.md   human-readable data card
+        {out_dir}/release.json   the release manifest (atomic write, LAST
+                                 — its existence marks a complete release,
+                                 the same commit discipline as the wave
+                                 manifests)
+
+    Every stage is the library operator the individual jobs/ CLIs expose;
+    this wires them into one submit. Returns the release manifest dict.
+    """
+    import json as _json
+    import os as _os
+
+    from crawler_spark.frontier.fs import run_fs
+    from crawler_spark.sinks.datacard import write_data_card
+    from crawler_spark.sinks.layout import write_zordered
+    from crawler_spark.sinks.shards import token_balanced_shards, write_shards
+
+    training = crawl_to_training_set(
+        spark, corpus, seeds, crawl_config, run_dir, token_budget,
+        weights=weights, eval_docs=eval_docs, min_quality=min_quality,
+        langs=langs, text_source=text_source, **assemble_kwargs,
+    )
+    training_path = _os.path.join(out_dir, "training")
+    training.write.mode("overwrite").parquet(training_path)
+    # every downstream stage reads the COMMITTED training parquet (stable
+    # bytes, column-pruned scans), not the live lineage — the crawl's
+    # no-cache discipline applied to the release composition
+    tr = spark.read.parquet(training_path)
+
+    sharded = token_balanced_shards(
+        tr, tokens_per_shard, tokens_col="n_tokens"
+    )
+    manifest_df = write_shards(sharded, out_dir, fmt=shard_format)
+    shard_rows = manifest_df.agg(
+        F.count("*").alias("shards"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+
+    stats_path = _os.path.join(out_dir, "stats")
+    release_stats(sharded).coalesce(1).write.mode("overwrite").parquet(
+        stats_path
+    )
+
+    card_md = write_data_card(
+        tr, _os.path.join(out_dir, "DATA_CARD.md"), name=name
+    )
+
+    layout_path = _os.path.join(out_dir, "layout")
+    thresholds = write_zordered(
+        tr,
+        layout_path,
+        dims=(("n_tokens", "cast(n_tokens as double)"),
+              ("quality", "quality")),
+        bits=layout_bits,
+        n_files=layout_files,
+    )
+
+    release = {
+        "name": name,
+        "token_budget": int(token_budget),
+        "tokens_per_shard": int(tokens_per_shard),
+        "shards": int(shard_rows["shards"]),
+        "docs": int(shard_rows["docs"]),
+        "tokens": int(shard_rows["tokens"] or 0),
+        "shard_format": shard_format,
+        "layout_dims": ["n_tokens", "quality"],
+        "layout_thresholds": thresholds,
+        "data_card_bytes": len(card_md.encode("utf-8")),
+        "tables": {
+            "training": "training",
+            "shards": "shards",
+            "shard_manifest": "manifest",
+            "stats": "stats",
+            "layout": "layout",
+            "data_card": "DATA_CARD.md",
+        },
+    }
+    run_fs(out_dir).write_text_atomic(
+        _os.path.join(out_dir, "release.json"),
+        _json.dumps(release, sort_keys=True, indent=1),
+    )
+    return release

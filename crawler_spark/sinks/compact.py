@@ -147,20 +147,32 @@ def compact_parquet(
     # _cidx: per-row read-order id carried through the shuffle. Shuffle
     # fetch order across map outputs is NOT deterministic, so without an
     # explicit within-partition sort a compaction would scramble rows
-    # inside each output file and silently destroy zkey clustering. The
-    # (bin, _cpath, _cidx) sort restores source-file order (file names
-    # sort in the layout writer's range order) and original row order
-    # within each file.
-    data = spark.read.parquet(path).withColumn(
-        "_cpath", F.input_file_name()
-    ).withColumn("_cidx", F.monotonically_increasing_id())
+    # inside each output file and silently destroy zkey clustering.
+    # _cblock: a file larger than maxPartitionBytes is read as SEVERAL
+    # splits, and Spark bin-packs splits into read partitions sorted by
+    # SIZE, not byte offset — so neither the partition id inside
+    # monotonically_increasing_id nor the within-partition read order
+    # follows file order across splits. input_file_block_start() is the
+    # split's byte offset: sorting on it restores cross-split order,
+    # and _cidx (monotone in read order, and read order within one
+    # split IS row order) finishes the job inside each split. The
+    # (bin, _cpath, _cblock, _cidx) sort therefore restores source-file
+    # order (file names sort in the layout writer's range order) and
+    # original row order within each file, for small and multi-split
+    # files alike.
+    data = (
+        spark.read.parquet(path)
+        .withColumn("_cpath", F.input_file_name())
+        .withColumn("_cblock", F.expr("input_file_block_start()"))
+        .withColumn("_cidx", F.monotonically_increasing_id())
+    )
     tagged = data.join(
         F.broadcast(fmap.withColumnRenamed("path", "_cpath")), "_cpath"
     )
     (
         tagged.repartitionByRange(max(total_bins, 1), "bin", "_cpath")
-        .sortWithinPartitions("bin", "_cpath", "_cidx")
-        .drop("_cpath", "bin", "_cidx")
+        .sortWithinPartitions("bin", "_cpath", "_cblock", "_cidx")
+        .drop("_cpath", "bin", "_cblock", "_cidx")
         .write.mode("overwrite")
         .parquet(out_path)
     )

@@ -93,3 +93,40 @@ def test_compact_large_passthrough_keeps_own_file(spark, tmp_path):
     a = spark.read.parquet(src).agg(F.count("*"), F.min("id"), F.max("id")).first()
     b = spark.read.parquet(out).agg(F.count("*"), F.min("id"), F.max("id")).first()
     assert a == b
+
+
+def test_compact_multisplit_large_file_preserves_row_order(spark, tmp_path):
+    """A passthrough file LARGER than maxPartitionBytes is read as several
+    splits; Spark orders read partitions by split size, not byte offset,
+    so read-order ids alone are not a contract. The (bin, _cpath,
+    input_file_block_start(), _cidx) sort key must restore the file's
+    original row order in the rewrite."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "bigsrc")
+    (
+        spark.range(120_000)
+        .withColumn("v", F.expr("repeat('y', 40)"))
+        .coalesce(1)
+        .sortWithinPartitions("id")
+        .write.option("parquet.block.size", 64 * 1024)  # many row groups
+        .parquet(src)
+    )
+    out = str(tmp_path / "bigout")
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        assert spark.read.parquet(src).rdd.getNumPartitions() > 4
+        compact_parquet(spark, src, out, target_bytes=10**9)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    ids = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        ids += pq.read_table(f, columns=["id"]).column("id").to_pylist()
+    assert len(ids) == 120_000
+    assert ids == sorted(ids)  # original (sorted) row order survived

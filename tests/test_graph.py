@@ -658,6 +658,38 @@ def test_hyperball_tracks_exact_and_is_deterministic(spark):
     assert hb == hb2
 
 
+def test_hyperball_packed_bit_identical_to_flat(spark):
+    # the round-5 packed-register + dirty-set rework must be a pure
+    # performance change: same registers, same estimate arithmetic,
+    # bit-identical output at the web-scale p (6) and the default (9)
+    edges = spark.createDataFrame(
+        [(i, (i * 31 + j * 17) % 60) for i in range(60) for j in (1, 2, 3)],
+        "src long, dst long",
+    ).cache()
+    for p in (6, 9):
+        flat = sorted(
+            hyperball_harmonic(edges, max_dist=3, p=p, impl="flat").collect()
+        )
+        packed = sorted(
+            hyperball_harmonic(edges, max_dist=3, p=p, impl="packed").collect()
+        )
+        assert flat == packed
+    with pytest.raises(ValueError, match="impl"):
+        hyperball_harmonic(edges, max_dist=1, impl="nope")
+
+
+def test_hyperball_dirty_set_collapses_at_saturation(spark):
+    # two disjoint 4-cycles: every ball saturates by t=4, so rounds 5+
+    # must be no-ops — same output as max_dist=4 (the dirty frontier is
+    # empty and propagates nothing, the paper's systolic invariant)
+    cyc = [(i, (i + 1) % 4) for i in range(4)]
+    cyc += [(10 + i, 10 + (i + 1) % 4) for i in range(4)]
+    edges = spark.createDataFrame(cyc, "src long, dst long")
+    at4 = sorted(hyperball_harmonic(edges, max_dist=4, p=6).collect())
+    at8 = sorted(hyperball_harmonic(edges, max_dist=8, p=6).collect())
+    assert at4 == at8
+
+
 def test_hyperball_state_is_registers_not_pairs(spark):
     # the recurrence's working set: (id, bucket, rank) rows only — assert
     # the plan never materializes a (y, x) pairs table by checking the
