@@ -873,7 +873,7 @@ def _hyperball_packed(
     checkpoint RDD blocks, so no explicit free is attempted).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
         ByteType,
@@ -910,20 +910,33 @@ def _hyperball_packed(
         # in this partition (hash-repartitioned on id upstream), so the
         # per-partition reduce IS the final aggregate. Stateful across
         # the partition's Arrow batches, vectorized across rows.
+        # mapInArrow, not mapInPandas: the list<int8> column's Arrow
+        # values buffer reshapes into the (rows, m) int8 matrix as ONE
+        # flat ndarray — the pandas path materialized a tiny numpy
+        # object per row (tens of millions of allocations per round at
+        # 10^7 nodes), which dominated the 8-core profile at 12M.
         ids_parts, reg_parts = [], []
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids_parts.append(pdf["id"].to_numpy(dtype=np.int64))
-            reg_parts.append(np.stack(pdf["regv"].to_numpy()))
+            ids_parts.append(
+                rb.column(0).to_numpy(zero_copy_only=False)
+            )
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            reg_parts.append(
+                flat.reshape(rb.num_rows, m).astype(np.int8, copy=False)
+            )
         if not ids_parts:
             return
-        ids = np.concatenate(ids_parts)
-        regs_mat = np.concatenate(reg_parts).astype(np.int8, copy=False)
+        ids = np.concatenate(ids_parts).astype(np.int64, copy=False)
+        regs_mat = np.concatenate(reg_parts)
         order = np.argsort(ids, kind="stable")
         ids, regs_mat = ids[order], regs_mat[order]
         bounds = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-        merged = np.maximum.reduceat(regs_mat, bounds, axis=0)
+        merged = np.ascontiguousarray(
+            np.maximum.reduceat(regs_mat, bounds, axis=0)
+        )
+        k = merged.shape[0]
         r64 = merged.astype(np.int64)
         # 2^(RANK_MAX - r) for r <= RANK_MAX, else 0 — the shift count is
         # clamped non-negative first because np.where evaluates both
@@ -934,8 +947,20 @@ def _hyperball_packed(
             np.int64(1) << np.maximum(rank_max - r64, 0),
         ).sum(axis=1)
         z = (merged == 0).sum(axis=1).astype(np.int32)
-        yield pd.DataFrame(
-            {"id": ids[bounds], "regv": list(merged), "s": s, "z": z}
+        regv_arr = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (k + 1) * m, m, dtype=np.int32)
+            ),
+            pa.array(merged.reshape(-1), type=pa.int8()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids[bounds], type=pa.int64()),
+                regv_arr,
+                pa.array(s, type=pa.int64()),
+                pa.array(z, type=pa.int32()),
+            ],
+            names=["id", "regv", "s", "z"],
         )
 
     def _est(s_col: str, zeros_col: str) -> str:
@@ -1027,7 +1052,7 @@ def _hyperball_packed(
             regs.select("id", "regv")
             .unionByName(contrib)
             .repartition(num_partitions, "id")
-            .mapInPandas(merge_partition, schema=out_schema)
+            .mapInArrow(merge_partition, schema=out_schema)
         )
         round_out = (
             merged.join(

@@ -62,6 +62,8 @@ _BOUNDED_FUNNEL = _ONE_ROW_TOTAL | {
     "compact_plan_docs",       # file-metadata prefix-sum (file count rows)
     "layout_health_docs",      # per-dim span aggregate (dims x files)
     "shard_assign_docs",       # two-level prefix sum (shard-count rows)
+    "release_stats_docs",      # composes the same shard prefix sum over
+                               # the assembled (budget-bounded) set
 }
 
 # windows ranking bounded rows
@@ -76,6 +78,8 @@ _BOUNDED_WINDOW = {
     "quantile_filter_docs",    # cumsum over <=2^bits sketch buckets
     "quantile_sketch_docs",    # same bucket cumsum
     "shard_assign_docs",       # shard-boundary rank
+    "release_stats_docs",      # same shard-boundary rank + the assemble
+                               # stage's per-source budget window
     "stratified_split_docs",   # per-stratum quota rank (strata-sized)
 }
 
